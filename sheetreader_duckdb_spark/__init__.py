@@ -1,0 +1,53 @@
+"""sheetreader_duckdb_spark — a PySpark-native analytics engine with the
+capabilities of the polydbms/sheetreader-duckdb reference.
+
+Two halves (SURVEY.md):
+
+1. ``sources.xlsx`` — a Spark Python Data Source V2 (``spark.read.format
+   ("sheetreader")``) replicating the reference extension's XLSX ingestion
+   semantics (reference: /root/reference/src/sheetreader_extension.cpp).
+2. ``plans`` / ``operators`` — the relational surface the reference gets from
+   its host DuckDB, expressed Spark-first (DataFrame/SQL, Catalyst-optimized),
+   plus large-scale training-data-pipeline operators (dedup, similarity
+   search, text analysis, multimodal columns).
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"
+
+
+def _ship_package(spark) -> None:
+    """Make this package importable on executors' Python workers.
+
+    The Python Data Source class is cloudpickled to worker processes, which
+    unpickle it by module reference — on a real cluster (or any session whose
+    workers don't share the driver's cwd) the package must travel with the
+    job. This is the standard ``--py-files`` deployment, done programmatically.
+    """
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), f"sheetreader_duckdb_spark-{__version__}.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def register(spark):
+    """Register the sheetreader data source on a SparkSession."""
+    from sheetreader_duckdb_spark.sources.xlsx.datasource import SheetReaderDataSource
+
+    _ship_package(spark)
+    spark.dataSource.register(SheetReaderDataSource)
+    return spark

@@ -1,0 +1,734 @@
+"""Relational surface corpus (SURVEY.md §2.2 H1–H23).
+
+The reference gets this surface from its host DuckDB (evidence: the extension
+registers only a table function, /root/reference/src/sheetreader_extension.cpp:948-968,
+and the demos compose it with host SQL, docker-demo/demo_community.sql). We
+express it Spark-first and verify every query against the DuckDB oracle.
+
+Float discipline: see sheetreader_duckdb_spark.functions — money-style SUM/AVG
+quantize to integer cents per row so both engines sum exactly; libm-flavored
+scalars (sqrt/ln/pow) and multi-pass statistics are rounded to 6 decimals.
+All count/length/rank-like outputs are cast to BIGINT on the Spark side to
+match DuckDB's integer widths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from sheetreader_duckdb_spark.functions import (
+    cents,
+    round_fixed,
+    sql_money_avg,
+    sql_money_sum,
+    sql_round_fixed,
+)
+from sheetreader_duckdb_spark.plans import query
+from sheetreader_duckdb_spark.tables import T
+
+
+def _money_sum(col) -> F.Column:
+    return F.sum(cents(col)) / 100.0
+
+
+def _money_avg(col) -> F.Column:
+    return F.sum(cents(col)) / 100.0 / F.count(F.lit(1))
+
+
+# --------------------------------------------------------------------------
+# H1/H3 — scan + projection/expressions
+# --------------------------------------------------------------------------
+@query(
+    "h01_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+    doc="Parquet scan with pruned projection and a row-level expression (H1, H3). "
+    "Raw double output: per-row IEEE arithmetic is bit-identical across engines.",
+)
+def h01_scan_project(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H4 — filters: comparison, BETWEEN, IN, LIKE, IS NULL
+# --------------------------------------------------------------------------
+@query(
+    "h02_filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_linestatus LIKE 'F%'
+      AND l_returnflag IS NOT NULL
+      AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+    """,
+    doc="Conjunctive predicates: BETWEEN / IN / LIKE / IS NULL / date compare (H4).",
+)
+def h02_filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem")
+    return l.filter(
+        F.col("l_quantity").between(5, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").like("F%")
+        & F.col("l_returnflag").isNotNull()
+        & (F.to_date("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# H5 — inner equi-join chain with broadcast dim
+# --------------------------------------------------------------------------
+@query(
+    "h03_join_inner",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o.o_totalprice')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="customer⋈orders⋈nation; nation broadcast (small dim at any SF) (H5).",
+)
+def h03_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    c, o, n = T(spark, sf, "customer"), T(spark, sf, "orders"), T(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H5 — left outer join + COALESCE defaults
+# --------------------------------------------------------------------------
+@query(
+    "h04_join_left_outer",
+    oracle=f"""
+    SELECT c.c_custkey,
+           COALESCE(t.n_orders, 0) AS n_orders,
+           COALESCE(t.spend, 0.0) AS spend
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_money_sum('o_totalprice')} AS spend
+        FROM orders GROUP BY o_custkey
+    ) t ON c.c_custkey = t.o_custkey
+    """,
+    doc="Left outer join against pre-aggregated orders; NULL → defaults (H5, H21).",
+)
+def h04_join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money_sum("o_totalprice").alias("spend"),
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H6 — semi / anti joins
+# --------------------------------------------------------------------------
+@query(
+    "h05_semi_join",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS active_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="Left-semi join = EXISTS subquery (H6).",
+)
+def h05_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )
+
+
+@query(
+    "h06_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join = NOT EXISTS (H6).",
+)
+def h06_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# H7 — non-equi (range) join
+# --------------------------------------------------------------------------
+@query(
+    "h07_range_join",
+    oracle=f"""
+    SELECT b.band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {sql_money_sum('p.p_retailprice')} AS band_value
+    FROM part p
+    JOIN (SELECT unnest(range(8)) AS band_id) b
+      ON p.p_retailprice >= b.band_id * 250
+     AND p.p_retailprice <  (b.band_id + 1) * 250
+    GROUP BY b.band_id
+    """,
+    doc="Theta join of part against generated price bands (H7). The band side is "
+    "broadcast so the range join never shuffles the big side.",
+)
+def h07_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    bands = spark.range(0, 8).select(F.col("id").alias("band_id"))
+    cond = (p.p_retailprice >= bands.band_id * 250) & (p.p_retailprice < (bands.band_id + 1) * 250)
+    return (
+        p.join(broadcast(bands), cond)
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            _money_sum("p_retailprice").alias("band_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H8 — hash aggregation: TPC-H Q1 (flagship)
+# --------------------------------------------------------------------------
+TPCH_Q1_ORACLE = f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_money_sum('l_quantity')} AS sum_qty,
+           {sql_money_sum('l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_charge,
+           {sql_money_avg('l_quantity')} AS avg_qty,
+           {sql_money_avg('l_extendedprice')} AS avg_price,
+           {sql_money_avg('l_discount')} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "h08_agg_tpch_q1",
+    oracle=TPCH_Q1_ORACLE,
+    doc="TPC-H Q1: multi-measure hash aggregation with map-side partials (H8). "
+    "Flagship query; cents-quantized sums are bit-exact across engines.",
+)
+def h08_agg_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum("l_quantity").alias("sum_qty"),
+            _money_sum("l_extendedprice").alias("sum_base_price"),
+            (F.sum(F.round(disc_price * 100).cast("long")) / 100.0).alias("sum_disc_price"),
+            (F.sum(F.round(charge * 100).cast("long")) / 100.0).alias("sum_charge"),
+            _money_avg("l_quantity").alias("avg_qty"),
+            _money_avg("l_extendedprice").alias("avg_price"),
+            _money_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H9 — ROLLUP + grouping_id
+# --------------------------------------------------------------------------
+@query(
+    "h09_rollup",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o.o_totalprice')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    doc="ROLLUP over region→nation hierarchy with grouping_id (H9).",
+)
+def h09_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    n, r = T(spark, sf, "nation"), T(spark, sf, "region")
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("long").alias("g"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _money_sum("o_totalprice").alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H10 — statistical aggregates
+# --------------------------------------------------------------------------
+@query(
+    "h10_stats_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_round_fixed('stddev_samp(l_quantity)', 6)} AS sd_qty,
+           {sql_round_fixed('var_pop(l_quantity)', 6)} AS var_qty,
+           {sql_round_fixed('corr(l_quantity, l_extendedprice)', 6)} AS corr_qty_price,
+           {sql_round_fixed('median(l_quantity)', 6)} AS med_qty,
+           {sql_round_fixed('quantile_cont(l_discount, 0.9)', 6)} AS p90_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="stddev/variance/corr + exact interpolated median/quantile (H10).",
+)
+def h10_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        round_fixed(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        round_fixed(F.var_pop("l_quantity"), 6).alias("var_qty"),
+        round_fixed(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        round_fixed(F.median("l_quantity"), 6).alias("med_qty"),
+        round_fixed(F.percentile("l_discount", 0.9), 6).alias("p90_disc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H11 — approx_count_distinct (sketches differ across engines → rows-only)
+# --------------------------------------------------------------------------
+@query(
+    "h11_approx_count_distinct",
+    oracle=None,  # HLL sketch implementations differ; driver does rows-only check
+    doc="approx_count_distinct per returnflag (H11). Declared without oracle: "
+    "DuckDB's HLL and Spark's HLL++ give different estimates by design.",
+)
+def h11_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+# --------------------------------------------------------------------------
+# H12 — window functions
+# --------------------------------------------------------------------------
+@query(
+    "h12_window_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+           CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS rk,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS drk,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+           lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS run_total
+    FROM orders
+    """,
+    doc="row_number/rank/dense_rank/ntile/lag/lead + running sum with explicit "
+    "ROWS frame and deterministic tiebreaks (H12).",
+)
+def h12_window_functions(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    by_key = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    by_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    global_price = Window.orderBy("o_totalprice", "o_orderkey")
+    running = by_key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(by_price).cast("long").alias("rn"),
+        F.rank().over(by_date).cast("long").alias("rk"),
+        F.dense_rank().over(by_date).cast("long").alias("drk"),
+        F.ntile(4).over(global_price).cast("long").alias("quartile"),
+        F.lag("o_totalprice").over(by_key).alias("prev_price"),
+        F.lead("o_totalprice").over(by_key).alias("next_price"),
+        (F.sum(cents("o_totalprice")).over(running) / 100.0).alias("run_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H13/H14 — sort + limit (top-k)
+# --------------------------------------------------------------------------
+@query(
+    "h13_sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+    doc="Multi-key ORDER BY + LIMIT → TakeOrderedAndProject, no full sort (H13/H14). "
+    "Unique tiebreak keys make the top-100 set deterministic.",
+)
+def h13_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "h14_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Top-k with deterministic tiebreak (H14).",
+)
+def h14_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# H15 — set operations
+# --------------------------------------------------------------------------
+@query(
+    "h15_set_ops",
+    oracle="""
+    SELECT 'both' AS tag, nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nk FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS tag, nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nk FROM supplier)
+    UNION ALL
+    SELECT 'supp_only' AS tag, nk FROM (
+        SELECT s_nationkey AS nk FROM supplier
+        EXCEPT
+        SELECT c_nationkey AS nk FROM customer)
+    """,
+    doc="INTERSECT / EXCEPT / UNION ALL over nation keys (H15).",
+)
+def h15_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    cust_only = c.subtract(s).withColumn("tag", F.lit("cust_only"))
+    supp_only = s.subtract(c).withColumn("tag", F.lit("supp_only"))
+    return both.unionByName(cust_only).unionByName(supp_only).select("tag", "nk")
+
+
+# --------------------------------------------------------------------------
+# H16 — string functions
+# --------------------------------------------------------------------------
+@query(
+    "h16_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           lower(p_brand) AS lbrand,
+           substr(p_name, 1, 10) AS prefix10,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           replace(p_name, ' ', '_') AS snake,
+           string_split(p_name, ' ')[1] AS first_word,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           trim(p_type) AS ttype
+    FROM part
+    """,
+    doc="lower/upper/trim/substr/replace/length/split/concat_ws (H16).",
+)
+def h16_string_functions(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_name", 1, 10).alias("prefix10"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("snake"),
+        words.getItem(0).alias("first_word"),
+        F.size(words).cast("long").alias("n_words"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.col("p_type")).alias("ttype"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H17 — date/time functions
+# --------------------------------------------------------------------------
+@query(
+    "h17_date_functions",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o_totalprice')} AS month_revenue,
+           MIN(CAST(o_orderdate AS DATE)) AS first_day,
+           MAX(CAST(o_orderdate AS DATE)) AS last_day,
+           CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS span_days
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+    doc="date_trunc bucketing, date casts, datediff — session TZ pinned UTC (H17).",
+)
+def h17_date_functions(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum("o_totalprice").alias("month_revenue"),
+            F.min(F.to_date("o_orderdate")).alias("first_day"),
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.datediff(F.max(F.to_date("o_orderdate")), F.min(F.to_date("o_orderdate")))
+            .cast("long")
+            .alias("span_days"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H18 — math functions
+# --------------------------------------------------------------------------
+@query(
+    "h18_math_functions",
+    oracle=f"""
+    SELECT p_partkey,
+           {sql_round_fixed('sqrt(p_retailprice)', 6)} AS sqrt_price,
+           {sql_round_fixed('ln(p_retailprice)', 6)} AS ln_price,
+           CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+           CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+           abs(p_size - 25) AS size_dev,
+           p_partkey % 7 AS k7,
+           {sql_round_fixed('pow(p_retailprice, 2)', 4)} AS price_sq
+    FROM part
+    """,
+    doc="round/floor/ceil/abs/sqrt/ln/pow/modulo; libm outputs rounded to kill "
+    "last-ulp cross-engine drift (H18).",
+)
+def h18_math_functions(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        round_fixed(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        round_fixed(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.floor("p_retailprice").alias("floor_price"),
+        F.ceil("p_retailprice").alias("ceil_price"),
+        F.abs(F.col("p_size") - F.lit(25)).alias("size_dev"),
+        (F.col("p_partkey") % 7).alias("k7"),
+        round_fixed(F.pow("p_retailprice", F.lit(2.0)), 4).alias("price_sq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H19 — array functions over embeddings
+# --------------------------------------------------------------------------
+@query(
+    "h19_array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val,
+           {sum_sq_sql} AS sum_sq
+    FROM embeddings
+    """.format(
+        sum_sq_sql=sql_round_fixed(
+            "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))", 6
+        )
+    ),
+    doc="Array size/index/max + higher-order transform/aggregate fold (H19). "
+    "Per-list left-to-right double fold is order-deterministic in both engines.",
+)
+def h19_array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    sum_sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        round_fixed(sum_sq, 6).alias("sum_sq"),
+    )
+
+
+@query(
+    "h19b_array_explode",
+    oracle="""
+    SELECT e.label, i.i AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(CAST(e.embedding[i.i + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_v
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range(4)) AS i) i
+    GROUP BY e.label, i.i
+    """,
+    doc="posexplode of the first 4 embedding positions + quantized exact sums "
+    "per (label, position) (H19).",
+)
+def h19b_array_explode(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    exploded = e.select("label", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "v"))
+    return (
+        exploded.groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("v").cast("double") * 1000000).cast("long")) / 1000000.0).alias("sum_v"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H20 — JSON extraction over events.props
+# --------------------------------------------------------------------------
+@query(
+    "h20_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="get_json_object ↔ json_extract_string over the events.props JSON column (H20).",
+)
+def h20_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H21 — CASE / CAST / COALESCE / NULLIF
+# --------------------------------------------------------------------------
+@query(
+    "h21_conditional",
+    oracle=f"""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_money_sum('c_acctbal')} AS total_bal,
+           CAST(COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS BIGINT) AS non_building
+    FROM customer
+    GROUP BY CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END
+    """,
+    doc="CASE WHEN bucketing, NULLIF inside COUNT (H21).",
+)
+def h21_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.withColumn("bal_bucket", bucket)
+        .groupBy("bal_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _money_sum("c_acctbal").alias("total_bal"),
+            F.count(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))).alias("non_building"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H22 — CTE + (de)correlated subqueries
+# --------------------------------------------------------------------------
+@query(
+    "h22_cte_subquery",
+    oracle=f"""
+    WITH nation_avg AS (
+        SELECT c_nationkey, {sql_money_avg('c_acctbal')} AS avg_bal
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.avg_bal
+    FROM customer c
+    JOIN nation_avg n ON c.c_nationkey = n.c_nationkey
+    WHERE c.c_acctbal > n.avg_bal
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="CTE + comparison against per-group aggregate + correlated EXISTS; Spark "
+    "expresses the decorrelated plan directly (H22).",
+)
+def h22_cte_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    avgs = c.groupBy(F.col("c_nationkey").alias("nk")).agg(_money_avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.join(avgs, c.c_nationkey == avgs.nk)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal", "avg_bal")
+    )
+
+
+# --------------------------------------------------------------------------
+# H23 — vectorized (Arrow) pandas UDF
+# --------------------------------------------------------------------------
+@query(
+    "h23_pandas_udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           n_chars / (CAST(len(string_split(text, ' ')) AS BIGINT) + 1) AS chars_per_token
+    FROM documents
+    """,
+    doc="Scalar pandas UDF (Arrow-batched, the fast Python path) computing "
+    "token counts; oracle expresses the same arithmetic in SQL (H23).",
+)
+def h23_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark.functions.udfs import whitespace_token_count
+
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_tokens"),
+        (F.col("n_chars") / (whitespace_token_count("text") + 1)).alias("chars_per_token"),
+    )

@@ -1,0 +1,55 @@
+"""Canonical SparkSession construction.
+
+Pinned settings that matter for DuckDB-oracle parity and for scale:
+
+- ``spark.sql.session.timeZone=UTC`` — the reference's host (DuckDB) is
+  timezone-naive; all date/time comparisons are pinned to UTC (SURVEY.md H17).
+- AQE on — runtime re-planning (skew joins, coalescing) is our scale posture.
+- Arrow enabled — pandas UDFs and the Python data source exchange Arrow
+  batches (the Spark analog of the reference's 2048-row DataChunks,
+  /root/reference/src/sheetreader_extension.cpp:256-258).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "sheetreader-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the parity-critical runtime confs to an externally-built session.
+
+    The correctness driver constructs its own SparkSession; queries must
+    behave identically there, so anything that changes *results* (not just
+    performance) is set here defensively.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The testdata events table stores timestamp[ns]; Spark's parquet reader
+    # rejects NANOS by default. Read as long; tables.T converts to timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

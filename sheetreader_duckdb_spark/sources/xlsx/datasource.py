@@ -1,0 +1,262 @@
+"""``sheetreader`` Spark Python Data Source (V2) — the Spark-native equivalent
+of the reference's DuckDB table function (SURVEY.md §2.1 S1–S16; registration
+/root/reference/src/sheetreader_extension.cpp:950-967).
+
+Usage::
+
+    spark.dataSource.register(SheetReaderDataSource)
+    df = (spark.read.format("sheetreader")
+          .option("sheet_name", "Alpha")      # or sheet_index (1-based)
+          .option("skip_rows", 2)
+          .option("has_header", True)
+          .option("types", "VARCHAR,DOUBLE")  # ⊆ {VARCHAR, DOUBLE, BOOLEAN, DATE}
+          .option("force_types", False)
+          .option("coerce_to_string", False)
+          .load("/data/*.xlsx"))
+
+Architecture (deliberately NOT the reference's): schema() is a lazy two-row
+probe of the first file; the full parse happens at task time, one partition
+per (file, sheet) — on a cluster, thousands of spreadsheets parse in
+parallel. Output is Arrow RecordBatches (the Spark analog of the reference's
+2048-row DataChunks), consumed by Spark's vectorized columnar path.
+
+Beyond-reference extension: multi-file globs are accepted (the reference
+rejects >1 file at bind, :648-651); partition = file.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sheetreader_duckdb_spark.sources.xlsx import parser as P
+from sheetreader_duckdb_spark.sources.xlsx.inference import SheetSchema, infer_schema
+
+_SQL_TO_SPARK = {
+    "VARCHAR": StringType(),
+    "DOUBLE": DoubleType(),
+    "BOOLEAN": BooleanType(),
+    "DATE": DateType(),
+}
+_SPARK_TO_SQL = {
+    "string": "VARCHAR",
+    "double": "DOUBLE",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+}
+
+DEFAULT_BATCH_SIZE = 8192
+
+
+def _parse_bool(v: str | None, default: bool = False) -> bool:
+    if v is None:
+        return default
+    return str(v).strip().lower() in ("true", "1", "yes")
+
+
+@dataclass
+class _Options:
+    paths: list[str]
+    sheet_name: str | None
+    sheet_index: int | None
+    skip_rows: int
+    has_header: bool
+    user_types: list[str] | None
+    force_types: bool
+    coerce_to_string: bool
+    threads: int
+    batch_size: int
+
+    @classmethod
+    def from_options(cls, options) -> "_Options":
+        path = options.get("path")
+        if not path:
+            raise ValueError("sheetreader: 'path' is required")
+        paths = sorted(_glob.glob(path)) if _glob.has_magic(path) else [path]
+        if not paths:
+            raise ValueError("No files found in path")  # reference :648-649
+        for p in paths:
+            if not os.path.exists(p):
+                raise ValueError(f"sheetreader: file not found: {p}")
+        sheet_name = options.get("sheet_name") or None
+        sheet_index = options.get("sheet_index")
+        if sheet_name and sheet_index is not None:
+            # reference :683-685
+            raise ValueError("Sheet index & sheet name cannot be set at the same time.")
+        threads = int(options.get("threads", "1"))
+        if threads <= 0:
+            raise ValueError("Number of threads must be greater than 0")  # reference :712-714
+        types_opt = options.get("types")
+        user_types = [t.strip() for t in types_opt.split(",")] if types_opt else None
+        return cls(
+            paths=paths,
+            sheet_name=sheet_name,
+            sheet_index=int(sheet_index) if sheet_index is not None else None,
+            skip_rows=int(options.get("skip_rows", "0")),
+            has_header=_parse_bool(options.get("has_header")),
+            user_types=user_types,
+            force_types=_parse_bool(options.get("force_types")),
+            coerce_to_string=_parse_bool(options.get("coerce_to_string")),
+            threads=threads,
+            batch_size=int(options.get("batch_size", str(DEFAULT_BATCH_SIZE))),
+        )
+
+
+def _infer_for_file(path: str, opts: _Options) -> SheetSchema:
+    with P.XlsxWorkbook(path) as wb:
+        sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
+        return infer_schema(
+            wb,
+            sheet,
+            skip_rows=opts.skip_rows,
+            has_header=opts.has_header,
+            user_types=opts.user_types,
+            force_types=opts.force_types,
+            coerce_to_string=opts.coerce_to_string,
+        )
+
+
+class SheetReaderDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sheetreader"
+
+    def schema(self):
+        opts = _Options.from_options(self.options)
+        inferred = _infer_for_file(opts.paths[0], opts)
+        return StructType(
+            [
+                StructField(n, _SQL_TO_SPARK[t], nullable=True)
+                for n, t in zip(inferred.names, inferred.types)
+            ]
+        )
+
+    def reader(self, schema: StructType) -> "SheetReaderReader":
+        return SheetReaderReader(self.options, schema)
+
+
+@dataclass
+class _SheetPartition(InputPartition):
+    path: str
+
+
+class SheetReaderReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.opts = _Options.from_options(options)
+        self.schema = schema
+        self.col_types = []
+        for f in schema.fields:
+            sql_t = _SPARK_TO_SQL.get(f.dataType.typeName())
+            if sql_t is None:
+                raise ValueError(
+                    f"sheetreader supports only VARCHAR/DOUBLE/BOOLEAN/DATE columns, "
+                    f"got {f.dataType.simpleString()} for column '{f.name}'"
+                )
+            self.col_types.append(sql_t)
+
+    def partitions(self):
+        return [_SheetPartition(p) for p in self.opts.paths]
+
+    def read(self, partition: _SheetPartition):
+        import pyarrow as pa
+
+        opts = self.opts
+        col_types = self.col_types
+        n_cols = len(col_types)
+        # Per-file probe: header detection / skip accounting is per file; the
+        # global schema (names/types) comes from the first file.
+        file_schema = _infer_for_file(partition.path, opts)
+        if file_schema.n_detected_columns > n_cols:
+            raise ValueError(
+                f"File {partition.path} has more columns than the schema. "
+                f"Has: {file_schema.n_detected_columns} Expected: {n_cols}"
+            )
+
+        arrow_type = {
+            "VARCHAR": pa.string(),
+            "DOUBLE": pa.float64(),
+            "BOOLEAN": pa.bool_(),
+            "DATE": pa.date32(),
+        }
+
+        with P.XlsxWorkbook(partition.path) as wb:
+            sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
+            shared = wb.shared_strings
+            coerce = opts.coerce_to_string
+            columns: list[list] = [[] for _ in range(n_cols)]
+            n_buffered = 0
+            current_row = 0
+
+            def flush():
+                arrays = [pa.array(columns[i], type=arrow_type[col_types[i]]) for i in range(n_cols)]
+                return pa.RecordBatch.from_arrays(arrays, names=[f.name for f in self.schema.fields])
+
+            for cells in wb.iter_rows(sheet, skip_rows=file_schema.skip_rows):
+                current_row += 1
+                row = [None] * n_cols
+                for col, ctype, val in cells:
+                    if col >= n_cols:
+                        # reference :415-422
+                        raise ValueError(
+                            f"Row {current_row} has more columns than the first row. "
+                            f"Has: {col + 1} Expected: {n_cols}"
+                        )
+                    row[col] = _convert_cell(col_types[col], ctype, val, shared, coerce)
+                for i in range(n_cols):
+                    columns[i].append(row[i])
+                n_buffered += 1
+                if n_buffered >= opts.batch_size:
+                    yield flush()
+                    columns = [[] for _ in range(n_cols)]
+                    n_buffered = 0
+            if n_buffered:
+                yield flush()
+
+
+def _convert_cell(expected: str, ctype: int, val, shared: list[str], coerce: bool):
+    """Reference TypesCompatible + SetCell/SetCellString semantics
+    (src/sheetreader_extension.cpp:139-250): type-incompatible / T_NONE /
+    T_ERROR cells → NULL silently (SURVEY.md §1.4)."""
+    if ctype in (P.T_NONE, P.T_ERROR):
+        return None
+    if expected == "VARCHAR":
+        if coerce:
+            return _coerce_to_string(ctype, val, shared)
+        return shared[val] if ctype == P.T_STRING_REF else None
+    if expected == "DOUBLE":
+        return float(val) if ctype == P.T_NUMERIC else None
+    if expected == "BOOLEAN":
+        return bool(val) if ctype == P.T_BOOLEAN else None
+    if expected == "DATE":
+        if ctype != P.T_DATE:
+            return None
+        return P.epoch_seconds_to_days(val)
+    return None
+
+
+def _coerce_to_string(ctype: int, val, shared: list[str]) -> str | None:
+    """SetCellString (:182-221): numerics via std::to_string → fixed 6
+    decimals; booleans TRUE/FALSE; dates YYYY-MM-DD."""
+    import datetime as dt
+
+    if ctype == P.T_STRING_REF:
+        return shared[val]
+    if ctype == P.T_NUMERIC:
+        return f"{float(val):.6f}"
+    if ctype == P.T_BOOLEAN:
+        return "TRUE" if val else "FALSE"
+    if ctype == P.T_DATE:
+        days = P.epoch_seconds_to_days(val)
+        return (dt.date(1970, 1, 1) + dt.timedelta(days=days)).isoformat()
+    return None

@@ -1,0 +1,275 @@
+"""Streaming XLSX (SpreadsheetML) parser — pure stdlib (zipfile + expat).
+
+Replicates the *semantics* of the reference's vendored sheetreader-core parser
+(SURVEY.md §1, §2.1; call sites /root/reference/src/sheetreader_extension.cpp:769,775)
+with a Spark-first architecture: one pass, streaming, no driver-side
+materialization; scale-out comes from one Spark partition per (file, sheet).
+
+Cell model (reference CellType, sheetreader_extension.cpp:225-250):
+- T_STRING_REF — ``t="s"`` cells, index into the sharedStrings heap
+- T_NUMERIC   — plain ``<v>`` numeric cells (Excel numbers are always doubles)
+- T_BOOLEAN   — ``t="b"``
+- T_DATE      — numeric cells whose style carries a date number format
+- T_NONE / T_ERROR → NULL; absent cells → NULL
+- ``t="str"`` / ``t="inlineStr"`` (dynamic & inline strings) → unsupported,
+  same error text as the reference (sheetreader_extension.cpp:572-575)
+
+Dates: the reference core hands the extension seconds-since-unix-epoch as a
+double and the extension truncates toward zero to days:
+``date_t((int)(cell.data.real / 86400.0))`` (sheetreader_extension.cpp:170-175).
+We replicate exactly: serial → secs = (serial - 25569) * 86400 → int(secs/86400).
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from collections.abc import Iterator
+from dataclasses import dataclass
+from xml.etree.ElementTree import iterparse
+
+# Cell "types" mirroring the reference core's CellType enum.
+T_NONE = 0
+T_STRING_REF = 1
+T_NUMERIC = 2
+T_BOOLEAN = 3
+T_DATE = 4
+T_ERROR = 5
+
+# Tag matching is namespace-insensitive: real-world writers vary the
+# namespace (the reference's own demo file uses .../primary/spreadsheetml/...)
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _rid_attr(el) -> str | None:
+    for k, v in el.attrib.items():
+        if _local(k) == "id":
+            return v
+    return None
+
+UNSUPPORTED_STRING_ERROR = "Inline & dynamic String types not supported yet"
+
+# Built-in numFmtIds that render as dates/times (ECMA-376 §18.8.30).
+_BUILTIN_DATE_FMTS = frozenset(
+    list(range(14, 23)) + list(range(27, 37)) + list(range(45, 48)) + list(range(50, 59))
+)
+# A custom format is a date format if it contains y/m/d/h/s tokens outside
+# quoted literals, bracketed sections, and escapes.
+_FMT_STRIP = re.compile(r'"[^"]*"|\[[^\]]*\]|\\.')
+_FMT_DATE_TOKEN = re.compile(r"[ymdhs]", re.IGNORECASE)
+
+
+def _is_date_format(fmt: str) -> bool:
+    return bool(_FMT_DATE_TOKEN.search(_FMT_STRIP.sub("", fmt)))
+
+
+def column_index(cell_ref: str) -> int:
+    """'BC12' → 0-based column 54."""
+    col = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            col = col * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return col - 1
+
+
+@dataclass(frozen=True)
+class SheetInfo:
+    index: int  # 1-based position in workbook.xml (reference sheet_index semantics)
+    name: str
+    path: str  # member path inside the zip, e.g. xl/worksheets/sheet1.xml
+
+
+class XlsxWorkbook:
+    """Workbook metadata + shared strings + style-based date detection."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.zf = zipfile.ZipFile(path)
+        self.sheets = self._parse_workbook()
+        self._shared_strings: list[str] | None = None
+        self._date_styles: frozenset[int] | None = None
+
+    def close(self) -> None:
+        self.zf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- sheet selection (reference: src/sheetreader_extension.cpp:669-701) --
+    def resolve_sheet(self, sheet_name: str | None, sheet_index: int | None) -> SheetInfo:
+        if sheet_name:
+            for s in self.sheets:
+                if s.name == sheet_name:
+                    return s
+            raise ValueError(f"Sheet '{sheet_name}' not found in {self.path}")
+        idx = sheet_index if sheet_index is not None else 1
+        for s in self.sheets:
+            if s.index == idx:
+                return s
+        raise ValueError(f"Sheet index {idx} out of range for {self.path}")
+
+    def _parse_workbook(self) -> list[SheetInfo]:
+        # relationship id → target path
+        rels: dict[str, str] = {}
+        with self.zf.open("xl/_rels/workbook.xml.rels") as f:
+            for _, el in iterparse(f):
+                if _local(el.tag) == "Relationship":
+                    target = el.get("Target", "")
+                    if target.startswith("/"):
+                        target = target.lstrip("/")
+                    elif not target.startswith("xl/"):
+                        target = "xl/" + target
+                    rels[el.get("Id", "")] = target
+        sheets: list[SheetInfo] = []
+        with self.zf.open("xl/workbook.xml") as f:
+            pos = 0
+            for _, el in iterparse(f):
+                if _local(el.tag) == "sheet":
+                    pos += 1
+                    rid = _rid_attr(el)
+                    sheets.append(SheetInfo(index=pos, name=el.get("name", f"Sheet{pos}"), path=rels.get(rid, "")))
+        return sheets
+
+    # -- shared strings heap (reference core parseSharedStrings, call :769) --
+    @property
+    def shared_strings(self) -> list[str]:
+        if self._shared_strings is None:
+            strings: list[str] = []
+            if "xl/sharedStrings.xml" in self.zf.namelist():
+                with self.zf.open("xl/sharedStrings.xml") as f:
+                    parts: list[str] = []
+                    depth_si = False
+                    for event, el in iterparse(f, events=("start", "end")):
+                        if event == "start" and _local(el.tag) == "si":
+                            depth_si = True
+                            parts = []
+                        elif event == "end":
+                            if _local(el.tag) == "t" and depth_si:
+                                parts.append(el.text or "")
+                            elif _local(el.tag) == "si":
+                                strings.append("".join(parts))
+                                depth_si = False
+                                el.clear()
+            self._shared_strings = strings
+        return self._shared_strings
+
+    # -- style table: which style indexes (s= attr) are date-formatted --
+    @property
+    def date_styles(self) -> frozenset[int]:
+        if self._date_styles is None:
+            date_styles: set[int] = set()
+            if "xl/styles.xml" in self.zf.namelist():
+                custom_date_fmts: set[int] = set()
+                in_cellxfs = False
+                xf_pos = 0
+                with self.zf.open("xl/styles.xml") as f:
+                    for event, el in iterparse(f, events=("start", "end")):
+                        if event == "start":
+                            if _local(el.tag) == "cellXfs":
+                                in_cellxfs = True
+                            continue
+                        if _local(el.tag) == "numFmt":
+                            fmt_id = int(el.get("numFmtId", "-1"))
+                            if _is_date_format(el.get("formatCode", "")):
+                                custom_date_fmts.add(fmt_id)
+                        elif _local(el.tag) == "xf" and in_cellxfs:
+                            fmt_id = int(el.get("numFmtId", "0"))
+                            if fmt_id in _BUILTIN_DATE_FMTS or fmt_id in custom_date_fmts:
+                                date_styles.add(xf_pos)
+                            xf_pos += 1
+                        elif _local(el.tag) == "cellXfs":
+                            in_cellxfs = False
+            self._date_styles = frozenset(date_styles)
+        return self._date_styles
+
+    def iter_rows(self, sheet: SheetInfo, skip_rows: int = 0) -> Iterator[list[tuple[int, int, object]]]:
+        """Yield rows as lists of (col_idx, cell_type, raw_value), streaming.
+
+        raw_value: shared-string index for T_STRING_REF, float for
+        T_NUMERIC/T_DATE (T_DATE already converted to seconds-since-epoch,
+        like the reference core), bool for T_BOOLEAN, None otherwise.
+        Empty rows between data rows yield empty lists; absent cells are
+        simply not present (NULL semantics, SURVEY.md §1.4).
+        """
+        date_styles = self.date_styles
+        emitted = 0
+        skipped = 0
+        last_row_num = 0
+        with self.zf.open(sheet.path) as f:
+            cells: list[tuple[int, int, object]] = []
+            cur_type: int | None = None
+            cur_col = -1
+            cur_style_is_date = False
+            v_text: str | None = None
+            in_v = False
+            for event, el in iterparse(f, events=("start", "end")):
+                tag = _local(el.tag)
+                if event == "start":
+                    if tag == "c":
+                        ref = el.get("r")
+                        cur_col = column_index(ref) if ref else cur_col + 1
+                        t = el.get("t")
+                        s = el.get("s")
+                        cur_style_is_date = s is not None and int(s) in date_styles
+                        if t is None or t == "n":
+                            cur_type = T_DATE if cur_style_is_date else T_NUMERIC
+                        elif t == "s":
+                            cur_type = T_STRING_REF
+                        elif t == "b":
+                            cur_type = T_BOOLEAN
+                        elif t == "e":
+                            cur_type = T_ERROR
+                        elif t in ("str", "inlineStr"):
+                            # reference: src/sheetreader_extension.cpp:572-575
+                            raise ValueError(UNSUPPORTED_STRING_ERROR)
+                        else:
+                            cur_type = T_NONE
+                        v_text = None
+                    elif tag == "v":
+                        in_v = True
+                    elif tag == "row":
+                        cells = []
+                        cur_col = -1
+                        row_num = int(el.get("r", last_row_num + 1))
+                        last_row_num = row_num
+                    continue
+                # end events
+                if tag == "v":
+                    v_text = el.text
+                    in_v = False
+                elif tag == "c":
+                    if v_text is None:
+                        pass  # empty cell → absent → NULL
+                    elif cur_type == T_STRING_REF:
+                        cells.append((cur_col, T_STRING_REF, int(v_text)))
+                    elif cur_type == T_NUMERIC:
+                        cells.append((cur_col, T_NUMERIC, float(v_text)))
+                    elif cur_type == T_DATE:
+                        # Excel serial (1900 system) → seconds since unix epoch,
+                        # exactly what the reference core hands the extension.
+                        serial = float(v_text)
+                        cells.append((cur_col, T_DATE, (serial - 25569.0) * 86400.0))
+                    elif cur_type == T_BOOLEAN:
+                        cells.append((cur_col, T_BOOLEAN, v_text.strip() in ("1", "true", "TRUE")))
+                    elif cur_type == T_ERROR:
+                        cells.append((cur_col, T_ERROR, None))
+                    el.clear()
+                elif tag == "row":
+                    if skipped < skip_rows:
+                        skipped += 1
+                    else:
+                        emitted += 1
+                        yield cells
+                    el.clear()
+
+
+def epoch_seconds_to_days(secs: float) -> int:
+    """Reference date decoding: ``(int)(secs / 86400.0)`` — truncation toward
+    zero, including for pre-1970 dates (src/sheetreader_extension.cpp:172)."""
+    return int(secs / 86400.0)

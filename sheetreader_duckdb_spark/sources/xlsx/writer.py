@@ -1,0 +1,169 @@
+"""Minimal XLSX writer — pure stdlib. Serves two roles:
+
+1. Test-fixture generation (FIXTURES.md §A) — openpyxl is not available in
+   this environment, and we need real ZIP + sheet XML + sharedStrings files
+   in exactly the shape the reference consumes (its demo file
+   /root/reference/docker-demo/test.xlsx has this layout).
+2. A write-back sink for the Spark data source (beyond-reference extension —
+   the reference is read-only).
+
+Strings are written to the shared-strings heap (``t="s"``), never inline —
+the reference rejects inline/dynamic strings
+(/root/reference/src/sheetreader_extension.cpp:572-575), so fixtures written
+here are reference-compatible. Dates are numeric serials styled with the
+built-in date format (numFmtId=14); booleans ``t="b"``; numbers plain.
+
+Doubles are serialized with ``repr()`` (shortest round-trip form) so read-back
+is bit-exact.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import zipfile
+from xml.sax.saxutils import escape
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+{sheet_overrides}
+<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
+<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+</Types>"""
+
+_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+# Style index 1 (s="1") carries the built-in date format numFmtId=14.
+_STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>
+<fills count="1"><fill><patternFill patternType="none"/></fill></fills>
+<borders count="1"><border/></borders>
+<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>
+<cellXfs count="2">
+<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>
+<xf numFmtId="14" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>
+</cellXfs>
+</styleSheet>"""
+
+_EPOCH = dt.date(1970, 1, 1)
+
+
+def _col_letter(idx: int) -> str:
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _fmt_double(v: float) -> str:
+    r = repr(float(v))
+    return r
+
+
+def write_xlsx(path: str, sheets: dict[str, list[list[object]]]) -> str:
+    """Write ``{sheet_name: rows}``; each row is a list of cell values.
+
+    Cell encoding by Python type: str → shared string; bool → t="b";
+    int/float → numeric; datetime.date → date serial with date style;
+    None → omitted (absent cell → NULL on read, SURVEY.md §1.4).
+    """
+    sst: list[str] = []
+    sst_index: dict[str, int] = {}
+
+    def intern(s: str) -> int:
+        i = sst_index.get(s)
+        if i is None:
+            i = len(sst)
+            sst_index[s] = i
+            sst.append(s)
+        return i
+
+    sheet_xmls: list[str] = []
+    for rows in sheets.values():
+        parts = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+                 '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">\n<sheetData>']
+        for r_idx, row in enumerate(rows, start=1):
+            parts.append(f'<row r="{r_idx}">')
+            for c_idx, v in enumerate(row):
+                if v is None:
+                    continue
+                ref = f"{_col_letter(c_idx)}{r_idx}"
+                if isinstance(v, bool):
+                    parts.append(f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>')
+                elif isinstance(v, str):
+                    parts.append(f'<c r="{ref}" t="s"><v>{intern(v)}</v></c>')
+                elif isinstance(v, dt.datetime):
+                    serial = (v - dt.datetime(1970, 1, 1)).total_seconds() / 86400.0 + 25569.0
+                    parts.append(f'<c r="{ref}" s="1"><v>{_fmt_double(serial)}</v></c>')
+                elif isinstance(v, dt.date):
+                    serial = (v - _EPOCH).days + 25569
+                    parts.append(f'<c r="{ref}" s="1"><v>{serial}</v></c>')
+                elif isinstance(v, int):
+                    parts.append(f'<c r="{ref}"><v>{v}</v></c>')
+                elif isinstance(v, float):
+                    parts.append(f'<c r="{ref}"><v>{_fmt_double(v)}</v></c>')
+                else:
+                    raise TypeError(f"Unsupported cell value type: {type(v)}")
+            parts.append("</row>\n")
+        parts.append("</sheetData>\n</worksheet>")
+        sheet_xmls.append("".join(parts))
+
+    n = len(sheets)
+    sheet_overrides = "\n".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+        f'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        for i in range(n)
+    )
+    wb_sheets = "".join(
+        f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, name in enumerate(sheets)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    )
+    wb_rels_items = "".join(
+        f'<Relationship Id="rId{i + 1}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        f'Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(n)
+    )
+    wb_rels_items += (
+        f'<Relationship Id="rId{n + 1}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>'
+        f'<Relationship Id="rId{n + 2}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        f"{wb_rels_items}</Relationships>"
+    )
+    sst_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        f'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        f'count="{len(sst)}" uniqueCount="{len(sst)}">'
+        + "".join(f"<si><t xml:space=\"preserve\">{escape(s)}</t></si>" for s in sst)
+        + "</sst>"
+    )
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES.format(sheet_overrides=sheet_overrides))
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/styles.xml", _STYLES)
+        zf.writestr("xl/sharedStrings.xml", sst_xml)
+        for i, xml in enumerate(sheet_xmls):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
+    return path

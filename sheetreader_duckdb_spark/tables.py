@@ -1,0 +1,45 @@
+"""Testdata table access (TESTDATA.md / FIXTURES.md §B)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor (region/
+# nation are fixed-size; supplier/part grow but stay tiny relative to fact
+# tables — at 100 TB the facts are lineitem/orders/events/documents).
+BROADCASTABLE = {"region", "nation"}
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Parquet scan → columnar, pruned, pushdown-capable.
+
+    ``events.ts`` is stored as timestamp[ns], which Spark reads as long (nanos)
+    under ``spark.sql.legacy.parquet.nanosAsLong``. Convert to a microsecond
+    timestamp with integer division (``div``) — double math would lose
+    precision at 1e18 ns, and truncation matches DuckDB's ns→µs narrowing.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        T(spark, sf_dir, t).createOrReplaceTempView(t)
