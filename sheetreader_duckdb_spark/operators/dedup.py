@@ -1,0 +1,207 @@
+"""Deduplication operators for large-scale training-data pipelines
+(SURVEY.md §2.3 N1/N2): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All operators are pure DataFrame compositions — no Python UDFs in the hot
+path, so every stage stays inside WholeStageCodegen and scales by
+partitioning. Shuffle topology at 100 TB:
+
+- exact: one hash-aggregate shuffle on the digest (map-side partial combine).
+- minhash: explode(shingles) is map-side; the signature build is one shuffle
+  keyed by (doc, seed) — or zero extra shuffles in the ``agg_signatures``
+  form which folds all seeds in a single groupBy(doc). Band bucketing is a
+  map-side projection; the candidate join shuffles by (band, band_key),
+  which is uniformly distributed by construction (hash keys). Skewed buckets
+  (giant near-dup clusters) are handled by AQE skew-join splitting.
+- verification joins (jaccard) are self-joins on candidate pairs only —
+  orders of magnitude smaller than the corpus.
+
+Two hash flavors:
+- ``xxhash64`` (JVM built-in, 64-bit ints) — the production/scale path.
+- ``md5`` (hex strings) — the oracle-parity path: DuckDB has no xxhash64,
+  so the queries() entries that must hash-match the oracle use md5. Same
+  algorithm, different hash primitive; both deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# N1 — exact dedup
+# --------------------------------------------------------------------------
+def content_digest(col: Column | str) -> Column:
+    """Deterministic content hash (hex md5) of a string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("binary"))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Group identical contents: (digest h, keep_id = min id, dupes = count).
+
+    One shuffle on the digest; partial aggregation makes the map side emit
+    one row per distinct digest per partition.
+    """
+    return df.groupBy(content_digest(content_col).alias("h")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("dupes"),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Keep exactly one row (the min id) per distinct content."""
+    keep = exact_dedup_groups(df, id_col, content_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# N2 — MinHash + LSH
+# --------------------------------------------------------------------------
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-grams per document: (id, sh). Map-side explode; the
+    DISTINCT is fused into downstream aggregation, no extra shuffle."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    shingle_expr = (
+        f"transform(sequence(0, size(_w) - {k}), i -> "
+        + f"concat_ws(' ', {', '.join(f'_w[i + {j}]' for j in range(k))}))"
+    )
+    return (
+        df.select(F.col(id_col), words.alias("_w"))
+        .filter(F.size("_w") >= k)
+        .select(id_col, F.explode(F.expr(shingle_expr)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures_md5(shingles: DataFrame, id_col: str, n_hashes: int = 8) -> DataFrame:
+    """Oracle-parity MinHash: per (doc, seed), min over md5(seed:shingle).
+
+    Lexicographic min over hex digests ≡ min over a uniform hash. A single
+    groupBy(doc) computes all seeds at once (one shuffle), each seed as an
+    independent min aggregate.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")).cast("binary"))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_xxhash(shingles: DataFrame, id_col: str, n_hashes: int = 128) -> DataFrame:
+    """Scale-path MinHash: 64-bit integer minima via xxhash64 (JVM, no string
+    materialization). 128 hashes ≈ standard corpus-dedup setting."""
+    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"mh{s}") for s in range(n_hashes)]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str, n_hashes: int, band_size: int) -> DataFrame:
+    """(id, band, band_key): hash each band of the signature to a bucket key.
+    Pure projection + explode — map-side only."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)])
+                    .cast("binary")
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band bucket. The self-join
+    shuffles on (band, band_key) — uniform hash keys; AQE splits skewed
+    buckets (giant duplicate clusters) at runtime."""
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    shingles: DataFrame, pairs: DataFrame, id_col: str, threshold: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B|.
+
+    Joins shingle sets only for candidates (tiny vs corpus). Counts are
+    exact integers; the division is deterministic IEEE — oracle-safe.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "sh")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        pairs.join(sa, "id_a").join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# N2b — SimHash (16-bit oracle-parity variant; 64-bit xxhash64 scale variant)
+# --------------------------------------------------------------------------
+def simhash16_expr_sql(engine: str, token_col: str = "tok") -> str:
+    """Build the 16-bit SimHash aggregate expression for either engine.
+
+    Hash source: first 4 hex nibbles of md5(token); bit j of the signature is
+    1 iff sum over tokens of (±1 by bit j) is positive. Both engines evaluate
+    the identical integer arithmetic, so results hash-match.
+    engine ∈ {'spark', 'duckdb'} — differs only in md5-binary-cast and shift
+    syntax.
+    """
+    md5 = f"md5(cast({token_col} as binary))" if engine == "spark" else f"md5({token_col})"
+    terms = []
+    for j in range(16):
+        p = j // 4 + 1  # hex char position 1..4, carrying 4 bits each
+        shift = j % 4
+        nib = f"(instr('0123456789abcdef', substr({md5}, {p}, 1)) - 1)"
+        if engine == "spark":
+            bit = f"(shiftright({nib}, {shift}) & 1)"
+        else:
+            bit = f"(({nib} >> {shift}) & 1)"
+        sgn = f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+        terms.append(f"(CASE WHEN {sgn} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def simhash16(tokens: DataFrame, id_col: str, token_col: str = "tok") -> DataFrame:
+    """(id, simhash) over distinct tokens — one groupBy(doc) shuffle."""
+    return tokens.groupBy(id_col).agg(
+        F.expr(simhash16_expr_sql("spark", token_col)).alias("simhash")
+    )
+
+
+def simhash64_xxhash(tokens: DataFrame, id_col: str, token_col: str = "tok") -> DataFrame:
+    """Scale-path 64-bit SimHash from xxhash64 bits (JVM-side)."""
+    terms = []
+    for j in range(64):
+        bit = f"(shiftright(xxhash64({token_col}), {j}) & 1)"
+        sgn = f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+        terms.append(f"(CASE WHEN {sgn} > 0 THEN CAST({1 << j if j < 63 else -(1 << 63)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return tokens.groupBy(id_col).agg(F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)").alias("simhash"))

@@ -1,0 +1,93 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.3 N4):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything is built-in column expressions (JVM, codegen'd) — these run at
+full scan speed and are embarrassingly parallel: no shuffles at all for
+per-document outputs. All arithmetic is integer-exact or deterministic IEEE,
+so every operator here is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword markers per language for the n-gram/marker language-ID heuristic.
+# Count of marker occurrences is computed with exact substring arithmetic
+# ((len(text) - len(replace(text, m, ''))) / len(m)), identical in any engine.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " de ", " que "],
+    "fr": [" le ", " et ", " les "],
+    "zh": ["的", "是", "了"],
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# BPE-ish tokenizer: runs of alphanumerics OR single non-alnum non-space
+# (RE2 and Java regex agree on this class syntax).
+BPE_TOKEN_PATTERN = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def n_tokens(text: Column | str) -> Column:
+    return F.size(whitespace_tokens(text)).cast("long")
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast("long")
+
+
+def marker_count(text: Column, marker: str) -> Column:
+    """Exact occurrence count of a literal substring."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / len(marker)
+    ).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum((marker_count(text, m) for m in markers), F.lit(0).cast("long"))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column) -> Column:
+    """argmax over marker scores; first-listed language wins ties (the
+    declaration order of LANG_MARKERS is the deterministic tiebreak)."""
+    scores = lang_scores(text)
+    m = F.greatest(*scores.values())
+    langs = list(scores)
+    out = F.when(scores[langs[0]] == m, F.lit(langs[0]))
+    for lang in langs[1:]:
+        out = out.when(scores[lang] == m, F.lit(lang))
+    return out
+
+
+def punct_count(text: Column) -> Column:
+    return (F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))).cast("long")
+
+
+def stopword_hits(text: Column) -> Column:
+    return F.size(
+        F.filter(whitespace_tokens(F.lower(text)), lambda w: w.isin(*STOPWORDS))
+    ).cast("long")
+
+
+def normalized_text(text: Column) -> Column:
+    """lower + whitespace collapse — the canonical form for fingerprinting."""
+    return F.regexp_replace(F.lower(text), "\\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint of the normalized text (hex md5)."""
+    return F.md5(normalized_text(text).cast("binary"))

@@ -1,4 +1,449 @@
-"""North-star training-data-pipeline operators (SURVEY.md §2.3) — filled in
-incrementally; see operators/ for the implementations."""
+"""North-star training-data-pipeline queries (SURVEY.md §2.3 N1–N5):
+deduplication, similarity search, text analysis, multimodal columns.
+
+Implementations live in ``sheetreader_duckdb_spark.operators``; each entry
+here wires an operator over the testdata and pairs it with DuckDB oracle SQL
+expressing the *same algorithm* (same hashes, same arithmetic), so results
+hash-match. Where the production variant uses a hash DuckDB lacks
+(xxhash64), the declared query uses the md5 flavor — identical topology,
+different hash primitive (see operators/dedup.py docstring).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sheetreader_duckdb_spark.operators import dedup as D
+from sheetreader_duckdb_spark.operators import similarity as S
+from sheetreader_duckdb_spark.operators import text as X
+from sheetreader_duckdb_spark.plans import query
+from sheetreader_duckdb_spark.tables import T
+
+# Shared DuckDB CTE fragments (document shingling / minhash / bands), kept in
+# one place so the dedup family stays consistent.
+_SQL_SHINGLES = """
+    words AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS sh
+        FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i
+              FROM words WHERE len(w) >= 3)
+    )
+"""
+
+_SQL_MINHASH_BANDS = """
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    mh AS (
+        SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+        FROM shingles CROSS JOIN seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+        FROM mh GROUP BY doc_id, seed // 2
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band, band_key)
+        WHERE a.doc_id < b.doc_id
+    )
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    return D.word_shingles(T(spark, sf, "documents"), "doc_id", "text", k=3)
+
+
+def _minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf)
+    sigs = D.minhash_signatures_md5(sh, "doc_id", n_hashes=8)
+    bands = D.lsh_bands(sigs, "doc_id", n_hashes=8, band_size=2)
+    return D.lsh_candidate_pairs(bands, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# N1 — exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+@query(
+    "n01_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS h,
+           MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dupes
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact content dedup: one hash-aggregate shuffle on the digest (N1).",
+)
+def n01_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup_groups(T(spark, sf, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# N2 — MinHash + LSH candidate pairs
+# --------------------------------------------------------------------------
+@query(
+    "n02_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_MINHASH_BANDS}
+    SELECT id_a, id_b FROM pairs
+    """,
+    doc="MinHash(8 md5 hashes) + LSH(4 bands × 2) candidate pairs over word "
+    "3-gram shingles (N2). Production variant uses 128×xxhash64 — same plan.",
+)
+def n02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return _minhash_pairs(spark, sf)
+
+
+# --------------------------------------------------------------------------
+# N2c — exact n-gram Jaccard verification of the candidates
+# --------------------------------------------------------------------------
+@query(
+    "n03_dedup_jaccard_verify",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_MINHASH_BANDS},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN shingles sa ON sa.doc_id = p.id_a
+        JOIN shingles sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           i.n_inter / (za.sz + zb.sz - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.5
+    """,
+    doc="Exact shingle-set Jaccard on LSH candidates (verification pass, N2). "
+    "Integer counts + deterministic division → oracle-exact.",
+)
+def n03_dedup_jaccard_verify(spark: SparkSession, sf: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf)
+    pairs = _minhash_pairs(spark, sf)
+    return D.jaccard_verify(sh, pairs, "doc_id", threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# N2d — SimHash signatures
+# --------------------------------------------------------------------------
+@query(
+    "n04_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    )
+    SELECT doc_id, {D.simhash16_expr_sql('duckdb')} AS simhash
+    FROM toks GROUP BY doc_id
+    """,
+    doc="16-bit SimHash from md5 nibbles over distinct unigrams (N2). "
+    "Production variant: 64-bit from xxhash64 (simhash64_xxhash).",
+)
+def n04_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).distinct()
+    return D.simhash16(toks, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# N3 — brute-force cosine top-k (exact ANN baseline)
+# --------------------------------------------------------------------------
+_SQL_COSINE = """
+        list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+        (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) *
+         sqrt(list_sum(list_transform(range(1, 65), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+"""
+
+
+@query(
+    "n05_ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    s AS (
+        SELECT qid, cid, {_SQL_COSINE} AS cosine
+        FROM q CROSS JOIN c WHERE qid <> cid
+    )
+    SELECT qid, cid, cosine, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT qid, cid, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+          FROM s)
+    WHERE rn <= 5
+    """,
+    doc="Exact top-5 cosine neighbors for 10 query vectors: broadcast "
+    "queries, JVM fold dot products, per-query top-k window (N3). The "
+    "approximate scale path is operators.similarity.lsh_topk (SRP buckets).",
+)
+def n05_ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    return S.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+# --------------------------------------------------------------------------
+# N3b — SRP-LSH approximate top-k (no DuckDB oracle: same-bucket candidate
+# generation is Spark-side xxhash64; driver records rows-only)
+# --------------------------------------------------------------------------
+@query(
+    "n05b_ann_lsh_topk",
+    oracle=None,
+    doc="Sign-random-projection LSH top-k (scale path for N3): bucket join on "
+    "12-bit SRP codes + exact re-rank within bucket. xxhash64-derived planes "
+    "have no DuckDB equivalent → rows-only check.",
+)
+def n05b_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    return S.lsh_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# N3c — embedding-cosine near-dup pairs
+# --------------------------------------------------------------------------
+@query(
+    "n06_embedding_neardup",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
+    b AS (SELECT vec_id AS id_b, embedding AS cv FROM embeddings)
+    SELECT id_a, id_b, {_SQL_COSINE} AS cosine
+    FROM a CROSS JOIN b
+    WHERE id_a < id_b AND {_SQL_COSINE} >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.4 — testdata max "
+    "cosine ≈0.51). Exact O(n²) verification form; at scale the same plan "
+    "runs behind an SRP-bucket equi-join (N2/N3).",
+)
+def n06_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return S.embedding_neardup_pairs(T(spark, sf, "embeddings"), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# N4 — text quality scoring
+# --------------------------------------------------------------------------
+@query(
+    "n07_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{X.BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) - length(regexp_replace(text, '{X.PUNCT_CLASS}', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN ({", ".join(f"'{w}'" for w in X.STOPWORDS)}))) AS BIGINT) AS n_stop,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN ({", ".join(f"'{w}'" for w in X.STOPWORDS)}))) AS BIGINT)
+             / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio,
+           CAST(length(text) - length(regexp_replace(text, '{X.PUNCT_CLASS}', '', 'g')) AS BIGINT)
+             / n_chars AS punct_ratio
+    FROM documents
+    """,
+    doc="Quality signals per document: whitespace + BPE-ish token counts, "
+    "punctuation count/ratio, stopword hits/ratio (N4). Scan-speed column "
+    "expressions, no shuffle.",
+)
+def n07_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    text = F.col("text")
+    n_ws = X.n_tokens(text)
+    n_stop = X.stopword_hits(text)
+    n_punct = X.punct_count(text)
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        X.bpe_token_count(text).alias("n_bpe_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+        (n_stop / n_ws).alias("stop_ratio"),
+        (n_punct / F.col("n_chars")).alias("punct_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N4b — language identification (marker heuristic)
+# --------------------------------------------------------------------------
+def _sql_lang_score(lang: str) -> str:
+    parts = [
+        f"CAST((length(text) - length(replace(text, '{m}', ''))) / {len(m)} AS BIGINT)"
+        for m in X.LANG_MARKERS[lang]
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _sql_langid() -> str:
+    langs = list(X.LANG_MARKERS)
+    scores = ", ".join(f"{_sql_lang_score(lg)} AS s_{lg}" for lg in langs)
+    greatest = f"greatest({', '.join('s_' + lg for lg in langs)})"
+    case = "CASE " + " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs) + " END"
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, {scores} FROM documents),
+    m AS (SELECT *, {greatest} AS m FROM scored)
+    SELECT doc_id, {", ".join('s_' + lg for lg in langs)},
+           {case} AS pred_lang,
+           ({case}) = lang AS is_match
+    FROM m
+    """
+
+
+@query(
+    "n08_text_langid",
+    oracle=_sql_langid(),
+    doc="Marker-count language-ID heuristic with deterministic argmax "
+    "tiebreak; scores + prediction + agreement with the labeled lang (N4).",
+)
+def n08_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    text = F.col("text")
+    scores = X.lang_scores(text)
+    pred = X.predict_lang(text)
+    return d.select(
+        "doc_id",
+        *[scores[lg].alias(f"s_{lg}") for lg in X.LANG_MARKERS],
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N4c — document fingerprinting
+# --------------------------------------------------------------------------
+@query(
+    "n09_text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+           substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fp8
+    FROM documents
+    """,
+    doc="Content fingerprint of whitespace-normalized lowercased text (N4).",
+)
+def n09_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    fp = X.fingerprint(F.col("text"))
+    return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp8"))
+
+
+# --------------------------------------------------------------------------
+# N4d — corpus token statistics per source
+# --------------------------------------------------------------------------
+@query(
+    "n10_token_stats",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '{X.BPE_TOKEN_PATTERN}')) AS BIGINT)) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Corpus-level token accounting by source — exact integer sums (N4).",
+)
+def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.n_tokens(F.col("text"))).alias("total_ws_tokens"),
+        F.sum(X.bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N5 — multimodal content addressing
+# --------------------------------------------------------------------------
+@query(
+    "n11_multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN strlen(text) % 3 = 0 THEN 'image/png'
+                WHEN strlen(text) % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           sha256(text) AS sha256,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc="Content-addressed multimodal metadata over opaque payloads: sha256 "
+    "digest, byte length, deterministic mime sniff (N5). The decode / "
+    "feature-extraction path is operators.multimodal.extract_features "
+    "(mapInPandas, stubbed codecs).",
+)
+def n11_multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark.operators.multimodal import attach_media_metadata
+
+    d = T(spark, sf, "documents")
+    return attach_media_metadata(d, "doc_id", "text").select(
+        "media_id", "mime", "sha256", "n_bytes"
+    )
+
+
+# --------------------------------------------------------------------------
+# N6-adjacent — sessionization and windowing (batch form of the streaming
+# operators; the streaming variants live in streaming/events.py)
+# --------------------------------------------------------------------------
+@query(
+    "n12_session_windows",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM m
+    )
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="30-minute-gap sessionization per user via session_window — the same "
+    "operator Structured Streaming uses; oracle is the gaps-and-islands SQL.",
+)
+def n12_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "first_ts", "last_ts", "n_events")
+    )
+
+
+@query(
+    "n13_tumbling_windows",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="1-hour tumbling windows per event_type (batch form of the streaming "
+    "windowed aggregation; cents-quantized exact sums).",
+)
+def n13_tumbling_windows(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark.functions import cents
+
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
