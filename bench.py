@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers the engine surface end-to-end:
+  - xlsx_load_lineitem — sheetreader data-source scan of a 600k-row
+    (at sf0.1) lineitem XLSX, the direct analog of BASELINE.md's
+    "lineitem XLSX load time" rows (reference: ~13.6 s 1T / ~7.1 s 4T).
+    The XLSX file itself is written once and cached in /tmp (write cost
+    is prep, not measured).
+  - TPC-H-style relational core (agg, join, window, top-k).
+  - Training-data north stars (exact + MinHash dedup, ANN top-k,
+    text quality, tumbling windows).
+
+Each query runs against the `noop` sink so we measure plan execution,
+not driver-side collect. One untimed warmup query absorbs JVM/codegen
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "s01_xlsx_roundtrip",
+    "h08_agg_tpch_q1",
+    "h03_join_inner",
+    "h12_window_functions",
+    "h14_topk_orders",
+    "h22_cte_subquery",
+    "n01_dedup_exact",
+    "n02_dedup_minhash_lsh",
+    "n05_ann_bruteforce_topk",
+    "n07_text_quality",
+    "n13_tumbling_windows",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from sheetreader_duckdb_spark.session import configure_session
+    from sheetreader_duckdb_spark.plans import all_queries
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("sheetreader-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    configure_session(spark)
+    corpus = all_queries()
+
+    # Prep outside timing: warm the JVM/codegen path and materialize the
+    # cached lineitem XLSX (s01's input) so its one-time write cost is not
+    # attributed to the load measurement.
+    from sheetreader_duckdb_spark.plans.ingestion import _xlsx_for_sf
+
+    _xlsx_for_sf(SF_DIR)
+    corpus["h01_scan_project"].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    # Warmup pass (untimed): absorbs parquet footer reads, Python worker
+    # pool spin-up, and per-plan codegen; the timed pass below measures
+    # steady-state execution, which is what scales to a real cluster.
+    for name in HEADLINE:
+        corpus[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = corpus[name].fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Dedicated XLSX scan measurement (count over the sheetreader source),
+    # directly comparable to BASELINE.md "lineitem XLSX load time".
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    xlsx_path = _xlsx_for_sf(SF_DIR)
+    t0 = time.perf_counter()
+    spark.read.format("sheetreader").load(xlsx_path).write.mode("overwrite").format("noop").save()
+    timings["xlsx_load_lineitem"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -117,17 +117,30 @@ def lsh_bands(signatures: DataFrame, id_col: str, n_hashes: int, band_size: int)
 
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing any band bucket. The self-join
-    shuffles on (band, band_key) — uniform hash keys; AQE splits skewed
-    buckets (giant duplicate clusters) at runtime."""
-    a = bands.select(
-        F.col(id_col).alias("id_a"), "band", "band_key"
+    """Distinct (id_a < id_b) pairs sharing any band bucket.
+
+    Bucket-grouped expansion instead of a self-join: one shuffle on
+    (band, band_key), then in-bucket pair generation with array ops — the
+    upstream shingle→minhash lineage is computed ONCE (a self-join would
+    execute it twice, which dominates at corpus scale). Bucket membership
+    lists are small by LSH design; a pathological bucket (a giant exact-dup
+    cluster) should be removed by exact dedup (N1) upstream — production
+    pipelines also cap bucket size before pair expansion.
+    """
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    # Sorted ids ⇒ generated pairs already satisfy id_a < id_b.
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(b, on=["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
