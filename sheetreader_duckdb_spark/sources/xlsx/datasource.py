@@ -190,6 +190,10 @@ class SheetReaderReader(DataSourceReader):
             "DATE": pa.date32(),
         }
 
+        # Integer codes for the hot loop: expected 0=VARCHAR 1=DOUBLE
+        # 2=BOOLEAN 3=DATE; cell ctypes are parser constants (T_* ints).
+        exp_codes = [("VARCHAR", "DOUBLE", "BOOLEAN", "DATE").index(t) for t in col_types]
+
         with P.XlsxWorkbook(partition.path) as wb:
             sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
             shared = wb.shared_strings
@@ -212,7 +216,21 @@ class SheetReaderReader(DataSourceReader):
                             f"Row {current_row} has more columns than the first row. "
                             f"Has: {col + 1} Expected: {n_cols}"
                         )
-                    row[col] = _convert_cell(col_types[col], ctype, val, shared, coerce)
+                    if coerce:
+                        row[col] = _convert_cell(col_types[col], ctype, val, shared, coerce)
+                        continue
+                    # Inlined _convert_cell (type-mismatch / T_NONE / T_ERROR
+                    # → NULL, SURVEY.md §1.4) — per-cell function calls are
+                    # measurable at millions of cells per partition.
+                    e = exp_codes[col]
+                    if e == 0:
+                        row[col] = shared[val] if ctype == P.T_STRING_REF else None
+                    elif e == 1:
+                        row[col] = val if ctype == P.T_NUMERIC else None
+                    elif e == 2:
+                        row[col] = val if ctype == P.T_BOOLEAN else None
+                    else:
+                        row[col] = int(val / 86400.0) if ctype == P.T_DATE else None
                 for i in range(n_cols):
                     columns[i].append(row[i])
                 n_buffered += 1
