@@ -25,29 +25,53 @@ def _ship_package(spark) -> None:
     workers don't share the driver's cwd) the package must travel with the
     job. This is the standard ``--py-files`` deployment, done programmatically.
     """
+    import hashlib
     import os
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), f"sheetreader_duckdb_spark-{__version__}.zip")
+    members: list[tuple[str, str]] = []
+    digest = hashlib.sha1()
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs.sort()
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                members.append((full, rel))
+                digest.update(rel.encode())
+                with open(full, "rb") as f:
+                    digest.update(f.read())
+    # Content-addressed zip name: a code change within one session produces a
+    # new artifact, so addPyFile never serves workers a stale package.
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"sheetreader_duckdb_spark-{digest.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zip_path):
         tmp = zip_path + f".{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+            for full, rel in members:
+                zf.write(full, rel)
         os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
 
 
 def register(spark):
     """Register the sheetreader data source on a SparkSession."""
+    from sheetreader_duckdb_spark.sources.xlsx import datasource, inference, parser
     from sheetreader_duckdb_spark.sources.xlsx.datasource import SheetReaderDataSource
 
     _ship_package(spark)
+    # Streaming source planning runs in a driver-side Python runner that does
+    # NOT see addPyFile paths — serialize the data source modules by value so
+    # every unpickler is self-contained.
+    try:
+        from pyspark import cloudpickle
+
+        for mod in (datasource, parser, inference):
+            cloudpickle.register_pickle_by_value(mod)
+    except ImportError:
+        pass
     spark.dataSource.register(SheetReaderDataSource)
     return spark

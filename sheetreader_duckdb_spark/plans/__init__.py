@@ -40,5 +40,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from sheetreader_duckdb_spark.plans import relational  # noqa: F401
     from sheetreader_duckdb_spark.plans import northstar  # noqa: F401
     from sheetreader_duckdb_spark.plans import ingestion  # noqa: F401
+    from sheetreader_duckdb_spark.plans import streaming_queries  # noqa: F401
 
     return dict(REGISTRY)

@@ -52,4 +52,9 @@ def configure_session(spark: SparkSession) -> SparkSession:
     # The testdata events table stores timestamp[ns]; Spark's parquet reader
     # rejects NANOS by default. Read as long; tables.T converts to timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Ship the package to executor Python workers: pandas UDFs and stateful
+    # streaming functions unpickle by module reference there.
+    from sheetreader_duckdb_spark import _ship_package
+
+    _ship_package(spark)
     return spark

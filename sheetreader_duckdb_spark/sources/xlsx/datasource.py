@@ -30,7 +30,12 @@ import glob as _glob
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     BooleanType,
     DateType,
@@ -145,6 +150,9 @@ class SheetReaderDataSource(DataSource):
     def reader(self, schema: StructType) -> "SheetReaderReader":
         return SheetReaderReader(self.options, schema)
 
+    def simpleStreamReader(self, schema: StructType) -> "SheetReaderStreamReader":
+        return SheetReaderStreamReader(self.options, schema)
+
 
 @dataclass
 class _SheetPartition(InputPartition):
@@ -240,6 +248,79 @@ class SheetReaderReader(DataSourceReader):
                     n_buffered = 0
             if n_buffered:
                 yield flush()
+
+
+class SheetReaderStreamReader(SimpleDataSourceStreamReader):
+    """File-arrival streaming ingest of spreadsheets (SURVEY.md §7 PR6).
+
+    Offset = the sorted list of files already processed; each microbatch
+    reads every file newly matching the glob. Replay between two committed
+    offsets re-parses the file-set difference — parsing is deterministic, so
+    recovery is exact. Beyond-reference by construction (the reference is
+    batch-only and single-file, src/sheetreader_extension.cpp:644-651).
+    """
+
+    def __init__(self, options, schema: StructType):
+        self.raw_path = options.get("path") or ""
+        self.options = dict(options)
+        self.schema = schema
+        self.col_types = [
+            _SPARK_TO_SQL[f.dataType.typeName()] for f in schema.fields
+        ]
+
+    def _current_files(self) -> list[str]:
+        if _glob.has_magic(self.raw_path):
+            return sorted(_glob.glob(self.raw_path))
+        if os.path.isdir(self.raw_path):
+            return sorted(
+                _glob.glob(os.path.join(self.raw_path, "*.xlsx"))
+            )
+        return [self.raw_path] if os.path.exists(self.raw_path) else []
+
+    def initialOffset(self) -> dict:
+        return {"processed": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("processed", []))
+        new = [f for f in self._current_files() if f not in seen]
+        end = {"processed": sorted(seen | set(new))}
+        # A list, not a generator: pyspark's prefetch cache copy.copy()s the
+        # returned value to allow re-reads (datasource_internal.getCache).
+        return list(self._rows(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        new = sorted(set(end.get("processed", [])) - set(start.get("processed", [])))
+        return list(self._rows(new))
+
+    def _rows(self, paths: list[str]):
+        import datetime as dt
+
+        opts_dict = dict(self.options)
+        col_types = self.col_types
+        n_cols = len(col_types)
+        epoch = dt.date(1970, 1, 1)
+        for path in paths:
+            opts_dict["path"] = path
+            opts = _Options.from_options(opts_dict)
+            file_schema = _infer_for_file(path, opts)
+            with P.XlsxWorkbook(path) as wb:
+                sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
+                shared = wb.shared_strings
+                for cells in wb.iter_rows(sheet, skip_rows=file_schema.skip_rows):
+                    row = [None] * n_cols
+                    for col, ctype, val in cells:
+                        if col >= n_cols:
+                            raise ValueError(
+                                f"Row has more columns than the schema. "
+                                f"Has: {col + 1} Expected: {n_cols}"
+                            )
+                        v = _convert_cell(
+                            col_types[col], ctype, val, shared, opts.coerce_to_string
+                        )
+                        if col_types[col] == "DATE" and isinstance(v, int):
+                            v = epoch + dt.timedelta(days=v)
+                        row[col] = v
+                    yield tuple(row)
 
 
 def _convert_cell(expected: str, ctype: int, val, shared: list[str], coerce: bool):

@@ -1,0 +1,191 @@
+"""Streaming operators over the events table (SURVEY.md §2.3 N6).
+
+Design rule: every aggregation here is ONE function that accepts either a
+batch or a streaming DataFrame — the batch run IS the replay oracle for the
+streaming run (SURVEY.md §5: streaming rows are verified against batch-mode
+replay, not DuckDB). Watermarks are attached only on streaming inputs;
+state size at scale is bounded by (watermark horizon × key cardinality),
+and the shuffle key is the window/session grouping key exactly as in batch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sheetreader_duckdb_spark.functions import cents
+
+# events.parquet stores timestamp[ns]; under nanosAsLong the parquet reader
+# surfaces it as long (see tables.T) — streaming reads need the same schema.
+RAW_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_STAGE_ROOT = "/tmp/sheetreader_stream_stage"
+
+
+def stage_events_dir(sf_dir: str) -> str:
+    """Copy events.parquet into a dedicated directory (a file-stream source
+    watches a directory; the testdata dir mixes all tables)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"{_STAGE_ROOT}/{tag}"
+    os.makedirs(out, exist_ok=True)
+    dst = f"{out}/events.parquet"
+    if not os.path.exists(dst):
+        shutil.copy(f"{sf_dir}/events.parquet", dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+    return out
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-arrival stream of events with a proper event-time ts column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(RAW_EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(stage_events_dir(sf_dir))
+    # ns → µs with integer division; double math loses precision at 1e18.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _with_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
+    if events.isStreaming and watermark:
+        return events.withWatermark("ts", watermark)
+    return events
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts + cents-exact value sums per event_type."""
+    return (
+        _with_watermark(events, watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in window/slide panes)."""
+    return (
+        _with_watermark(events, watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Session windows per user with a fixed inactivity gap — the streaming
+    native form of the gaps-and-islands batch query (plans/northstar n12)."""
+    return (
+        _with_watermark(events, watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# -- custom stateful operator (applyInPandasWithState) ----------------------
+_STATE_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total_cents long"
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (event count, exact value total) — a custom stateful
+    streaming operator; arbitrary state via applyInPandasWithState. On a
+    batch DataFrame the same state machine runs once over all data, which is
+    exactly the replay semantics used for verification."""
+
+    # Defined as a closure so cloudpickle serializes it BY VALUE — streaming
+    # state workers must not depend on the package being importable.
+    def running_totals_fn(key, pdf_iter, state):
+        import pandas as pd
+
+        n, total_cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # Integer-cents accumulation: deterministic regardless of batch
+            # slicing, so streaming output equals batch replay exactly.
+            total_cents += int((pdf["value"] * 100).round().sum())
+        state.update((n, total_cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total_cents / 100.0]}
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        running_totals_fn,
+        outputStructType=_STATE_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    query_name: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over all currently
+    available input (Trigger.AvailableNow) and return the materialized
+    result from the in-memory sink."""
+    name = query_name or f"q_{uuid.uuid4().hex[:12]}"
+    writer = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,133 @@
+"""Streaming-specific behavior not covered by the oracle corpus: incremental
+file arrival through the sheetreader stream source (offset bookkeeping,
+exactly-once across microbatches) and operator parity between a streaming run
+and its batch replay (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+from sheetreader_duckdb_spark.streaming import events as SE
+
+
+def _write_shard(path: str, rows: list[list]) -> None:
+    write_xlsx(path + ".tmp", {"Sheet1": [["name", "qty"]] + rows})
+    os.replace(path + ".tmp", path)
+
+
+@pytest.fixture()
+def watch_dir(tmp_path):
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    return str(d)
+
+
+def test_xlsx_stream_incremental_arrival(spark, watch_dir, tmp_path):
+    """Two AvailableNow runs over one checkpoint: the second run must read
+    ONLY the newly-arrived file (offset = processed file set)."""
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    _write_shard(f"{watch_dir}/a.xlsx", [["x", 1.0], ["y", 2.0]])
+
+    def run_once():
+        stream = spark.readStream.format("sheetreader").load(f"{watch_dir}/*.xlsx")
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    first = run_once().collect()
+    assert sorted((r["name"], r["qty"]) for r in first) == [("x", 1.0), ("y", 2.0)]
+
+    _write_shard(f"{watch_dir}/b.xlsx", [["z", 3.0]])
+    second = run_once().collect()
+    # Exactly-once across runs: b.xlsx appended once, a.xlsx not re-read.
+    assert sorted((r["name"], r["qty"]) for r in second) == [
+        ("x", 1.0),
+        ("y", 2.0),
+        ("z", 3.0),
+    ]
+
+
+def test_streaming_operators_equal_batch_replay(spark, sf_dir, tmp_path):
+    """tumbling_counts is ONE function for batch and streaming inputs; the
+    streaming run over the staged events must equal the batch run."""
+    # Batch side: same parquet, same ts conversion as the stream.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(SE.RAW_EVENTS_SCHEMA).parquet(SE.stage_events_dir(sf_dir))
+    batch_df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    expected = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in SE.tumbling_counts(batch_df).collect()
+    }
+
+    stream = SE.read_events_stream(spark, sf_dir)
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in SE.run_available_now(SE.tumbling_counts(stream), output_mode="complete").collect()
+    }
+    assert got == expected
+
+
+def test_stateful_totals_multi_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState accumulates across microbatches: split events
+    into two files, force one file per trigger, and check the final state
+    equals the single-batch totals."""
+    src = SE.stage_events_dir(sf_dir)
+    multi = str(tmp_path / "events_multi")
+    os.makedirs(multi)
+    # Two arrival files with disjoint halves of the data.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(SE.RAW_EVENTS_SCHEMA).parquet(src)
+    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(multi + "/h0")
+    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(multi + "/h1")
+    flat = str(tmp_path / "arrive")
+    os.makedirs(flat)
+    i = 0
+    for half in ("h0", "h1"):
+        for fn in os.listdir(f"{multi}/{half}"):
+            if fn.endswith(".parquet"):
+                shutil.copy(f"{multi}/{half}/{fn}", f"{flat}/part{i}.parquet")
+                i += 1
+    assert i == 2
+
+    stream = (
+        spark.readStream.schema(SE.RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(flat)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    result = SE.run_available_now(SE.user_running_totals(stream), output_mode="update")
+    # update-mode memory sink appends each batch's updates; n_events is
+    # monotonically increasing, so the max-count row per user is final state.
+    last: dict = {}
+    for r in result.collect():
+        cur = last.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            last[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    batch_df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    expected = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in batch_df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+        )
+        .collect()
+    }
+    assert last == expected
