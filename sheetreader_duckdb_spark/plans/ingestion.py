@@ -43,6 +43,86 @@ def _xlsx_for_sf(sf_dir: str) -> str:
     return path
 
 
+def _options_fixture() -> str:
+    """A deterministic workbook exercising skip_rows / header detection /
+    NULL semantics / type-mismatch nulling / pre-1970 date truncation
+    (reference semantics, SURVEY.md §1.4–1.5, §2.1 S5–S12)."""
+    import datetime as dt
+
+    from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    path = f"{_CACHE_DIR}/options_fixture.xlsx"
+    if not os.path.exists(path):
+        rows = [
+            ["junk row one"],
+            ["junk row two", 99.0],
+            ["name", "score", "flag", "born"],
+            ["alice", 1.5, True, dt.date(2020, 1, 15)],
+            ["bob", None, False, dt.date(1969, 7, 20)],
+            [None, 2.25, True, None],
+            ["eve", "oops", True, dt.date(2024, 2, 29)],
+        ]
+        write_xlsx(path + ".tmp", {"Sheet1": rows})
+        os.replace(path + ".tmp", path)
+    return path
+
+
+@query(
+    "s03_xlsx_option_semantics",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('alice', 1.5,  TRUE,  DATE '2020-01-15'),
+        ('bob',   CAST(NULL AS DOUBLE), FALSE, DATE '1969-07-20'),
+        (CAST(NULL AS VARCHAR), 2.25, TRUE, CAST(NULL AS DATE)),
+        ('eve',   CAST(NULL AS DOUBLE), TRUE, DATE '2024-02-29')
+    ) AS t(name, score, flag, born)
+    """,
+    doc="Reader parameter semantics end-to-end (S5 skip_rows, S6/S7 header, "
+    "S11 NULL rules incl. type-mismatch→NULL for the string 'oops' in a "
+    "DOUBLE column, S12 pre-1970 date truncation). Oracle is the literal "
+    "expected table.",
+)
+def s03_xlsx_option_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    return (
+        spark.read.format("sheetreader")
+        .option("skip_rows", 2)
+        .option("has_header", True)
+        .load(_options_fixture())
+    )
+
+
+@query(
+    "s04_xlsx_coerce_to_string",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('alice', '1.500000', 'TRUE',  '2020-01-15'),
+        ('bob',   CAST(NULL AS VARCHAR), 'FALSE', '1969-07-20'),
+        (CAST(NULL AS VARCHAR), '2.250000', 'TRUE', CAST(NULL AS VARCHAR)),
+        ('eve',   'oops', 'TRUE', '2024-02-29')
+    ) AS t(name, score, flag, born)
+    """,
+    doc="coerce_to_string formats (S9): numerics std::to_string fixed-6, "
+    "booleans TRUE/FALSE, dates YYYY-MM-DD "
+    "(reference src/sheetreader_extension.cpp:182-221).",
+)
+def s04_xlsx_coerce_to_string(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    return (
+        spark.read.format("sheetreader")
+        .option("skip_rows", 2)
+        .option("has_header", True)
+        .option("types", "VARCHAR,VARCHAR,VARCHAR,VARCHAR")
+        .option("coerce_to_string", True)
+        .load(_options_fixture())
+    )
+
+
 @query(
     "s01_xlsx_roundtrip",
     oracle=f"""

@@ -293,6 +293,88 @@ def h09_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# H9b — CUBE with per-column GROUPING flags
+# --------------------------------------------------------------------------
+@query(
+    "h09b_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority) with per-column grouping flags (H9). "
+    "Per-column GROUPING() avoids engine-specific grouping_id bit orders.",
+)
+def h09b_cube(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# H9c — explicit GROUPING SETS (SQL surface)
+# --------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM {table}
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query(
+    "h09c_grouping_sets",
+    oracle=_GROUPING_SETS_SQL.format(table="orders"),
+    doc="Explicit GROUPING SETS — identical SQL text runs on Spark SQL and "
+    "the DuckDB oracle (H9/H22 SQL-surface parity).",
+)
+def h09c_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    T(spark, sf, "orders").createOrReplaceTempView("orders_gsets")
+    return spark.sql(_GROUPING_SETS_SQL.format(table="orders_gsets"))
+
+
+# --------------------------------------------------------------------------
+# H2 — sink: CTAS-style write + read-back
+# --------------------------------------------------------------------------
+@query(
+    "h02b_ctas_sink",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {{money}} AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """.format(money=sql_money_sum("o_totalprice")),
+    doc="Sink path (H2): materialize orders to a parquet table (the Spark "
+    "CREATE TABLE AS for a lakehouse), then aggregate the read-back — "
+    "round-trip through our own sink must preserve every value exactly.",
+)
+def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    tag = sf.strip("/").replace("/", "_")
+    out = f"/tmp/sheetreader_ctas/{tag}/orders"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    T(spark, sf, "orders").write.mode("overwrite").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # H10 — statistical aggregates
 # --------------------------------------------------------------------------
 @query(
