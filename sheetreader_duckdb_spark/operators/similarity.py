@@ -55,11 +55,23 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    # Norms are precomputed per vector (not per pair): the pairwise score is
+    # then one fold + one divide. Same IEEE operations per pair → results
+    # identical to inline cosine(), just O(n+q) norm folds instead of O(n·q).
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.join(broadcast(q), F.col("qid") != F.col("cid"))
-        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "qid", "cid",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
@@ -134,10 +146,19 @@ def embedding_neardup_pairs(
     """All (a < b) pairs with cosine ≥ threshold. O(n²) scoring — the exact
     verification form; at scale run it on LSH candidates instead (see
     lsh_topk), which is the same plan with a bucket equi-join in front."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )

@@ -99,6 +99,24 @@ def n02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# N2b — production-scale MinHash variant (128 × xxhash64, 64-bit integer
+# minima, no string materialization). xxhash64 has no DuckDB equivalent →
+# rows-only check; the algorithm's topology is oracle-proven by n02.
+# --------------------------------------------------------------------------
+@query(
+    "n02b_dedup_minhash_xxhash",
+    oracle=None,
+    doc="Scale-path MinHash+LSH: 128 xxhash64 signatures, 16 bands × 8 — the "
+    "standard corpus-dedup setting; JVM integer hashing end-to-end (N2).",
+)
+def n02b_dedup_minhash_xxhash(spark: SparkSession, sf: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf)
+    sigs = D.minhash_signatures_xxhash(sh, "doc_id", n_hashes=128)
+    bands = D.lsh_bands(sigs, "doc_id", n_hashes=128, band_size=8)
+    return D.lsh_candidate_pairs(bands, "doc_id")
+
+
+# --------------------------------------------------------------------------
 # N2c — exact n-gram Jaccard verification of the candidates
 # --------------------------------------------------------------------------
 @query(
@@ -152,6 +170,23 @@ def n04_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).distinct()
     return D.simhash16(toks, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# N2e — production-scale 64-bit SimHash (xxhash64 bits; rows-only)
+# --------------------------------------------------------------------------
+@query(
+    "n04b_dedup_simhash64",
+    oracle=None,
+    doc="Scale-path SimHash: 64-bit signatures from xxhash64 bit votes over "
+    "distinct unigrams (N2); the 16-bit md5 variant n04 carries the oracle.",
+)
+def n04b_dedup_simhash64(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).distinct()
+    return D.simhash64_xxhash(toks, "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -380,6 +415,28 @@ def n11_multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
     return attach_media_metadata(d, "doc_id", "text").select(
         "media_id", "mime", "sha256", "n_bytes"
     )
+
+
+# --------------------------------------------------------------------------
+# N5b — multimodal feature extraction (Arrow-batched mapInPandas; the codec
+# is a deterministic stub, so the output is stable but the hash pipeline has
+# no SQL equivalent → rows-only)
+# --------------------------------------------------------------------------
+@query(
+    "n11b_multimodal_features",
+    oracle=None,
+    doc="Decode/feature-extract plumbing over media payloads: mapInPandas "
+    "with Arrow batches, deterministic hash-derived 8-dim features "
+    "(stubbed codecs; N5). Schema: media_id, sha256, feature array<float>.",
+)
+def n11b_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark.operators.multimodal import (
+        attach_media_metadata,
+        extract_features,
+    )
+
+    d = T(spark, sf, "documents")
+    return extract_features(attach_media_metadata(d, "doc_id", "text"), dim=8)
 
 
 # --------------------------------------------------------------------------
