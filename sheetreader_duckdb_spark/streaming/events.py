@@ -177,15 +177,21 @@ def run_available_now(
     """Execute a streaming DataFrame to completion over all currently
     available input (Trigger.AvailableNow) and return the materialized
     result from the in-memory sink."""
-    name = query_name or f"q_{uuid.uuid4().hex[:12]}"
-    writer = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-    )
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    last_err: Exception | None = None
+    for _attempt in range(2):  # one retry: stream planning spawns helper
+        name = query_name or f"q_{uuid.uuid4().hex[:12]}"  # processes that can
+        try:  # transiently fail under load; the replay is deterministic
+            writer = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+            )
+            if checkpoint:
+                writer = writer.option("checkpointLocation", checkpoint)
+            q = writer.start()
+            q.awaitTermination()
+            return sdf.sparkSession.table(name)
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+    raise last_err
