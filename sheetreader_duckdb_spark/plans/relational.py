@@ -260,6 +260,95 @@ def h08_agg_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# H8b — TPC-H Q3 shape: selective dim filter → fact join → top-k by revenue
+# --------------------------------------------------------------------------
+@query(
+    "h08b_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (H8+H14): segment-filtered customers join orders join "
+    "lineitem, cents-exact revenue, top-10. l_orderkey in the sort key makes "
+    "the LIMIT deterministic across engines.",
+)
+def h08b_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf, "orders").filter(F.to_date("o_orderdate") < F.lit("1995-03-15").cast("date"))
+    l = T(spark, sf, "lineitem").filter(F.to_date("l_shipdate") > F.lit("1995-03-15").cast("date"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg((F.sum(F.round(revenue * 100).cast("long")) / 100.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# H8c — TPC-H Q5 shape: star join through region→nation with co-nation
+# supplier condition, revenue per nation
+# --------------------------------------------------------------------------
+@query(
+    "h08c_tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1994-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape (H5/H8): six-table star join — region/nation broadcast, "
+    "co-nation supplier equi-condition folded into the join keys, cents-exact "
+    "revenue per nation.",
+)
+def h08c_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    r = T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = T(spark, sf, "nation")
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1995-01-01").cast("date"))
+    )
+    l = T(spark, sf, "lineitem")
+    s = T(spark, sf, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        broadcast(r.join(n, n.n_regionkey == r.r_regionkey))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(F.round(revenue * 100).cast("long")) / 100.0).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
 # H9 — ROLLUP + grouping_id
 # --------------------------------------------------------------------------
 @query(
