@@ -177,11 +177,8 @@ class SheetReaderReader(DataSourceReader):
         return [_SheetPartition(p) for p in self.opts.paths]
 
     def read(self, partition: _SheetPartition):
-        import pyarrow as pa
-
         opts = self.opts
-        col_types = self.col_types
-        n_cols = len(col_types)
+        n_cols = len(self.col_types)
         # Per-file probe: header detection / skip accounting is per file; the
         # global schema (names/types) comes from the first file.
         file_schema = _infer_for_file(partition.path, opts)
@@ -190,6 +187,23 @@ class SheetReaderReader(DataSourceReader):
                 f"File {partition.path} has more columns than the schema. "
                 f"Has: {file_schema.n_detected_columns} Expected: {n_cols}"
             )
+        if not opts.coerce_to_string:
+            # Columnar fast path: raw cell bytes per column, typed by Arrow
+            # casts (C-speed) instead of per-cell Python conversion. Falls
+            # back to the row path on unscannable document shapes.
+            try:
+                yield from self._read_columnar(partition.path, file_schema)
+                return
+            except P._FastPathUnsupported:
+                pass
+        yield from self._read_rows(partition.path, file_schema)
+
+    def _read_rows(self, path: str, file_schema):
+        import pyarrow as pa
+
+        opts = self.opts
+        col_types = self.col_types
+        n_cols = len(col_types)
 
         arrow_type = {
             "VARCHAR": pa.string(),
@@ -202,7 +216,7 @@ class SheetReaderReader(DataSourceReader):
         # 2=BOOLEAN 3=DATE; cell ctypes are parser constants (T_* ints).
         exp_codes = [("VARCHAR", "DOUBLE", "BOOLEAN", "DATE").index(t) for t in col_types]
 
-        with P.XlsxWorkbook(partition.path) as wb:
+        with P.XlsxWorkbook(path) as wb:
             sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
             shared = wb.shared_strings
             coerce = opts.coerce_to_string
@@ -248,6 +262,189 @@ class SheetReaderReader(DataSourceReader):
                     n_buffered = 0
             if n_buffered:
                 yield flush()
+
+
+    def _read_columnar(self, path: str, file_schema):
+        """Regex-scan chunks into per-column raw byte lists; type with Arrow.
+
+        Cell semantics identical to _read_rows (SURVEY.md §1.4): absent /
+        T_NONE / T_ERROR / type-mismatched cells → NULL. Irregular chunks
+        (formulas, attr reordering) are parsed with the expat fragment
+        fallback and converted row-wise, then emitted as their own batch —
+        correctness never depends on the fast path matching.
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        opts = self.opts
+        col_types = self.col_types
+        n_cols = len(col_types)
+        names = [f.name for f in self.schema.fields]
+        exp_codes = [("VARCHAR", "DOUBLE", "BOOLEAN", "DATE").index(t) for t in col_types]
+
+        with P.XlsxWorkbook(path) as wb:
+            sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
+            heap = pa.array(wb.shared_strings, type=pa.string())
+            date_styles = wb.date_styles
+            is_date_style: dict[bytes, bool] = {b"": False}
+            colmap: dict[bytes, int] = {}
+
+            def finalize(raw_cols: list[list]):
+                """Raw bytes-or-None columns → typed Arrow RecordBatch."""
+                arrays = []
+                for i, code in enumerate(exp_codes):
+                    s = pa.array(raw_cols[i], type=pa.binary()).cast(pa.string())
+                    if code == 0:  # VARCHAR ← shared-string index
+                        arrays.append(pc.take(heap, s.cast(pa.int32())))
+                    elif code == 1:  # DOUBLE
+                        arrays.append(s.cast(pa.float64()))
+                    elif code == 2:  # BOOLEAN (b-cell payload: 1/0/true/false)
+                        # is_in maps null→false; if_else restores the nulls.
+                        arrays.append(
+                            pc.if_else(
+                                pc.is_valid(s),
+                                pc.is_in(
+                                    pc.utf8_trim_whitespace(s),
+                                    value_set=pa.array(["1", "true", "TRUE"]),
+                                ),
+                                pa.scalar(None, type=pa.bool_()),
+                            )
+                        )
+                    else:  # DATE — replicate (int)(((serial-25569)*86400)/86400)
+                        serial = s.cast(pa.float64())
+                        secs = pc.multiply(pc.subtract(serial, 25569.0), 86400.0)
+                        days = pc.trunc(pc.divide(secs, 86400.0))
+                        arrays.append(days.cast(pa.int32()).cast(pa.date32()))
+                return pa.RecordBatch.from_arrays(arrays, names=names)
+
+            def fragment_batch(work: bytes):
+                """Slow-path conversion of one irregular chunk."""
+                rows = P._fragment_rows(work, colmap, date_styles)
+                typed_cols: list[list] = [[] for _ in range(n_cols)]
+                shared = wb.shared_strings
+                for cells in rows:
+                    row = [None] * n_cols
+                    for col, ctype, val in cells:
+                        if col >= n_cols:
+                            raise ValueError(
+                                f"Row has more columns than the first row. "
+                                f"Has: {col + 1} Expected: {n_cols}"
+                            )
+                        row[col] = _convert_cell(col_types[col], ctype, val, shared, False)
+                    for i in range(n_cols):
+                        typed_cols[i].append(row[i])
+                arrow_type = {
+                    "VARCHAR": pa.string(),
+                    "DOUBLE": pa.float64(),
+                    "BOOLEAN": pa.bool_(),
+                    "DATE": pa.date32(),
+                }
+                return pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(typed_cols[i], type=arrow_type[col_types[i]])
+                        for i in range(n_cols)
+                    ],
+                    names=names,
+                ), len(rows)
+
+            skip_left = file_schema.skip_rows
+            batch_rows = 0
+            raw_cols: list[list] = [[] for _ in range(n_cols)]
+            first_chunk = True
+            with wb.zf.open(sheet.path) as f:
+                buf = b""
+                while True:
+                    data = f.read(4 << 20)
+                    if data:
+                        buf += data
+                        cut = buf.rfind(b"</row>")
+                        if cut == -1:
+                            if len(buf) < (64 << 20):
+                                continue
+                            raise P._FastPathUnsupported
+                        work, buf = buf[: cut + 6], buf[cut + 6 :]
+                    else:
+                        work, buf = buf, b""
+
+                    row_matches = P._ROW_RE.findall(work)
+                    chunk_regular = len(row_matches) == len(P._ROW_COUNT_RE.findall(work))
+                    if not chunk_regular:
+                        if first_chunk:
+                            raise P._FastPathUnsupported
+                        if batch_rows:
+                            yield finalize(raw_cols)
+                            raw_cols = [[] for _ in range(n_cols)]
+                            batch_rows = 0
+                        frag, n_frag = fragment_batch(work)
+                        # skip accounting for fragment chunks
+                        if skip_left:
+                            take = frag.slice(min(skip_left, n_frag))
+                            skip_left = max(0, skip_left - n_frag)
+                            if take.num_rows:
+                                yield take
+                        elif n_frag:
+                            yield frag
+                        if not data:
+                            return
+                        continue
+                    first_chunk = False
+
+                    for body in row_matches:
+                        if skip_left:
+                            skip_left -= 1
+                            continue
+                        ms = P._CELL_RE.findall(body)
+                        if len(ms) != len(P._CELL_COUNT_RE.findall(body)):
+                            # Irregular row: flush and defer the whole chunk's
+                            # remainder to the fragment path is overkill —
+                            # handle just this row via fragment parse.
+                            if batch_rows:
+                                yield finalize(raw_cols)
+                                raw_cols = [[] for _ in range(n_cols)]
+                                batch_rows = 0
+                            frag, _n = fragment_batch(b"<row>" + body + b"</row>")
+                            if frag.num_rows:
+                                yield frag
+                            continue
+                        row = [None] * n_cols
+                        for letters, s_attr, t_attr, v in ms:
+                            col = colmap.get(letters)
+                            if col is None:
+                                col = colmap[letters] = P.column_index(letters.decode())
+                            if col >= n_cols:
+                                raise ValueError(
+                                    f"Row has more columns than the first row. "
+                                    f"Has: {col + 1} Expected: {n_cols}"
+                                )
+                            if not v:
+                                continue  # absent / empty cell → NULL
+                            code = exp_codes[col]
+                            if not t_attr or t_attr == b"n":
+                                dated = is_date_style.get(s_attr)
+                                if dated is None:
+                                    dated = is_date_style[s_attr] = int(s_attr) in date_styles
+                                if code == (3 if dated else 1):
+                                    row[col] = v
+                            elif t_attr == b"s":
+                                if code == 0:
+                                    row[col] = v
+                            elif t_attr == b"b":
+                                if code == 2:
+                                    row[col] = v
+                            elif t_attr in (b"str", b"inlineStr"):
+                                raise ValueError(P.UNSUPPORTED_STRING_ERROR)
+                            # t="e" / unknown → NULL (stays None)
+                        for i in range(n_cols):
+                            raw_cols[i].append(row[i])
+                        batch_rows += 1
+                        if batch_rows >= opts.batch_size:
+                            yield finalize(raw_cols)
+                            raw_cols = [[] for _ in range(n_cols)]
+                            batch_rows = 0
+                    if not data:
+                        break
+            if batch_rows:
+                yield finalize(raw_cols)
 
 
 class SheetReaderStreamReader(SimpleDataSourceStreamReader):
