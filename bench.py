@@ -37,6 +37,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "s01_xlsx_roundtrip",
     "h08_agg_tpch_q1",
+    "h08b_tpch_q3",
+    "h08c_tpch_q5",
     "h03_join_inner",
     "h12_window_functions",
     "h14_topk_orders",
@@ -46,6 +48,7 @@ HEADLINE = [
     "n05_ann_bruteforce_topk",
     "n07_text_quality",
     "n13_tumbling_windows",
+    "n17_tf_idf",
 ]
 
 

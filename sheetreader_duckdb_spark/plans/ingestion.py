@@ -123,6 +123,57 @@ def s04_xlsx_coerce_to_string(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _multisheet_fixture() -> str:
+    """Two-sheet workbook for sheet_name / sheet_index selection (S2/S3)."""
+    from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    path = f"{_CACHE_DIR}/multisheet_fixture.xlsx"
+    if not os.path.exists(path):
+        write_xlsx(
+            path + ".tmp",
+            {
+                "Alpha": [["k", "v"], ["a", 1.0], ["b", 2.0]],
+                "Beta": [["k", "v"], ["c", 30.0], ["d", 40.0], ["e", 50.0]],
+            },
+        )
+        os.replace(path + ".tmp", path)
+    return path
+
+
+@query(
+    "s05_xlsx_sheet_selection",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('c', 30.0, 'by_name'), ('d', 40.0, 'by_name'), ('e', 50.0, 'by_name'),
+        ('a', 1.0,  'by_index'), ('b', 2.0, 'by_index')
+    ) AS t(k, v, via)
+    """,
+    doc="Sheet selection (S2 sheet_index, S3 sheet_name): read sheet 'Beta' "
+    "by name and sheet 1 by index from a two-sheet workbook; union tagged.",
+)
+def s05_xlsx_sheet_selection(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    path = _multisheet_fixture()
+    by_name = (
+        spark.read.format("sheetreader")
+        .option("sheet_name", "Beta")
+        .option("has_header", True)
+        .load(path)
+        .withColumn("via", F.lit("by_name"))
+    )
+    by_index = (
+        spark.read.format("sheetreader")
+        .option("sheet_index", 1)
+        .option("has_header", True)
+        .load(path)
+        .withColumn("via", F.lit("by_index"))
+    )
+    return by_name.unionAll(by_index)
+
+
 @query(
     "s01_xlsx_roundtrip",
     oracle=f"""

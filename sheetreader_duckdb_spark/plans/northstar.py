@@ -390,6 +390,52 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# N4e — count-based TF-IDF (SURVEY §2.3 N4: "tf-idf (count-based)").
+# IDF is the exact rational N/df (no transcendental), so both engines
+# produce bit-identical doubles; the ln() variant is a one-line swap.
+# --------------------------------------------------------------------------
+@query(
+    "n17_tf_idf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS tf_idf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+    WHERE df.df >= 50
+    """,
+    doc="Count-based TF-IDF over unigrams (N4): tf per (doc, token), df via "
+    "distinct-doc count, idf as the exact rational N/df. df≥50 keeps the "
+    "declared result compact; at scale the df table is broadcast.",
+)
+def n17_tf_idf(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df")).filter(
+        F.col("df") >= 50
+    )
+    n_docs = d.count()  # scalar; tiny driver-side count, broadcast as literal
+    return tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("tf_idf"),
+    )
+
+
+# --------------------------------------------------------------------------
 # N5 — multimodal content addressing
 # --------------------------------------------------------------------------
 @query(
