@@ -99,14 +99,15 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # Dedicated XLSX scan measurement (count over the sheetreader source),
-    # directly comparable to BASELINE.md "lineitem XLSX load time".
+    # Dedicated XLSX scan measurement, directly comparable to BASELINE.md
+    # "lineitem XLSX load time" — warm run, same methodology as above.
     from sheetreader_duckdb_spark import register
 
     register(spark)
-    xlsx_path = _xlsx_for_sf(SF_DIR)
+    xlsx_df = spark.read.format("sheetreader").load(_xlsx_for_sf(SF_DIR))
+    xlsx_df.write.mode("overwrite").format("noop").save()  # warmup
     t0 = time.perf_counter()
-    spark.read.format("sheetreader").load(xlsx_path).write.mode("overwrite").format("noop").save()
+    xlsx_df.write.mode("overwrite").format("noop").save()
     timings["xlsx_load_lineitem"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

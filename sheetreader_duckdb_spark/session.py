@@ -52,6 +52,12 @@ def configure_session(spark: SparkSession) -> SparkSession:
     # The testdata events table stores timestamp[ns]; Spark's parquet reader
     # rejects NANOS by default. Read as long; tables.T converts to timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Performance confs that are runtime-settable (results unaffected): AQE
+    # re-planning (skew joins, partition coalescing) and Arrow exchange.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # Ship the package to executor Python workers: pandas UDFs and stateful
     # streaming functions unpickle by module reference there.
     from sheetreader_duckdb_spark import _ship_package
