@@ -99,8 +99,12 @@ class _Options:
         if sheet_name and sheet_index is not None:
             # reference :683-685
             raise ValueError("Sheet index & sheet name cannot be set at the same time.")
-        threads = int(options.get("threads", "1"))
-        if threads <= 0:
+        # threads: intra-file parse parallelism (reference S4, default
+        # hardware/2 there). Spark-idiomatically this is the number of
+        # SHARD PARTITIONS per large file — unset ⇒ auto (size-scaled).
+        threads_opt = options.get("threads")
+        threads = int(threads_opt) if threads_opt is not None else 0
+        if threads_opt is not None and threads <= 0:
             raise ValueError("Number of threads must be greater than 0")  # reference :712-714
         types_opt = options.get("types")
         user_types = [t.strip() for t in types_opt.split(",")] if types_opt else None
@@ -157,6 +161,8 @@ class SheetReaderDataSource(DataSource):
 @dataclass
 class _SheetPartition(InputPartition):
     path: str
+    shard: int = 0
+    n_shards: int = 1
 
 
 class SheetReaderReader(DataSourceReader):
@@ -174,7 +180,28 @@ class SheetReaderReader(DataSourceReader):
             self.col_types.append(sql_t)
 
     def partitions(self):
-        return [_SheetPartition(p) for p in self.opts.paths]
+        """One partition per (file, shard). Large files are split into chunk
+        round-robin shards — the Spark answer to the reference's interleaved
+        parse threads (S4/S14): every shard streams the same decompressed
+        bytes (zlib is C-speed and cheap) but cell-parses only its assigned
+        </row>-aligned chunks, so the expensive scan divides across executor
+        cores. Result-invariant: shard assignment is deterministic and the
+        union of shards is exactly the file's rows.
+        """
+        parts = []
+        for p in self.opts.paths:
+            if self.opts.coerce_to_string:
+                n = 1  # coerce path is row-based single-stream
+            elif self.opts.threads > 0:
+                n = self.opts.threads  # explicit, like the reference's S4
+            else:
+                try:
+                    size_mb = os.path.getsize(p) >> 20
+                except OSError:
+                    size_mb = 0
+                n = max(1, min(8, size_mb))  # auto: ~1 shard per compressed MB
+            parts.extend(_SheetPartition(p, shard=i, n_shards=n) for i in range(n))
+        return parts
 
     def read(self, partition: _SheetPartition):
         opts = self.opts
@@ -192,10 +219,17 @@ class SheetReaderReader(DataSourceReader):
             # casts (C-speed) instead of per-cell Python conversion. Falls
             # back to the row path on unscannable document shapes.
             try:
-                yield from self._read_columnar(partition.path, file_schema)
+                yield from self._read_columnar(
+                    partition.path, file_schema, partition.shard, partition.n_shards
+                )
                 return
             except P._FastPathUnsupported:
                 pass
+        # Whole-file row path (expat / coerce): single-stream — with sharded
+        # partitions only shard 0 parses, the rest are empty (the fallback
+        # decision is deterministic across shards, see _read_columnar).
+        if partition.n_shards > 1 and partition.shard != 0:
+            return
         yield from self._read_rows(partition.path, file_schema)
 
     def _read_rows(self, path: str, file_schema):
@@ -264,7 +298,7 @@ class SheetReaderReader(DataSourceReader):
                 yield flush()
 
 
-    def _read_columnar(self, path: str, file_schema):
+    def _read_columnar(self, path: str, file_schema, shard: int = 0, n_shards: int = 1):
         """Regex-scan chunks into per-column raw byte lists; type with Arrow.
 
         Cell semantics identical to _read_rows (SURVEY.md §1.4): absent /
@@ -347,51 +381,70 @@ class SheetReaderReader(DataSourceReader):
                     names=names,
                 ), len(rows)
 
-            skip_left = file_schema.skip_rows
+            skip_n = file_schema.skip_rows
             batch_rows = 0
             raw_cols: list[list] = [[] for _ in range(n_cols)]
-            first_chunk = True
+            chunk_idx = 0
+            rows_seen = 0  # global row ordinal, identical across all shards
+            # Smaller chunks when sharded → even round-robin load balance.
+            chunk_bytes = (1 << 20) if n_shards > 1 else (4 << 20)
             with wb.zf.open(sheet.path) as f:
                 buf = b""
                 while True:
-                    data = f.read(4 << 20)
+                    data = f.read(chunk_bytes)
                     if data:
                         buf += data
                         cut = buf.rfind(b"</row>")
                         if cut == -1:
                             if len(buf) < (64 << 20):
                                 continue
-                            raise P._FastPathUnsupported
+                            raise P._FastPathUnsupported  # stream-deterministic:
+                            # every shard sees the same bytes → same decision
                         work, buf = buf[: cut + 6], buf[cut + 6 :]
                     else:
                         work, buf = buf, b""
 
-                    row_matches = P._ROW_RE.findall(work)
-                    chunk_regular = len(row_matches) == len(P._ROW_COUNT_RE.findall(work))
-                    if not chunk_regular:
-                        if first_chunk:
+                    assigned = (chunk_idx % n_shards) == shard
+                    if assigned or chunk_idx == 0:
+                        # Chunk 0 is checked by EVERY shard so the whole-file
+                        # fallback decision is consistent across shards.
+                        row_matches = P._ROW_RE.findall(work)
+                        n_rows_chunk = len(P._ROW_COUNT_RE.findall(work))
+                        if len(row_matches) != n_rows_chunk and chunk_idx == 0:
                             raise P._FastPathUnsupported
+                        chunk_regular = len(row_matches) == n_rows_chunk
+                    else:
+                        n_rows_chunk = len(P._ROW_COUNT_RE.findall(work))
+                        row_matches = []
+                        chunk_regular = True
+                    chunk_idx += 1
+
+                    if not assigned:
+                        rows_seen += n_rows_chunk
+                        if not data:
+                            break
+                        continue
+
+                    if not chunk_regular:
+                        # Irregular mid-file chunk owned by this shard.
                         if batch_rows:
                             yield finalize(raw_cols)
                             raw_cols = [[] for _ in range(n_cols)]
                             batch_rows = 0
                         frag, n_frag = fragment_batch(work)
-                        # skip accounting for fragment chunks
-                        if skip_left:
-                            take = frag.slice(min(skip_left, n_frag))
-                            skip_left = max(0, skip_left - n_frag)
-                            if take.num_rows:
-                                yield take
-                        elif n_frag:
-                            yield frag
+                        drop = min(max(0, skip_n - rows_seen), n_frag)
+                        rows_seen += n_rows_chunk
+                        part = frag.slice(drop)
+                        if part.num_rows:
+                            yield part
                         if not data:
-                            return
+                            break
                         continue
-                    first_chunk = False
 
                     for body in row_matches:
-                        if skip_left:
-                            skip_left -= 1
+                        ordinal = rows_seen
+                        rows_seen += 1
+                        if ordinal < skip_n:
                             continue
                         ms = P._CELL_RE.findall(body)
                         if len(ms) != len(P._CELL_COUNT_RE.findall(body)):

@@ -219,3 +219,27 @@ def test_roundtrip_lineitem(sr, fixdir, sf_dir):
     df = _read(sr, path)
     got = sorted(tuple(r) for r in df.collect())
     assert got == sorted(src)  # doubles round-trip bit-exact via repr()
+
+
+# -- S4/S14: sharded (partition-parallel) parse parity ----------------------
+def test_sharded_parse_parity(sr, fixdir):
+    """Explicit threads=N splits one file into N shard partitions; results
+    must equal the serial read exactly, including skip_rows/header ordinal
+    accounting and NULL cells spanning shard boundaries."""
+    rows = [["junk"], ["name", "score", "when"]]
+    for i in range(500):
+        rows.append(
+            [
+                f"u{i}" if i % 7 != 3 else None,
+                float(i) * 1.25 if i % 5 != 4 else None,
+                dt.date(2020, 1, 1) + dt.timedelta(days=i % 90) if i % 3 != 2 else None,
+            ]
+        )
+    path = f"{fixdir}/sharded.xlsx"
+    write_xlsx(path, {"S": rows})
+
+    serial = _read(sr, path, skip_rows=1, has_header=True, threads=1).collect()
+    for n in (2, 3, 5):
+        sharded = _read(sr, path, skip_rows=1, has_header=True, threads=n).collect()
+        assert sorted(map(tuple, sharded), key=str) == sorted(map(tuple, serial), key=str)
+    assert len(serial) == 500
