@@ -123,6 +123,35 @@ def s04_xlsx_coerce_to_string(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "s06_xlsx_force_types",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('alice', CAST(NULL AS VARCHAR), TRUE,  DATE '2020-01-15'),
+        ('bob',   CAST(NULL AS VARCHAR), FALSE, DATE '1969-07-20'),
+        (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE, CAST(NULL AS DATE)),
+        ('eve',   'oops', TRUE, DATE '2024-02-29')
+    ) AS t(name, score, flag, born)
+    """,
+    doc="force_types (S9): user types VARCHAR,VARCHAR,BOOLEAN,DATE override "
+    "the detected DOUBLE for 'score' without coercion — numeric cells in the "
+    "forced-VARCHAR column become NULL per the type-mismatch rule (S11); "
+    "the one genuine string ('oops') survives.",
+)
+def s06_xlsx_force_types(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    return (
+        spark.read.format("sheetreader")
+        .option("skip_rows", 2)
+        .option("has_header", True)
+        .option("types", "VARCHAR,VARCHAR,BOOLEAN,DATE")
+        .option("force_types", True)
+        .load(_options_fixture())
+    )
+
+
 def _multisheet_fixture() -> str:
     """Two-sheet workbook for sheet_name / sheet_index selection (S2/S3)."""
     from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx

@@ -40,6 +40,25 @@ def n14_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "n14b_stream_sliding",
+    oracle="""
+    WITH panes AS (SELECT unnest(range(4)) AS i)
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - i * INTERVAL 15 MINUTE AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events CROSS JOIN panes
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming sliding windows (1h window, 15m slide): every "
+    "event lands in 4 panes; oracle replays the pane assignment with "
+    "time_bucket arithmetic (N6).",
+)
+def n14b_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    stream = SE.read_events_stream(spark, sf)
+    return SE.run_available_now(SE.sliding_counts(stream), output_mode="complete")
+
+
+@query(
     "n15_stream_session",
     oracle="""
     WITH m AS (
