@@ -81,21 +81,34 @@ def brute_force_topk(
     )
 
 
+def _srp_plane(p: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane weights: bits of sha256(plane, chunk).
+    Computed once on the driver and embedded as an array literal — the
+    executors do zero hashing per row (constant-folded by Catalyst)."""
+    import hashlib
+
+    out: list[float] = []
+    chunk = 0
+    while len(out) < dim:
+        h = hashlib.sha256(f"srp:{p}:{chunk}".encode()).digest()
+        for byte in h:
+            for bit in range(8):
+                out.append(1.0 if (byte >> bit) & 1 else -1.0)
+                if len(out) == dim:
+                    return out
+        chunk += 1
+    return out
+
+
 def srp_code(vec_col: Column, dim: int, n_planes: int = 16) -> Column:
-    """Sign-random-projection bucket code (long). Plane weights are ±1 derived
-    from xxhash64(plane, index) — deterministic, regenerated anywhere."""
+    """Sign-random-projection bucket code (long). Plane weights are constant
+    literal arrays (deterministic sha256-derived ±1), so the per-row cost is
+    n_planes folds — same as n_planes dot products."""
     bits = []
     for p in range(n_planes):
-        # weight[i] = +1 if xxhash64(p, i) even else -1; projection = Σ w[i]·v[i]
+        plane = F.array(*[F.lit(w) for w in _srp_plane(p, dim)])
         proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.expr(
-                    f"transform(sequence(0, {dim - 1}), i -> "
-                    f"CASE WHEN (xxhash64({p}L, i) & 1) = 0 THEN 1.0D ELSE -1.0D END)"
-                ),
-                lambda v, w: v.cast("double") * w,
-            ),
+            F.zip_with(vec_col, plane, lambda v, w: v.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
