@@ -22,6 +22,10 @@ from sheetreader_duckdb_spark.tables import T
 
 # Shared DuckDB CTE fragments (document shingling / minhash / bands), kept in
 # one place so the dedup family stays consistent.
+def _sql_shingles(src: str = "documents") -> str:
+    return _SQL_SHINGLES.replace("FROM documents", f"FROM {src}")
+
+
 _SQL_SHINGLES = """
     words AS (
         SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
@@ -387,6 +391,56 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(X.bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# N1+N2 — full dedup pipeline: exact → MinHash/LSH → Jaccard → keep-set.
+# The canonical training-data flow, end-to-end oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "n18_dedup_pipeline",
+    oracle=f"""
+    WITH survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    docs2 AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN survivors s USING (doc_id)
+    ),
+    {_sql_shingles('docs2')},
+    {_SQL_MINHASH_BANDS},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN shingles sa ON sa.doc_id = p.id_a
+        JOIN shingles sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+        GROUP BY p.id_a, p.id_b
+    ),
+    neardup AS (
+        SELECT DISTINCT i.id_b
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.5
+    )
+    SELECT doc_id FROM survivors
+    WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+    """,
+    doc="End-to-end dedup (N1→N2): exact dedup keeps the min doc per digest; "
+    "MinHash+LSH proposes candidates among survivors; exact Jaccard ≥0.5 "
+    "verifies; the higher id of each verified pair is dropped. Returns the "
+    "kept document ids — the canonical training-corpus dedup flow.",
+)
+def n18_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    survivors = D.exact_dedup(docs.select("doc_id", "text"), "doc_id", "text")
+    sh = D.word_shingles(survivors, "doc_id", "text", k=3)
+    sigs = D.minhash_signatures_md5(sh, "doc_id", n_hashes=8)
+    bands = D.lsh_bands(sigs, "doc_id", n_hashes=8, band_size=2)
+    pairs = D.lsh_candidate_pairs(bands, "doc_id")
+    verified = D.jaccard_verify(sh, pairs, "doc_id", threshold=0.5)
+    drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    return survivors.select("doc_id").join(drop, "doc_id", "left_anti")
 
 
 # --------------------------------------------------------------------------
