@@ -549,6 +549,45 @@ def h12_window_functions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# H12b — RANGE frames + first/last_value
+# --------------------------------------------------------------------------
+@query(
+    "h12b_window_range_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER (
+                PARTITION BY o_custkey
+                ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_band,
+           CAST(first_value(o_orderkey) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS first_order,
+           CAST(last_value(o_orderkey) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS last_order
+    FROM orders
+    """,
+    doc="RANGE frame over integer-cents order values (orders within $1000 "
+    "below, per customer) + first/last_value with explicit full frame (H12). "
+    "Integer range offsets keep frame boundaries engine-exact.",
+)
+def h12b_window_range_frames(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy(price_c).rangeBetween(-100000, 0)
+    )
+    w_order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w_range).alias("n_in_band"),
+        F.first("o_orderkey").over(w_order).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    )
+
+
+# --------------------------------------------------------------------------
 # H13/H14 — sort + limit (top-k)
 # --------------------------------------------------------------------------
 @query(
