@@ -6,12 +6,13 @@ top-k via window. The dot product is a JVM-side higher-order-function fold
 (zip_with + aggregate) — no Python in the loop.
 
 Scale path: sign-random-projection LSH. Each vector gets an ``n_planes``-bit
-bucket from the signs of dot products with deterministic pseudo-random
-hyperplanes (derived from xxhash64, so no state/driver-side randomness —
-executors regenerate planes locally). Candidates = same bucket (optionally
-multi-probe neighbors), exact cosine re-rank on candidates only. At 100 TB:
-bucket join shuffles on the code, uniform by construction; per-bucket
-populations concentrate ~N/2^bits.
+bucket from the signs of dot products with deterministic pseudo-random ±1
+hyperplanes whose weights are sha256-derived constants, computed once on the
+driver and embedded as literal arrays (Catalyst constant-folds them; the
+executors do zero hashing per row). Candidates = same bucket (optionally
+multi-probe neighbors at Hamming distance 1), exact cosine re-rank on
+candidates only. At 100 TB: bucket join shuffles on the code, uniform by
+construction; per-bucket populations concentrate ~N/2^bits.
 """
 
 from __future__ import annotations

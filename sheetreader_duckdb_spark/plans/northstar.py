@@ -235,8 +235,8 @@ def n05_ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     "n05b_ann_lsh_topk",
     oracle=None,
     doc="Sign-random-projection LSH top-k (scale path for N3): bucket join on "
-    "12-bit SRP codes + exact re-rank within bucket. xxhash64-derived planes "
-    "have no DuckDB equivalent → rows-only check.",
+    "SRP codes + exact re-rank within bucket; sha256-derived constant-literal "
+    "hyperplanes. Rows-only check (n06b carries the SRP-bucket oracle).",
 )
 def n05b_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "embeddings")
@@ -479,13 +479,20 @@ def n17_tf_idf(spark: SparkSession, sf: str) -> DataFrame:
     df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df")).filter(
         F.col("df") >= 50
     )
-    n_docs = d.count()  # scalar; tiny driver-side count, broadcast as literal
-    return tf.join(F.broadcast(df_), "tok").select(
-        "doc_id",
-        "tok",
-        "tf",
-        "df",
-        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("tf_idf"),
+    # N computed in-plan (1-row aggregate, cross-joined = broadcast of one
+    # row) — no separate driver-side job; the df join is left to AQE, which
+    # broadcasts it when it is small and shuffles when it is not.
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df_, "tok")
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))).alias("tf_idf"),
+        )
     )
 
 
@@ -518,16 +525,40 @@ def n11_multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# N5b — multimodal feature extraction (Arrow-batched mapInPandas; the codec
-# is a deterministic stub, so the output is stable but the hash pipeline has
-# no SQL equivalent → rows-only)
+# N5b — multimodal feature extraction (Arrow-batched mapInPandas). The stub
+# codec derives each feature as float32(u32) / 2^32 from sha256 bytes; both
+# steps are exactly reproducible in SQL (round-to-nearest float32 of an
+# integer, then an exact power-of-two divide), so the query carries a full
+# oracle: the vector is posexploded to scalar (media_id, pos, value) rows,
+# which is also the canonicalizer-safe shape (arrays are unhashable there).
 # --------------------------------------------------------------------------
+def _sql_u32_le(hex_expr: str, pos_expr: str) -> str:
+    """u32 little-endian from hex chars 8*pos+1 .. 8*pos+8 of ``hex_expr``
+    (mirrors numpy ``frombuffer(h, '<u4')[pos]`` on the digest bytes)."""
+    nib = "(instr('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+    bytes_ = []
+    for j in range(4):  # byte j at 1-based hex positions 8*pos + 2j+1, 2j+2
+        hi = nib.format(h=hex_expr, p=f"8 * {pos_expr} + {2 * j + 1}")
+        lo = nib.format(h=hex_expr, p=f"8 * {pos_expr} + {2 * j + 2}")
+        bytes_.append(f"(({hi}) * 16 + ({lo})) * {256 ** j}")
+    return "(" + " + ".join(bytes_) + ")"
+
+
 @query(
     "n11b_multimodal_features",
-    oracle=None,
+    oracle=f"""
+    WITH m AS (SELECT doc_id AS media_id, sha256(text) AS sha FROM documents),
+    h AS (SELECT media_id, sha, sha256(sha) AS hh FROM m),
+    p AS (SELECT unnest(range(8)) AS pos)
+    SELECT media_id, sha AS sha256, CAST(pos AS BIGINT) AS pos,
+           CAST(CAST({_sql_u32_le('hh', 'pos')} AS REAL) AS DOUBLE)
+             / 4294967296.0 AS value
+    FROM h CROSS JOIN p
+    """,
     doc="Decode/feature-extract plumbing over media payloads: mapInPandas "
     "with Arrow batches, deterministic hash-derived 8-dim features "
-    "(stubbed codecs; N5). Schema: media_id, sha256, feature array<float>.",
+    "(stubbed codecs; N5), posexploded to one row per vector position. "
+    "float32(u32)/2^32 is bit-reproducible in SQL, so this is oracle-exact.",
 )
 def n11b_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     from sheetreader_duckdb_spark.operators.multimodal import (
@@ -536,7 +567,15 @@ def n11b_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     d = T(spark, sf, "documents")
-    return extract_features(attach_media_metadata(d, "doc_id", "text"), dim=8)
+    feats = extract_features(attach_media_metadata(d, "doc_id", "text"), dim=8)
+    return feats.select(
+        "media_id", "sha256", F.posexplode("feature").alias("pos", "value")
+    ).select(
+        "media_id",
+        "sha256",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("value").cast("double").alias("value"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -123,7 +123,7 @@ def write_xlsx(path: str, sheets: dict[str, list[list[object]]]) -> str:
         for i in range(n)
     )
     wb_sheets = "".join(
-        f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name="{escape(name, {chr(34): "&quot;"})}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, name in enumerate(sheets)
     )
     workbook = (
