@@ -517,7 +517,7 @@ def h11_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
            CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
            CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS rk,
            CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS drk,
-           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
            lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
            lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price,
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
@@ -526,14 +526,16 @@ def h11_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     FROM orders
     """,
     doc="row_number/rank/dense_rank/ntile/lag/lead + running sum with explicit "
-    "ROWS frame and deterministic tiebreaks (H12).",
+    "ROWS frame and deterministic tiebreaks (H12). All windows are keyed by "
+    "o_custkey, so every WindowExec is partitioned — the global-order forms "
+    "live in h12c, computed scale-safe.",
 )
 def h12_window_functions(spark: SparkSession, sf: str) -> DataFrame:
     o = T(spark, sf, "orders")
     by_key = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     by_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate")
-    global_price = Window.orderBy("o_totalprice", "o_orderkey")
+    per_key_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
     running = by_key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_orderkey",
@@ -541,11 +543,40 @@ def h12_window_functions(spark: SparkSession, sf: str) -> DataFrame:
         F.row_number().over(by_price).cast("long").alias("rn"),
         F.rank().over(by_date).cast("long").alias("rk"),
         F.dense_rank().over(by_date).cast("long").alias("drk"),
-        F.ntile(4).over(global_price).cast("long").alias("quartile"),
+        F.ntile(4).over(per_key_price).cast("long").alias("quartile"),
         F.lag("o_totalprice").over(by_key).alias("prev_price"),
         F.lead("o_totalprice").over(by_key).alias("next_price"),
         (F.sum(cents("o_totalprice")).over(running) / 100.0).alias("run_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# H12c — GLOBAL ranking, distributed. Spark's Window.orderBy with no
+# partitionBy funnels the whole table into one task; this query computes the
+# same answer via operators.ranking (range-partitioned local ranks +
+# broadcast cumulative offsets + arithmetic ntile) — no single-partition
+# WindowExec in the physical plan.
+# --------------------------------------------------------------------------
+@query(
+    "h12c_global_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+    FROM orders
+    """,
+    doc="Global row_number + ntile(4) over all orders, computed scale-safe: "
+    "range partition on the sort key, per-partition ranks, broadcast "
+    "cumulative offsets, closed-form ntile from (rank, total) (H12).",
+)
+def h12c_global_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark.operators.ranking import with_global_ntile
+
+    o = T(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    r = with_global_ntile(
+        o, ["o_totalprice", "o_orderkey"], n_tiles=4, tile_col="quartile", rank_col="rn"
+    )
+    return r.select("o_orderkey", "rn", "quartile")
 
 
 # --------------------------------------------------------------------------
