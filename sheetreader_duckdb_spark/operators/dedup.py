@@ -116,17 +116,31 @@ def lsh_bands(signatures: DataFrame, id_col: str, n_hashes: int, band_size: int)
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band bucket.
 
     Bucket-grouped expansion instead of a self-join: one shuffle on
     (band, band_key), then in-bucket pair generation with array ops — the
     upstream shingle→minhash lineage is computed ONCE (a self-join would
     execute it twice, which dominates at corpus scale). Bucket membership
-    lists are small by LSH design; a pathological bucket (a giant exact-dup
-    cluster) should be removed by exact dedup (N1) upstream — production
-    pipelines also cap bucket size before pair expansion.
+    lists are small by LSH design, but a pathological bucket (a giant
+    near-dup cluster that survives exact dedup) makes both ``collect_set``
+    and the O(size²) pair expansion unbounded. ``max_bucket_size`` caps
+    that: bucket populations are counted FIRST (a cheap count aggregate —
+    bounded memory regardless of skew) and oversized buckets are dropped
+    before any membership list is materialized. Audit what was dropped with
+    ``lsh_oversized_buckets`` (same cap ⇒ exactly the dropped set).
     """
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        bands = bands.join(ok, ["band", "band_key"], "left_semi")
     buckets = (
         bands.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
@@ -142,6 +156,19 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+    )
+
+
+def lsh_oversized_buckets(
+    bands: DataFrame, id_col: str, max_bucket_size: int
+) -> DataFrame:
+    """(band, band_key, n_ids) of buckets a ``max_bucket_size`` cap drops —
+    the audit trail for capped candidate generation. A production pipeline
+    logs/persists this so dropped clusters are visible, not silent."""
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket_size)
     )
 
 
