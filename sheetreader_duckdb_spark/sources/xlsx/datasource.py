@@ -199,7 +199,10 @@ class SheetReaderReader(DataSourceReader):
                     size_mb = os.path.getsize(p) >> 20
                 except OSError:
                     size_mb = 0
-                n = max(1, min(8, size_mb))  # auto: ~1 shard per compressed MB
+                # Auto: ~1 shard per compressed MB, capped at 32 so a single
+                # big file can feed every core of a local[32] executor (and
+                # 32 tasks of a cluster stage).
+                n = max(1, min(32, size_mb))
             parts.extend(_SheetPartition(p, shard=i, n_shards=n) for i in range(n))
         return parts
 
@@ -344,16 +347,26 @@ class SheetReaderReader(DataSourceReader):
                                 pa.scalar(None, type=pa.bool_()),
                             )
                         )
-                    else:  # DATE — replicate (int)(((serial-25569)*86400)/86400)
+                    else:  # DATE — replicate (int)(serial_to_epoch_secs/86400)
                         serial = s.cast(pa.float64())
-                        secs = pc.multiply(pc.subtract(serial, 25569.0), 86400.0)
+                        if wb.date1904:
+                            secs = pc.multiply(pc.subtract(serial, 24107.0), 86400.0)
+                        else:
+                            # 1900 leap quirk (parser.serial_to_epoch_secs):
+                            # serials < 61 shift a day; phantom 60 → Feb 28.
+                            eff = pc.if_else(
+                                pc.less(serial, 61.0),
+                                pc.add(pc.min_element_wise(serial, pa.scalar(59.0)), 1.0),
+                                serial,
+                            )
+                            secs = pc.multiply(pc.subtract(eff, 25569.0), 86400.0)
                         days = pc.trunc(pc.divide(secs, 86400.0))
                         arrays.append(days.cast(pa.int32()).cast(pa.date32()))
                 return pa.RecordBatch.from_arrays(arrays, names=names)
 
             def fragment_batch(work: bytes):
                 """Slow-path conversion of one irregular chunk."""
-                rows = P._fragment_rows(work, colmap, date_styles)
+                rows = P._fragment_rows(work, colmap, date_styles, wb.date1904)
                 typed_cols: list[list] = [[] for _ in range(n_cols)]
                 shared = wb.shared_strings
                 for cells in rows:
@@ -398,6 +411,14 @@ class SheetReaderReader(DataSourceReader):
                         if cut == -1:
                             if len(buf) < (64 << 20):
                                 continue
+                            if rows_seen:
+                                # Batches may already be downstream; falling
+                                # back would re-parse from the start and
+                                # duplicate rows — hard error instead.
+                                raise ValueError(
+                                    "sheetreader: row exceeds 64MB without a "
+                                    f"</row> boundary mid-file in {sheet.path}"
+                                )
                             raise P._FastPathUnsupported  # stream-deterministic:
                             # every shard sees the same bytes → same decision
                         work, buf = buf[: cut + 6], buf[cut + 6 :]
@@ -571,6 +592,34 @@ class SheetReaderStreamReader(SimpleDataSourceStreamReader):
                             v = epoch + dt.timedelta(days=v)
                         row[col] = v
                     yield tuple(row)
+
+
+def row_count(
+    path: str,
+    sheet_name: str | None = None,
+    sheet_index: int | None = None,
+    skip_rows: int = 0,
+    has_header: bool = False,
+) -> int:
+    """Data-row count served from sheet metadata when possible — the
+    ``COUNT(*)`` fast path the reference leaves on the table (it knows
+    mDimension at bind, sheetreader_extension.cpp:783-786, yet replays the
+    full parse; SURVEY.md §3.3).
+
+    When the sheet carries a ``<dimension>`` tag, the count is its row span
+    minus the effective skip (user skip_rows + auto/forced header) — the
+    only parsing done is the two-row schema probe. Without the tag, falls
+    back to streaming the sheet and counting rows (no cell conversion).
+    """
+    with P.XlsxWorkbook(path) as wb:
+        sheet = wb.resolve_sheet(sheet_name, sheet_index)
+        schema = infer_schema(
+            wb, sheet, skip_rows=skip_rows, has_header=has_header
+        )
+        dim = wb.dimension(sheet)
+        if dim is not None:
+            return max(0, dim[0] - schema.skip_rows)
+        return sum(1 for _ in wb.iter_rows(sheet, skip_rows=schema.skip_rows))
 
 
 def _convert_cell(expected: str, ctype: int, val, shared: list[str], coerce: bool):

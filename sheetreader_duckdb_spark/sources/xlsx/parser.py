@@ -17,7 +17,9 @@ Cell model (reference CellType, sheetreader_extension.cpp:225-250):
 Dates: the reference core hands the extension seconds-since-unix-epoch as a
 double and the extension truncates toward zero to days:
 ``date_t((int)(cell.data.real / 86400.0))`` (sheetreader_extension.cpp:170-175).
-We replicate exactly: serial → secs = (serial - 25569) * 86400 → int(secs/86400).
+We replicate exactly: serial → secs (see ``serial_to_epoch_secs``, which also
+honors the workbook's 1900/1904 date system and Excel's phantom 1900-02-29,
+ECMA-376 §18.17.4.1) → int(secs/86400).
 """
 
 from __future__ import annotations
@@ -49,6 +51,24 @@ def _rid_attr(el) -> str | None:
     return None
 
 UNSUPPORTED_STRING_ERROR = "Inline & dynamic String types not supported yet"
+
+
+def serial_to_epoch_secs(serial: float, date1904: bool = False) -> float:
+    """Excel date serial → seconds since the unix epoch.
+
+    1900 system: serial 1 = 1900-01-01, but Excel inherits Lotus 1-2-3's
+    phantom 1900-02-29 (serial 60; ECMA-376 §18.17.4.1 documents the
+    compatibility quirk): serials 1..59 are one day behind the naive
+    ``serial - 25569`` mapping, and serial 60 itself — a date that never
+    existed — clamps to 1900-02-28. Serials ≥ 61 follow the naive formula.
+    1904 system (``<workbookPr date1904="1"/>``, used by classic Mac Excel):
+    serial 0 = 1904-01-01, no leap quirk.
+    """
+    if date1904:
+        return (serial - 24107.0) * 86400.0
+    if serial >= 61.0:
+        return (serial - 25569.0) * 86400.0
+    return (min(serial, 59.0) - 25568.0) * 86400.0
 
 # Built-in numFmtIds that render as dates/times (ECMA-376 §18.8.30).
 _BUILTIN_DATE_FMTS = frozenset(
@@ -88,6 +108,7 @@ class XlsxWorkbook:
     def __init__(self, path: str):
         self.path = path
         self.zf = zipfile.ZipFile(path)
+        self.date1904 = False  # set by _parse_workbook from <workbookPr>
         self.sheets = self._parse_workbook()
         self._shared_strings: list[str] | None = None
         self._date_styles: frozenset[int] | None = None
@@ -130,10 +151,13 @@ class XlsxWorkbook:
         with self.zf.open("xl/workbook.xml") as f:
             pos = 0
             for _, el in iterparse(f):
-                if _local(el.tag) == "sheet":
+                tag = _local(el.tag)
+                if tag == "sheet":
                     pos += 1
                     rid = _rid_attr(el)
                     sheets.append(SheetInfo(index=pos, name=el.get("name", f"Sheet{pos}"), path=rels.get(rid, "")))
+                elif tag == "workbookPr":
+                    self.date1904 = str(el.get("date1904", "")).lower() in ("1", "true")
         return sheets
 
     # -- shared strings heap (reference core parseSharedStrings, call :769) --
@@ -188,6 +212,28 @@ class XlsxWorkbook:
             self._date_styles = frozenset(date_styles)
         return self._date_styles
 
+    def dimension(self, sheet: SheetInfo) -> tuple[int, int] | None:
+        """(n_rows, n_cols) from the sheet's ``<dimension ref="A1:C42"/>``
+        header — a metadata read of the first bytes, no sheetData parse.
+
+        The reference core knows this statistic at bind time (mDimension,
+        sheetreader_extension.cpp:783-786) but re-parses anyway; SURVEY.md
+        §3.3 flags the waste — we serve it, so row counts over XLSX don't
+        cost a full parse. None when the tag is absent or degenerate
+        (single-cell ``ref="A1"`` written by some minimal writers).
+        """
+        with self.zf.open(sheet.path) as f:
+            head = f.read(4096)
+        m = _DIMENSION_RE.search(head)
+        if not m:
+            return None
+        c1, r1, c2, r2 = m.groups()
+        n_rows = int(r2) - int(r1) + 1
+        n_cols = column_index(c2.decode()) - column_index(c1.decode()) + 1
+        if n_rows <= 0 or n_cols <= 0:
+            return None
+        return n_rows, n_cols
+
     def iter_rows(self, sheet: SheetInfo, skip_rows: int = 0) -> Iterator[list[tuple[int, int, object]]]:
         """Yield rows as lists of (col_idx, cell_type, raw_value), streaming.
 
@@ -223,6 +269,7 @@ class XlsxWorkbook:
         colmap: dict[bytes, int] = {}
         skipped = 0
         first_chunk = True
+        yielded = False
         with self.zf.open(sheet.path) as f:
             buf = b""
             while True:
@@ -233,16 +280,24 @@ class XlsxWorkbook:
                     if cut == -1:
                         if len(buf) < (64 << 20):
                             continue
+                        if yielded or skipped:
+                            # Falling back now would re-parse from the start
+                            # and duplicate already-consumed rows — hard error.
+                            raise ValueError(
+                                "sheetreader: row exceeds 64MB without a </row> "
+                                f"boundary mid-file in {sheet.path}"
+                            )
                         raise _FastPathUnsupported  # no row boundary in 64MB
                     work, buf = buf[: cut + 6], buf[cut + 6 :]
                 else:
                     work, buf = buf, b""
-                rows = _scan_chunk(work, colmap, date_styles, first_chunk)
+                rows = _scan_chunk(work, colmap, date_styles, first_chunk, self.date1904)
                 first_chunk = False
                 for cells in rows:
                     if skipped < skip_rows:
                         skipped += 1
                     else:
+                        yielded = True
                         yield cells
                 if not data:
                     return
@@ -303,10 +358,11 @@ class XlsxWorkbook:
                     elif cur_type == T_NUMERIC:
                         cells.append((cur_col, T_NUMERIC, float(v_text)))
                     elif cur_type == T_DATE:
-                        # Excel serial (1900 system) → seconds since unix epoch,
-                        # exactly what the reference core hands the extension.
+                        # Excel serial → seconds since unix epoch (workbook
+                        # date system + 1900 leap quirk honored), exactly the
+                        # shape the reference core hands the extension.
                         serial = float(v_text)
-                        cells.append((cur_col, T_DATE, (serial - 25569.0) * 86400.0))
+                        cells.append((cur_col, T_DATE, serial_to_epoch_secs(serial, self.date1904)))
                     elif cur_type == T_BOOLEAN:
                         cells.append((cur_col, T_BOOLEAN, v_text.strip() in ("1", "true", "TRUE")))
                     elif cur_type == T_ERROR:
@@ -325,6 +381,7 @@ class _FastPathUnsupported(Exception):
     """Document shape defeats the regex scanner (detected before any output)."""
 
 
+_DIMENSION_RE = re.compile(rb'<dimension ref="([A-Z]+)(\d+):([A-Z]+)(\d+)"')
 _ROW_RE = re.compile(rb"<row\b[^>]*?(?:/>|>(.*?)</row>)", re.S)
 _ROW_COUNT_RE = re.compile(rb"<row[ />]")
 _CELL_COUNT_RE = re.compile(rb"<c[ />]")
@@ -342,6 +399,7 @@ def _scan_chunk(
     colmap: dict[bytes, int],
     date_styles: frozenset[int],
     first_chunk: bool,
+    date1904: bool = False,
 ) -> list[list[tuple[int, int, object]]]:
     """Parse one `</row>`-aligned chunk into rows of (col, ctype, value).
 
@@ -353,14 +411,14 @@ def _scan_chunk(
     if len(row_matches) != len(_ROW_COUNT_RE.findall(work)):
         if first_chunk:
             raise _FastPathUnsupported
-        return _fragment_rows(work, colmap, date_styles)
+        return _fragment_rows(work, colmap, date_styles, date1904)
     rows: list[list[tuple[int, int, object]]] = []
     for body in row_matches:
         cell_matches = _CELL_RE.findall(body)
         if len(cell_matches) != len(_CELL_COUNT_RE.findall(body)):
             if first_chunk and not rows:
                 raise _FastPathUnsupported
-            return _fragment_rows(work, colmap, date_styles)
+            return _fragment_rows(work, colmap, date_styles, date1904)
         cells: list[tuple[int, int, object]] = []
         for letters, s_attr, t_attr, v in cell_matches:
             col = colmap.get(letters)
@@ -370,7 +428,7 @@ def _scan_chunk(
                 if not v:
                     continue  # empty cell → absent → NULL
                 if s_attr and int(s_attr) in date_styles:
-                    cells.append((col, T_DATE, (float(v) - 25569.0) * 86400.0))
+                    cells.append((col, T_DATE, serial_to_epoch_secs(float(v), date1904)))
                 else:
                     cells.append((col, T_NUMERIC, float(v)))
             elif t_attr == b"s":
@@ -389,7 +447,10 @@ def _scan_chunk(
 
 
 def _fragment_rows(
-    work: bytes, colmap: dict[bytes, int], date_styles: frozenset[int]
+    work: bytes,
+    colmap: dict[bytes, int],
+    date_styles: frozenset[int],
+    date1904: bool = False,
 ) -> list[list[tuple[int, int, object]]]:
     """Expat-parse a `</row>`-aligned XML fragment (irregular chunk fallback)."""
     import io
@@ -436,7 +497,7 @@ def _fragment_rows(
                 elif cur_type == T_NUMERIC:
                     cells.append((cur_col, T_NUMERIC, float(v_text)))
                 elif cur_type == T_DATE:
-                    cells.append((cur_col, T_DATE, (float(v_text) - 25569.0) * 86400.0))
+                    cells.append((cur_col, T_DATE, serial_to_epoch_secs(float(v_text), date1904)))
                 elif cur_type == T_BOOLEAN:
                     cells.append((cur_col, T_BOOLEAN, v_text.strip() in ("1", "true", "TRUE")))
                 elif cur_type == T_ERROR:

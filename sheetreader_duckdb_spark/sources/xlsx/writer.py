@@ -54,6 +54,17 @@ _STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 _EPOCH = dt.date(1970, 1, 1)
 
 
+def _date_serial(days_since_epoch: float, date1904: bool) -> float:
+    """Days-since-unix-epoch → Excel serial for the chosen date system,
+    inverse of parser.serial_to_epoch_secs: 1904 system is a plain offset;
+    1900 system serials < 61 sit one day below the naive mapping because of
+    the phantom 1900-02-29 (ECMA-376 §18.17.4.1)."""
+    if date1904:
+        return days_since_epoch + 24107
+    serial = days_since_epoch + 25569
+    return serial if serial >= 61 else serial - 1
+
+
 def _col_letter(idx: int) -> str:
     out = ""
     idx += 1
@@ -68,12 +79,20 @@ def _fmt_double(v: float) -> str:
     return r
 
 
-def write_xlsx(path: str, sheets: dict[str, list[list[object]]]) -> str:
+def write_xlsx(
+    path: str, sheets: dict[str, list[list[object]]], date1904: bool = False
+) -> str:
     """Write ``{sheet_name: rows}``; each row is a list of cell values.
 
     Cell encoding by Python type: str → shared string; bool → t="b";
     int/float → numeric; datetime.date → date serial with date style;
     None → omitted (absent cell → NULL on read, SURVEY.md §1.4).
+    ``date1904=True`` writes a 1904-date-system workbook
+    (``<workbookPr date1904="1"/>``, classic Mac Excel); either way date
+    serials are encoded with the system's epoch and the 1900 system's
+    phantom-leap-day adjustment, so read-back is exact for any date.
+    Each sheet carries a ``<dimension>`` tag (row/col span) so readers can
+    serve row counts from metadata.
     """
     sst: list[str] = []
     sst_index: dict[str, int] = {}
@@ -88,8 +107,16 @@ def write_xlsx(path: str, sheets: dict[str, list[list[object]]]) -> str:
 
     sheet_xmls: list[str] = []
     for rows in sheets.values():
+        n_rows = len(rows)
+        n_cols = max((len(r) for r in rows), default=0)
+        dim = (
+            f'<dimension ref="A1:{_col_letter(max(0, n_cols - 1))}{max(1, n_rows)}"/>'
+            if n_rows and n_cols
+            else ""
+        )
         parts = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
-                 '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">\n<sheetData>']
+                 '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">\n'
+                 f"{dim}<sheetData>"]
         for r_idx, row in enumerate(rows, start=1):
             parts.append(f'<row r="{r_idx}">')
             for c_idx, v in enumerate(row):
@@ -101,10 +128,11 @@ def write_xlsx(path: str, sheets: dict[str, list[list[object]]]) -> str:
                 elif isinstance(v, str):
                     parts.append(f'<c r="{ref}" t="s"><v>{intern(v)}</v></c>')
                 elif isinstance(v, dt.datetime):
-                    serial = (v - dt.datetime(1970, 1, 1)).total_seconds() / 86400.0 + 25569.0
+                    days = (v - dt.datetime(1970, 1, 1)).total_seconds() / 86400.0
+                    serial = _date_serial(days, date1904)
                     parts.append(f'<c r="{ref}" s="1"><v>{_fmt_double(serial)}</v></c>')
                 elif isinstance(v, dt.date):
-                    serial = (v - _EPOCH).days + 25569
+                    serial = int(_date_serial((v - _EPOCH).days, date1904))
                     parts.append(f'<c r="{ref}" s="1"><v>{serial}</v></c>')
                 elif isinstance(v, int):
                     parts.append(f'<c r="{ref}"><v>{v}</v></c>')
@@ -126,11 +154,12 @@ def write_xlsx(path: str, sheets: dict[str, list[list[object]]]) -> str:
         f'<sheet name="{escape(name, {chr(34): "&quot;"})}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, name in enumerate(sheets)
     )
+    wb_pr = '<workbookPr date1904="1"/>' if date1904 else ""
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f"<sheets>{wb_sheets}</sheets></workbook>"
+        f"{wb_pr}<sheets>{wb_sheets}</sheets></workbook>"
     )
     wb_rels_items = "".join(
         f'<Relationship Id="rId{i + 1}" '
