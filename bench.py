@@ -39,14 +39,16 @@ HEADLINE = [
     "h08_agg_tpch_q1",
     "h08b_tpch_q3",
     "h08c_tpch_q5",
-    "h03_join_inner",
+    "h03_joins",
     "h12_window_functions",
-    "h14_topk_orders",
+    "h12c_global_ntile",
+    "h13_sort_topk",
     "h22_cte_subquery",
-    "n01_dedup_exact",
+    "n01_dedup_exact_pipeline",
     "n02_dedup_minhash_lsh",
     "n05_ann_bruteforce_topk",
-    "n07_text_quality",
+    "n06b_embedding_neardup_srp",
+    "n07_text_signals",
     "n13_tumbling_windows",
     "n17_tf_idf",
 ]
@@ -84,7 +86,7 @@ def main() -> None:
     from sheetreader_duckdb_spark.plans.ingestion import _xlsx_for_sf
 
     _xlsx_for_sf(SF_DIR)
-    corpus["h01_scan_project"].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    corpus["h01_scan_filter_project"].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
     # Warmup pass (untimed): absorbs parquet footer reads, Python worker
     # pool spin-up, and per-plan codegen; the timed pass below measures

@@ -96,60 +96,57 @@ def s03_xlsx_option_semantics(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "s04_xlsx_coerce_to_string",
+    "s04_xlsx_type_overrides",
     oracle="""
     SELECT * FROM (VALUES
-        ('alice', '1.500000', 'TRUE',  '2020-01-15'),
-        ('bob',   CAST(NULL AS VARCHAR), 'FALSE', '1969-07-20'),
-        (CAST(NULL AS VARCHAR), '2.250000', 'TRUE', CAST(NULL AS VARCHAR)),
-        ('eve',   'oops', 'TRUE', '2024-02-29')
-    ) AS t(name, score, flag, born)
+        ('coerce', 'alice', '1.500000', 'TRUE',  '2020-01-15'),
+        ('coerce', 'bob',   CAST(NULL AS VARCHAR), 'FALSE', '1969-07-20'),
+        ('coerce', CAST(NULL AS VARCHAR), '2.250000', 'TRUE', CAST(NULL AS VARCHAR)),
+        ('coerce', 'eve',   'oops', 'TRUE', '2024-02-29'),
+        ('force', 'alice', CAST(NULL AS VARCHAR), 'true',  '2020-01-15'),
+        ('force', 'bob',   CAST(NULL AS VARCHAR), 'false', '1969-07-20'),
+        ('force', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'true', CAST(NULL AS VARCHAR)),
+        ('force', 'eve',   'oops', 'true', '2024-02-29')
+    ) AS t(mode, name, score, flag, born)
     """,
-    doc="coerce_to_string formats (S9): numerics std::to_string fixed-6, "
-    "booleans TRUE/FALSE, dates YYYY-MM-DD "
-    "(reference src/sheetreader_extension.cpp:182-221).",
+    doc="User-type overrides (S8/S9), one tagged result over the options "
+    "fixture. 'coerce' = coerce_to_string formats: numerics std::to_string "
+    "fixed-6, booleans TRUE/FALSE, dates YYYY-MM-DD (reference "
+    "src/sheetreader_extension.cpp:182-221). 'force' = force_types "
+    "VARCHAR,VARCHAR,BOOLEAN,DATE overriding the detected DOUBLE without "
+    "coercion — numeric cells in the forced-VARCHAR column go NULL per the "
+    "type-mismatch rule (S11), the one genuine string ('oops') survives; "
+    "typed columns are CAST to VARCHAR only to union the two branches.",
 )
-def s04_xlsx_coerce_to_string(spark: SparkSession, sf: str) -> DataFrame:
+def s04_xlsx_type_overrides(spark: SparkSession, sf: str) -> DataFrame:
     from sheetreader_duckdb_spark import register
 
     register(spark)
-    return (
+    coerce = (
         spark.read.format("sheetreader")
         .option("skip_rows", 2)
         .option("has_header", True)
         .option("types", "VARCHAR,VARCHAR,VARCHAR,VARCHAR")
         .option("coerce_to_string", True)
         .load(_options_fixture())
+        .select(F.lit("coerce").alias("mode"), "name", "score", "flag", "born")
     )
-
-
-@query(
-    "s06_xlsx_force_types",
-    oracle="""
-    SELECT * FROM (VALUES
-        ('alice', CAST(NULL AS VARCHAR), TRUE,  DATE '2020-01-15'),
-        ('bob',   CAST(NULL AS VARCHAR), FALSE, DATE '1969-07-20'),
-        (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE, CAST(NULL AS DATE)),
-        ('eve',   'oops', TRUE, DATE '2024-02-29')
-    ) AS t(name, score, flag, born)
-    """,
-    doc="force_types (S9): user types VARCHAR,VARCHAR,BOOLEAN,DATE override "
-    "the detected DOUBLE for 'score' without coercion — numeric cells in the "
-    "forced-VARCHAR column become NULL per the type-mismatch rule (S11); "
-    "the one genuine string ('oops') survives.",
-)
-def s06_xlsx_force_types(spark: SparkSession, sf: str) -> DataFrame:
-    from sheetreader_duckdb_spark import register
-
-    register(spark)
-    return (
+    force = (
         spark.read.format("sheetreader")
         .option("skip_rows", 2)
         .option("has_header", True)
         .option("types", "VARCHAR,VARCHAR,BOOLEAN,DATE")
         .option("force_types", True)
         .load(_options_fixture())
+        .select(
+            F.lit("force").alias("mode"),
+            "name",
+            "score",
+            F.col("flag").cast("string").alias("flag"),
+            F.col("born").cast("string").alias("born"),
+        )
     )
+    return coerce.unionAll(force)
 
 
 def _multisheet_fixture() -> str:

@@ -69,21 +69,79 @@ def _minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# N1 — exact dedup (hash-groupBy)
+# N1 (+N2) — exact dedup groups AND the end-to-end dedup pipeline keep-set,
+# one tagged result: 'groups' = one hash-aggregate shuffle on the digest;
+# 'kept' = exact → MinHash/LSH → Jaccard → keep-set, the canonical
+# training-corpus dedup flow.
 # --------------------------------------------------------------------------
 @query(
-    "n01_dedup_exact",
-    oracle="""
-    SELECT md5(text) AS h,
-           MIN(doc_id) AS keep_id,
-           CAST(COUNT(*) AS BIGINT) AS dupes
-    FROM documents
-    GROUP BY md5(text)
+    "n01_dedup_exact_pipeline",
+    oracle=f"""
+    WITH survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    docs2 AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN survivors s USING (doc_id)
+    ),
+    {_sql_shingles('docs2')},
+    {_SQL_MINHASH_BANDS},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN shingles sa ON sa.doc_id = p.id_a
+        JOIN shingles sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+        GROUP BY p.id_a, p.id_b
+    ),
+    neardup AS (
+        SELECT DISTINCT i.id_b
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.5
+    )
+    SELECT 'groups' AS tag, md5(text) AS h, MIN(doc_id) AS id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY md5(text)
+    UNION ALL
+    SELECT 'kept' AS tag, CAST(NULL AS VARCHAR) AS h, doc_id AS id,
+           CAST(NULL AS BIGINT) AS n
+    FROM survivors
+    WHERE doc_id NOT IN (SELECT id_b FROM neardup)
     """,
-    doc="Exact content dedup: one hash-aggregate shuffle on the digest (N1).",
+    doc="Exact content dedup groups ('groups': digest, keep id, dupe count — "
+    "one hash-aggregate shuffle with map-side partials, N1) plus the "
+    "end-to-end pipeline keep-set ('kept': exact dedup keeps the min doc "
+    "per digest, MinHash+LSH proposes candidates among survivors, exact "
+    "Jaccard ≥0.5 verifies, the higher id of each verified pair drops — "
+    "the canonical training-corpus flow, N1→N2).",
 )
-def n01_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    return D.exact_dedup_groups(T(spark, sf, "documents"), "doc_id", "text")
+def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    groups = D.exact_dedup_groups(docs, "doc_id", "text").select(
+        F.lit("groups").alias("tag"),
+        "h",
+        F.col("keep_id").alias("id"),
+        F.col("dupes").alias("n"),
+    )
+    survivors = D.exact_dedup(docs.select("doc_id", "text"), "doc_id", "text")
+    sh = D.word_shingles(survivors, "doc_id", "text", k=3)
+    sigs = D.minhash_signatures_md5(sh, "doc_id", n_hashes=8)
+    bands = D.lsh_bands(sigs, "doc_id", n_hashes=8, band_size=2)
+    pairs = D.lsh_candidate_pairs(bands, "doc_id")
+    verified = D.jaccard_verify(sh, pairs, "doc_id", threshold=0.5)
+    drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = (
+        survivors.select("doc_id")
+        .join(drop, "doc_id", "left_anti")
+        .select(
+            F.lit("kept").alias("tag"),
+            F.lit(None).cast("string").alias("h"),
+            F.col("doc_id").alias("id"),
+            F.lit(None).cast("long").alias("n"),
+        )
+    )
+    return groups.unionAll(kept)
 
 
 # --------------------------------------------------------------------------
@@ -322,47 +380,8 @@ def n06b_embedding_neardup_srp(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# N4 — text quality scoring
-# --------------------------------------------------------------------------
-@query(
-    "n07_text_quality",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(text, '{X.BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
-           CAST(length(text) - length(regexp_replace(text, '{X.PUNCT_CLASS}', '', 'g')) AS BIGINT) AS n_punct,
-           CAST(len(list_filter(string_split(lower(text), ' '),
-                    x -> x IN ({", ".join(f"'{w}'" for w in X.STOPWORDS)}))) AS BIGINT) AS n_stop,
-           CAST(len(list_filter(string_split(lower(text), ' '),
-                    x -> x IN ({", ".join(f"'{w}'" for w in X.STOPWORDS)}))) AS BIGINT)
-             / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio,
-           CAST(length(text) - length(regexp_replace(text, '{X.PUNCT_CLASS}', '', 'g')) AS BIGINT)
-             / n_chars AS punct_ratio
-    FROM documents
-    """,
-    doc="Quality signals per document: whitespace + BPE-ish token counts, "
-    "punctuation count/ratio, stopword hits/ratio (N4). Scan-speed column "
-    "expressions, no shuffle.",
-)
-def n07_text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    d = T(spark, sf, "documents")
-    text = F.col("text")
-    n_ws = X.n_tokens(text)
-    n_stop = X.stopword_hits(text)
-    n_punct = X.punct_count(text)
-    return d.select(
-        "doc_id",
-        n_ws.alias("n_ws_tokens"),
-        X.bpe_token_count(text).alias("n_bpe_tokens"),
-        n_punct.alias("n_punct"),
-        n_stop.alias("n_stop"),
-        (n_stop / n_ws).alias("stop_ratio"),
-        (n_punct / F.col("n_chars")).alias("punct_ratio"),
-    )
-
-
-# --------------------------------------------------------------------------
-# N4b — language identification (marker heuristic)
+# N4 — text analysis signals: quality + language-ID + fingerprint, one
+# scan-speed per-document projection (no shuffle anywhere)
 # --------------------------------------------------------------------------
 def _sql_lang_score(lang: str) -> str:
     parts = [
@@ -372,57 +391,68 @@ def _sql_lang_score(lang: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def _sql_langid() -> str:
+def _sql_text_signals() -> str:
     langs = list(X.LANG_MARKERS)
+    stop_set = ", ".join(f"'{w}'" for w in X.STOPWORDS)
     scores = ", ".join(f"{_sql_lang_score(lg)} AS s_{lg}" for lg in langs)
     greatest = f"greatest({', '.join('s_' + lg for lg in langs)})"
     case = "CASE " + " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs) + " END"
-    return f"""
-    WITH scored AS (SELECT doc_id, lang, {scores} FROM documents),
+    return rf"""
+    WITH scored AS (SELECT doc_id, lang, text, n_chars, {scores} FROM documents),
     m AS (SELECT *, {greatest} AS m FROM scored)
-    SELECT doc_id, {", ".join('s_' + lg for lg in langs)},
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{X.BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) - length(regexp_replace(text, '{X.PUNCT_CLASS}', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN ({stop_set}))) AS BIGINT) AS n_stop,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN ({stop_set}))) AS BIGINT)
+             / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio,
+           CAST(length(text) - length(regexp_replace(text, '{X.PUNCT_CLASS}', '', 'g')) AS BIGINT)
+             / n_chars AS punct_ratio,
+           {", ".join('s_' + lg for lg in langs)},
            {case} AS pred_lang,
-           ({case}) = lang AS is_match
+           ({case}) = lang AS is_match,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+           substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fp8
     FROM m
     """
 
 
 @query(
-    "n08_text_langid",
-    oracle=_sql_langid(),
-    doc="Marker-count language-ID heuristic with deterministic argmax "
-    "tiebreak; scores + prediction + agreement with the labeled lang (N4).",
+    "n07_text_signals",
+    oracle=_sql_text_signals(),
+    doc="Per-document text analysis (N4), one wide projection: quality "
+    "signals (whitespace + BPE-ish token counts, punctuation and stopword "
+    "counts/ratios), marker-count language-ID with deterministic argmax "
+    "tiebreak + agreement with the labeled lang, and the md5 content "
+    "fingerprint of whitespace-normalized lowercased text. Scan-speed "
+    "column expressions, zero shuffles.",
 )
-def n08_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
     text = F.col("text")
+    n_ws = X.n_tokens(text)
+    n_stop = X.stopword_hits(text)
+    n_punct = X.punct_count(text)
     scores = X.lang_scores(text)
     pred = X.predict_lang(text)
+    fp = X.fingerprint(text)
     return d.select(
         "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        X.bpe_token_count(text).alias("n_bpe_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+        (n_stop / n_ws).alias("stop_ratio"),
+        (n_punct / F.col("n_chars")).alias("punct_ratio"),
         *[scores[lg].alias(f"s_{lg}") for lg in X.LANG_MARKERS],
         pred.alias("pred_lang"),
         (pred == F.col("lang")).alias("is_match"),
+        fp.alias("fp"),
+        F.substring(fp, 1, 8).alias("fp8"),
     )
-
-
-# --------------------------------------------------------------------------
-# N4c — document fingerprinting
-# --------------------------------------------------------------------------
-@query(
-    "n09_text_fingerprint",
-    oracle=r"""
-    SELECT doc_id,
-           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
-           substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fp8
-    FROM documents
-    """,
-    doc="Content fingerprint of whitespace-normalized lowercased text (N4).",
-)
-def n09_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    d = T(spark, sf, "documents")
-    fp = X.fingerprint(F.col("text"))
-    return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp8"))
 
 
 # --------------------------------------------------------------------------
@@ -449,56 +479,6 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(X.bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
-
-
-# --------------------------------------------------------------------------
-# N1+N2 — full dedup pipeline: exact → MinHash/LSH → Jaccard → keep-set.
-# The canonical training-data flow, end-to-end oracle-checked.
-# --------------------------------------------------------------------------
-@query(
-    "n18_dedup_pipeline",
-    oracle=f"""
-    WITH survivors AS (
-        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-    ),
-    docs2 AS (
-        SELECT d.doc_id, d.text FROM documents d JOIN survivors s USING (doc_id)
-    ),
-    {_sql_shingles('docs2')},
-    {_SQL_MINHASH_BANDS},
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
-    inter AS (
-        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
-        FROM pairs p
-        JOIN shingles sa ON sa.doc_id = p.id_a
-        JOIN shingles sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
-        GROUP BY p.id_a, p.id_b
-    ),
-    neardup AS (
-        SELECT DISTINCT i.id_b
-        FROM inter i
-        JOIN sizes za ON za.doc_id = i.id_a
-        JOIN sizes zb ON zb.doc_id = i.id_b
-        WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.5
-    )
-    SELECT doc_id FROM survivors
-    WHERE doc_id NOT IN (SELECT id_b FROM neardup)
-    """,
-    doc="End-to-end dedup (N1→N2): exact dedup keeps the min doc per digest; "
-    "MinHash+LSH proposes candidates among survivors; exact Jaccard ≥0.5 "
-    "verifies; the higher id of each verified pair is dropped. Returns the "
-    "kept document ids — the canonical training-corpus dedup flow.",
-)
-def n18_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
-    survivors = D.exact_dedup(docs.select("doc_id", "text"), "doc_id", "text")
-    sh = D.word_shingles(survivors, "doc_id", "text", k=3)
-    sigs = D.minhash_signatures_md5(sh, "doc_id", n_hashes=8)
-    bands = D.lsh_bands(sigs, "doc_id", n_hashes=8, band_size=2)
-    pairs = D.lsh_candidate_pairs(bands, "doc_id")
-    verified = D.jaccard_verify(sh, pairs, "doc_id", threshold=0.5)
-    drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
-    return survivors.select("doc_id").join(drop, "doc_id", "left_anti")
 
 
 # --------------------------------------------------------------------------

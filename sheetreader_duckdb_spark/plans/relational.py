@@ -41,31 +41,15 @@ def _money_avg(col) -> F.Column:
 # H1/H3 — scan + projection/expressions
 # --------------------------------------------------------------------------
 @query(
-    "h01_scan_project",
+    "h01_scan_filter_project",
     oracle="""
-    SELECT l_orderkey, l_linenumber,
-           l_extendedprice * (1 - l_discount) AS net_price
+    SELECT 'scan' AS tag, l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           CAST(NULL AS DOUBLE) AS l_quantity, CAST(NULL AS VARCHAR) AS l_returnflag
     FROM lineitem
-    """,
-    doc="Parquet scan with pruned projection and a row-level expression (H1, H3). "
-    "Raw double output: per-row IEEE arithmetic is bit-identical across engines.",
-)
-def h01_scan_project(spark: SparkSession, sf: str) -> DataFrame:
-    l = T(spark, sf, "lineitem")
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
-    )
-
-
-# --------------------------------------------------------------------------
-# H4 — filters: comparison, BETWEEN, IN, LIKE, IS NULL
-# --------------------------------------------------------------------------
-@query(
-    "h02_filter_predicates",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    UNION ALL
+    SELECT 'filter' AS tag, l_orderkey, l_linenumber,
+           CAST(NULL AS DOUBLE) AS net_price, l_quantity, l_returnflag
     FROM lineitem
     WHERE l_quantity BETWEEN 5 AND 20
       AND l_returnflag IN ('A', 'R')
@@ -73,57 +57,55 @@ def h01_scan_project(spark: SparkSession, sf: str) -> DataFrame:
       AND l_returnflag IS NOT NULL
       AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
     """,
-    doc="Conjunctive predicates: BETWEEN / IN / LIKE / IS NULL / date compare (H4).",
+    doc="Scan + pruned projection + row expression ('scan' branch, H1/H3) and "
+    "conjunctive predicates BETWEEN / IN / LIKE / IS NULL / date compare "
+    "('filter' branch, H4). Raw double output: per-row IEEE arithmetic is "
+    "bit-identical across engines; filters push to the parquet scan.",
 )
-def h02_filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
+def h01_scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
     l = T(spark, sf, "lineitem")
-    return l.filter(
+    scan = l.select(
+        F.lit("scan").alias("tag"),
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.lit(None).cast("double").alias("l_quantity"),
+        F.lit(None).cast("string").alias("l_returnflag"),
+    )
+    filt = l.filter(
         F.col("l_quantity").between(5, 20)
         & F.col("l_returnflag").isin("A", "R")
         & F.col("l_linestatus").like("F%")
         & F.col("l_returnflag").isNotNull()
         & (F.to_date("l_shipdate") >= F.lit("1995-01-01").cast("date"))
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    ).select(
+        F.lit("filter").alias("tag"),
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(None).cast("double").alias("net_price"),
+        "l_quantity",
+        "l_returnflag",
+    )
+    return scan.unionAll(filt)
 
 
 # --------------------------------------------------------------------------
-# H5 — inner equi-join chain with broadcast dim
+# H5 — equi-joins: inner chain with broadcast dim + left outer with COALESCE
 # --------------------------------------------------------------------------
 @query(
-    "h03_join_inner",
+    "h03_joins",
     oracle=f"""
-    SELECT n.n_name,
+    SELECT 'inner_nation' AS tag, n.n_name AS join_key,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           {sql_money_sum('o.o_totalprice')} AS revenue
+           {sql_money_sum('o.o_totalprice')} AS amount
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
-    """,
-    doc="customer⋈orders⋈nation; nation broadcast (small dim at any SF) (H5).",
-)
-def h03_join_inner(spark: SparkSession, sf: str) -> DataFrame:
-    c, o, n = T(spark, sf, "customer"), T(spark, sf, "orders"), T(spark, sf, "nation")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            _money_sum("o_totalprice").alias("revenue"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# H5 — left outer join + COALESCE defaults
-# --------------------------------------------------------------------------
-@query(
-    "h04_join_left_outer",
-    oracle=f"""
-    SELECT c.c_custkey,
+    UNION ALL
+    SELECT 'left_cust' AS tag, CAST(c.c_custkey AS VARCHAR) AS join_key,
            COALESCE(t.n_orders, 0) AS n_orders,
-           COALESCE(t.spend, 0.0) AS spend
+           COALESCE(t.spend, 0.0) AS amount
     FROM customer c
     LEFT JOIN (
         SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -131,55 +113,79 @@ def h03_join_inner(spark: SparkSession, sf: str) -> DataFrame:
         FROM orders GROUP BY o_custkey
     ) t ON c.c_custkey = t.o_custkey
     """,
-    doc="Left outer join against pre-aggregated orders; NULL → defaults (H5, H21).",
+    doc="Equi-joins (H5): 'inner_nation' = customer⋈orders⋈nation with the "
+    "nation dim broadcast (small at any SF); 'left_cust' = left outer join "
+    "against pre-aggregated orders with NULL→default COALESCE (also H21).",
 )
-def h04_join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
-    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+def h03_joins(spark: SparkSession, sf: str) -> DataFrame:
+    c, o, n = T(spark, sf, "customer"), T(spark, sf, "orders"), T(spark, sf, "nation")
+    inner = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum("o_totalprice").alias("amount"),
+        )
+        .select(
+            F.lit("inner_nation").alias("tag"),
+            F.col("n_name").alias("join_key"),
+            "n_orders",
+            "amount",
+        )
+    )
     per_cust = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         _money_sum("o_totalprice").alias("spend"),
     )
-    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
-        "c_custkey",
+    left = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        F.lit("left_cust").alias("tag"),
+        F.col("c_custkey").cast("string").alias("join_key"),
         F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
-        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+        F.coalesce("spend", F.lit(0.0)).alias("amount"),
     )
+    return inner.unionAll(left)
 
 
 # --------------------------------------------------------------------------
 # H6 — semi / anti joins
 # --------------------------------------------------------------------------
 @query(
-    "h05_semi_join",
+    "h05_semi_anti_join",
     oracle="""
-    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS active_customers
+    SELECT 'semi' AS tag, CAST(NULL AS BIGINT) AS c_custkey,
+           c_mktsegment AS label, CAST(COUNT(*) AS BIGINT) AS n
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_mktsegment
-    """,
-    doc="Left-semi join = EXISTS subquery (H6).",
-)
-def h05_semi_join(spark: SparkSession, sf: str) -> DataFrame:
-    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("active_customers"))
-    )
-
-
-@query(
-    "h06_anti_join",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti' AS tag, c_custkey, c_name AS label, CAST(NULL AS BIGINT) AS n
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
-    doc="Left-anti join = NOT EXISTS (H6).",
+    doc="Left-semi join = EXISTS ('semi' branch) and left-anti = NOT EXISTS "
+    "('anti' branch) (H6).",
 )
-def h06_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+def h05_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("semi").alias("tag"),
+            F.lit(None).cast("long").alias("c_custkey"),
+            F.col("c_mktsegment").alias("label"),
+            "n",
+        )
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("tag"),
+        "c_custkey",
+        F.col("c_name").alias("label"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return semi.unionAll(anti)
 
 
 # --------------------------------------------------------------------------
@@ -349,65 +355,7 @@ def h08c_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# H9 — ROLLUP + grouping_id
-# --------------------------------------------------------------------------
-@query(
-    "h09_rollup",
-    oracle=f"""
-    SELECT r.r_name, n.n_name,
-           CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS g,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           {sql_money_sum('o.o_totalprice')} AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY ROLLUP(r.r_name, n.n_name)
-    """,
-    doc="ROLLUP over region→nation hierarchy with grouping_id (H9).",
-)
-def h09_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
-    n, r = T(spark, sf, "nation"), T(spark, sf, "region")
-    j = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
-    )
-    return j.rollup("r_name", "n_name").agg(
-        F.grouping_id().cast("long").alias("g"),
-        F.count(F.lit(1)).alias("n_orders"),
-        _money_sum("o_totalprice").alias("revenue"),
-    )
-
-
-# --------------------------------------------------------------------------
-# H9b — CUBE with per-column GROUPING flags
-# --------------------------------------------------------------------------
-@query(
-    "h09b_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
-           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
-           CAST(COUNT(*) AS BIGINT) AS n_orders
-    FROM orders
-    GROUP BY CUBE(o_orderstatus, o_orderpriority)
-    """,
-    doc="CUBE over (status, priority) with per-column grouping flags (H9). "
-    "Per-column GROUPING() avoids engine-specific grouping_id bit orders.",
-)
-def h09b_cube(spark: SparkSession, sf: str) -> DataFrame:
-    o = T(spark, sf, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.grouping("o_orderstatus").cast("long").alias("g_status"),
-        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-# --------------------------------------------------------------------------
-# H9c — explicit GROUPING SETS (SQL surface)
+# H9 — ROLLUP / CUBE / GROUPING SETS, one tagged result
 # --------------------------------------------------------------------------
 _GROUPING_SETS_SQL = """
     SELECT o_orderstatus, o_orderpriority,
@@ -420,14 +368,86 @@ _GROUPING_SETS_SQL = """
 
 
 @query(
-    "h09c_grouping_sets",
-    oracle=_GROUPING_SETS_SQL.format(table="orders"),
-    doc="Explicit GROUPING SETS — identical SQL text runs on Spark SQL and "
-    "the DuckDB oracle (H9/H22 SQL-surface parity).",
+    "h09_grouping_ops",
+    oracle=f"""
+    SELECT 'rollup' AS tag, r.r_name AS d1, n.n_name AS d2,
+           CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS g1,
+           CAST(NULL AS BIGINT) AS g2,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o.o_totalprice')} AS amount
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    UNION ALL
+    SELECT 'cube' AS tag, o_orderstatus AS d1, o_orderpriority AS d2,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g1,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(NULL AS DOUBLE) AS amount
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'gsets' AS tag, o_orderstatus AS d1, o_orderpriority AS d2,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g1,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(NULL AS DOUBLE) AS amount
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Multidimensional grouping (H9), one tagged result: 'rollup' = "
+    "region→nation hierarchy with combined grouping_id; 'cube' = (status, "
+    "priority) with per-column GROUPING flags (engine-neutral bit order); "
+    "'gsets' = explicit GROUPING SETS executed as the IDENTICAL SQL text on "
+    "Spark SQL and the DuckDB oracle (H22 SQL-surface parity).",
 )
-def h09c_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+def h09_grouping_ops(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    n, r = T(spark, sf, "nation"), T(spark, sf, "region")
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rollup = j.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("long").alias("g1"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _money_sum("o_totalprice").alias("amount"),
+    ).select(
+        F.lit("rollup").alias("tag"),
+        F.col("r_name").alias("d1"),
+        F.col("n_name").alias("d2"),
+        "g1",
+        F.lit(None).cast("long").alias("g2"),
+        "n_orders",
+        "amount",
+    )
+    cube = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g1"),
+        F.grouping("o_orderpriority").cast("long").alias("g2"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select(
+        F.lit("cube").alias("tag"),
+        F.col("o_orderstatus").alias("d1"),
+        F.col("o_orderpriority").alias("d2"),
+        "g1",
+        "g2",
+        "n_orders",
+        F.lit(None).cast("double").alias("amount"),
+    )
     T(spark, sf, "orders").createOrReplaceTempView("orders_gsets")
-    return spark.sql(_GROUPING_SETS_SQL.format(table="orders_gsets"))
+    gsets = spark.sql(_GROUPING_SETS_SQL.format(table="orders_gsets")).select(
+        F.lit("gsets").alias("tag"),
+        F.col("o_orderstatus").alias("d1"),
+        F.col("o_orderpriority").alias("d2"),
+        F.col("g_status").alias("g1"),
+        F.col("g_prio").alias("g2"),
+        "n_orders",
+        F.lit(None).cast("double").alias("amount"),
+    )
+    return rollup.unionAll(cube).unionAll(gsets)
 
 
 # --------------------------------------------------------------------------
@@ -522,13 +542,24 @@ def h11_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
            lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price,
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS run_total
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS run_total,
+           CAST(COUNT(*) OVER (
+                PARTITION BY o_custkey
+                ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_band,
+           CAST(first_value(o_orderkey) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS first_order,
+           CAST(last_value(o_orderkey) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS last_order
     FROM orders
     """,
-    doc="row_number/rank/dense_rank/ntile/lag/lead + running sum with explicit "
-    "ROWS frame and deterministic tiebreaks (H12). All windows are keyed by "
-    "o_custkey, so every WindowExec is partitioned — the global-order forms "
-    "live in h12c, computed scale-safe.",
+    doc="row_number/rank/dense_rank/ntile/lag/lead, running sum with explicit "
+    "ROWS frame, RANGE frame over integer-cents values (orders within $1000 "
+    "below, per customer), first/last_value with explicit full frame — all "
+    "with deterministic tiebreaks (H12). Every window is keyed by o_custkey "
+    "so every WindowExec is partitioned; the global-order forms live in "
+    "h12c, computed scale-safe.",
 )
 def h12_window_functions(spark: SparkSession, sf: str) -> DataFrame:
     o = T(spark, sf, "orders")
@@ -537,6 +568,10 @@ def h12_window_functions(spark: SparkSession, sf: str) -> DataFrame:
     by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate")
     per_key_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
     running = by_key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    w_range = Window.partitionBy("o_custkey").orderBy(price_c).rangeBetween(-100000, 0)
+    w_order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_orderkey",
         "o_custkey",
@@ -547,6 +582,9 @@ def h12_window_functions(spark: SparkSession, sf: str) -> DataFrame:
         F.lag("o_totalprice").over(by_key).alias("prev_price"),
         F.lead("o_totalprice").over(by_key).alias("next_price"),
         (F.sum(cents("o_totalprice")).over(running) / 100.0).alias("run_total"),
+        F.count(F.lit(1)).over(w_range).alias("n_in_band"),
+        F.first("o_orderkey").over(w_order).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
     )
 
 
@@ -580,84 +618,51 @@ def h12c_global_ntile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# H12b — RANGE frames + first/last_value
+# H13/H14 — sort + limit (top-k), both tables in one tagged result
 # --------------------------------------------------------------------------
 @query(
-    "h12b_window_range_frames",
+    "h13_sort_topk",
     oracle="""
-    SELECT o_orderkey, o_custkey,
-           CAST(COUNT(*) OVER (
-                PARTITION BY o_custkey
-                ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_band,
-           CAST(first_value(o_orderkey) OVER (
-                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS first_order,
-           CAST(last_value(o_orderkey) OVER (
-                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS last_order
-    FROM orders
+    SELECT 'lineitem100' AS tag, k1, k2, val FROM (
+        SELECT l_orderkey AS k1, l_linenumber AS k2, l_extendedprice AS val
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 100)
+    UNION ALL
+    SELECT 'orders10' AS tag, k1, k2, val FROM (
+        SELECT o_orderkey AS k1, o_custkey AS k2, o_totalprice AS val
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10)
     """,
-    doc="RANGE frame over integer-cents order values (orders within $1000 "
-    "below, per customer) + first/last_value with explicit full frame (H12). "
-    "Integer range offsets keep frame boundaries engine-exact.",
+    doc="Multi-key ORDER BY + LIMIT → TakeOrderedAndProject, no full sort "
+    "(H13/H14): top-100 lineitems by price and top-10 orders, each with "
+    "unique tiebreak keys so the k-sets are deterministic.",
 )
-def h12b_window_range_frames(spark: SparkSession, sf: str) -> DataFrame:
-    o = T(spark, sf, "orders")
-    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
-    w_range = (
-        Window.partitionBy("o_custkey").orderBy(price_c).rangeBetween(-100000, 0)
-    )
-    w_order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w_full = w_order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.count(F.lit(1)).over(w_range).alias("n_in_band"),
-        F.first("o_orderkey").over(w_order).alias("first_order"),
-        F.last("o_orderkey").over(w_full).alias("last_order"),
-    )
-
-
-# --------------------------------------------------------------------------
-# H13/H14 — sort + limit (top-k)
-# --------------------------------------------------------------------------
-@query(
-    "h13_sort_limit",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_extendedprice
-    FROM lineitem
-    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
-    LIMIT 100
-    """,
-    doc="Multi-key ORDER BY + LIMIT → TakeOrderedAndProject, no full sort (H13/H14). "
-    "Unique tiebreak keys make the top-100 set deterministic.",
-)
-def h13_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+def h13_sort_topk(spark: SparkSession, sf: str) -> DataFrame:
     l = T(spark, sf, "lineitem")
-    return (
-        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
-        .limit(100)
-    )
-
-
-@query(
-    "h14_topk_orders",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-    doc="Top-k with deterministic tiebreak (H14).",
-)
-def h14_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
     o = T(spark, sf, "orders")
-    return (
-        o.select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
+    li = (
+        l.select(
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_linenumber").alias("k2"),
+            F.col("l_extendedprice").alias("val"),
+        )
+        .orderBy(F.col("val").desc(), F.col("k1").asc(), F.col("k2").asc())
+        .limit(100)
+        .select(F.lit("lineitem100").alias("tag"), "k1", "k2", "val")
     )
+    od = (
+        o.select(
+            F.col("o_orderkey").alias("k1"),
+            F.col("o_custkey").alias("k2"),
+            F.col("o_totalprice").alias("val"),
+        )
+        .orderBy(F.col("val").desc(), F.col("k1").asc())
+        .limit(10)
+        .select(F.lit("orders10").alias("tag"), "k1", "k2", "val")
+    )
+    return li.unionAll(od)
 
 
 # --------------------------------------------------------------------------
@@ -693,11 +698,11 @@ def h15_set_ops(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# H16 — string functions
+# H16/H18 — scalar string + math functions, one wide projection over part
 # --------------------------------------------------------------------------
 @query(
-    "h16_string_functions",
-    oracle="""
+    "h16_scalar_functions",
+    oracle=f"""
     SELECT p_partkey,
            upper(p_name) AS uname,
            lower(p_brand) AS lbrand,
@@ -707,12 +712,22 @@ def h15_set_ops(spark: SparkSession, sf: str) -> DataFrame:
            string_split(p_name, ' ')[1] AS first_word,
            CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
            concat_ws('|', p_brand, p_type) AS brand_type,
-           trim(p_type) AS ttype
+           trim(p_type) AS ttype,
+           {sql_round_fixed('sqrt(p_retailprice)', 6)} AS sqrt_price,
+           {sql_round_fixed('ln(p_retailprice)', 6)} AS ln_price,
+           CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+           CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+           abs(p_size - 25) AS size_dev,
+           p_partkey % 7 AS k7,
+           {sql_round_fixed('pow(p_retailprice, 2)', 4)} AS price_sq
     FROM part
     """,
-    doc="lower/upper/trim/substr/replace/length/split/concat_ws (H16).",
+    doc="Scalar expression surface in one scan-speed projection: "
+    "lower/upper/trim/substr/replace/length/split/concat_ws (H16) and "
+    "round/floor/ceil/abs/sqrt/ln/pow/modulo (H18); libm outputs rounded "
+    "to kill last-ulp cross-engine drift.",
 )
-def h16_string_functions(spark: SparkSession, sf: str) -> DataFrame:
+def h16_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
     p = T(spark, sf, "part")
     words = F.split(F.col("p_name"), " ")
     return p.select(
@@ -726,6 +741,13 @@ def h16_string_functions(spark: SparkSession, sf: str) -> DataFrame:
         F.size(words).cast("long").alias("n_words"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.trim(F.col("p_type")).alias("ttype"),
+        round_fixed(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        round_fixed(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.floor("p_retailprice").alias("floor_price"),
+        F.ceil("p_retailprice").alias("ceil_price"),
+        F.abs(F.col("p_size") - F.lit(25)).alias("size_dev"),
+        (F.col("p_partkey") % 7).alias("k7"),
+        round_fixed(F.pow("p_retailprice", F.lit(2.0)), 4).alias("price_sq"),
     )
 
 
@@ -759,39 +781,6 @@ def h17_date_functions(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("span_days"),
         )
-    )
-
-
-# --------------------------------------------------------------------------
-# H18 — math functions
-# --------------------------------------------------------------------------
-@query(
-    "h18_math_functions",
-    oracle=f"""
-    SELECT p_partkey,
-           {sql_round_fixed('sqrt(p_retailprice)', 6)} AS sqrt_price,
-           {sql_round_fixed('ln(p_retailprice)', 6)} AS ln_price,
-           CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
-           CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
-           abs(p_size - 25) AS size_dev,
-           p_partkey % 7 AS k7,
-           {sql_round_fixed('pow(p_retailprice, 2)', 4)} AS price_sq
-    FROM part
-    """,
-    doc="round/floor/ceil/abs/sqrt/ln/pow/modulo; libm outputs rounded to kill "
-    "last-ulp cross-engine drift (H18).",
-)
-def h18_math_functions(spark: SparkSession, sf: str) -> DataFrame:
-    p = T(spark, sf, "part")
-    return p.select(
-        "p_partkey",
-        round_fixed(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
-        round_fixed(F.log("p_retailprice"), 6).alias("ln_price"),
-        F.floor("p_retailprice").alias("floor_price"),
-        F.ceil("p_retailprice").alias("ceil_price"),
-        F.abs(F.col("p_size") - F.lit(25)).alias("size_dev"),
-        (F.col("p_partkey") % 7).alias("k7"),
-        round_fixed(F.pow("p_retailprice", F.lit(2.0)), 4).alias("price_sq"),
     )
 
 
