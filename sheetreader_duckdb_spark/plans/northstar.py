@@ -359,7 +359,7 @@ def _sql_srp_code(vec_expr: str, dim: int, n_planes: int) -> str:
     oracle=f"""
     WITH coded AS (
         SELECT vec_id, embedding AS v,
-               {_sql_srp_code('embedding', 64, 4)} AS code
+               {_sql_srp_code('embedding', 64, 6)} AS code
         FROM embeddings
     ),
     a AS (SELECT vec_id AS id_a, v AS qv, code FROM coded),
@@ -368,14 +368,17 @@ def _sql_srp_code(vec_expr: str, dim: int, n_planes: int) -> str:
     FROM a JOIN b USING (code)
     WHERE id_a < id_b AND {_SQL_COSINE} >= 0.4
     """,
-    doc="Production embedding near-dup (N3): SRP-bucket equi-join (4 "
-    "deterministic planes) + exact cosine ≥ 0.4 on in-bucket pairs. The "
-    "plan shuffles on the bucket code — no BroadcastNestedLoopJoin; n06 is "
+    doc="Production embedding near-dup (N3): SRP-bucket equi-join (6 "
+    "deterministic planes = 64 buckets) + exact cosine ≥ 0.4 on in-bucket "
+    "pairs. The plan shuffles on the bucket code — no "
+    "BroadcastNestedLoopJoin, and candidate pairs scale as n²/2^planes: "
+    "size n_planes ≈ log2(n / target_bucket) for the corpus at hand, and "
+    "recover recall with multi-table hashing (see lsh_topk / n05b). n06 is "
     "the O(n²) exact cross-check of this query's candidate pruning.",
 )
 def n06b_embedding_neardup_srp(spark: SparkSession, sf: str) -> DataFrame:
     return S.srp_neardup_pairs(
-        T(spark, sf, "embeddings"), dim=64, n_planes=4, threshold=0.4
+        T(spark, sf, "embeddings"), dim=64, n_planes=6, threshold=0.4
     )
 
 

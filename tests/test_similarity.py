@@ -46,7 +46,7 @@ def test_lsh_topk_single_table_is_subset_of_exact_rerank(spark, sf_dir):
 def test_srp_neardup_subset_of_exact(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     exact = _pairs(S.embedding_neardup_pairs(e, threshold=0.4), "id_a", "id_b")
-    bucketed = _pairs(S.srp_neardup_pairs(e, n_planes=4, threshold=0.4), "id_a", "id_b")
+    bucketed = _pairs(S.srp_neardup_pairs(e, n_planes=6, threshold=0.4), "id_a", "id_b")
     assert bucketed <= exact
     assert bucketed  # the bucketing keeps at least some true near-dups
 
