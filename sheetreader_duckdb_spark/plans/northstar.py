@@ -61,8 +61,7 @@ def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
     return D.word_shingles(T(spark, sf, "documents"), "doc_id", "text", k=3)
 
 
-def _minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf)
+def _minhash_pairs(sh: DataFrame) -> DataFrame:
     sigs = D.minhash_signatures_md5(sh, "doc_id", n_hashes=8)
     bands = D.lsh_bands(sigs, "doc_id", n_hashes=8, band_size=2)
     return D.lsh_candidate_pairs(bands, "doc_id")
@@ -125,7 +124,10 @@ def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dupes").alias("n"),
     )
     survivors = D.exact_dedup(docs.select("doc_id", "text"), "doc_id", "text")
-    sh = D.word_shingles(survivors, "doc_id", "text", k=3)
+    # Persist the shared shingle set: its explode+distinct shuffle feeds the
+    # signature build AND the Jaccard verification joins, and column pruning
+    # defeats ReuseExchange across those branches (see n03).
+    sh = D.word_shingles(survivors, "doc_id", "text", k=3).persist()
     sigs = D.minhash_signatures_md5(sh, "doc_id", n_hashes=8)
     bands = D.lsh_bands(sigs, "doc_id", n_hashes=8, band_size=2)
     pairs = D.lsh_candidate_pairs(bands, "doc_id")
@@ -157,7 +159,7 @@ def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     "3-gram shingles (N2). Production variant uses 128×xxhash64 — same plan.",
 )
 def n02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    return _minhash_pairs(spark, sf)
+    return _minhash_pairs(_doc_shingles(spark, sf))
 
 
 # --------------------------------------------------------------------------
@@ -208,8 +210,14 @@ def n02b_dedup_minhash_xxhash(spark: SparkSession, sf: str) -> DataFrame:
     "Integer counts + deterministic division → oracle-exact.",
 )
 def n03_dedup_jaccard_verify(spark: SparkSession, sf: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf)
-    pairs = _minhash_pairs(spark, sf)
+    # The shingle set feeds four consumers (signatures, sizes, both sides of
+    # the intersection join); column pruning makes the subplans
+    # non-identical so Spark's ReuseExchange cannot kick in — persist the
+    # narrow (id, shingle) projection once instead of recomputing the
+    # explode+distinct shuffle per branch. At production scale this would
+    # be a checkpoint; memory-and-disk persist has the same effect here.
+    sh = _doc_shingles(spark, sf).persist()
+    pairs = _minhash_pairs(sh)
     return D.jaccard_verify(sh, pairs, "doc_id", threshold=0.5)
 
 
