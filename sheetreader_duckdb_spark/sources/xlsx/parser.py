@@ -52,6 +52,12 @@ def _rid_attr(el) -> str | None:
 
 UNSUPPORTED_STRING_ERROR = "Inline & dynamic String types not supported yet"
 
+# SpreadsheetML ST_Xstring (ECMA-376 §22.9.2.19): _xHHHH_ encodes characters
+# XML 1.0 cannot carry (C0 controls, CR); _x005F_xHHHH_ is a literal _xHHHH_.
+# A single left-to-right pass decodes both (the replacement never creates a
+# new match because re.sub resumes after the matched span).
+_XSTRING_RE = re.compile(r"_x([0-9A-Fa-f]{4})_")
+
 
 def serial_to_epoch_secs(serial: float, date1904: bool = False) -> float:
     """Excel date serial → seconds since the unix epoch.
@@ -177,7 +183,12 @@ class XlsxWorkbook:
                             if _local(el.tag) == "t" and depth_si:
                                 parts.append(el.text or "")
                             elif _local(el.tag) == "si":
-                                strings.append("".join(parts))
+                                s = "".join(parts)
+                                if "_x" in s:  # ST_Xstring decode (rare path)
+                                    s = _XSTRING_RE.sub(
+                                        lambda m: chr(int(m.group(1), 16)), s
+                                    )
+                                strings.append(s)
                                 depth_si = False
                                 el.clear()
             self._shared_strings = strings

@@ -20,8 +20,22 @@ is bit-exact.
 from __future__ import annotations
 
 import datetime as dt
+import re
 import zipfile
 from xml.sax.saxutils import escape
+
+# SpreadsheetML ST_Xstring escaping (ECMA-376 §22.9.2.19): characters that
+# cannot appear in XML 1.0 (C0 controls except tab/newline, plus CR, which
+# XML parsers would normalize away) are written as _xHHHH_; a literal
+# _xHHHH_ in the text gets its underscore escaped as _x005F_xHHHH_.
+_XESC_LITERAL = re.compile(r"_x[0-9A-Fa-f]{4}_")
+_XESC_INVALID = re.compile("[\x00-\x08\x0b-\x1f]")
+
+
+def _xstring(s: str) -> str:
+    if "_x" in s:
+        s = _XESC_LITERAL.sub(lambda m: "_x005F" + m.group(0), s)
+    return _XESC_INVALID.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
 
 _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -182,7 +196,7 @@ def write_xlsx(
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
         f'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         f'count="{len(sst)}" uniqueCount="{len(sst)}">'
-        + "".join(f"<si><t xml:space=\"preserve\">{escape(s)}</t></si>" for s in sst)
+        + "".join(f"<si><t xml:space=\"preserve\">{escape(_xstring(s))}</t></si>" for s in sst)
         + "</sst>"
     )
 

@@ -1,0 +1,106 @@
+"""Property-based writer→reader round-trip (hypothesis): any table of
+supported cell values written by our XLSX writer reads back exactly through
+the data source — strings via the shared-strings heap, doubles via repr
+round-trip, dates in both date systems, NULLs as absent cells."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from sheetreader_duckdb_spark.sources.xlsx import parser as P
+from sheetreader_duckdb_spark.sources.xlsx.datasource import (
+    SheetReaderReader,
+    _Options,
+)
+from sheetreader_duckdb_spark.sources.xlsx.inference import infer_schema
+from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Excel stores all numbers as doubles; exact round-trip holds for any finite
+# double (repr shortest form). Strings: ANY text (surrogates excluded) —
+# control characters and CR travel via SpreadsheetML _xHHHH_ escaping
+# (ECMA-376 ST_Xstring), literal _xHHHH_ via _x005F_ escaping.
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    min_size=0,
+    max_size=40,
+)
+
+_cell = {
+    "VARCHAR": _text,
+    "DOUBLE": st.floats(allow_nan=False, allow_infinity=False, width=64),
+    "BOOLEAN": st.booleans(),
+    "DATE": st.dates(min_value=dt.date(1905, 1, 1), max_value=dt.date(2200, 1, 1)),
+}
+
+
+def _read_all(path: str):
+    """Drive the batch reader directly (no Spark session needed): schema
+    inference + every partition's Arrow batches."""
+    opts = {"path": path, "has_header": "true"}
+    o = _Options.from_options(opts)
+    with P.XlsxWorkbook(path) as wb:
+        sheet = wb.resolve_sheet(None, None)
+        schema = infer_schema(wb, sheet, has_header=True)
+    sql_to_spark = {
+        "VARCHAR": StringType(),
+        "DOUBLE": DoubleType(),
+        "BOOLEAN": BooleanType(),
+        "DATE": DateType(),
+    }
+    struct = StructType(
+        [StructField(n, sql_to_spark[t], True) for n, t in zip(schema.names, schema.types)]
+    )
+    reader = SheetReaderReader(opts, struct)
+    rows = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            rows.extend(batch.to_pylist())
+    return schema, rows
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    col_types=st.lists(
+        st.sampled_from(list(_cell)), min_size=1, max_size=5
+    ),
+    n_rows=st.integers(min_value=2, max_value=30),
+    date1904=st.booleans(),
+    data=st.data(),
+)
+def test_roundtrip_property(tmp_path_factory, col_types, n_rows, date1904, data):
+    header = [f"c{i}" for i in range(len(col_types))]
+    rows = []
+    for r in range(n_rows):
+        row = []
+        for i, t in enumerate(col_types):
+            # First data row defines the schema — keep it fully non-null;
+            # later rows may hold NULLs (absent cells).
+            if r > 0 and data.draw(st.booleans(), label=f"null_{r}_{i}"):
+                row.append(None)
+            else:
+                row.append(data.draw(_cell[t], label=f"v_{r}_{i}"))
+        rows.append(row)
+    path = str(tmp_path_factory.mktemp("prop") / "t.xlsx")
+    write_xlsx(path, {"S": [header] + rows}, date1904=date1904)
+    schema, got = _read_all(path)
+    assert schema.names == header
+    assert len(got) == n_rows
+    for want_row, got_row in zip(rows, got):
+        for name, want in zip(header, want_row):
+            assert got_row[name] == want
