@@ -219,6 +219,135 @@ def srp_neardup_pairs(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer alternative to SRP-LSH.
+# Centroids are metadata (n_cells × dim doubles): computed with a short
+# Lloyd loop whose per-iteration reduction is a DataFrame aggregation, then
+# embedded as literals — so cell assignment is map-side, the candidate join
+# is an equi-join on cell id, and the corpus shuffles only on that key.
+# --------------------------------------------------------------------------
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 2,
+) -> list[list[float]]:
+    """K coarse centroids via mini Lloyd iterations.
+
+    Seeds = the ``n_cells`` lowest-id vectors (deterministic); each
+    iteration assigns every vector to its max-cosine centroid map-side and
+    re-averages per (cell, dimension) with one aggregation — the only
+    driver-side data is the K×dim centroid table itself, exactly like
+    MLlib's KMeans collects centroids between iterations.
+    """
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(n_iters):
+        cell = _argmax_cell(F.col(vec_col), centroids)
+        sums = (
+            corpus.select(cell.alias("cell"), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"] / r["n"]
+        dim = len(centroids[0])
+        centroids = [
+            [by_cell[c][p] for p in range(dim)] if c in by_cell else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def _centroid_scores(vec_col: Column, centroids: list[list[float]]) -> list[Column]:
+    """Cosine of the vector against each centroid (centroid norms are
+    precomputed driver-side constants; the per-row cost is K folds)."""
+    import math
+
+    scores = []
+    for c in centroids:
+        lit = F.array(*[F.lit(w) for w in c])
+        d = F.aggregate(
+            F.zip_with(vec_col, lit, lambda v, w: v.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        scores.append(d / (l2_norm(vec_col) * F.lit(cn)))
+    return scores
+
+
+def _argmax_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+    scores = _centroid_scores(vec_col, centroids)
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    out = F.lit(None).cast("int")
+    # first index achieving the max (deterministic tie-break)
+    for i in reversed(range(len(scores))):
+        out = F.when(scores[i] == best, F.lit(i)).otherwise(out)
+    return out
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index: corpus vectors live in
+    their max-cosine centroid cell; each query probes its ``n_probe``
+    closest cells; exact cosine re-rank on the candidates. The candidate
+    join is an equi-join on the cell id — the corpus shuffles once, on a
+    key with ~n/n_cells occupancy. Recall rises with n_probe (n_probe =
+    n_cells is exact search)."""
+    from pyspark.sql import Window
+
+    centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters)
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        _argmax_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.array(*[
+                F.struct((-s).alias("neg"), F.lit(i).alias("cell"))
+                for i, s in enumerate(scores)
+            ])
+        ),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(ranked_cells).alias("pc"),
+    ).select("qid", "qv", F.col("pc.cell").alias("cell"))
+    scored = (
+        c.join(broadcast(q), on="cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cosine", "rn")
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -51,6 +51,29 @@ def test_srp_neardup_subset_of_exact(spark, sf_dir):
     assert bucketed  # the bucketing keeps at least some true near-dups
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = _pairs(S.brute_force_topk(e, q, k=5))
+    approx = _pairs(S.ivf_topk(e, q, k=5, n_cells=8, n_probe=4))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF recall@5 = {recall:.3f}"
+    # probing every cell is exhaustive → exact
+    full = _pairs(S.ivf_topk(e, q, k=5, n_cells=8, n_probe=8))
+    assert full == exact
+
+
+def test_ivf_scores_are_exact_cosines(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["qid"], r["cid"]): r["cosine"]
+        for r in S.brute_force_topk(e, q, k=10_000).collect()
+    }
+    for r in S.ivf_topk(e, q, k=5, n_cells=8, n_probe=2).collect():
+        assert exact[(r["qid"], r["cid"])] == r["cosine"]
+
+
 def test_srp_neardup_plan_has_no_cartesian(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     plan = S.srp_neardup_pairs(e)._jdf.queryExecution().executedPlan().toString()
