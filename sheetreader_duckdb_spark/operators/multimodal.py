@@ -103,3 +103,92 @@ def extract_features(
             )
 
     return media.select("media_id", "sha256").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sha256", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("thumb", StringType(), True),  # binary in real pipelines
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_sha256", StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, decode_stub: str = "fake"
+) -> DataFrame:
+    """Decode + resize payloads to (width, height) thumbnails via
+    Arrow-batched mapInPandas — same plumbing contract as extract_features:
+    decode_stub='error' raises NotImplementedError where PIL would be
+    wired in; 'fake' emits a deterministic digest-derived thumbnail id so
+    the batch path, schema, and partition behavior are testable."""
+
+    def run(batches):  # pandas in, pandas out
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv, not present here; "
+                    "wire the decoder into this batch loop"
+                )
+            thumbs = [
+                hashlib.sha256(f"{d}:{width}x{height}".encode()).hexdigest()
+                for d in pdf["sha256"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sha256": pdf["sha256"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "thumb": thumbs,
+                }
+            )
+
+    return media.select("media_id", "sha256").mapInPandas(run, schema=THUMB_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, decode_stub: str = "fake"
+) -> DataFrame:
+    """Uniform frame sampling from video payloads via mapInPandas — one
+    output row per (media, frame index). 'fake' derives each frame's
+    content address deterministically from (digest, index); 'error' marks
+    where ffmpeg decoding would plug in. Output cardinality is
+    n_frames × input rows, produced batch-local (no shuffle)."""
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError(
+                    "frame sampling requires ffmpeg, not present here; "
+                    "wire the decoder into this batch loop"
+                )
+            ids, idxs, digests = [], [], []
+            for mid, d in zip(pdf["media_id"], pdf["sha256"]):
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    digests.append(hashlib.sha256(f"{d}:frame{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_sha256": digests}
+            )
+
+    return media.select("media_id", "sha256").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -132,6 +132,21 @@ def session_counts(
     )
 
 
+def dedup_events(
+    events: DataFrame, id_col: str = "event_id", watermark: str = "2 hours"
+) -> DataFrame:
+    """Exact in-flight deduplication: at-least-once delivery (replayed
+    files, retried producers) becomes exactly-once rows. On a stream, the
+    watermark bounds the dedup state to ids within the horizon — state
+    size is (horizon × arrival rate), independent of stream lifetime; on a
+    batch frame the same call is a plain distinct-by-key. The id shuffle
+    is the only shuffle, and it is the same key the downstream per-key
+    aggregations use."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicates([id_col])
+    return events.dropDuplicates([id_col])
+
+
 # -- custom stateful operator (applyInPandasWithState) ----------------------
 _STATE_OUT_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total_cents long"

@@ -83,6 +83,37 @@ def test_streaming_operators_equal_batch_replay(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_streaming_dedup_at_least_once_to_exactly_once(spark, sf_dir, tmp_path):
+    """The same events file arriving twice (at-least-once delivery) must
+    produce each event exactly once after dedup_events; batch form of the
+    same call is a plain distinct-by-key with identical results."""
+    dup_dir = tmp_path / "dups"
+    dup_dir.mkdir()
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, dup_dir / "arrival1.parquet")
+    shutil.copy(src, dup_dir / "arrival2.parquet")
+
+    stream = (
+        spark.readStream.schema(SE.RAW_EVENTS_SCHEMA)
+        .parquet(str(dup_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = SE.dedup_events(stream)
+    counted = deduped.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    result = SE.run_available_now(counted, output_mode="complete")
+    [row] = result.collect()
+
+    batch = (
+        spark.read.schema(SE.RAW_EVENTS_SCHEMA)
+        .parquet(str(dup_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    n_distinct = SE.dedup_events(batch).count()
+    n_total = batch.count()
+    assert row["n"] == n_distinct
+    assert n_total == 2 * n_distinct  # the duplication actually happened
+
+
 def test_stateful_totals_multi_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState accumulates across microbatches: split events
     into two files, force one file per trigger, and check the final state
