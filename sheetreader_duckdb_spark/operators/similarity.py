@@ -127,6 +127,40 @@ def srp_code(vec_col: Column, dim: int, n_planes: int = 16, table: int = 0) -> C
     return out
 
 
+def srp_codes_batch(dim: int, n_planes: int, n_tables: int):
+    """Vectorized multi-table SRP coding: one pandas_udf computing ALL
+    table codes per vector with a single (batch × dim) @ (dim × L·b) numpy
+    matmul — returns array<long> of length n_tables (code per table).
+
+    This is the deliberate vectorized-UDF exception to the JVM-first rule:
+    the fold form (`srp_code`) evaluates L·b·dim lambda steps per row in
+    codegen, which at L=16, b=6, dim=64 is ~6k expression evals/row; one
+    BLAS matmul per Arrow batch is an order of magnitude faster and the
+    result is per-row deterministic (independent of partitioning). The
+    single-table `srp_code` stays the oracle-parity path (n06b embeds its
+    fold arithmetic in SQL)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [srp_planes(dim, n_planes, table=t) for t in range(n_tables)], dtype=np.float64
+    )  # (L, b, dim)
+    w = planes.reshape(n_tables * n_planes, dim).T  # (dim, L·b)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def codes(vecs):
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
+        bits = (m @ w) > 0  # (n, L·b)
+        per_table = bits.reshape(len(m), n_tables, n_planes) @ weights  # (n, L)
+        return pd.Series(list(per_table))
+
+    # No type hints: `from __future__ import annotations` stringifies them,
+    # which the hint-based pandas_udf inference rejects — the explicit
+    # returnType form resolves to the same scalar Arrow-batched eval.
+    return pandas_udf(codes, "array<long>")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,26 +179,28 @@ def lsh_topk(
     ``multi_probe`` additionally probes every Hamming-distance-1 bucket of
     each query (b extra probes per table — probes multiply the tiny query
     side only, never the corpus). The corpus emits L coded rows per vector
-    (map-side explode); the join shuffles on (table, code), uniform by
-    construction. tests/test_similarity.py pins recall@5 ≥ 0.9 vs the exact
-    brute-force result at the n05b declared config."""
+    (one vectorized matmul per Arrow batch, then a map-side posexplode);
+    the join shuffles on (table, code), uniform by construction.
+    tests/test_similarity.py pins recall@5 ≥ 0.9 vs the exact brute-force
+    result at the n05b declared config."""
     from pyspark.sql import Window
 
+    code_all = srp_codes_batch(dim, n_planes, n_tables)
+
     def coded(df: DataFrame, idc: str, vc: str, probe: bool) -> DataFrame:
-        entries = []
-        for t in range(n_tables):
-            code = srp_code(F.col(vec_col), dim, n_planes, table=t)
-            entries.append(F.struct(F.lit(t).alias("tbl"), code.alias("code")))
-            if probe:
-                entries.extend(
-                    F.struct(F.lit(t).alias("tbl"), code.bitwiseXOR(F.lit(1 << p)).alias("code"))
-                    for p in range(n_planes)
-                )
-        return df.select(
+        base = df.select(
             F.col(id_col).alias(idc),
             F.col(vec_col).alias(vc),
-            F.explode(F.array(*entries)).alias("tc"),
-        ).select(idc, vc, F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
+            F.posexplode(code_all(F.col(vec_col))).alias("tbl", "code"),
+        )
+        if not probe:
+            return base
+        probes = F.array(
+            F.col("code"), *[F.col("code").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        )
+        return base.select(
+            idc, vc, "tbl", F.explode(probes).alias("code")
+        )
 
     q = coded(queries, "qid", "qv", probe=multi_probe)
     c = coded(corpus, "cid", "cv", probe=False)
