@@ -668,6 +668,44 @@ def n12_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Temporal — as-of join: each 'view' event matched with the user's most
+# recent 'purchase' at or before it. Our union-and-carry implementation
+# (operators/temporal.py: ONE shuffle on the key, no range join) against
+# DuckDB's native ASOF LEFT JOIN as the oracle.
+# --------------------------------------------------------------------------
+@query(
+    "n19_asof_join",
+    oracle="""
+    WITH probes AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    quotes AS (
+        SELECT user_id, ts, value AS px FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, q.px, q.ts AS quote_ts
+    FROM probes p ASOF LEFT JOIN quotes q
+      ON p.user_id = q.user_id AND q.ts <= p.ts
+    """,
+    doc="As-of join (temporal primitive Spark lacks natively): every view "
+    "event joined with the user's latest purchase at or before it, NULLs "
+    "when none precedes. Scale-safe union-and-carry plan — one shuffle on "
+    "the key, no range-join pair explosion; oracle is DuckDB's native "
+    "ASOF LEFT JOIN.",
+)
+def n19_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark.operators.temporal import as_of_join
+
+    ev = T(spark, sf, "events")
+    probes = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    quotes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("px")
+    )
+    return as_of_join(probes, quotes, ["user_id"], "ts", ["px"]).select(
+        "event_id", "user_id", "ts", "px", "quote_ts"
+    )
+
+
 @query(
     "n13_tumbling_windows",
     oracle="""
