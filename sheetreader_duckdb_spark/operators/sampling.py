@@ -1,0 +1,177 @@
+"""Deterministic sampling and dataset-splitting operators for training-data
+pipelines.
+
+Every keep/assign decision is a pure function of ``(seed, key)`` through md5:
+reproducible across runs, engines, partition counts, and cluster sizes — the
+property a 100 TB corpus split must have, because re-running the pipeline
+after adding data must not move any existing document between train and val
+(that would leak training examples into evaluation sets).
+
+Scale shape: all three operators are embarrassingly parallel column
+expressions — ``hash_split`` and ``hash_sample`` add ZERO shuffles (each
+executor decides its rows independently at scan speed; predicate evaluation
+happens inside whole-stage codegen); ``stratified_sample`` shuffles once on
+the strata key, the minimum possible for a per-stratum guarantee.
+
+Portability: md5 hex is bit-identical in Spark and DuckDB, and hex strings
+compare identically under ASCII ordering in both engines, so every operator
+here is oracle-checkable with no tolerance. Fractions are quantized to
+1/16^nchars (1/65536 by default) — documented, deterministic behavior, same
+rounding on both sides via round-half-even in ``_hex_threshold``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bucket_hex",
+    "hash_split",
+    "hash_sample",
+    "stratified_sample",
+    "split_case_sql",
+    "sample_predicate_sql",
+]
+
+# Default hash-space resolution: first 4 md5 hex chars = 65536 buckets.
+_DEFAULT_NCHARS = 4
+
+
+def _key_col(key: Column | str) -> Column:
+    return F.col(key) if isinstance(key, str) else key
+
+
+def bucket_hex(key: Column | str, seed: str, nchars: int = _DEFAULT_NCHARS) -> Column:
+    """First ``nchars`` hex chars of ``md5(seed || ':' || key)``.
+
+    A uniform draw from 16^nchars buckets, keyed so different seeds give
+    independent assignments over the same keys.
+    """
+    return F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit(":"), _key_col(key).cast("string"))),
+        1,
+        nchars,
+    )
+
+
+def _hex_threshold(fraction: float, nchars: int = _DEFAULT_NCHARS) -> str:
+    """Hex literal t such that ``bucket < t`` covers round(fraction·16^n) buckets."""
+    space = 16**nchars
+    n = min(space, max(0, round(fraction * space)))
+    return format(n, f"0{nchars}x")
+
+
+def hash_split(
+    key: Column | str,
+    weights: Sequence[tuple[str, float]],
+    seed: str = "split",
+    nchars: int = _DEFAULT_NCHARS,
+) -> Column:
+    """Assign each row to a named split ('train'/'val'/'test'/...) by hash.
+
+    ``weights`` is an ordered list of (name, weight); weights must sum to ~1
+    (the last split absorbs quantization remainder). Returns a string column —
+    compose with ``df.withColumn("split", ...)`` or use directly in a filter.
+    No shuffle: the assignment is a scan-speed expression.
+    """
+    _check_weights(weights)
+    b = bucket_hex(key, seed, nchars)
+    expr: Column | None = None
+    cum = 0.0
+    for name, w in weights[:-1]:
+        cum += w
+        cond = b < F.lit(_hex_threshold(cum, nchars))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(weights[-1][0])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    fraction: float,
+    seed: str = "sample",
+    nchars: int = _DEFAULT_NCHARS,
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keep rows whose bucket falls
+    below the fraction threshold.
+
+    Monotone in ``fraction`` for a fixed seed: the 10% sample is a strict
+    subset of the 20% sample, which makes progressive scale-up runs
+    (1% smoke → 10% dev → 100% prod) see nested data.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(bucket_hex(key, seed, nchars) < F.lit(_hex_threshold(fraction, nchars)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    n_per_stratum: int,
+    key: Column | str,
+    seed: str = "strat",
+) -> DataFrame:
+    """Exactly ``min(n, stratum size)`` rows per stratum, chosen by hash order.
+
+    Deterministic reservoir-style sample: rank rows within each stratum by
+    ``md5(seed:key)`` (full 32-hex digest; ties broken by the key itself, so
+    the order is total) and keep the first n. One shuffle on the strata
+    columns — the minimum for a per-stratum guarantee; skewed strata are
+    bounded by the window's sort, not a collect.
+    """
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
+    k = _key_col(key)
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), k.cast("string")))
+    w = Window.partitionBy(*strata).orderBy(h, k)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def _check_weights(weights: Sequence[tuple[str, float]]) -> None:
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    names = [n for n, _ in weights]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+
+
+# -- oracle-SQL builders (DuckDB), mirroring the expressions above ----------
+
+def split_case_sql(
+    key_sql: str,
+    weights: Sequence[tuple[str, float]],
+    seed: str = "split",
+    nchars: int = _DEFAULT_NCHARS,
+) -> str:
+    """DuckDB CASE expression computing the same assignment as hash_split."""
+    _check_weights(weights)
+    b = f"substr(md5('{seed}:' || {key_sql}), 1, {nchars})"
+    parts = ["CASE"]
+    cum = 0.0
+    for name, w in weights[:-1]:
+        cum += w
+        parts.append(f"WHEN {b} < '{_hex_threshold(cum, nchars)}' THEN '{name}'")
+    parts.append(f"ELSE '{weights[-1][0]}' END")
+    return " ".join(parts)
+
+
+def sample_predicate_sql(
+    key_sql: str,
+    fraction: float,
+    seed: str = "sample",
+    nchars: int = _DEFAULT_NCHARS,
+) -> str:
+    """DuckDB WHERE predicate computing the same keep-set as hash_sample."""
+    b = f"substr(md5('{seed}:' || {key_sql}), 1, {nchars})"
+    return f"{b} < '{_hex_threshold(fraction, nchars)}'"

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sheetreader_duckdb_spark.operators import dedup as D
+from sheetreader_duckdb_spark.operators import sampling as SM
 from sheetreader_duckdb_spark.operators import similarity as S
 from sheetreader_duckdb_spark.operators import text as X
 from sheetreader_duckdb_spark.plans import query
@@ -402,6 +403,12 @@ def _sql_lang_score(lang: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+# Deterministic train/val/test assignment surfaced in n07 (the per-doc
+# projection): the reproducible hash-split every training pipeline needs
+# (operators/sampling.py — md5-keyed, engine- and partitioning-invariant).
+_SPLIT_WEIGHTS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
 def _sql_text_signals() -> str:
     langs = list(X.LANG_MARKERS)
     stop_set = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -426,7 +433,8 @@ def _sql_text_signals() -> str:
            {case} AS pred_lang,
            ({case}) = lang AS is_match,
            md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
-           substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fp8
+           substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fp8,
+           {SM.split_case_sql('doc_id', _SPLIT_WEIGHTS, seed='corpus-v1')} AS split
     FROM m
     """
 
@@ -437,9 +445,10 @@ def _sql_text_signals() -> str:
     doc="Per-document text analysis (N4), one wide projection: quality "
     "signals (whitespace + BPE-ish token counts, punctuation and stopword "
     "counts/ratios), marker-count language-ID with deterministic argmax "
-    "tiebreak + agreement with the labeled lang, and the md5 content "
-    "fingerprint of whitespace-normalized lowercased text. Scan-speed "
-    "column expressions, zero shuffles.",
+    "tiebreak + agreement with the labeled lang, the md5 content "
+    "fingerprint of whitespace-normalized lowercased text, and the "
+    "deterministic 80/10/10 train/val/test hash-split assignment "
+    "(operators/sampling.py). Scan-speed column expressions, zero shuffles.",
 )
 def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
@@ -463,6 +472,7 @@ def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
         (pred == F.col("lang")).alias("is_match"),
         fp.alias("fp"),
         F.substring(fp, 1, 8).alias("fp8"),
+        SM.hash_split("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1").alias("split"),
     )
 
 
