@@ -91,3 +91,52 @@ def normalized_text(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Content fingerprint of the normalized text (hex md5)."""
     return F.md5(normalized_text(text).cast("binary"))
+
+
+# -- corpus quality filtering (Gopher/C4-style keep rules) -------------------
+#
+# Default thresholds follow the published Gopher rules (Rae et al. 2021,
+# table A1) where our signals overlap: document length bounds, mean word
+# length bounds, and a minimum stopword presence (C4's "terminal punctuation
+# / stopword" family). Everything is integer/rational arithmetic over the
+# signals above — scan-speed, zero-shuffle, and oracle-checkable exactly.
+
+QUALITY_RULES: dict[str, tuple[float, float]] = {
+    # rule name -> (min, max) inclusive bounds on the signal
+    "n_ws_tokens": (50, 100_000),
+    "mean_word_len": (3, 10),
+    "stop_ratio": (0.01, 1.0),
+}
+
+
+def mean_word_len(text: Column) -> Column:
+    """Exact rational: non-space chars / whitespace tokens (both BIGINT)."""
+    non_space = F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("long")
+    return non_space / n_tokens(text)
+
+
+def quality_signals(text: Column) -> dict[str, Column]:
+    n_ws = n_tokens(text)
+    return {
+        "n_ws_tokens": n_ws,
+        "mean_word_len": mean_word_len(text),
+        "stop_ratio": stopword_hits(text) / n_ws,
+    }
+
+
+def quality_keep(
+    text: Column, rules: dict[str, tuple[float, float]] | None = None
+) -> Column:
+    """Boolean keep decision: every signal inside its [min, max] bounds.
+
+    AND of per-rule range predicates — one codegen'd expression, no shuffle;
+    at 100 TB this filters at scan speed before any downstream dedup joins,
+    which is exactly where a corpus pipeline wants its cheapest filter.
+    """
+    rules = QUALITY_RULES if rules is None else rules
+    signals = quality_signals(text)
+    keep = F.lit(True)
+    for name, (lo, hi) in rules.items():
+        s = signals[name]
+        keep = keep & (s >= F.lit(lo)) & (s <= F.lit(hi))
+    return keep

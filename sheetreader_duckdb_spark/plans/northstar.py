@@ -434,7 +434,14 @@ def _sql_text_signals() -> str:
            ({case}) = lang AS is_match,
            md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
            substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fp8,
-           {SM.split_case_sql('doc_id', _SPLIT_WEIGHTS, seed='corpus-v1')} AS split
+           {SM.split_case_sql('doc_id', _SPLIT_WEIGHTS, seed='corpus-v1')} AS split,
+           (CAST(len(string_split(text, ' ')) AS BIGINT) BETWEEN 50 AND 100000)
+           AND (CAST(length(replace(text, ' ', '')) AS BIGINT)
+                / CAST(len(string_split(text, ' ')) AS BIGINT) BETWEEN 3 AND 10)
+           AND (CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN ({stop_set}))) AS BIGINT)
+                / CAST(len(string_split(text, ' ')) AS BIGINT)
+                BETWEEN 0.01 AND 1.0) AS keep
     FROM m
     """
 
@@ -448,7 +455,9 @@ def _sql_text_signals() -> str:
     "tiebreak + agreement with the labeled lang, the md5 content "
     "fingerprint of whitespace-normalized lowercased text, and the "
     "deterministic 80/10/10 train/val/test hash-split assignment "
-    "(operators/sampling.py). Scan-speed column expressions, zero shuffles.",
+    "(operators/sampling.py), and the Gopher-style quality keep decision "
+    "(operators/text.py QUALITY_RULES). Scan-speed column expressions, "
+    "zero shuffles.",
 )
 def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
@@ -473,6 +482,7 @@ def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
         fp.alias("fp"),
         F.substring(fp, 1, 8).alias("fp8"),
         SM.hash_split("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1").alias("split"),
+        X.quality_keep(text).alias("keep"),
     )
 
 
