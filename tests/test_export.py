@@ -1,0 +1,64 @@
+"""Deterministic sharded export (operators/export.py): coverage, shard
+stability, reproducible within-file order, and directory layout."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sheetreader_duckdb_spark.operators.export import export_shards, with_shard
+from sheetreader_duckdb_spark.tables import T
+
+N_SHARDS = 4
+
+
+def _export(spark, sf_dir, tmp, subdir):
+    path = os.path.join(tmp, subdir)
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    export_shards(d, "doc_id", N_SHARDS, path, seed="v1")
+    return path
+
+
+def test_export_layout_and_coverage(spark, sf_dir, tmp_path):
+    path = _export(spark, sf_dir, str(tmp_path), "a")
+    dirs = sorted(os.path.basename(p) for p in glob.glob(os.path.join(path, "shard=*")))
+    assert dirs == [f"shard={i}" for i in range(N_SHARDS)]
+    back = spark.read.parquet(path)
+    src = T(spark, sf_dir, "documents")
+    assert back.count() == src.count()
+    assert back.select("doc_id").distinct().count() == src.count()
+
+
+def test_shard_assignment_matches_with_shard(spark, sf_dir, tmp_path):
+    path = _export(spark, sf_dir, str(tmp_path), "b")
+    back = spark.read.parquet(path).select("doc_id", "shard")
+    expect = with_shard(
+        T(spark, sf_dir, "documents").select("doc_id"), "doc_id", N_SHARDS, seed="v1"
+    )
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in expect.collect()}
+
+
+def test_reexport_is_reproducible_including_row_order(spark, sf_dir, tmp_path):
+    p1 = _export(spark, sf_dir, str(tmp_path), "c1")
+    p2 = _export(spark, sf_dir, str(tmp_path), "c2")
+    for i in range(N_SHARDS):
+        a = spark.read.parquet(os.path.join(p1, f"shard={i}")).collect()
+        b = spark.read.parquet(os.path.join(p2, f"shard={i}")).collect()
+        assert a == b  # ordered comparison: same rows in the same order
+
+
+def test_with_shard_no_shuffle(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    plan = (
+        with_shard(d, "doc_id", N_SHARDS)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_rejects_bad_n_shards(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        with_shard(d, "doc_id", 0)
