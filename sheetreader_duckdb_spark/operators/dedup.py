@@ -74,6 +74,46 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
 
 
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Eval-set decontamination: eval documents sharing ≥ ``min_hits``
+    word ``k``-grams with ANY training document.
+
+    The check every LLM pipeline runs before trusting a benchmark number —
+    a val/test document whose n-grams appear in train is contaminated (the
+    model may have memorized it). Returns ``(id, n_hits, n_shingles,
+    hit_ratio)`` per flagged eval doc.
+
+    Scale shape: train shingles are reduced to DISTINCT grams (no doc ids —
+    the membership set, typically ≪ corpus size), then one equi-join on the
+    gram. Both sides shuffle on the shingle hash — uniform by construction;
+    no per-doc state, no driver-side sets. For 100 TB train corpora, swap
+    the string gram for ``xxhash64(sh)`` on BOTH sides before the join
+    (integer shuffle keys, ~8 bytes/gram) — semantics identical modulo
+    negligible 64-bit collisions.
+    """
+    tr = word_shingles(train, id_col, text_col, k=k).select("sh").distinct()
+    ev = word_shingles(eval_df, id_col, text_col, k=k)
+    sizes = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = ev.join(tr, "sh").groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        hits.filter(F.col("n_hits") >= min_hits)
+        .join(sizes, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            "n_hits",
+            "n_shingles",
+            (F.col("n_hits") / F.col("n_shingles")).alias("hit_ratio"),
+        )
+    )
+
+
 def minhash_signatures_md5(shingles: DataFrame, id_col: str, n_hashes: int = 8) -> DataFrame:
     """Oracle-parity MinHash: per (doc, seed), min over md5(seed:shingle).
 
