@@ -100,6 +100,39 @@ def test_ffd_core_properties():
     assert placed == _ffd_pack([13, 12, 11, 10], [100, 200, 300, 300], 512)
 
 
+def test_ffd_property_random_inputs():
+    """Any (id, count) multiset: every doc placed once, no bin overflows,
+    positions contiguous per bin, permutation-invariant."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=60),
+        st.randoms(),
+    )
+    def check(counts, rng):
+        ids = list(range(len(counts)))
+        placed = _ffd_pack(ids, counts, 512)
+        assert sorted(p[0] for p in placed) == ids  # each doc exactly once
+        by_seq: dict[int, list] = {}
+        for doc_id, s, pos, trunc in placed:
+            by_seq.setdefault(s, []).append((pos, doc_id, trunc))
+        for s, members in by_seq.items():
+            assert sorted(p for p, _, _ in members) == list(range(len(members)))
+            total = sum(counts[d] for _, d, _ in members)
+            if any(t for _, _, t in members):
+                assert len(members) == 1  # oversized docs isolated
+            else:
+                assert total <= 512
+        # permutation invariance
+        perm = list(zip(ids, counts))
+        rng.shuffle(perm)
+        assert placed == _ffd_pack([p[0] for p in perm], [p[1] for p in perm], 512)
+
+    check()
+
+
 def test_rejects_bad_seq_len(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     with pytest.raises(ValueError):

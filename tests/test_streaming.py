@@ -83,6 +83,36 @@ def test_streaming_operators_equal_batch_replay(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_stream_static_enrichment_equals_batch(spark, sf_dir):
+    """enrich_events (stream-static broadcast join) on the stream must equal
+    the same join on the batch replay, and the stream side must not shuffle."""
+    from sheetreader_duckdb_spark.tables import T
+
+    dim = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = lambda df: (  # noqa: E731 — windowed count per segment
+        SE.tumbling_counts(
+            SE.enrich_events(df, dim).withColumnRenamed("c_mktsegment", "event_type")
+        )
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(SE.RAW_EVENTS_SCHEMA).parquet(SE.stage_events_dir(sf_dir))
+    batch_df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).drop(
+        "event_type"
+    )
+    expected = {tuple(r) for r in agg(batch_df).collect()}
+
+    stream = SE.read_events_stream(spark, sf_dir).drop("event_type")
+    got = {
+        tuple(r)
+        for r in SE.run_available_now(agg(stream), output_mode="complete").collect()
+    }
+    assert got == expected
+    plan = agg(batch_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_streaming_dedup_at_least_once_to_exactly_once(spark, sf_dir, tmp_path):
     """The same events file arriving twice (at-least-once delivery) must
     produce each event exactly once after dedup_events; batch form of the
