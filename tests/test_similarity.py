@@ -74,6 +74,56 @@ def test_ivf_scores_are_exact_cosines(spark, sf_dir):
         assert exact[(r["qid"], r["cid"])] == r["cosine"]
 
 
+def test_quantized_topk_recall(spark, sf_dir):
+    """int8 coarse + float rescoring must recover ≥0.9 of exact top-5."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = _pairs(S.brute_force_topk(e, q, k=5))
+    approx = _pairs(S.quantized_topk(e, q, k=5, refine=4))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"quantized recall@5 = {recall:.3f}"
+
+
+def test_quantized_topk_scores_are_exact_cosines(spark, sf_dir):
+    """Rescored scores equal the brute-force cosine for overlapping pairs."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r["qid"], r["cid"]): r["cosine"] for r in S.brute_force_topk(e, q, k=5).collect()}
+    approx = {(r["qid"], r["cid"]): r["cosine"] for r in S.quantized_topk(e, q, k=5).collect()}
+    shared = set(exact) & set(approx)
+    assert shared
+    for key in shared:
+        assert exact[key] == approx[key]  # same IEEE ops → identical doubles
+
+
+def test_quantize_roundtrip_error_bounded(spark, sf_dir):
+    """Dequantized vectors are within half a quantization step per element."""
+    e = T(spark, sf_dir, "embeddings").limit(50)
+    qs = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        S.quantize_int8(F.col("embedding")).alias("qv"),
+    )
+    err = qs.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("v"), S.dequantize(F.col("qv")), lambda a, b: F.abs(a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+        (F.col("qv.inv_scale") * 0.5 + 1e-12).alias("bound"),
+    )
+    assert err.filter(F.col("max_err") > F.col("bound")).count() == 0
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    row = df.select(S.quantize_int8(F.col("embedding")).alias("q")).collect()[0]["q"]
+    assert list(row["q"]) == [0, 0, 0]
+    assert row["inv_scale"] == 0.0
+
+
 def test_srp_neardup_plan_has_no_cartesian(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     plan = S.srp_neardup_pairs(e)._jdf.queryExecution().executedPlan().toString()
