@@ -104,6 +104,28 @@ def test_split_zero_shuffle_plan(spark, sf_dir):
     assert "Exchange" not in plan  # scan-speed projection, no shuffle
 
 
+def test_split_matches_independent_python_implementation(spark, sf_dir):
+    """Row-by-row agreement with a hashlib-based reimplementation — pins the
+    exact key rendering ('seed:' + base-10 id) and threshold arithmetic
+    against a third engine (CPython), not just DuckDB."""
+    import hashlib
+
+    def py_split(doc_id):
+        b = hashlib.md5(f"corpus-v1:{doc_id}".encode()).hexdigest()[:4]
+        if b < format(round(0.8 * 65536), "04x"):
+            return "train"
+        if b < format(round(0.9 * 65536), "04x"):
+            return "val"
+        return "test"
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    got = dict(
+        d.select("doc_id", SM.hash_split("doc_id", WEIGHTS, seed="corpus-v1").alias("s"))
+        .collect()
+    )
+    assert got == {k: py_split(k) for k in got}
+
+
 def test_weight_validation():
     with pytest.raises(ValueError):
         SM.hash_split("k", [("a", 0.5), ("b", 0.4)])  # sums to 0.9
