@@ -93,6 +93,31 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text).cast("binary"))
 
 
+# -- PII scrubbing (pre-training text hygiene) -------------------------------
+#
+# Mask personally-identifying spans with stable placeholder tokens before a
+# corpus ships to training. Patterns are deliberately restricted to syntax
+# RE2 and Java regex interpret identically (no lookaround, no backrefs), so
+# the scrub is engine-portable and oracle-checkable; scan-speed chained
+# regexp_replace, zero shuffles. Ordering matters: URLs first (they may
+# embed @), then emails, then phone-like digit runs.
+
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "[URL]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    # two alternatives: +international digit-run; NANP 3-3-4 with separators
+    ("phone", r"\+[0-9][-. ()0-9]{5,18}[0-9]|\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace URL/email/phone spans with placeholder tokens."""
+    out = text
+    for _name, pattern, token in SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
 # -- corpus quality filtering (Gopher/C4-style keep rules) -------------------
 #
 # Default thresholds follow the published Gopher rules (Rae et al. 2021,
