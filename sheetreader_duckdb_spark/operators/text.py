@@ -93,6 +93,45 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text).cast("binary"))
 
 
+# -- repetition signals (Gopher's duplicate-n-gram family) -------------------
+#
+# Boilerplate and templated spam repeat themselves; Gopher (Rae et al. 2021,
+# table A1) filters on the fraction of the document occupied by repeated
+# n-grams. Computed with one explode + per-(doc, gram) count — a single
+# shuffle keyed by doc, embarrassingly parallel across docs.
+
+def repetition_signals(df, id_col: str, text_col: str, n: int = 2):
+    """Per-document repetition metrics over word ``n``-grams:
+
+    - ``top_gram_frac``: occurrences of the most frequent gram / total grams;
+    - ``dup_gram_frac``: fraction of gram occurrences whose gram appears
+      more than once.
+
+    Exact integer counts and rational divisions — oracle-checkable.
+    Documents with fewer than ``n`` words produce no row (no grams).
+    """
+    from pyspark.sql import DataFrame  # local: keep module import surface flat
+
+    assert isinstance(df, DataFrame)
+    words = F.split(F.lower(F.col(text_col)), " ")
+    gram_expr = (
+        f"transform(sequence(0, size(_w) - {n}), i -> "
+        + f"concat_ws(' ', {', '.join(f'_w[i + {j}]' for j in range(n))}))"
+    )
+    grams = (
+        df.select(F.col(id_col), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select(id_col, F.explode(F.expr(gram_expr)).alias("g"))
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        (F.max("c") / F.sum("c")).alias("top_gram_frac"),
+        (F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))) / F.sum("c")).alias(
+            "dup_gram_frac"
+        ),
+    )
+
+
 # -- PII scrubbing (pre-training text hygiene) -------------------------------
 #
 # Mask personally-identifying spans with stable placeholder tokens before a
