@@ -32,6 +32,7 @@ __all__ = [
     "hash_split",
     "hash_sample",
     "stratified_sample",
+    "mix_sources",
     "split_case_sql",
     "sample_predicate_sql",
 ]
@@ -58,9 +59,17 @@ def bucket_hex(key: Column | str, seed: str, nchars: int = _DEFAULT_NCHARS) -> C
 
 
 def _hex_threshold(fraction: float, nchars: int = _DEFAULT_NCHARS) -> str:
-    """Hex literal t such that ``bucket < t`` covers round(fraction·16^n) buckets."""
+    """Hex literal t such that ``bucket < t`` covers round(fraction·16^n)
+    buckets under LEXICOGRAPHIC comparison of the nchars-wide bucket.
+
+    Full coverage needs a sentinel: 16^n in hex is one char wider and would
+    compare smaller than letter-leading buckets, so use "g", which sorts
+    above every hex string of any content in both Spark and DuckDB (ASCII).
+    """
     space = 16**nchars
     n = min(space, max(0, round(fraction * space)))
+    if n == space:
+        return "g"
     return format(n, f"0{nchars}x")
 
 
@@ -144,6 +153,37 @@ def _check_weights(weights: Sequence[tuple[str, float]]) -> None:
     names = [n for n, _ in weights]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate split names: {names}")
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    fractions: dict[str, float],
+    key: Column | str,
+    seed: str = "mix",
+    nchars: int = _DEFAULT_NCHARS,
+) -> DataFrame:
+    """Materialize a training mixture: keep a per-source hash fraction of
+    rows ("80% web, 15% code, 5% books" made concrete and reproducible).
+
+    Sources absent from ``fractions`` are dropped; fraction 1.0 keeps a
+    source whole. Zero shuffles — one scan-speed predicate combining the
+    source match with the keyed hash draw; per-source keep-sets are nested
+    under fraction growth (same seed ⇒ a 10% mixture is a subset of the
+    20% one), so mixture re-weighting between runs reuses data rather than
+    resampling it.
+    """
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0, 1], got {f}")
+    b = bucket_hex(key, seed, nchars)
+    keep = None
+    for s, f in fractions.items():
+        cond = (F.col(source_col) == F.lit(s)) & (b < F.lit(_hex_threshold(f, nchars)))
+        keep = cond if keep is None else keep | cond
+    if keep is None:
+        raise ValueError("fractions must be non-empty")
+    return df.filter(keep)
 
 
 # -- oracle-SQL builders (DuckDB), mirroring the expressions above ----------

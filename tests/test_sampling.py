@@ -76,6 +76,15 @@ def test_split_covers_all_rows_with_sane_fractions(spark, sf_dir):
     assert counts["train"] > counts["test"]
 
 
+def test_hash_sample_boundary_fractions(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    # 1.0 keeps every row (the full-coverage threshold is the "g" sentinel,
+    # which sorts above any hex bucket), 0.0 keeps none.
+    assert SM.hash_sample(d, "doc_id", 1.0).count() == n
+    assert SM.hash_sample(d, "doc_id", 0.0).count() == 0
+
+
 def test_hash_sample_nested_for_growing_fraction(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id")
     small = {r[0] for r in SM.hash_sample(d, "doc_id", 0.1, seed="x").collect()}
@@ -102,6 +111,32 @@ def test_split_zero_shuffle_plan(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan  # scan-speed projection, no shuffle
+
+
+def test_mix_sources_matches_oracle(spark, sf_dir, con):
+    d = T(spark, sf_dir, "documents")
+    fr = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+    sdf = SM.mix_sources(d.select("doc_id", "source"), "source", fr, "doc_id", seed="mx")
+    preds = " OR ".join(
+        f"(source = '{s}' AND {SM.sample_predicate_sql('doc_id', f, seed='mx')})"
+        for s, f in fr.items()
+    )
+    assert diff(sdf, con, f"SELECT doc_id, source FROM documents WHERE {preds}") == []
+
+
+def test_mix_sources_behavior(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    fr = {"src0": 1.0, "src1": 0.5}
+    out = SM.mix_sources(d, "source", fr, "doc_id")
+    counts = dict(out.groupBy("source").count().collect())
+    full = dict(d.groupBy("source").count().collect())
+    assert set(counts) <= {"src0", "src1"}  # unlisted sources dropped
+    assert counts["src0"] == full["src0"]  # fraction 1.0 keeps all
+    assert 0 < counts.get("src1", 0) < full["src1"]
+    # nested under fraction growth (same seed)
+    small = {r[0] for r in SM.mix_sources(d, "source", {"src1": 0.2}, "doc_id").select("doc_id").collect()}
+    large = {r[0] for r in SM.mix_sources(d, "source", {"src1": 0.6}, "doc_id").select("doc_id").collect()}
+    assert small <= large
 
 
 def test_split_matches_independent_python_implementation(spark, sf_dir):
