@@ -82,6 +82,7 @@ class _Options:
     coerce_to_string: bool
     threads: int
     batch_size: int
+    inline_strings: bool
 
     @classmethod
     def from_options(cls, options) -> "_Options":
@@ -119,11 +120,12 @@ class _Options:
             coerce_to_string=_parse_bool(options.get("coerce_to_string")),
             threads=threads,
             batch_size=int(options.get("batch_size", str(DEFAULT_BATCH_SIZE))),
+            inline_strings=_parse_bool(options.get("inline_strings")),
         )
 
 
 def _infer_for_file(path: str, opts: _Options) -> SheetSchema:
-    with P.XlsxWorkbook(path) as wb:
+    with P.XlsxWorkbook(path, allow_inline=opts.inline_strings) as wb:
         sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
         return infer_schema(
             wb,
@@ -217,7 +219,7 @@ class SheetReaderReader(DataSourceReader):
                 f"File {partition.path} has more columns than the schema. "
                 f"Has: {file_schema.n_detected_columns} Expected: {n_cols}"
             )
-        if not opts.coerce_to_string:
+        if not opts.coerce_to_string and not opts.inline_strings:
             # Columnar fast path: raw cell bytes per column, typed by Arrow
             # casts (C-speed) instead of per-cell Python conversion. Falls
             # back to the row path on unscannable document shapes.
@@ -253,7 +255,7 @@ class SheetReaderReader(DataSourceReader):
         # 2=BOOLEAN 3=DATE; cell ctypes are parser constants (T_* ints).
         exp_codes = [("VARCHAR", "DOUBLE", "BOOLEAN", "DATE").index(t) for t in col_types]
 
-        with P.XlsxWorkbook(path) as wb:
+        with P.XlsxWorkbook(path, allow_inline=opts.inline_strings) as wb:
             sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
             shared = wb.shared_strings
             coerce = opts.coerce_to_string
@@ -283,7 +285,12 @@ class SheetReaderReader(DataSourceReader):
                     # measurable at millions of cells per partition.
                     e = exp_codes[col]
                     if e == 0:
-                        row[col] = shared[val] if ctype == P.T_STRING_REF else None
+                        if ctype == P.T_STRING_REF:
+                            row[col] = shared[val]
+                        elif ctype == P.T_STRING_LIT:
+                            row[col] = val
+                        else:
+                            row[col] = None
                     elif e == 1:
                         row[col] = val if ctype == P.T_NUMERIC else None
                     elif e == 2:
@@ -574,7 +581,7 @@ class SheetReaderStreamReader(SimpleDataSourceStreamReader):
             opts_dict["path"] = path
             opts = _Options.from_options(opts_dict)
             file_schema = _infer_for_file(path, opts)
-            with P.XlsxWorkbook(path) as wb:
+            with P.XlsxWorkbook(path, allow_inline=opts.inline_strings) as wb:
                 sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
                 shared = wb.shared_strings
                 for cells in wb.iter_rows(sheet, skip_rows=file_schema.skip_rows):
@@ -600,6 +607,7 @@ def row_count(
     sheet_index: int | None = None,
     skip_rows: int = 0,
     has_header: bool = False,
+    inline_strings: bool = False,
 ) -> int:
     """Data-row count served from sheet metadata when possible — the
     ``COUNT(*)`` fast path the reference leaves on the table (it knows
@@ -611,7 +619,7 @@ def row_count(
     only parsing done is the two-row schema probe. Without the tag, falls
     back to streaming the sheet and counting rows (no cell conversion).
     """
-    with P.XlsxWorkbook(path) as wb:
+    with P.XlsxWorkbook(path, allow_inline=inline_strings) as wb:
         sheet = wb.resolve_sheet(sheet_name, sheet_index)
         schema = infer_schema(
             wb, sheet, skip_rows=skip_rows, has_header=has_header
@@ -631,7 +639,11 @@ def _convert_cell(expected: str, ctype: int, val, shared: list[str], coerce: boo
     if expected == "VARCHAR":
         if coerce:
             return _coerce_to_string(ctype, val, shared)
-        return shared[val] if ctype == P.T_STRING_REF else None
+        if ctype == P.T_STRING_REF:
+            return shared[val]
+        if ctype == P.T_STRING_LIT:
+            return val
+        return None
     if expected == "DOUBLE":
         return float(val) if ctype == P.T_NUMERIC else None
     if expected == "BOOLEAN":
@@ -650,6 +662,8 @@ def _coerce_to_string(ctype: int, val, shared: list[str]) -> str | None:
 
     if ctype == P.T_STRING_REF:
         return shared[val]
+    if ctype == P.T_STRING_LIT:
+        return val
     if ctype == P.T_NUMERIC:
         return f"{float(val):.6f}"
     if ctype == P.T_BOOLEAN:

@@ -28,6 +28,7 @@ VALID_TYPES = ("VARCHAR", "DOUBLE", "BOOLEAN", "DATE")
 
 _CELL_TO_SQL = {
     P.T_STRING_REF: "VARCHAR",
+    P.T_STRING_LIT: "VARCHAR",
     P.T_NUMERIC: "DOUBLE",
     P.T_BOOLEAN: "BOOLEAN",
     P.T_DATE: "DATE",
@@ -35,10 +36,13 @@ _CELL_TO_SQL = {
 
 _GENERIC_PREFIX = {
     P.T_STRING_REF: "String",
+    P.T_STRING_LIT: "String",
     P.T_NUMERIC: "Numeric",
     P.T_BOOLEAN: "Boolean",
     P.T_DATE: "Date",
 }
+
+_STRING_TYPES = (P.T_STRING_REF, P.T_STRING_LIT)
 
 
 @dataclass
@@ -72,7 +76,7 @@ def _convert_cell_types(row: list[tuple[int, object]]) -> tuple[list[str], list[
             raise ValueError(f"Unknown cell type in column in column {i}")
         types.append(_CELL_TO_SQL[ctype])
         names.append(f"{_GENERIC_PREFIX[ctype]}{i}")
-        if ctype != P.T_STRING_REF:
+        if ctype not in _STRING_TYPES:
             all_string = False
     return types, names, all_string
 
@@ -117,12 +121,14 @@ def infer_schema(
 
     header_detected = has_header or (first_all_string and not second_all_string)
     if header_detected:
-        ss = wb.shared_strings
         names = []
         for ctype, val in first:
-            if ctype != P.T_STRING_REF:
+            if ctype == P.T_STRING_REF:
+                names.append(wb.shared_strings[val])
+            elif ctype == P.T_STRING_LIT:
+                names.append(val)
+            else:
                 raise ValueError("Header row contains non-string values")
-            names.append(ss[val])
         types = types_second
     else:
         names = names_first

@@ -37,6 +37,13 @@ T_NUMERIC = 2
 T_BOOLEAN = 3
 T_DATE = 4
 T_ERROR = 5
+# Literal string carried in the cell itself (t="str" formula cache /
+# t="inlineStr" <is><t> runs). The reference errors on these
+# (src/sheetreader_extension.cpp:572-575) and so do we by default;
+# opting in via the ``inline_strings`` data-source option accepts them —
+# a beyond-reference extension for third-party writers that skip the
+# sharedStrings heap.
+T_STRING_LIT = 6
 
 # Tag matching is namespace-insensitive: real-world writers vary the
 # namespace (the reference's own demo file uses .../primary/spreadsheetml/...)
@@ -111,10 +118,11 @@ class SheetInfo:
 class XlsxWorkbook:
     """Workbook metadata + shared strings + style-based date detection."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, allow_inline: bool = False):
         self.path = path
         self.zf = zipfile.ZipFile(path)
         self.date1904 = False  # set by _parse_workbook from <workbookPr>
+        self.allow_inline = allow_inline  # accept t="str"/"inlineStr" cells
         self.sheets = self._parse_workbook()
         self._shared_strings: list[str] | None = None
         self._date_styles: frozenset[int] | None = None
@@ -302,7 +310,9 @@ class XlsxWorkbook:
                     work, buf = buf[: cut + 6], buf[cut + 6 :]
                 else:
                     work, buf = buf, b""
-                rows = _scan_chunk(work, colmap, date_styles, first_chunk, self.date1904)
+                rows = _scan_chunk(
+                    work, colmap, date_styles, first_chunk, self.date1904, self.allow_inline
+                )
                 first_chunk = False
                 for cells in rows:
                     if skipped < skip_rows:
@@ -325,6 +335,7 @@ class XlsxWorkbook:
             cur_col = -1
             cur_style_is_date = False
             v_text: str | None = None
+            lit_parts: list[str] = []
             in_v = False
             for event, el in iterparse(f, events=("start", "end")):
                 tag = _local(el.tag)
@@ -344,8 +355,11 @@ class XlsxWorkbook:
                         elif t == "e":
                             cur_type = T_ERROR
                         elif t in ("str", "inlineStr"):
-                            # reference: src/sheetreader_extension.cpp:572-575
-                            raise ValueError(UNSUPPORTED_STRING_ERROR)
+                            if not self.allow_inline:
+                                # reference: src/sheetreader_extension.cpp:572-575
+                                raise ValueError(UNSUPPORTED_STRING_ERROR)
+                            cur_type = T_STRING_LIT
+                            lit_parts = []
                         else:
                             cur_type = T_NONE
                         v_text = None
@@ -361,8 +375,14 @@ class XlsxWorkbook:
                 if tag == "v":
                     v_text = el.text
                     in_v = False
+                elif tag == "t" and cur_type == T_STRING_LIT:
+                    lit_parts.append(el.text or "")  # <is><t> runs (rich text)
                 elif tag == "c":
-                    if v_text is None:
+                    if cur_type == T_STRING_LIT:
+                        lit = v_text if v_text is not None else ("".join(lit_parts) if lit_parts else None)
+                        if lit is not None:
+                            cells.append((cur_col, T_STRING_LIT, lit))
+                    elif v_text is None:
                         pass  # empty cell → absent → NULL
                     elif cur_type == T_STRING_REF:
                         cells.append((cur_col, T_STRING_REF, int(v_text)))
@@ -405,12 +425,21 @@ _CELL_RE = re.compile(
 )
 
 
+def _unescape(raw: bytes) -> str:
+    """Decode a raw ``<v>`` text span: XML predefined + numeric entities
+    (html.unescape is a superset that matches what expat produces)."""
+    import html
+
+    return html.unescape(raw.decode("utf-8"))
+
+
 def _scan_chunk(
     work: bytes,
     colmap: dict[bytes, int],
     date_styles: frozenset[int],
     first_chunk: bool,
     date1904: bool = False,
+    allow_inline: bool = False,
 ) -> list[list[tuple[int, int, object]]]:
     """Parse one `</row>`-aligned chunk into rows of (col, ctype, value).
 
@@ -422,14 +451,14 @@ def _scan_chunk(
     if len(row_matches) != len(_ROW_COUNT_RE.findall(work)):
         if first_chunk:
             raise _FastPathUnsupported
-        return _fragment_rows(work, colmap, date_styles, date1904)
+        return _fragment_rows(work, colmap, date_styles, date1904, allow_inline)
     rows: list[list[tuple[int, int, object]]] = []
     for body in row_matches:
         cell_matches = _CELL_RE.findall(body)
         if len(cell_matches) != len(_CELL_COUNT_RE.findall(body)):
             if first_chunk and not rows:
                 raise _FastPathUnsupported
-            return _fragment_rows(work, colmap, date_styles, date1904)
+            return _fragment_rows(work, colmap, date_styles, date1904, allow_inline)
         cells: list[tuple[int, int, object]] = []
         for letters, s_attr, t_attr, v in cell_matches:
             col = colmap.get(letters)
@@ -451,8 +480,13 @@ def _scan_chunk(
             elif t_attr == b"e":
                 cells.append((col, T_ERROR, None))
             elif t_attr in (b"str", b"inlineStr"):
-                # reference: src/sheetreader_extension.cpp:572-575
-                raise ValueError(UNSUPPORTED_STRING_ERROR)
+                if not allow_inline:
+                    # reference: src/sheetreader_extension.cpp:572-575
+                    raise ValueError(UNSUPPORTED_STRING_ERROR)
+                # only t="str" (value in <v>) matches the cell regex;
+                # inlineStr cells fail the count check → fragment path.
+                if v:
+                    cells.append((col, T_STRING_LIT, _unescape(v)))
         rows.append(cells)
     return rows
 
@@ -462,6 +496,7 @@ def _fragment_rows(
     colmap: dict[bytes, int],
     date_styles: frozenset[int],
     date1904: bool = False,
+    allow_inline: bool = False,
 ) -> list[list[tuple[int, int, object]]]:
     """Expat-parse a `</row>`-aligned XML fragment (irregular chunk fallback)."""
     import io
@@ -472,6 +507,7 @@ def _fragment_rows(
     cur_type: int | None = None
     cur_col = -1
     v_text: str | None = None
+    lit_parts: list[str] = []
     try:
         for event, el in iterparse(io.BytesIO(b"<R>" + work + b"</R>"), events=("start", "end")):
             tag = _local(el.tag)
@@ -490,7 +526,10 @@ def _fragment_rows(
                     elif t == "e":
                         cur_type = T_ERROR
                     elif t in ("str", "inlineStr"):
-                        raise ValueError(UNSUPPORTED_STRING_ERROR)
+                        if not allow_inline:
+                            raise ValueError(UNSUPPORTED_STRING_ERROR)
+                        cur_type = T_STRING_LIT
+                        lit_parts = []
                     else:
                         cur_type = T_NONE
                     v_text = None
@@ -500,8 +539,14 @@ def _fragment_rows(
                 continue
             if tag == "v":
                 v_text = el.text
+            elif tag == "t" and cur_type == T_STRING_LIT:
+                lit_parts.append(el.text or "")
             elif tag == "c":
-                if v_text is None:
+                if cur_type == T_STRING_LIT:
+                    lit = v_text if v_text is not None else ("".join(lit_parts) if lit_parts else None)
+                    if lit is not None:
+                        cells.append((cur_col, T_STRING_LIT, lit))
+                elif v_text is None:
                     pass
                 elif cur_type == T_STRING_REF:
                     cells.append((cur_col, T_STRING_REF, int(v_text)))
