@@ -34,6 +34,7 @@ def get_spark(app_name: str = "sheetreader-spark", shuffle_partitions: int | Non
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -58,6 +59,10 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Let Catalyst push supported filters into the sheetreader source
+    # (SheetReaderReader.pushFilters) — rows are pruned by Arrow compute
+    # before crossing the Python→JVM boundary.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     # Ship the package to executor Python workers: pandas UDFs and stateful
     # streaming functions unpickle by module reference there.
     from sheetreader_duckdb_spark import _ship_package

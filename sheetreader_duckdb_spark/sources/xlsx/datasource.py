@@ -64,6 +64,96 @@ _SPARK_TO_SQL = {
 DEFAULT_BATCH_SIZE = 8192
 
 
+def _filter_mask_builder(filters, schema: StructType):
+    """Compile pushed-down filters to a RecordBatch → mask function using
+    vectorized Arrow compute (AND of all filters, SQL WHERE null semantics:
+    null comparisons drop the row). Returns None when there is nothing to
+    apply."""
+    if not filters:
+        return None
+    import pyarrow.compute as pc
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+    )
+
+    names = {f.name for f in schema.fields}
+
+    def compile_one(f):
+        """Return column-name + mask fn, or None if unsupported."""
+        if isinstance(f, Not):
+            inner = compile_one(f.child)
+            if inner is None:
+                return None
+            col, fn = inner
+            return col, lambda arr: pc.invert(fn(arr))
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1 or attr[0] not in names:
+            return None
+        col = attr[0]
+        if isinstance(f, EqualTo):
+            return col, lambda arr, v=f.value: pc.equal(arr, v)
+        if isinstance(f, GreaterThan):
+            return col, lambda arr, v=f.value: pc.greater(arr, v)
+        if isinstance(f, GreaterThanOrEqual):
+            return col, lambda arr, v=f.value: pc.greater_equal(arr, v)
+        if isinstance(f, LessThan):
+            return col, lambda arr, v=f.value: pc.less(arr, v)
+        if isinstance(f, LessThanOrEqual):
+            return col, lambda arr, v=f.value: pc.less_equal(arr, v)
+        if isinstance(f, In):
+            import pyarrow as pa
+
+            return col, lambda arr, vs=list(f.value): pc.is_in(
+                arr, value_set=pa.array(vs, type=arr.type)
+            )
+        if isinstance(f, IsNull):
+            return col, lambda arr: pc.is_null(arr)
+        if isinstance(f, IsNotNull):
+            return col, lambda arr: pc.is_valid(arr)
+        if isinstance(f, StringStartsWith):
+            return col, lambda arr, v=f.value: pc.starts_with(arr, pattern=v)
+        if isinstance(f, StringEndsWith):
+            return col, lambda arr, v=f.value: pc.ends_with(arr, pattern=v)
+        if isinstance(f, StringContains):
+            return col, lambda arr, v=f.value: pc.match_substring(arr, pattern=v)
+        return None
+
+    compiled = []
+    for f in filters:
+        c = compile_one(f)
+        if c is None:  # pushFilters only stored supported ones; be safe
+            continue
+        compiled.append(c)
+    if not compiled:
+        return None
+
+    def apply(batch):
+        mask = None
+        for col, fn in compiled:
+            m = fn(batch.column(batch.schema.get_field_index(col)))
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        # SQL WHERE semantics: null mask entries drop the row.
+        return batch.filter(pc.fill_null(mask, False))
+
+    return apply
+
+
+def supported_pushdown_filter(f, schema: StructType) -> bool:
+    """True when the filter can be evaluated exactly by the Arrow mask."""
+    return _filter_mask_builder([f], schema) is not None
+
+
 def _parse_bool(v: str | None, default: bool = False) -> bool:
     if v is None:
         return default
@@ -83,6 +173,7 @@ class _Options:
     threads: int
     batch_size: int
     inline_strings: bool
+    filter_pushdown: bool
 
     @classmethod
     def from_options(cls, options) -> "_Options":
@@ -121,6 +212,7 @@ class _Options:
             threads=threads,
             batch_size=int(options.get("batch_size", str(DEFAULT_BATCH_SIZE))),
             inline_strings=_parse_bool(options.get("inline_strings")),
+            filter_pushdown=_parse_bool(options.get("filter_pushdown")),
         )
 
 
@@ -165,12 +257,17 @@ class _SheetPartition(InputPartition):
     path: str
     shard: int = 0
     n_shards: int = 1
+    # Filters pushed during THIS query's planning, embedded per partition so
+    # execution state never outlives the plan that produced it (the reader
+    # instance is shared across every query on the relation).
+    filters: tuple = ()
 
 
 class SheetReaderReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.opts = _Options.from_options(options)
         self.schema = schema
+        self._staged_filters: tuple = ()
         self.col_types = []
         for f in schema.fields:
             sql_t = _SPARK_TO_SQL.get(f.dataType.typeName())
@@ -180,6 +277,36 @@ class SheetReaderReader(DataSourceReader):
                     f"got {f.dataType.simpleString()} for column '{f.name}'"
                 )
             self.col_types.append(sql_t)
+
+    def pushFilters(self, filters):
+        """Absorb the comparison/In/null/string filters we can evaluate
+        exactly (SURVEY.md §7 PR4 — reader-side pruning): matching rows are
+        selected by vectorized Arrow compute BEFORE batches cross the
+        Python→JVM boundary, which is where a Python data source pays.
+        Everything else is returned for Spark to evaluate.
+
+        OPT-IN (``filter_pushdown=true``), off by default: Spark 4.1 caches
+        the planned scan per relation and only re-plans (pushFilters →
+        partitions) when the new query carries filters. A filterless query
+        on a DataFrame whose relation previously absorbed filters REUSES the
+        filtered scan — silently missing rows. That is safe when each query
+        builds its own ``spark.read...load(...)`` chain (the normal ETL
+        shape, and what this repo's corpus does) but a footgun for
+        interactive reuse of one loaded DataFrame — hence opt-in. With the
+        option off, every filter is returned untouched and no state exists.
+        The accepted set is staged here and consumed by the next
+        partitions() call, which embeds it into this plan's partition
+        objects; read() takes filters from the partition, never the reader."""
+        if not self.opts.filter_pushdown:
+            return filters
+        accepted, remaining = [], []
+        for f in filters:
+            if supported_pushdown_filter(f, self.schema):
+                accepted.append(f)
+            else:
+                remaining.append(f)
+        self._staged_filters = tuple(accepted)
+        return remaining
 
     def partitions(self):
         """One partition per (file, shard). Large files are split into chunk
@@ -205,10 +332,26 @@ class SheetReaderReader(DataSourceReader):
                 # big file can feed every core of a local[32] executor (and
                 # 32 tasks of a cluster stage).
                 n = max(1, min(32, size_mb))
-            parts.extend(_SheetPartition(p, shard=i, n_shards=n) for i in range(n))
+            parts.extend(
+                _SheetPartition(p, shard=i, n_shards=n, filters=self._staged_filters)
+                for i in range(n)
+            )
+        # Consume the staged set: it belongs to this plan only. A later
+        # filterless query on the same (shared) reader must see none of it.
+        self._staged_filters = ()
         return parts
 
     def read(self, partition: _SheetPartition):
+        mask = _filter_mask_builder(partition.filters, self.schema)
+        if mask is None:
+            yield from self._read_unfiltered(partition)
+            return
+        for batch in self._read_unfiltered(partition):
+            out = mask(batch)
+            if out.num_rows:
+                yield out
+
+    def _read_unfiltered(self, partition: _SheetPartition):
         opts = self.opts
         n_cols = len(self.col_types)
         # Per-file probe: header detection / skip accounting is per file; the

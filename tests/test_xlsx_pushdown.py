@@ -1,0 +1,118 @@
+"""Filter pushdown into the XLSX source (SURVEY §7 PR4 reader-side pruning,
+Spark 4.1 Python DataSource pushFilters). OPT-IN via filter_pushdown=true:
+Spark caches the planned scan per relation and skips re-planning for
+filterless queries, so absorbed filters would leak into later unfiltered
+reuse of the same DataFrame — default off. Pins: source-level pruning by
+Arrow compute before the Python→JVM boundary, end-to-end correctness for
+the per-query read shape, no-leak behavior with the default, and the
+unsupported-filter passthrough."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNull, StringStartsWith
+
+from sheetreader_duckdb_spark.sources.xlsx.datasource import SheetReaderReader
+from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+
+N_ROWS = 100
+
+
+@pytest.fixture(scope="module")
+def fixture_xlsx(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pd") / "t.xlsx")
+    rows = [["name", "qty", "flag"]]
+    for i in range(N_ROWS):
+        rows.append([f"item{i:03d}", float(i), i % 2 == 0])
+    rows.append(["ghost", None, None])
+    write_xlsx(p, {"Sheet1": rows})
+    return p
+
+
+def _load(spark, fixture_xlsx, pushdown: bool):
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    r = spark.read.format("sheetreader")
+    if pushdown:
+        r = r.option("filter_pushdown", "true")
+    return r.load(fixture_xlsx)
+
+
+def _reader(fixture_xlsx, spark, pushdown: bool):
+    df = _load(spark, fixture_xlsx, pushdown)
+    opts = {"path": fixture_xlsx}
+    if pushdown:
+        opts["filter_pushdown"] = "true"
+    return SheetReaderReader(opts, df.schema)
+
+
+def test_source_level_filtering(fixture_xlsx, spark):
+    """With the option on, rows are dropped inside read(): batches the JVM
+    would receive contain only matching rows."""
+    reader = _reader(fixture_xlsx, spark, pushdown=True)
+    remaining = list(reader.pushFilters([GreaterThan(("qty",), 90.0)]))
+    assert remaining == []  # supported → absorbed
+    total = sum(b.num_rows for part in reader.partitions() for b in reader.read(part))
+    assert total == 9  # qty in (91..99); null row dropped by SQL semantics
+
+
+def test_partitions_consume_staged_filters(fixture_xlsx, spark):
+    """Filters travel plan→partitions once; the next plan starts clean."""
+    reader = _reader(fixture_xlsx, spark, pushdown=True)
+    list(reader.pushFilters([IsNull(("qty",))]))
+    first = reader.partitions()
+    assert all(p.filters for p in first)
+    second = reader.partitions()  # a later filterless planning pass
+    assert all(not p.filters for p in second)
+    total = sum(b.num_rows for part in second for b in reader.read(part))
+    assert total == N_ROWS + 1  # unfiltered
+
+
+def test_default_returns_all_filters(fixture_xlsx, spark):
+    """Default (option off): nothing absorbed, nothing staged."""
+    reader = _reader(fixture_xlsx, spark, pushdown=False)
+    fs = [GreaterThan(("qty",), 90.0), IsNull(("qty",))]
+    assert list(reader.pushFilters(fs)) == fs
+    total = sum(b.num_rows for part in reader.partitions() for b in reader.read(part))
+    assert total == N_ROWS + 1
+
+
+def test_unsupported_filters_returned(fixture_xlsx, spark):
+    reader = _reader(fixture_xlsx, spark, pushdown=True)
+    unsupported = EqualTo(("nope",), 1)  # unknown column
+    out = list(reader.pushFilters([unsupported, IsNull(("qty",))]))
+    assert out == [unsupported]
+    total = sum(b.num_rows for part in reader.partitions() for b in reader.read(part))
+    assert total == 1  # only the ghost row has null qty
+
+
+def test_end_to_end_per_query_reads(fixture_xlsx, spark):
+    """The per-query read shape (fresh load per query) is exact with
+    pushdown on: results equal the default-path results."""
+    cases = [
+        F.col("qty") > 50.0,
+        F.col("name").startswith("item00"),
+        F.col("flag") & (F.col("qty") < 10.0),
+        F.col("qty").isin(1.0, 2.0, 3.0),
+        F.col("qty").isNull(),
+        F.col("qty").isNotNull() & (F.col("qty") <= 5.0),
+    ]
+    for cond in cases:
+        got = sorted(
+            tuple(r) for r in _load(spark, fixture_xlsx, True).filter(cond).collect()
+        )
+        ref = sorted(
+            tuple(r) for r in _load(spark, fixture_xlsx, False).filter(cond).collect()
+        )
+        assert got == ref, f"mismatch for {cond}"
+
+
+def test_default_no_leak_on_dataframe_reuse(fixture_xlsx, spark):
+    """The documented Spark sharp edge: filtered then unfiltered actions on
+    ONE loaded DataFrame. With the default (no pushdown) counts are exact."""
+    df = _load(spark, fixture_xlsx, False)
+    assert df.count() == N_ROWS + 1
+    assert df.filter(F.col("qty") > 90.0).count() == 9
+    assert df.count() == N_ROWS + 1  # unchanged — no scan-state leak
