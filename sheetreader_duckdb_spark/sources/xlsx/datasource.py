@@ -12,6 +12,8 @@ Usage::
           .option("types", "VARCHAR,DOUBLE")  # ⊆ {VARCHAR, DOUBLE, BOOLEAN, DATE}
           .option("force_types", False)
           .option("coerce_to_string", False)
+          .option("inline_strings", False)   # opt-in: accept t="str"/"inlineStr"
+          .option("filter_pushdown", False)  # opt-in: absorb filters (see pushFilters)
           .load("/data/*.xlsx"))
 
 Architecture (deliberately NOT the reference's): schema() is a lazy two-row
