@@ -161,6 +161,34 @@ def test_split_matches_independent_python_implementation(spark, sf_dir):
     assert got == {k: py_split(k) for k in got}
 
 
+def test_hex_threshold_properties():
+    """Pure-function contract of the bucket threshold (no Spark needed):
+    exact quantization, monotonicity under string compare, sentinel at 1.0."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sheetreader_duckdb_spark.operators.sampling import _hex_threshold
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+    def check(f):
+        t = _hex_threshold(f)
+        n = round(f * 65536)
+        if n == 65536:
+            assert t == "g"
+            assert t > "ffff"  # sorts above every bucket
+        else:
+            assert len(t) == 4
+            # exact quantization: buckets strictly below t == n
+            assert int(t, 16) == n
+        # monotone: a larger fraction never yields a smaller threshold
+        for g in (0.0, f / 2, f, min(1.0, f * 1.5)):
+            if g <= f:
+                assert _hex_threshold(g) <= t
+
+    check()
+
+
 def test_weight_validation():
     with pytest.raises(ValueError):
         SM.hash_split("k", [("a", 0.5), ("b", 0.4)])  # sums to 0.9
