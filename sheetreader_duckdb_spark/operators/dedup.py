@@ -114,6 +114,88 @@ def contamination(
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame, id_col: str, content_col: str, existing_digests: DataFrame
+) -> DataFrame:
+    """Accept only new-batch rows that are novel: not identical to anything
+    in the existing corpus (anti-join on the content digest) and exactly
+    deduped within the batch (min id per digest).
+
+    The incremental form every production corpus uses — each crawl batch
+    dedups against the accepted corpus WITHOUT rereading it: the existing
+    side is just its digest column (store it once, ~16 bytes/doc). Two
+    digest-keyed shuffles, both on uniform hash keys; at 100 TB the digest
+    table is a fraction of corpus size and the anti-join broadcasts or
+    shuffles as AQE sees fit.
+
+    ``existing_digests``: single-column DataFrame ``h`` (hex md5), e.g.
+    ``exact_dedup_groups(corpus, ...).select("h")``.
+    """
+    withd = new_df.withColumn("__h", content_digest(content_col))
+    novel = withd.join(
+        existing_digests.select(F.col("h").alias("__h")), "__h", "left_anti"
+    )
+    keep = novel.groupBy("__h").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return new_df.join(keep, id_col, "left_semi")
+
+
+def incremental_neardup_drop(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    existing_bands: DataFrame,
+    existing_shingles: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Ids of new-batch docs that are near-duplicates of the EXISTING
+    corpus: new docs' LSH bands equi-join the stored corpus bands, and the
+    candidates verify with exact Jaccard against the stored corpus
+    shingles.
+
+    The existing corpus contributes only its precomputed (id, band,
+    band_key) and (id, shingle) tables — built once when each batch is
+    accepted, never recomputed. New-batch work is proportional to the
+    batch, not the corpus; the band join shuffles on uniform hash keys.
+    """
+    sh_new = word_shingles(new_df, id_col, text_col, k=k)
+    sigs = minhash_signatures_md5(sh_new, id_col, n_hashes=n_hashes)
+    bands_new = lsh_bands(sigs, id_col, n_hashes=n_hashes, band_size=band_size)
+    pairs = (
+        bands_new.select(F.col(id_col).alias("id_b"), "band", "band_key")
+        .join(
+            existing_bands.select(F.col(id_col).alias("id_a"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Exact verification against the stored corpus shingles: same join
+    # topology as jaccard_verify but the two sides come from different
+    # tables (corpus = a, batch = b).
+    sizes_a = existing_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_a"))
+    sizes_b = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_b"))
+    sa = existing_shingles.select(F.col(id_col).alias("id_a"), "sh")
+    sb = sh_new.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    verified = (
+        inter.join(sizes_a.select(F.col(id_col).alias("id_a"), "sz_a"), "id_a")
+        .join(sizes_b.select(F.col(id_col).alias("id_b"), "sz_b"), "id_b")
+        .filter(
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            >= threshold
+        )
+    )
+    return verified.select(F.col("id_b").alias(id_col)).distinct()
+
+
 def minhash_signatures_md5(shingles: DataFrame, id_col: str, n_hashes: int = 8) -> DataFrame:
     """Oracle-parity MinHash: per (doc, seed), min over md5(seed:shingle).
 
