@@ -58,11 +58,16 @@ def export_shards(
     """
     k = F.col(key) if isinstance(key, str) else key
     order = F.xxhash64(F.concat(F.lit(seed), F.lit(":"), k.cast("string")))
+    # Tiebreak by every payload column: rows sharing a key value would
+    # otherwise have no total order and their file order would depend on
+    # task arrival (breaking the byte-stable re-export guarantee). Rows
+    # identical in ALL columns remain interchangeable — byte-stable anyway.
+    tiebreak = [F.col(c) for c in df.columns]
     out = (
         with_shard(df, key, n_shards, seed)
         .withColumn("__ord", order)
         .repartition(n_shards, F.col(SHARD_COL))
-        .sortWithinPartitions(SHARD_COL, F.col("__ord"), k)
+        .sortWithinPartitions(SHARD_COL, F.col("__ord"), k, *tiebreak)
         .drop("__ord")
     )
     out.write.mode(mode).partitionBy(SHARD_COL).format(format).save(path)

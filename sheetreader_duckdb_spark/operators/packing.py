@@ -87,6 +87,8 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     bucket = F.pmod(
         F.xxhash64(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))),

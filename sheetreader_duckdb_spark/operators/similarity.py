@@ -142,21 +142,22 @@ def quantized_topk(
     """
     from pyspark.sql import Window
 
+    # Per-vector quantized norms are precomputed per SIDE (O(n+q) folds),
+    # not per pair — same pattern as brute_force_topk.
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
         quantize_int8(F.col(vec_col)).alias("qq"),
-    )
+    ).withColumn("qqn", F.sqrt(int_dot(F.col("qq.q"), F.col("qq.q")).cast("double")))
     c = corpus.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cv"),
         quantize_int8(F.col(vec_col)).alias("cq"),
-    )
+    ).withColumn("cqn", F.sqrt(int_dot(F.col("cq.q"), F.col("cq.q")).cast("double")))
     # Per-vector scales cancel in the cosine: the coarse score is the pure
     # integer form int_dot(a,b) / (√int_dot(a,a)·√int_dot(b,b)).
     coarse_score = int_dot(F.col("cq.q"), F.col("qq.q")).cast("double") / (
-        F.sqrt(int_dot(F.col("cq.q"), F.col("cq.q")).cast("double"))
-        * F.sqrt(int_dot(F.col("qq.q"), F.col("qq.q")).cast("double"))
+        F.col("cqn") * F.col("qqn")
     )
     w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
     candidates = (

@@ -13,11 +13,14 @@ avg is carried as (sum, count) and finalized in the second phase. The row
 count of phase 2's input is bounded by distinct_keys × n_salts regardless
 of skew, which is the whole point.
 
-The salt is ``pmod(xxhash64(whole row), n_salts)`` — deterministic per row
-content (rerun-stable), uniform, and independent of the grouping key.
-Results are identical to the unsalted aggregate for every supported
-function; equivalence is pinned in tests/test_skew.py including an
-adversarial 99%-one-key fixture.
+The salt is ``pmod(monotonically_increasing_id(), n_salts)`` — a per-row
+counter, so even byte-identical duplicate rows (the template-document skew
+case that motivates the operator) spread across all salts; content-derived
+salts would send every copy of the hot row to ONE reducer and mitigate
+nothing. The salt only routes rows, so results are identical to the
+unsalted aggregate for every supported function; equivalence is pinned in
+tests/test_skew.py including adversarial 99%-one-key and all-rows-identical
+fixtures.
 """
 
 from __future__ import annotations
@@ -50,7 +53,9 @@ def salted_agg(
         if fn not in _SUPPORTED:
             raise ValueError(f"{name}: unsupported agg {fn!r} (use {_SUPPORTED})")
 
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    # Row-position salt, NOT content-derived: identical duplicate rows must
+    # land on different salts or the hot key still funnels to one reducer.
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     salted = df.withColumn("__salt", salt)
 
     partial_exprs: list[Column] = []

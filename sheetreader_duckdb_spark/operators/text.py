@@ -188,6 +188,26 @@ def quality_signals(text: Column) -> dict[str, Column]:
     }
 
 
+def quality_keep_sql(
+    text_sql: str = "text", rules: dict[str, tuple[float, float]] | None = None
+) -> str:
+    """DuckDB expression computing the same keep decision as quality_keep —
+    generated from the SAME rules dict so Spark and oracle can never desync."""
+    rules = QUALITY_RULES if rules is None else rules
+    stop_set = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_ws = f"CAST(len(string_split({text_sql}, ' ')) AS BIGINT)"
+    signals = {
+        "n_ws_tokens": n_ws,
+        "mean_word_len": f"(CAST(length(replace({text_sql}, ' ', '')) AS BIGINT) / {n_ws})",
+        "stop_ratio": (
+            f"(CAST(len(list_filter(string_split(lower({text_sql}), ' '), "
+            f"x -> x IN ({stop_set}))) AS BIGINT) / {n_ws})"
+        ),
+    }
+    parts = [f"({signals[name]} BETWEEN {lo} AND {hi})" for name, (lo, hi) in rules.items()]
+    return "(" + " AND ".join(parts) + ")"
+
+
 def quality_keep(
     text: Column, rules: dict[str, tuple[float, float]] | None = None
 ) -> Column:

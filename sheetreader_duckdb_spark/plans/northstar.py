@@ -435,13 +435,7 @@ def _sql_text_signals() -> str:
            md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
            substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fp8,
            {SM.split_case_sql('doc_id', _SPLIT_WEIGHTS, seed='corpus-v1')} AS split,
-           (CAST(len(string_split(text, ' ')) AS BIGINT) BETWEEN 50 AND 100000)
-           AND (CAST(length(replace(text, ' ', '')) AS BIGINT)
-                / CAST(len(string_split(text, ' ')) AS BIGINT) BETWEEN 3 AND 10)
-           AND (CAST(len(list_filter(string_split(lower(text), ' '),
-                    x -> x IN ({stop_set}))) AS BIGINT)
-                / CAST(len(string_split(text, ' ')) AS BIGINT)
-                BETWEEN 0.01 AND 1.0) AS keep
+           {X.quality_keep_sql('text')} AS keep
     FROM m
     """
 

@@ -116,9 +116,20 @@ def _filter_mask_builder(filters, schema: StructType):
         if isinstance(f, In):
             import pyarrow as pa
 
-            return col, lambda arr, vs=list(f.value): pc.is_in(
-                arr, value_set=pa.array(vs, type=arr.type)
-            )
+            vs = list(f.value)
+            if any(v is None for v in vs):
+                # SQL three-valued IN with a NULL literal can only be
+                # true-or-null — leave it to Spark rather than emulate.
+                return None
+
+            def in_mask(arr, vs=vs):
+                # pc.is_in yields VALID false for null inputs; SQL gives
+                # NULL (so Not(In) must not resurrect null rows). Restore
+                # null-propagation explicitly.
+                m = pc.is_in(arr, value_set=pa.array(vs, type=arr.type))
+                return pc.if_else(pc.is_valid(arr), m, pa.scalar(None, pa.bool_()))
+
+            return col, in_mask
         if isinstance(f, IsNull):
             return col, lambda arr: pc.is_null(arr)
         if isinstance(f, IsNotNull):

@@ -336,6 +336,7 @@ class XlsxWorkbook:
             cur_style_is_date = False
             v_text: str | None = None
             lit_parts: list[str] = []
+            rph_depth = 0
             in_v = False
             for event, el in iterparse(f, events=("start", "end")):
                 tag = _local(el.tag)
@@ -360,11 +361,14 @@ class XlsxWorkbook:
                                 raise ValueError(UNSUPPORTED_STRING_ERROR)
                             cur_type = T_STRING_LIT
                             lit_parts = []
+                            rph_depth = 0
                         else:
                             cur_type = T_NONE
                         v_text = None
                     elif tag == "v":
                         in_v = True
+                    elif tag in ("rPh", "phoneticPr") and cur_type == T_STRING_LIT:
+                        rph_depth += 1  # phonetic (furigana) runs: not cell text
                     elif tag == "row":
                         cells = []
                         cur_col = -1
@@ -375,8 +379,11 @@ class XlsxWorkbook:
                 if tag == "v":
                     v_text = el.text
                     in_v = False
+                elif tag in ("rPh", "phoneticPr") and cur_type == T_STRING_LIT:
+                    rph_depth -= 1
                 elif tag == "t" and cur_type == T_STRING_LIT:
-                    lit_parts.append(el.text or "")  # <is><t> runs (rich text)
+                    if rph_depth == 0:
+                        lit_parts.append(el.text or "")  # <is><t> runs (rich text)
                 elif tag == "c":
                     if cur_type == T_STRING_LIT:
                         lit = v_text if v_text is not None else ("".join(lit_parts) if lit_parts else None)
@@ -508,6 +515,7 @@ def _fragment_rows(
     cur_col = -1
     v_text: str | None = None
     lit_parts: list[str] = []
+    rph_depth = 0
     try:
         for event, el in iterparse(io.BytesIO(b"<R>" + work + b"</R>"), events=("start", "end")):
             tag = _local(el.tag)
@@ -530,17 +538,23 @@ def _fragment_rows(
                             raise ValueError(UNSUPPORTED_STRING_ERROR)
                         cur_type = T_STRING_LIT
                         lit_parts = []
+                        rph_depth = 0
                     else:
                         cur_type = T_NONE
                     v_text = None
+                elif tag in ("rPh", "phoneticPr") and cur_type == T_STRING_LIT:
+                    rph_depth += 1
                 elif tag == "row":
                     cells = []
                     cur_col = -1
                 continue
             if tag == "v":
                 v_text = el.text
+            elif tag in ("rPh", "phoneticPr") and cur_type == T_STRING_LIT:
+                rph_depth -= 1
             elif tag == "t" and cur_type == T_STRING_LIT:
-                lit_parts.append(el.text or "")
+                if rph_depth == 0:
+                    lit_parts.append(el.text or "")
             elif tag == "c":
                 if cur_type == T_STRING_LIT:
                     lit = v_text if v_text is not None else ("".join(lit_parts) if lit_parts else None)

@@ -50,6 +50,20 @@ def test_reexport_is_reproducible_including_row_order(spark, sf_dir, tmp_path):
         assert a == b  # ordered comparison: same rows in the same order
 
 
+def test_duplicate_keys_export_reproducibly(spark, tmp_path):
+    """Rows sharing a key value must still export in a stable order (the
+    payload columns tiebreak)."""
+    rows = [(i % 10, f"payload{i:04d}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, payload string")
+    p1, p2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    export_shards(df.repartition(8), "k", N_SHARDS, p1, seed="v1")
+    export_shards(df.repartition(3), "k", N_SHARDS, p2, seed="v1")
+    for i in range(N_SHARDS):
+        a = spark.read.parquet(os.path.join(p1, f"shard={i}")).collect()
+        b = spark.read.parquet(os.path.join(p2, f"shard={i}")).collect()
+        assert a == b  # ordered equality despite different input partitioning
+
+
 def test_with_shard_no_shuffle(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id")
     plan = (

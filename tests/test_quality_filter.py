@@ -9,23 +9,8 @@ from tests.oracle import diff, duckdb_connection
 from sheetreader_duckdb_spark.operators import text as X
 from sheetreader_duckdb_spark.tables import T
 
-# DuckDB rendering of the same signals (matches n07's SQL fragments).
-_STOP_SET = ", ".join(f"'{w}'" for w in X.STOPWORDS)
-_SQL = f"""
-WITH sig AS (
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
-           CAST(length(replace(text, ' ', '')) AS BIGINT) AS non_space,
-           CAST(len(list_filter(string_split(lower(text), ' '),
-                    x -> x IN ({_STOP_SET}))) AS BIGINT) AS n_stop
-    FROM documents
-)
-SELECT doc_id,
-       (n_ws BETWEEN 50 AND 100000)
-       AND (non_space / n_ws BETWEEN 3 AND 10)
-       AND (n_stop / n_ws BETWEEN 0.01 AND 1.0) AS keep
-FROM sig
-"""
+# DuckDB side generated from the SAME rules dict as the Spark side.
+_SQL = f"SELECT doc_id, {X.quality_keep_sql('text')} AS keep FROM documents"
 
 
 def test_quality_keep_matches_oracle(spark, sf_dir):

@@ -67,12 +67,23 @@ def test_phase2_rows_bounded(spark):
     rows = [("hot", i) for i in range(2000)] + [("cold", 1)]
     df = spark.createDataFrame(rows, "k string, v long")
     n_salts = 8
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col("k"), F.col("v")), F.lit(n_salts))
-    )
+    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
     partial = salted.groupBy("k", "__salt").agg(F.sum("v").alias("s"))
     # phase-2 input ≤ distinct_keys × n_salts regardless of skew
     assert partial.count() <= 2 * n_salts
+
+
+def test_identical_duplicate_rows_spread_across_salts(spark):
+    """The motivating case: byte-identical rows (one template document
+    repeated). A content-derived salt would put them all on one reducer;
+    the row-position salt must spread them AND aggregate exactly."""
+    df = spark.createDataFrame([("tpl", 1.0)] * 4000, "k string, v double").repartition(4)
+    n_salts = 8
+    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    used = salted.select("__salt").distinct().count()
+    assert used == n_salts  # duplicates spread over every salt
+    got = salted_agg(df, ["k"], {"n": ("count", "*"), "s": ("sum", "v")}, n_salts=n_salts)
+    assert [tuple(r) for r in got.collect()] == [("tpl", 4000, 4000.0)]
 
 
 def test_rejects_unsupported(spark, sf_dir):

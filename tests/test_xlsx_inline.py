@@ -44,6 +44,10 @@ _SHEET = """<?xml version="1.0"?>
 <c r="A4" t="inlineStr"><is><r><t>rich </t></r><r><t>text</t></r></is></c>
 <c r="B4"><v>5</v></c>
 </row>
+<row r="5">
+<c r="A5" t="inlineStr"><is><t>Tokyo</t><rPh sb="0" eb="2"><t>phonetic</t></rPh><phoneticPr fontId="1"/></is></c>
+<c r="B5"><v>6</v></c>
+</row>
 </sheetData></worksheet>"""
 
 
@@ -70,6 +74,8 @@ def test_inline_rows_parsed(inline_xlsx):
     assert rows[1][0] == (0, P.T_STRING_LIT, "alpha & beta")
     assert rows[2][0] == (0, P.T_STRING_LIT, "cached <formula> result")
     assert rows[3][0] == (0, P.T_STRING_LIT, "rich text")  # rich-text runs joined
+    # phonetic (furigana) runs are annotation, not cell text
+    assert rows[4][0] == (0, P.T_STRING_LIT, "Tokyo")
 
 
 def test_spark_read_with_option(spark, inline_xlsx):
@@ -87,6 +93,7 @@ def test_spark_read_with_option(spark, inline_xlsx):
         ("alpha & beta", 3.0),
         ("cached <formula> result", 4.5),
         ("rich text", 5.0),
+        ("Tokyo", 6.0),
     }
 
 

@@ -98,6 +98,10 @@ def test_end_to_end_per_query_reads(fixture_xlsx, spark):
         F.col("qty").isin(1.0, 2.0, 3.0),
         F.col("qty").isNull(),
         F.col("qty").isNotNull() & (F.col("qty") <= 5.0),
+        # three-valued-logic traps: NULL NOT IN (...) is NULL → dropped
+        ~F.col("qty").isin(1.0, 2.0),
+        ~(F.col("qty") > 50.0),
+        F.col("qty").isin(1.0, None),  # IN with NULL literal: not absorbed
     ]
     for cond in cases:
         got = sorted(
