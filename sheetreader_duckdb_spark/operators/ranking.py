@@ -32,8 +32,10 @@ from pyspark.sql import functions as F
 
 def _range_ranked(
     df: DataFrame, order_cols: list[str | Column], num_partitions: int | None
-) -> tuple[DataFrame, DataFrame]:
-    """Returns (rows with _pid/_lrn columns, per-partition counts _pid/_cnt).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (rows with _pid/_lrn columns, per-partition counts _pid/_cnt,
+    and the persisted range-shuffled frame itself — the caller owns its
+    lifetime and must unpersist once the result is materialized).
 
     Both returned frames derive from one persisted range-shuffle, so the
     partition ids they mention are consistent.
@@ -49,7 +51,7 @@ def _range_ranked(
     ranked = keyed.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_lrn", F.row_number().over(w)
     )
-    return ranked, counts
+    return ranked, counts, keyed
 
 
 def _offsets(counts: DataFrame) -> DataFrame:
@@ -71,19 +73,30 @@ def with_global_rank(
     order_cols: list[str | Column],
     rank_col: str = "rn",
     num_partitions: int | None = None,
+    eager_release: bool = False,
 ) -> DataFrame:
     """Append a global ``row_number() OVER (ORDER BY order_cols)`` column.
 
     Include a unique tiebreak key in ``order_cols`` for a deterministic
     result. Two data passes over the persisted range shuffle; no
     single-partition window anywhere in the plan.
+
+    ``eager_release=True`` materializes the result (localCheckpoint) and
+    unpersists the intermediate range shuffle before returning, so no
+    operator-internal cache outlives the call — use in fire-and-collect
+    contexts (the corpus runner). Default off: lazy result, and the
+    intermediate cache lives until Spark's ContextCleaner collects it.
     """
-    ranked, counts = _range_ranked(df, order_cols, num_partitions)
-    return (
+    ranked, counts, keyed = _range_ranked(df, order_cols, num_partitions)
+    out = (
         ranked.join(F.broadcast(_offsets(counts)), "_pid")
         .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_pid", "_lrn", "_off")
     )
+    if eager_release:
+        out = out.localCheckpoint(eager=True)
+        keyed.unpersist()
+    return out
 
 
 def with_global_ntile(
@@ -93,6 +106,7 @@ def with_global_ntile(
     tile_col: str = "tile",
     rank_col: str = "rn",
     num_partitions: int | None = None,
+    eager_release: bool = False,
 ) -> DataFrame:
     """Append global rank + ``ntile(n_tiles)`` columns, computed distributed.
 
@@ -100,8 +114,10 @@ def with_global_ntile(
     tiles hold ``n div t + 1`` rows, the remaining tiles ``n div t`` — the
     tile of rank ``r`` is closed-form arithmetic, evaluated lazily so the
     ``n < t`` edge (base = 0) never divides by zero.
+
+    ``eager_release``: see ``with_global_rank``.
     """
-    ranked, counts = _range_ranked(df, order_cols, num_partitions)
+    ranked, counts, keyed = _range_ranked(df, order_cols, num_partitions)
     totals = counts.agg(F.sum("_cnt").cast("long").alias("_n"))
     out = (
         ranked.join(F.broadcast(_offsets(counts)), "_pid")
@@ -115,6 +131,10 @@ def with_global_ntile(
         f"THEN ({r} - 1) div ({big}) + 1 "
         f"ELSE (_n % {t}) + (({r} - (_n % {t}) * ({big}) - 1) div (_n div {t})) + 1 END"
     )
-    return out.withColumn(tile_col, F.expr(tile).cast("long")).drop(
+    out = out.withColumn(tile_col, F.expr(tile).cast("long")).drop(
         "_pid", "_lrn", "_off", "_n"
     )
+    if eager_release:
+        out = out.localCheckpoint(eager=True)
+        keyed.unpersist()
+    return out

@@ -127,7 +127,9 @@ def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     survivors = D.exact_dedup(docs.select("doc_id", "text"), "doc_id", "text")
     # Persist the shared shingle set: its explode+distinct shuffle feeds the
     # signature build AND the Jaccard verification joins, and column pruning
-    # defeats ReuseExchange across those branches (see n03).
+    # defeats ReuseExchange across those branches (see n03). Released below:
+    # the small result is materialized (localCheckpoint) before returning,
+    # so the cache does not outlive this call in a 50-query corpus run.
     sh = D.word_shingles(survivors, "doc_id", "text", k=3).persist()
     sigs = D.minhash_signatures_md5(sh, "doc_id", n_hashes=8)
     bands = D.lsh_bands(sigs, "doc_id", n_hashes=8, band_size=2)
@@ -144,7 +146,9 @@ def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("n"),
         )
     )
-    return groups.unionAll(kept)
+    out = groups.unionAll(kept).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -217,9 +221,15 @@ def n03_dedup_jaccard_verify(spark: SparkSession, sf: str) -> DataFrame:
     # narrow (id, shingle) projection once instead of recomputing the
     # explode+distinct shuffle per branch. At production scale this would
     # be a checkpoint; memory-and-disk persist has the same effect here.
+    # The verified-pairs result is tiny: materialize it (localCheckpoint)
+    # and release the shingle cache before returning.
     sh = _doc_shingles(spark, sf).persist()
     pairs = _minhash_pairs(sh)
-    return D.jaccard_verify(sh, pairs, "doc_id", threshold=0.5)
+    out = D.jaccard_verify(sh, pairs, "doc_id", threshold=0.5).localCheckpoint(
+        eager=True
+    )
+    sh.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------

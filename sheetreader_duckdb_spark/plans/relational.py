@@ -612,7 +612,12 @@ def h12c_global_ntile(spark: SparkSession, sf: str) -> DataFrame:
 
     o = T(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     r = with_global_ntile(
-        o, ["o_totalprice", "o_orderkey"], n_tiles=4, tile_col="quartile", rank_col="rn"
+        o,
+        ["o_totalprice", "o_orderkey"],
+        n_tiles=4,
+        tile_col="quartile",
+        rank_col="rn",
+        eager_release=True,
     )
     return r.select("o_orderkey", "rn", "quartile")
 

@@ -310,6 +310,10 @@ class SheetReaderReader(DataSourceReader):
         The accepted set is staged here and consumed by the next
         partitions() call, which embeds it into this plan's partition
         objects; read() takes filters from the partition, never the reader."""
+        # A planned-but-unexecuted query can leave a staged set behind
+        # (pushFilters ran, partitions() never did). Reset on every push so
+        # stale filters from an abandoned plan can't leak into this one.
+        self._staged_filters = ()
         if not self.opts.filter_pushdown:
             return filters
         accepted, remaining = [], []
@@ -764,26 +768,37 @@ def row_count(
     skip_rows: int = 0,
     has_header: bool = False,
     inline_strings: bool = False,
+    trust_dimension: bool = False,
 ) -> int:
-    """Data-row count served from sheet metadata when possible — the
-    ``COUNT(*)`` fast path the reference leaves on the table (it knows
-    mDimension at bind, sheetreader_extension.cpp:783-786, yet replays the
-    full parse; SURVEY.md §3.3).
+    """Data-row count without cell conversion — the ``COUNT(*)`` fast path
+    the reference leaves on the table (it knows mDimension at bind,
+    sheetreader_extension.cpp:783-786, yet replays the full parse;
+    SURVEY.md §3.3).
 
-    When the sheet carries a ``<dimension>`` tag, the count is its row span
-    minus the effective skip (user skip_rows + auto/forced header) — the
-    only parsing done is the two-row schema probe. Without the tag, falls
-    back to streaming the sheet and counting rows (no cell conversion).
+    Default path: stream the decompressed sheet and regex-count ``<row>``
+    tags (``XlsxWorkbook.count_rows``) — no cell parse, no shared-string
+    resolution, and exactly equal to what a scan yields even on SPARSE
+    sheets (omitted ``<row>`` elements) or files with a stale/over-wide
+    ``<dimension>`` tag, both common in third-party writers.
+
+    ``trust_dimension=True`` serves the count from the ``<dimension>`` tag
+    alone (row span minus the effective skip; the only parsing is the
+    two-row schema probe). PRECONDITION: the sheet must be dense — every
+    row in the dimension span present as a ``<row>`` element — and the tag
+    accurate. Files written by this package's ``write_xlsx`` satisfy this;
+    for unknown writers the tag can over-count, silently disagreeing with
+    the scan, so the streaming count is the default.
     """
     with P.XlsxWorkbook(path, allow_inline=inline_strings) as wb:
         sheet = wb.resolve_sheet(sheet_name, sheet_index)
         schema = infer_schema(
             wb, sheet, skip_rows=skip_rows, has_header=has_header
         )
-        dim = wb.dimension(sheet)
-        if dim is not None:
-            return max(0, dim[0] - schema.skip_rows)
-        return sum(1 for _ in wb.iter_rows(sheet, skip_rows=schema.skip_rows))
+        if trust_dimension:
+            dim = wb.dimension(sheet)
+            if dim is not None:
+                return max(0, dim[0] - schema.skip_rows)
+        return max(0, wb.count_rows(sheet) - schema.skip_rows)
 
 
 def _convert_cell(expected: str, ctype: int, val, shared: list[str], coerce: bool):

@@ -66,6 +66,16 @@ UNSUPPORTED_STRING_ERROR = "Inline & dynamic String types not supported yet"
 _XSTRING_RE = re.compile(r"_x([0-9A-Fa-f]{4})_")
 
 
+def _xstring(s: str) -> str:
+    """ST_Xstring decode for cell text. Applied identically to shared
+    strings AND to inline/``t="str"`` literal strings (all three parse
+    paths), so identical logical text reads the same regardless of whether
+    the writer used the sst heap or inline storage."""
+    if "_x" in s:
+        return _XSTRING_RE.sub(lambda m: chr(int(m.group(1), 16)), s)
+    return s
+
+
 def serial_to_epoch_secs(serial: float, date1904: bool = False) -> float:
     """Excel date serial → seconds since the unix epoch.
 
@@ -253,6 +263,29 @@ class XlsxWorkbook:
             return None
         return n_rows, n_cols
 
+    def count_rows(self, sheet: SheetInfo) -> int:
+        """Count ``<row>`` elements by streaming the decompressed bytes and
+        regex-counting row-start tags — no cell parsing, no shared-string
+        resolution. Exactly matches ``iter_rows``'s yield count (one row per
+        ``<row>`` element, gaps are not synthesized), so it is safe on
+        sparse sheets where the ``<dimension>`` span over-counts. The
+        ``[ />]`` suffix class excludes ``<rowBreaks>``.
+        """
+        n = 0
+        with self.zf.open(sheet.path) as f:
+            buf = b""
+            while True:
+                data = f.read(4 << 20)
+                if not data:
+                    break
+                buf += data
+                # Keep a 4-byte tail so "<row" split across chunk borders
+                # still counts.
+                work, buf = buf[:-4], buf[-4:]
+                n += len(_ROW_COUNT_RE.findall(work))
+            n += len(_ROW_COUNT_RE.findall(buf))
+        return n
+
     def iter_rows(self, sheet: SheetInfo, skip_rows: int = 0) -> Iterator[list[tuple[int, int, object]]]:
         """Yield rows as lists of (col_idx, cell_type, raw_value), streaming.
 
@@ -388,7 +421,7 @@ class XlsxWorkbook:
                     if cur_type == T_STRING_LIT:
                         lit = v_text if v_text is not None else ("".join(lit_parts) if lit_parts else None)
                         if lit is not None:
-                            cells.append((cur_col, T_STRING_LIT, lit))
+                            cells.append((cur_col, T_STRING_LIT, _xstring(lit)))
                     elif v_text is None:
                         pass  # empty cell → absent → NULL
                     elif cur_type == T_STRING_REF:
@@ -493,7 +526,7 @@ def _scan_chunk(
                 # only t="str" (value in <v>) matches the cell regex;
                 # inlineStr cells fail the count check → fragment path.
                 if v:
-                    cells.append((col, T_STRING_LIT, _unescape(v)))
+                    cells.append((col, T_STRING_LIT, _xstring(_unescape(v))))
         rows.append(cells)
     return rows
 
@@ -559,7 +592,7 @@ def _fragment_rows(
                 if cur_type == T_STRING_LIT:
                     lit = v_text if v_text is not None else ("".join(lit_parts) if lit_parts else None)
                     if lit is not None:
-                        cells.append((cur_col, T_STRING_LIT, lit))
+                        cells.append((cur_col, T_STRING_LIT, _xstring(lit)))
                 elif v_text is None:
                     pass
                 elif cur_type == T_STRING_REF:

@@ -136,14 +136,19 @@ def dedup_events(
     events: DataFrame, id_col: str = "event_id", watermark: str = "2 hours"
 ) -> DataFrame:
     """Exact in-flight deduplication: at-least-once delivery (replayed
-    files, retried producers) becomes exactly-once rows. On a stream, the
-    watermark bounds the dedup state to ids within the horizon — state
-    size is (horizon × arrival rate), independent of stream lifetime; on a
+    files, retried producers) becomes exactly-once rows. On a stream,
+    ``dropDuplicatesWithinWatermark`` ties state eviction to the event-time
+    watermark even though the dedup key is just the id — state size is
+    (horizon × arrival rate), independent of stream lifetime. (Plain
+    ``dropDuplicates([id])`` would keep every id forever: Spark only evicts
+    dedup state when the watermark column is part of the subset.) On a
     batch frame the same call is a plain distinct-by-key. The id shuffle
     is the only shuffle, and it is the same key the downstream per-key
     aggregations use."""
     if events.isStreaming:
-        return events.withWatermark("ts", watermark).dropDuplicates([id_col])
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            [id_col]
+        )
     return events.dropDuplicates([id_col])
 
 

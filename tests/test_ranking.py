@@ -63,3 +63,23 @@ def test_plan_has_no_partitionless_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_pid" in line  # every window is partitioned by _pid
+
+
+def test_eager_release_unpersists_intermediate(spark):
+    """eager_release must drop the internal range-shuffle cache before
+    returning: exactly ONE persistent RDD may remain (the checkpointed
+    result, whose lifetime the caller owns) — two would mean the
+    intermediate leaked (ADVICE r02)."""
+    sc = spark.sparkContext._jsc.sc()
+    base = sc.getPersistentRDDs().size()
+    df = spark.createDataFrame([(i, float(i % 7)) for i in range(300)], "id long, key double")
+    out = with_global_rank(df, ["key", "id"], num_partitions=4, eager_release=True)
+    assert sc.getPersistentRDDs().size() == base + 1
+    # and the result is still correct after the release
+    assert sorted(r["rn"] for r in out.collect()) == list(range(1, 301))
+
+    out2 = with_global_ntile(
+        df, ["key", "id"], n_tiles=4, num_partitions=4, eager_release=True
+    )
+    assert sc.getPersistentRDDs().size() == base + 2  # one per checkpointed result
+    assert out2.count() == 300

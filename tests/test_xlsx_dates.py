@@ -131,11 +131,14 @@ def test_row_count_from_dimension(tmp_path):
     with P.XlsxWorkbook(path) as wb:
         sheet = wb.resolve_sheet(None, None)
         assert wb.dimension(sheet) == (251, 2)
-    # header auto-detected → 250 data rows, served from metadata
+    # header auto-detected → 250 data rows; metadata and streaming count agree
+    # on this dense writer-produced file
+    assert row_count(path, trust_dimension=True) == 250
     assert row_count(path) == 250
     # skip_rows consumes the header; the remaining rows are all data
     # (no further header auto-detect fires on a non-string first row)
     assert row_count(path, skip_rows=1) == 250
+    assert row_count(path, skip_rows=3, trust_dimension=True) == 248
     assert row_count(path, skip_rows=3) == 248
 
 
@@ -153,4 +156,34 @@ def test_row_count_without_dimension_falls_back(tmp_path):
             zf.writestr(n, b)
     with P.XlsxWorkbook(path) as wb:
         assert wb.dimension(wb.resolve_sheet(None, None)) is None
+    assert row_count(path, trust_dimension=True) == 25
     assert row_count(path) == 25
+
+
+def test_row_count_sparse_sheet_ignores_stale_dimension(tmp_path):
+    """Third-party files can omit empty <row> elements while keeping the
+    full <dimension> span; the default (untrusted) count must match what a
+    scan actually yields, not the metadata claim (ADVICE r02)."""
+    path = str(tmp_path / "sparse.xlsx")
+    rows = [["k", "v"]] + [[f"r{i}", float(i)] for i in range(20)]
+    write_xlsx(path, {"S": rows})
+    with zipfile.ZipFile(path) as src:
+        items = {n: src.read(n) for n in src.namelist()}
+    sheet_xml = items["xl/worksheets/sheet1.xml"]
+    # Drop five data rows but leave the dimension tag untouched → sparse
+    # sheet with an over-wide dimension, the untrustworthy-writer shape.
+    for victim in range(10, 15):
+        sheet_xml = re.sub(
+            rb'<row r="%d".*?</row>' % (victim + 2), b"", sheet_xml, flags=re.S
+        )
+    items["xl/worksheets/sheet1.xml"] = sheet_xml
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, b in items.items():
+            zf.writestr(n, b)
+    with P.XlsxWorkbook(path) as wb:
+        sheet = wb.resolve_sheet(None, None)
+        assert wb.dimension(sheet) == (21, 2)  # stale: claims all rows
+        scanned = sum(1 for _ in wb.iter_rows(sheet, skip_rows=1))
+    assert scanned == 15
+    assert row_count(path) == 15  # default agrees with the scan
+    assert row_count(path, trust_dimension=True) == 20  # documented hazard

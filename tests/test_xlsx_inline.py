@@ -103,3 +103,31 @@ def test_spark_read_without_option_errors(spark, inline_xlsx):
     register(spark)
     with pytest.raises(Exception, match="Inline & dynamic String"):
         spark.read.format("sheetreader").load(inline_xlsx).collect()
+
+
+def test_inline_strings_decode_st_xstring(tmp_path):
+    """ST_Xstring _xHHHH_ escapes must decode identically whether the writer
+    used the sst heap or inline/literal storage (ADVICE r02): a CR encoded
+    as _x000D_ reads as '\\r' on the t="str" regex path AND the inlineStr
+    fragment path, and _x005F_xHHHH_ stays a literal _xHHHH_."""
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row r="1">
+<c r="A1" t="str"><v>a_x000D_b</v></c>
+<c r="B1" t="inlineStr"><is><t>c_x000D_d</t></is></c>
+<c r="C1" t="str"><v>e_x005F_x000D_f</v></c>
+</row>
+</sheetData></worksheet>"""
+    p = str(tmp_path / "xstr.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", _WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    with P.XlsxWorkbook(p, allow_inline=True) as wb:
+        [row] = list(wb.iter_rows(wb.sheets[0]))
+    assert row == [
+        (0, P.T_STRING_LIT, "a\rb"),
+        (1, P.T_STRING_LIT, "c\rd"),
+        (2, P.T_STRING_LIT, "e_x000D_f"),
+    ]
