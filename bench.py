@@ -44,6 +44,7 @@ HEADLINE = [
     "h12c_global_ntile",
     "h13_sort_topk",
     "h22_cte_subquery",
+    "h02b_ctas_sink",
     "n01_dedup_exact_pipeline",
     "n02_dedup_minhash_lsh",
     "n05_ann_bruteforce_topk",
@@ -51,6 +52,7 @@ HEADLINE = [
     "n07_text_signals",
     "n13_tumbling_windows",
     "n17_tf_idf",
+    "n19_asof_join",
 ]
 
 

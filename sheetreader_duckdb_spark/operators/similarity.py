@@ -324,29 +324,75 @@ def srp_neardup_pairs(
     dim: int = 64,
     n_planes: int = 4,
     threshold: float = 0.4,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Scale path for embedding near-dup: SRP-bucket equi-join + exact cosine
-    ≥ threshold on in-bucket pairs only. The join shuffles on the bucket
-    code (uniform by construction) — no cross product anywhere; compare
+    ≥ threshold on in-bucket pairs only. The join shuffles on the (table,
+    code) key (uniform by construction) — no cross product anywhere; compare
     ``embedding_neardup_pairs``, the O(n²) verification form this replaces
     at scale. Deterministic planes make the candidate set (and thus the
-    result) exactly reproducible in SQL."""
+    result) exactly reproducible in SQL.
+
+    Recall dial: a pair at angle θ lands in one table's bucket with
+    p = (1 - θ/π)^n_planes, and in ANY of L independent tables with
+    1 - (1-p)^L — so ``n_tables`` buys recall at candidate-volume cost
+    L·n²/2^n_planes. Measured at sf0.001 vs the exact n06 pair set
+    (tests/test_similarity.py): true near-dup pairs (planted, cosine ≈
+    0.99) are recovered at ≥ 0.9 with 6 planes × 8 tables; the LOW 0.4
+    threshold over random vectors needs 4 planes × 12 tables for ≥ 0.9
+    (0.955 measured) because barely-similar pairs are what SRP prunes —
+    the single-table declared config (n06b) keeps ~6% of 0.4-cosine pairs
+    and exists as the SQL-reproducible bucketing witness, with this
+    multi-table form as the recall path."""
+    if n_tables <= 0:
+        raise ValueError(f"n_tables must be positive, got {n_tables}")
+    # One (table, code) struct per table, exploded map-side: the join stays
+    # a single equi-join shuffle regardless of L; duplicates (pairs sharing
+    # buckets in several tables) collapse in the distinct BEFORE the cosine
+    # is computed, so each candidate pair is scored once.
+    codes = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                srp_code(F.col(vec_col), dim, n_planes, table=t).alias("code"),
+            )
+            for t in range(n_tables)
+        ]
+    )
     coded = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
-        srp_code(F.col(vec_col), dim, n_planes).alias("code"),
-    )
+        F.explode(codes).alias("tc"),
+    ).select("id", "v", "nrm", F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
     a = coded.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "code"
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "tbl", "code"
     )
-    b = coded.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "code"
-    )
-    return (
-        a.join(b, on="code")
+    b = coded.select(F.col("id").alias("id_b"), "tbl", "code")
+    cand = (
+        a.join(b, on=["tbl", "code"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+    )
+    if n_tables > 1:
+        # Re-attach the b side's vector after dedup (cheap: candidates only).
+        pairs = cand.select("id_a", "id_b").distinct()
+        va = corpus.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            l2_norm(F.col(vec_col)).alias("na"),
+        )
+        vb = corpus.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            l2_norm(F.col(vec_col)).alias("nb"),
+        )
+        scored = pairs.join(va, "id_a").join(vb, "id_b")
+    else:
+        vb = corpus.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            l2_norm(F.col(vec_col)).alias("nb"),
+        )
+        scored = cand.join(vb, "id_b")
+    return (
+        scored.select(
             "id_a", "id_b",
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
@@ -370,14 +416,26 @@ def ivf_centroids(
 ) -> list[list[float]]:
     """K coarse centroids via mini Lloyd iterations.
 
-    Seeds = the ``n_cells`` lowest-id vectors (deterministic); each
+    Seeds = one vector per hash stratum: rows are bucketed by
+    ``pmod(xxhash64(id), n_cells)`` and the min-hash row of each stratum
+    seeds that cell. Deterministic (pure function of the id set) but
+    UNCORRELATED with insertion order or id locality — lowest-id seeding
+    would concentrate seeds in whatever region early ids happen to occupy,
+    which on a skewed corpus yields empty/overloaded cells. Each Lloyd
     iteration assigns every vector to its max-cosine centroid map-side and
     re-averages per (cell, dimension) with one aggregation — the only
     driver-side data is the K×dim centroid table itself, exactly like
     MLlib's KMeans collects centroids between iterations.
     """
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.concat(F.lit("ivf-seed:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(F.pmod(h, F.lit(n_cells))).orderBy(h, F.col(id_col))
     seeds = (
-        corpus.orderBy(id_col)
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .orderBy(id_col)
         .limit(n_cells)
         .select(vec_col)
         .collect()

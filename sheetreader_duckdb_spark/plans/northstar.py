@@ -70,10 +70,26 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # N1 (+N2) — exact dedup groups AND the end-to-end dedup pipeline keep-set,
-# one tagged result: 'groups' = one hash-aggregate shuffle on the digest;
-# 'kept' = exact → MinHash/LSH → Jaccard → keep-set, the canonical
-# training-corpus dedup flow.
+# plus the two corpus-lifecycle variants every production pipeline runs:
+# incremental dedup of a new crawl batch against the accepted corpus
+# (operators/dedup.py incremental_exact_dedup — batch-proportional work,
+# corpus contributes only its stored digest table) and eval-set
+# decontamination (operators/dedup.py contamination — eval docs sharing
+# word k-grams with the train split). One tagged result:
+#   'groups' = one hash-aggregate shuffle on the digest;
+#   'kept'   = exact → MinHash/LSH → Jaccard → keep-set;
+#   'incr'   = batch docs accepted against the corpus digest set (the batch
+#              is the 'test' hash-split plus 5 re-crawled corpus copies, so
+#              the drop path is exercised);
+#   'contam' = eval docs flagged by train-gram overlap (n = hit count).
 # --------------------------------------------------------------------------
+_INC_SPLIT = [("train", 0.8), ("test", 0.2)]
+
+# Deterministic train/val/test assignment shared by n07 (where the split
+# column is witnessed) and the decontamination branch here.
+_SPLIT_WEIGHTS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
 @query(
     "n01_dedup_exact_pipeline",
     oracle=f"""
@@ -99,6 +115,43 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
         JOIN sizes za ON za.doc_id = i.id_a
         JOIN sizes zb ON zb.doc_id = i.id_b
         WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.5
+    ),
+    inc_tagged AS (
+        SELECT doc_id, text,
+               {{inc_case}} AS split
+        FROM documents
+    ),
+    inc_corpus AS (SELECT doc_id, text FROM inc_tagged WHERE split = 'train'),
+    inc_dupes AS (SELECT doc_id + 1000000 AS doc_id, text FROM
+                  (SELECT doc_id, text FROM inc_corpus ORDER BY doc_id LIMIT 5)),
+    inc_batch AS (SELECT doc_id, text FROM inc_tagged WHERE split = 'test'
+                  UNION ALL SELECT * FROM inc_dupes),
+    inc_existing AS (SELECT DISTINCT md5(text) AS h FROM inc_corpus),
+    inc_novel AS (SELECT * FROM inc_batch
+                  WHERE md5(text) NOT IN (SELECT h FROM inc_existing)),
+    inc_keep AS (SELECT MIN(doc_id) AS doc_id FROM inc_novel GROUP BY md5(text)),
+    cv_tagged AS (
+        SELECT doc_id, text,
+               {{v1_case}} AS split
+        FROM documents
+    ),
+    ctr_sh AS (
+        SELECT DISTINCT w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS sh
+        FROM (SELECT w, unnest(range(len(w) - 2)) AS i
+              FROM (SELECT string_split(lower(text), ' ') AS w
+                    FROM cv_tagged WHERE split = 'train')
+              WHERE len(w) >= 3)
+    ),
+    cev_sh AS (
+        SELECT DISTINCT doc_id, w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS sh
+        FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM cv_tagged WHERE split != 'train')
+              WHERE len(w) >= 3)
+    ),
+    contam_hits AS (
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM cev_sh e JOIN ctr_sh t USING (sh) GROUP BY e.doc_id
     )
     SELECT 'groups' AS tag, md5(text) AS h, MIN(doc_id) AS id,
            CAST(COUNT(*) AS BIGINT) AS n
@@ -108,13 +161,30 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
            CAST(NULL AS BIGINT) AS n
     FROM survivors
     WHERE doc_id NOT IN (SELECT id_b FROM neardup)
-    """,
+    UNION ALL
+    SELECT 'incr' AS tag, CAST(NULL AS VARCHAR) AS h, doc_id AS id,
+           CAST(NULL AS BIGINT) AS n
+    FROM inc_keep
+    UNION ALL
+    SELECT 'contam' AS tag, CAST(NULL AS VARCHAR) AS h, doc_id AS id,
+           n_hits AS n
+    FROM contam_hits
+    """.format(
+        inc_case=SM.split_case_sql("doc_id", _INC_SPLIT, seed="inc"),
+        v1_case=SM.split_case_sql("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1"),
+    ),
     doc="Exact content dedup groups ('groups': digest, keep id, dupe count — "
     "one hash-aggregate shuffle with map-side partials, N1) plus the "
     "end-to-end pipeline keep-set ('kept': exact dedup keeps the min doc "
     "per digest, MinHash+LSH proposes candidates among survivors, exact "
     "Jaccard ≥0.5 verifies, the higher id of each verified pair drops — "
-    "the canonical training-corpus flow, N1→N2).",
+    "the canonical training-corpus flow, N1→N2); plus the corpus-lifecycle "
+    "forms: 'incr' = incremental_exact_dedup of a new crawl batch (test "
+    "hash-split + 5 re-crawled corpus copies) against the accepted corpus' "
+    "stored digest table (batch-proportional work — the corpus is never "
+    "re-read), and 'contam' = eval-set decontamination (eval docs sharing "
+    "word 3-grams with the train split; distinct-gram build side, one "
+    "uniform shingle-join shuffle).",
 )
 def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     docs = T(spark, sf, "documents")
@@ -146,7 +216,46 @@ def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("n"),
         )
     )
-    out = groups.unionAll(kept).localCheckpoint(eager=True)
+    # 'incr' — incremental dedup of a synthetic crawl batch (the 'test'
+    # hash-split plus 5 re-crawled corpus copies) against the accepted
+    # corpus' stored digests. The corpus side contributes ONLY its digest
+    # column — batch-proportional work, the production incremental shape.
+    d_inc = docs.withColumn("split", SM.hash_split("doc_id", _INC_SPLIT, seed="inc"))
+    inc_corpus = d_inc.filter(F.col("split") == "train").select("doc_id", "text")
+    inc_dupes = (
+        inc_corpus.orderBy("doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    inc_batch = (
+        d_inc.filter(F.col("split") == "test").select("doc_id", "text").unionAll(inc_dupes)
+    )
+    inc_digests = D.exact_dedup_groups(inc_corpus, "doc_id", "text").select("h")
+    incr = D.incremental_exact_dedup(inc_batch, "doc_id", "text", inc_digests).select(
+        F.lit("incr").alias("tag"),
+        F.lit(None).cast("string").alias("h"),
+        F.col("doc_id").alias("id"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    # 'contam' — eval-set decontamination over the corpus-v1 hash-split
+    # (the same split n07 witnesses): eval docs sharing any word 3-gram
+    # with the train side; n carries the hit count.
+    d_v1 = docs.withColumn(
+        "split", SM.hash_split("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1")
+    )
+    contam = D.contamination(
+        d_v1.filter(F.col("split") == "train"),
+        d_v1.filter(F.col("split") != "train"),
+        "doc_id",
+        "text",
+        k=3,
+    ).select(
+        F.lit("contam").alias("tag"),
+        F.lit(None).cast("string").alias("h"),
+        F.col("id"),
+        F.col("n_hits").alias("n"),
+    )
+    out = groups.unionAll(kept).unionAll(incr).unionAll(contam).localCheckpoint(eager=True)
     sh.unpersist()
     return out
 
@@ -314,23 +423,31 @@ def n05_ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "n05b_ann_lsh_topk",
     oracle=None,
-    doc="Sign-random-projection LSH top-k (scale path for N3): 16 independent "
-    "6-plane hash tables + Hamming-1 multi-probe on the query side, exact "
-    "cosine re-rank on candidates. Rows-only check (n06b carries the "
-    "SRP-bucket oracle); tests/test_similarity.py pins recall@5 ≥ 0.9 vs "
-    "the exact n05 result at this config (measured 0.96 at sf0.001).",
+    doc="Approximate-NN family (scale paths for N3), three tagged branches "
+    "over the same (qid, cid, cosine, rn) shape: 'lsh' = "
+    "sign-random-projection LSH top-k (16 independent 6-plane tables + "
+    "Hamming-1 multi-probe on the query side, exact cosine re-rank); "
+    "'ivf' = inverted-file ANN (hash-strata-seeded Lloyd centroids, cell "
+    "equi-join, n_probe=4 of 16 cells); 'q8' = int8-quantized two-stage "
+    "search (exact integer coarse cosine on 4x-smaller vectors, float "
+    "rescoring of k*refine candidates). Rows-only check (approximate "
+    "candidate sets are not SQL-reproducible; n06b carries the SRP-bucket "
+    "oracle); tests/test_similarity.py pins recall vs the exact n05 "
+    "result for all three (lsh >= 0.9 measured 0.96; ivf and q8 >= 0.9).",
 )
 def n05b_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "embeddings")
-    return S.lsh_topk(
-        e,
-        e.filter(F.col("vec_id") < 10),
-        dim=64,
-        k=5,
-        n_planes=6,
-        n_tables=16,
-        multi_probe=True,
+    q = e.filter(F.col("vec_id") < 10)
+    lsh_b = S.lsh_topk(
+        e, q, dim=64, k=5, n_planes=6, n_tables=16, multi_probe=True
+    ).select(F.lit("lsh").alias("tag"), "qid", "cid", "cosine", "rn")
+    ivf_b = S.ivf_topk(e, q, k=5, n_cells=16, n_probe=4).select(
+        F.lit("ivf").alias("tag"), "qid", "cid", "cosine", "rn"
     )
+    q8_b = S.quantized_topk(e, q, k=5, refine=4).select(
+        F.lit("q8").alias("tag"), "qid", "cid", "cosine", "rn"
+    )
+    return lsh_b.unionAll(ivf_b).unionAll(q8_b)
 
 
 # --------------------------------------------------------------------------
@@ -413,10 +530,14 @@ def _sql_lang_score(lang: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-# Deterministic train/val/test assignment surfaced in n07 (the per-doc
-# projection): the reproducible hash-split every training pipeline needs
-# (operators/sampling.py — md5-keyed, engine- and partitioning-invariant).
-_SPLIT_WEIGHTS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+def _sql_scrub_expr(text_sql: str = "text") -> str:
+    """DuckDB chained regexp_replace mirroring scrub_pii — generated from the
+    SAME SCRUB_PATTERNS list so Spark and oracle can never desync."""
+    expr = text_sql
+    for _name, pattern, token in X.SCRUB_PATTERNS:
+        pat = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
 
 
 def _sql_text_signals() -> str:
@@ -445,7 +566,8 @@ def _sql_text_signals() -> str:
            md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
            substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fp8,
            {SM.split_case_sql('doc_id', _SPLIT_WEIGHTS, seed='corpus-v1')} AS split,
-           {X.quality_keep_sql('text')} AS keep
+           {X.quality_keep_sql('text')} AS keep,
+           md5({_sql_scrub_expr('text')}) AS scrub_fp
     FROM m
     """
 
@@ -459,9 +581,11 @@ def _sql_text_signals() -> str:
     "tiebreak + agreement with the labeled lang, the md5 content "
     "fingerprint of whitespace-normalized lowercased text, and the "
     "deterministic 80/10/10 train/val/test hash-split assignment "
-    "(operators/sampling.py), and the Gopher-style quality keep decision "
-    "(operators/text.py QUALITY_RULES). Scan-speed column expressions, "
-    "zero shuffles.",
+    "(operators/sampling.py), the Gopher-style quality keep decision "
+    "(operators/text.py QUALITY_RULES), and the PII-scrub witness "
+    "(scrub_fp = md5 of scrub_pii(text) — pins every masked byte of the "
+    "URL/email/phone scrub without shipping the text). Scan-speed column "
+    "expressions, zero shuffles.",
 )
 def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
@@ -487,33 +611,193 @@ def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(fp, 1, 8).alias("fp8"),
         SM.hash_split("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1").alias("split"),
         X.quality_keep(text).alias("keep"),
+        F.md5(X.scrub_pii(text).cast("binary")).alias("scrub_fp"),
     )
 
 
 # --------------------------------------------------------------------------
-# N4d — corpus token statistics per source
+# N4d — corpus token statistics per source, plus the dataset-assembly
+# operators that act on those stats: deterministic sampling (Bernoulli /
+# exact-stratified / source mixing, operators/sampling.py), the salted
+# two-phase aggregation (operators/skew.py), and the Gopher repetition
+# signals (operators/text.py). Tagged branches share the schema
+# (tag, source, n_docs, ws_tokens, bpe_tokens, chars, id_sum); id_sum =
+# SUM(doc_id) pins exact row MEMBERSHIP of each sample/filter, not just its
+# size — two different keep-sets of equal count cannot hash-match.
 # --------------------------------------------------------------------------
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_REP_THRESHOLD = 0.1  # dup_gram_frac cut — flags ~20% of the synthetic corpus
+
+
 @query(
     "n10_token_stats",
     oracle=f"""
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_ws_tokens,
-           CAST(SUM(CAST(len(regexp_extract_all(text, '{X.BPE_TOKEN_PATTERN}')) AS BIGINT)) AS BIGINT) AS total_bpe_tokens,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents
+    WITH sig AS (
+        SELECT doc_id, source, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+               CAST(len(regexp_extract_all(text, '{X.BPE_TOKEN_PATTERN}')) AS BIGINT) AS bpe
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, w[i + 1] || ' ' || w[i + 2] AS g
+        FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents)
+              WHERE len(w) >= 2)
+    ),
+    per_gram AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM grams GROUP BY doc_id, g
+    ),
+    rep AS (
+        SELECT doc_id,
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c) AS dup_gram_frac
+        FROM per_gram GROUP BY doc_id
+    )
+    SELECT 'all' AS tag, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM sig GROUP BY source
+    UNION ALL
+    SELECT 'salted', source, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(ws) AS BIGINT), CAST(SUM(bpe) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+    FROM sig GROUP BY source
+    UNION ALL
+    SELECT 'sample', source, CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE {{sample_pred}}
     GROUP BY source
-    """,
-    doc="Corpus-level token accounting by source — exact integer sums (N4).",
+    UNION ALL
+    SELECT 'strat', source, CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('s1:' || doc_id), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    GROUP BY source
+    UNION ALL
+    SELECT 'mix', source, CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE {{mix_pred}}
+    GROUP BY source
+    UNION ALL
+    SELECT 'rep', CAST(NULL AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM rep WHERE dup_gram_frac >= {_REP_THRESHOLD}
+    """.format(
+        sample_pred=SM.sample_predicate_sql("doc_id", 0.25, seed="dev"),
+        mix_pred=" OR ".join(
+            f"(source = '{s}' AND {SM.sample_predicate_sql('doc_id', fr, seed='mx')})"
+            for s, fr in _MIX_FRACTIONS.items()
+        ),
+    ),
+    doc="Corpus token accounting by source (N4, 'all': exact integer sums) "
+    "and its dataset-assembly companions as tagged branches over the same "
+    "schema: 'salted' recomputes the identical stats through the two-phase "
+    "salted aggregation (operators/skew.py — phase-2 bounded by keys × "
+    "salts, exact equivalence witnessed against the plain GROUP BY oracle); "
+    "'sample' = deterministic 25% Bernoulli-by-hash keep-set; 'strat' = "
+    "exact 5-per-source stratified sample (hash-ranked, one shuffle); "
+    "'mix' = weighted source mixture (src0 100% / src1 50% / src2 25% / "
+    "src3 10%, zero shuffle); 'rep' = membership of the Gopher "
+    "duplicate-2-gram filter (dup_gram_frac ≥ 0.1, operators/text.py "
+    "repetition_signals). id_sum pins exact membership of every keep-set.",
 )
 def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark.operators.skew import salted_agg
+
     d = T(spark, sf, "documents")
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(X.n_tokens(F.col("text"))).alias("total_ws_tokens"),
-        F.sum(X.bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
-        F.sum("n_chars").alias("total_chars"),
+    sig = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        X.n_tokens(F.col("text")).alias("ws"),
+        X.bpe_token_count(F.col("text")).alias("bpe"),
     )
+
+    def shape(df: DataFrame, tag: str, with_tokens: bool) -> DataFrame:
+        nil = F.lit(None).cast("long")
+        return df.select(
+            F.lit(tag).alias("tag"),
+            F.col("source"),
+            F.col("n_docs"),
+            (F.col("ws_tokens") if with_tokens else nil).alias("ws_tokens"),
+            (F.col("bpe_tokens") if with_tokens else nil).alias("bpe_tokens"),
+            (F.col("chars") if with_tokens else nil).alias("chars"),
+            F.col("id_sum"),
+        )
+
+    full_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("doc_id").alias("id_sum"),
+    ]
+    sample_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    ]
+    all_b = shape(sig.groupBy("source").agg(*full_aggs), "all", True)
+    salted_b = shape(
+        salted_agg(
+            sig,
+            ["source"],
+            {
+                "n_docs": ("count", "*"),
+                "ws_tokens": ("sum", "ws"),
+                "bpe_tokens": ("sum", "bpe"),
+                "chars": ("sum", "n_chars"),
+                "id_sum": ("sum", "doc_id"),
+            },
+            n_salts=8,
+        ),
+        "salted",
+        True,
+    )
+    sample_b = shape(
+        SM.hash_sample(d.select("doc_id", "source"), "doc_id", 0.25, seed="dev")
+        .groupBy("source")
+        .agg(*sample_aggs),
+        "sample",
+        False,
+    )
+    strat_b = shape(
+        SM.stratified_sample(d.select("doc_id", "source"), ["source"], 5, "doc_id", seed="s1")
+        .groupBy("source")
+        .agg(*sample_aggs),
+        "strat",
+        False,
+    )
+    mix_b = shape(
+        SM.mix_sources(d.select("doc_id", "source"), "source", _MIX_FRACTIONS, "doc_id", seed="mx")
+        .groupBy("source")
+        .agg(*sample_aggs),
+        "mix",
+        False,
+    )
+    rep_b = shape(
+        X.repetition_signals(d, "doc_id", "text", n=2)
+        .filter(F.col("dup_gram_frac") >= _REP_THRESHOLD)
+        .select(F.col("doc_id"), F.lit(None).cast("string").alias("source"))
+        .groupBy("source")
+        .agg(*sample_aggs),
+        "rep",
+        False,
+    )
+    return all_b.unionAll(salted_b).unionAll(sample_b).unionAll(strat_b).unionAll(
+        mix_b
+    ).unionAll(rep_b)
 
 
 # --------------------------------------------------------------------------
@@ -622,33 +906,70 @@ def _sql_u32_le(hex_expr: str, pos_expr: str) -> str:
     oracle=f"""
     WITH m AS (SELECT doc_id AS media_id, sha256(text) AS sha FROM documents),
     h AS (SELECT media_id, sha, sha256(sha) AS hh FROM m),
-    p AS (SELECT unnest(range(8)) AS pos)
-    SELECT media_id, sha AS sha256, CAST(pos AS BIGINT) AS pos,
+    p AS (SELECT unnest(range(8)) AS pos),
+    fr AS (SELECT unnest(range(4)) AS i)
+    SELECT 'feat' AS tag, media_id, sha AS sha256, CAST(pos AS BIGINT) AS pos,
            CAST(CAST({_sql_u32_le('hh', 'pos')} AS REAL) AS DOUBLE)
              / 4294967296.0 AS value
     FROM h CROSS JOIN p
+    UNION ALL
+    SELECT 'resize', media_id, sha256(sha || ':64x64'),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM m
+    UNION ALL
+    SELECT 'frames', media_id,
+           sha256(sha || ':frame' || CAST(i AS VARCHAR)),
+           CAST(i AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM m CROSS JOIN fr
     """,
-    doc="Decode/feature-extract plumbing over media payloads: mapInPandas "
-    "with Arrow batches, deterministic hash-derived 8-dim features "
-    "(stubbed codecs; N5), posexploded to one row per vector position. "
-    "float32(u32)/2^32 is bit-reproducible in SQL, so this is oracle-exact.",
+    doc="Decode/feature-extract plumbing over media payloads, three tagged "
+    "mapInPandas branches (all Arrow-batched, stubbed codecs; N5): 'feat' "
+    "= 8-dim hash-derived feature vectors posexploded to one row per "
+    "position (float32(u32)/2^32 is bit-reproducible in SQL); 'resize' = "
+    "64x64 thumbnail generation (operators/multimodal.py resize_images — "
+    "the thumb content address is a pure function of payload digest + "
+    "dims, so the oracle reproduces it); 'frames' = uniform 4-frame "
+    "sampling (sample_frames — one row per (media, frame_idx), content "
+    "address from (digest, index)). All three branches oracle-exact.",
 )
 def n11b_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     from sheetreader_duckdb_spark.operators.multimodal import (
         attach_media_metadata,
         extract_features,
+        resize_images,
+        sample_frames,
     )
 
     d = T(spark, sf, "documents")
-    feats = extract_features(attach_media_metadata(d, "doc_id", "text"), dim=8)
-    return feats.select(
-        "media_id", "sha256", F.posexplode("feature").alias("pos", "value")
-    ).select(
-        "media_id",
-        "sha256",
-        F.col("pos").cast("long").alias("pos"),
-        F.col("value").cast("double").alias("value"),
+    media = attach_media_metadata(d, "doc_id", "text")
+    feats = extract_features(media, dim=8)
+    nil_l = F.lit(None).cast("long")
+    nil_d = F.lit(None).cast("double")
+    feat_b = (
+        feats.select("media_id", "sha256", F.posexplode("feature").alias("pos", "value"))
+        .select(
+            F.lit("feat").alias("tag"),
+            "media_id",
+            "sha256",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("value").cast("double").alias("value"),
+        )
     )
+    resize_b = resize_images(media, width=64, height=64).select(
+        F.lit("resize").alias("tag"),
+        "media_id",
+        F.col("thumb").alias("sha256"),
+        nil_l.alias("pos"),
+        nil_d.alias("value"),
+    )
+    frames_b = sample_frames(media, n_frames=4).select(
+        F.lit("frames").alias("tag"),
+        "media_id",
+        F.col("frame_sha256").alias("sha256"),
+        F.col("frame_idx").cast("long").alias("pos"),
+        nil_d.alias("value"),
+    )
+    return feat_b.unionAll(resize_b).unionAll(frames_b)
 
 
 # --------------------------------------------------------------------------
@@ -706,16 +1027,27 @@ def n12_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     ),
     quotes AS (
         SELECT user_id, ts, value AS px FROM events WHERE event_type = 'purchase'
+    ),
+    base AS (
+        SELECT p.event_id, p.user_id, p.ts, q.px, q.ts AS quote_ts
+        FROM probes p ASOF LEFT JOIN quotes q
+          ON p.user_id = q.user_id AND q.ts <= p.ts
     )
-    SELECT p.event_id, p.user_id, p.ts, q.px, q.ts AS quote_ts
-    FROM probes p ASOF LEFT JOIN quotes q
-      ON p.user_id = q.user_id AND q.ts <= p.ts
+    SELECT 'asof' AS tag, event_id, user_id, ts, px, quote_ts FROM base
+    UNION ALL
+    SELECT 'tol2h', event_id, user_id, ts,
+           CASE WHEN ts - quote_ts > INTERVAL 2 HOUR THEN NULL ELSE px END,
+           CASE WHEN ts - quote_ts > INTERVAL 2 HOUR THEN NULL ELSE quote_ts END
+    FROM base
     """,
     doc="As-of join (temporal primitive Spark lacks natively): every view "
     "event joined with the user's latest purchase at or before it, NULLs "
-    "when none precedes. Scale-safe union-and-carry plan — one shuffle on "
-    "the key, no range-join pair explosion; oracle is DuckDB's native "
-    "ASOF LEFT JOIN.",
+    "when none precedes ('asof'), plus the staleness-tolerance form "
+    "('tol2h': matches older than 2 hours are nulled — the operator's "
+    "tolerance parameter, expressed in the oracle as a CASE over the "
+    "untolerated ASOF result). Scale-safe union-and-carry plan — one "
+    "shuffle on the key, no range-join pair explosion; oracle is DuckDB's "
+    "native ASOF LEFT JOIN.",
 )
 def n19_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     from sheetreader_duckdb_spark.operators.temporal import as_of_join
@@ -725,9 +1057,19 @@ def n19_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     quotes = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("value").alias("px")
     )
-    return as_of_join(probes, quotes, ["user_id"], "ts", ["px"]).select(
-        "event_id", "user_id", "ts", "px", "quote_ts"
+    cols = ["event_id", "user_id", "ts", "px", "quote_ts"]
+    plain = as_of_join(probes, quotes, ["user_id"], "ts", ["px"]).select(
+        F.lit("asof").alias("tag"), *cols
     )
+    tol = as_of_join(
+        probes,
+        quotes,
+        ["user_id"],
+        "ts",
+        ["px"],
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    ).select(F.lit("tol2h").alias("tag"), *cols)
+    return plain.unionAll(tol)
 
 
 @query(

@@ -456,30 +456,150 @@ def h09_grouping_ops(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "h02b_ctas_sink",
     oracle=f"""
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           {{money}} AS total_price
+    SELECT 'ctas' AS tag, o_orderstatus AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {{money}} AS total
     FROM orders
     GROUP BY o_orderstatus
-    """.format(money=sql_money_sum("o_totalprice")),
-    doc="Sink path (H2): materialize orders to a parquet table (the Spark "
-    "CREATE TABLE AS for a lakehouse), then aggregate the read-back — "
-    "round-trip through our own sink must preserve every value exactly.",
+    UNION ALL
+    SELECT 'export', 'docs',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           (SELECT CAST(SUM(n_chars) AS DOUBLE) FROM documents)
+    UNION ALL
+    SELECT 'export', 'shards', 8, CAST(NULL AS DOUBLE)
+    UNION ALL
+    SELECT 'zorder', 'docs',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           (SELECT CAST(SUM(n_chars) AS DOUBLE) FROM documents)
+    UNION ALL
+    SELECT 'bucketed', 'rows',
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+           (SELECT {{money_o}}
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'packing', 'docs',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           (SELECT CAST(SUM(n_chars) AS DOUBLE) FROM documents)
+    UNION ALL
+    SELECT 'packing', 'overfull', 0, CAST(NULL AS DOUBLE)
+    """.format(
+        money=sql_money_sum("o_totalprice"), money_o=sql_money_sum("o.o_totalprice")
+    ),
+    doc="Write-side paths (H2 + the lakehouse layout operators), tagged "
+    "branches over (tag, k, n, total), each a write-then-read-back round "
+    "trip through our own sinks: 'ctas' = orders materialized to parquet "
+    "and re-aggregated (every value preserved exactly); 'export' = "
+    "deterministic 8-shard training export (operators/export.py — "
+    "read-back totals prove no row lost or duplicated; 'shards' pins all "
+    "8 shard directories non-empty, a literal-oracle invariant; byte-"
+    "stable ordering is pinned in tests/test_export.py); 'zorder' = "
+    "documents rewritten along the (n_chars, doc_id) Morton curve "
+    "(operators/zorder.py — read-back totals prove the layout pass is "
+    "row-preserving; pruning quantified in tests/test_zorder.py); "
+    "'bucketed' = orders and customer written as co-located 8-bucket "
+    "tables (operators/bucketing.py), joined catalog-side — count and "
+    "money sum must equal the plain join (zero-Exchange plan pinned in "
+    "tests/test_bucketing.py); 'packing' = FFD sequence packing of "
+    "documents into 2048-char windows (operators/packing.py — 'docs' "
+    "proves every doc packed exactly once with its token count intact, "
+    "'overfull' pins zero non-truncated sequences over capacity, a "
+    "literal-oracle invariant; occupancy/determinism in "
+    "tests/test_packing.py).",
 )
 def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
     import os
 
+    from sheetreader_duckdb_spark.operators.bucketing import write_bucketed
+    from sheetreader_duckdb_spark.operators.export import export_shards
+    from sheetreader_duckdb_spark.operators.packing import pack_sequences
+    from sheetreader_duckdb_spark.operators.zorder import zorder_sort
+
     tag = sf.strip("/").replace("/", "_")
-    out = f"/tmp/sheetreader_ctas/{tag}/orders"
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    T(spark, sf, "orders").write.mode("overwrite").parquet(out)
-    return (
-        spark.read.parquet(out)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            _money_sum("o_totalprice").alias("total_price"),
+    base = f"/tmp/sheetreader_ctas/{tag}"
+    os.makedirs(base, exist_ok=True)
+    nil_d = F.lit(None).cast("double")
+
+    def one_row(df: DataFrame, tag_v: str, k_v: str, n_col, total_col) -> DataFrame:
+        return df.agg(n_col.alias("n"), total_col.alias("total")).select(
+            F.lit(tag_v).alias("tag"), F.lit(k_v).alias("k"), "n", "total"
         )
+
+    # 'ctas' — plain parquet CTAS round trip.
+    T(spark, sf, "orders").write.mode("overwrite").parquet(f"{base}/orders")
+    ctas = (
+        spark.read.parquet(f"{base}/orders")
+        .groupBy(F.col("o_orderstatus").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("total"))
+        .select(F.lit("ctas").alias("tag"), "k", "n", "total")
+    )
+
+    # 'export' — deterministic sharded export, then read the shards back.
+    docs = T(spark, sf, "documents").select("doc_id", "n_chars")
+    export_shards(docs, "doc_id", 8, f"{base}/export", seed="export")
+    back = spark.read.parquet(f"{base}/export")
+    export_rows = one_row(
+        back, "export", "docs", F.count(F.lit(1)), F.sum("n_chars").cast("double")
+    )
+    export_shards_row = one_row(
+        back, "export", "shards", F.count_distinct("shard"), nil_d
+    )
+
+    # 'zorder' — Morton-ordered rewrite of documents, read-back totals.
+    zorder_sort(docs, ["n_chars", "doc_id"], bits=8).write.mode("overwrite").parquet(
+        f"{base}/zorder"
+    )
+    zorder_rows = one_row(
+        spark.read.parquet(f"{base}/zorder"),
+        "zorder",
+        "docs",
+        F.count(F.lit(1)),
+        F.sum("n_chars").cast("double"),
+    )
+
+    # 'bucketed' — co-located bucketed fact layout; the join runs catalog-side.
+    # (Catalog identifiers cannot contain '.', unlike the /tmp dir tag.)
+    ident = tag.replace(".", "_")
+    to = f"h02b_orders_{ident}"
+    tc = f"h02b_customer_{ident}"
+    write_bucketed(
+        T(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        to, "o_custkey", 8, sort_by="o_custkey", path=f"{base}/bk_orders",
+    )
+    write_bucketed(
+        T(spark, sf, "customer").select("c_custkey"),
+        tc, "c_custkey", 8, sort_by="c_custkey", path=f"{base}/bk_customer",
+    )
+    joined = spark.table(to).join(
+        spark.table(tc), F.col("o_custkey") == F.col("c_custkey")
+    )
+    bucketed = one_row(
+        joined, "bucketed", "rows", F.count(F.lit(1)), _money_sum("o_totalprice")
+    )
+
+    # 'packing' — FFD sequence packing over (doc_id, n_chars as token count).
+    packed = pack_sequences(docs, "doc_id", F.col("n_chars"), seq_len=2048, n_buckets=8)
+    packing_docs = one_row(
+        packed, "packing", "docs", F.count(F.lit(1)), F.sum("n_tokens").cast("double")
+    )
+    seqs = packed.groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("fill"), F.max("truncated").alias("any_trunc")
+    )
+    packing_overfull = one_row(
+        seqs.filter((F.col("fill") > 2048) & ~F.col("any_trunc")),
+        "packing",
+        "overfull",
+        F.count(F.lit(1)),
+        nil_d,
+    )
+
+    return (
+        ctas.unionAll(export_rows)
+        .unionAll(export_shards_row)
+        .unionAll(zorder_rows)
+        .unionAll(bucketed)
+        .unionAll(packing_docs)
+        .unionAll(packing_overfull)
     )
 
 

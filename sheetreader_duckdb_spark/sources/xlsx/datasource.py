@@ -14,6 +14,7 @@ Usage::
           .option("coerce_to_string", False)
           .option("inline_strings", False)   # opt-in: accept t="str"/"inlineStr"
           .option("filter_pushdown", False)  # opt-in: absorb filters (see pushFilters)
+          .option("columns", "a,b")          # reader-side column pruning
           .load("/data/*.xlsx"))
 
 Architecture (deliberately NOT the reference's): schema() is a lazy two-row
@@ -187,6 +188,7 @@ class _Options:
     batch_size: int
     inline_strings: bool
     filter_pushdown: bool
+    columns: tuple[str, ...] | None
 
     @classmethod
     def from_options(cls, options) -> "_Options":
@@ -213,6 +215,19 @@ class _Options:
             raise ValueError("Number of threads must be greater than 0")  # reference :712-714
         types_opt = options.get("types")
         user_types = [t.strip() for t in types_opt.split(",")] if types_opt else None
+        # Reader-side column pruning (SURVEY §4.1): parse only these columns.
+        # Spark 4.1 does not push required columns into Python data sources
+        # (the Project sits above the BatchScan), so the pruning contract is
+        # an explicit option — the ETL caller states the projection once and
+        # the source skips cell decode + Arrow build for everything else.
+        cols_opt = options.get("columns")
+        columns = (
+            tuple(c.strip() for c in cols_opt.split(",") if c.strip())
+            if cols_opt
+            else None
+        )
+        if cols_opt is not None and not columns:
+            raise ValueError("sheetreader: 'columns' must name at least one column")
         return cls(
             paths=paths,
             sheet_name=sheet_name,
@@ -226,6 +241,7 @@ class _Options:
             batch_size=int(options.get("batch_size", str(DEFAULT_BATCH_SIZE))),
             inline_strings=_parse_bool(options.get("inline_strings")),
             filter_pushdown=_parse_bool(options.get("filter_pushdown")),
+            columns=columns,
         )
 
 
@@ -251,12 +267,19 @@ class SheetReaderDataSource(DataSource):
     def schema(self):
         opts = _Options.from_options(self.options)
         inferred = _infer_for_file(opts.paths[0], opts)
-        return StructType(
-            [
-                StructField(n, _SQL_TO_SPARK[t], nullable=True)
-                for n, t in zip(inferred.names, inferred.types)
-            ]
-        )
+        fields = {
+            n: StructField(n, _SQL_TO_SPARK[t], nullable=True)
+            for n, t in zip(inferred.names, inferred.types)
+        }
+        if opts.columns is not None:
+            missing = [c for c in opts.columns if c not in fields]
+            if missing:
+                raise ValueError(
+                    f"sheetreader: 'columns' not in the sheet: {missing} "
+                    f"(available: {list(fields)})"
+                )
+            return StructType([fields[c] for c in opts.columns])
+        return StructType(list(fields.values()))
 
     def reader(self, schema: StructType) -> "SheetReaderReader":
         return SheetReaderReader(self.options, schema)
@@ -374,18 +397,32 @@ class SheetReaderReader(DataSourceReader):
         # Per-file probe: header detection / skip accounting is per file; the
         # global schema (names/types) comes from the first file.
         file_schema = _infer_for_file(partition.path, opts)
-        if file_schema.n_detected_columns > n_cols:
-            raise ValueError(
-                f"File {partition.path} has more columns than the schema. "
-                f"Has: {file_schema.n_detected_columns} Expected: {n_cols}"
-            )
+        if opts.columns is None:
+            if file_schema.n_detected_columns > n_cols:
+                raise ValueError(
+                    f"File {partition.path} has more columns than the schema. "
+                    f"Has: {file_schema.n_detected_columns} Expected: {n_cols}"
+                )
+            # Identity mapping: output column i IS file column i.
+            keep = list(range(n_cols))
+        else:
+            # Pruned read: map each FILE column to its output slot (None →
+            # dropped; its cells are never decoded and never reach Arrow).
+            out_by_name = {f.name: i for i, f in enumerate(self.schema.fields)}
+            keep = [out_by_name.get(n) for n in file_schema.names]
+            present = {n for n in file_schema.names if n in out_by_name}
+            missing = [c for c in out_by_name if c not in present]
+            if missing:
+                raise ValueError(
+                    f"sheetreader: 'columns' not in {partition.path}: {missing}"
+                )
         if not opts.coerce_to_string and not opts.inline_strings:
             # Columnar fast path: raw cell bytes per column, typed by Arrow
             # casts (C-speed) instead of per-cell Python conversion. Falls
             # back to the row path on unscannable document shapes.
             try:
                 yield from self._read_columnar(
-                    partition.path, file_schema, partition.shard, partition.n_shards
+                    partition.path, file_schema, partition.shard, partition.n_shards, keep
                 )
                 return
             except P._FastPathUnsupported:
@@ -395,14 +432,15 @@ class SheetReaderReader(DataSourceReader):
         # decision is deterministic across shards, see _read_columnar).
         if partition.n_shards > 1 and partition.shard != 0:
             return
-        yield from self._read_rows(partition.path, file_schema)
+        yield from self._read_rows(partition.path, file_schema, keep)
 
-    def _read_rows(self, path: str, file_schema):
+    def _read_rows(self, path: str, file_schema, keep: list):
         import pyarrow as pa
 
         opts = self.opts
         col_types = self.col_types
         n_cols = len(col_types)
+        n_file = len(keep)
 
         arrow_type = {
             "VARCHAR": pa.string(),
@@ -413,6 +451,8 @@ class SheetReaderReader(DataSourceReader):
 
         # Integer codes for the hot loop: expected 0=VARCHAR 1=DOUBLE
         # 2=BOOLEAN 3=DATE; cell ctypes are parser constants (T_* ints).
+        # Indexed by OUTPUT column; ``keep`` maps file column → output slot
+        # (None = pruned: the cell is skipped before any decode work).
         exp_codes = [("VARCHAR", "DOUBLE", "BOOLEAN", "DATE").index(t) for t in col_types]
 
         with P.XlsxWorkbook(path, allow_inline=opts.inline_strings) as wb:
@@ -431,32 +471,35 @@ class SheetReaderReader(DataSourceReader):
                 current_row += 1
                 row = [None] * n_cols
                 for col, ctype, val in cells:
-                    if col >= n_cols:
+                    if col >= n_file:
                         # reference :415-422
                         raise ValueError(
                             f"Row {current_row} has more columns than the first row. "
-                            f"Has: {col + 1} Expected: {n_cols}"
+                            f"Has: {col + 1} Expected: {n_file}"
                         )
+                    out = keep[col]
+                    if out is None:
+                        continue  # pruned column: no decode, no buffer
                     if coerce:
-                        row[col] = _convert_cell(col_types[col], ctype, val, shared, coerce)
+                        row[out] = _convert_cell(col_types[out], ctype, val, shared, coerce)
                         continue
                     # Inlined _convert_cell (type-mismatch / T_NONE / T_ERROR
                     # → NULL, SURVEY.md §1.4) — per-cell function calls are
                     # measurable at millions of cells per partition.
-                    e = exp_codes[col]
+                    e = exp_codes[out]
                     if e == 0:
                         if ctype == P.T_STRING_REF:
-                            row[col] = shared[val]
+                            row[out] = shared[val]
                         elif ctype == P.T_STRING_LIT:
-                            row[col] = val
+                            row[out] = val
                         else:
-                            row[col] = None
+                            row[out] = None
                     elif e == 1:
-                        row[col] = val if ctype == P.T_NUMERIC else None
+                        row[out] = val if ctype == P.T_NUMERIC else None
                     elif e == 2:
-                        row[col] = val if ctype == P.T_BOOLEAN else None
+                        row[out] = val if ctype == P.T_BOOLEAN else None
                     else:
-                        row[col] = int(val / 86400.0) if ctype == P.T_DATE else None
+                        row[out] = int(val / 86400.0) if ctype == P.T_DATE else None
                 for i in range(n_cols):
                     columns[i].append(row[i])
                 n_buffered += 1
@@ -468,7 +511,9 @@ class SheetReaderReader(DataSourceReader):
                 yield flush()
 
 
-    def _read_columnar(self, path: str, file_schema, shard: int = 0, n_shards: int = 1):
+    def _read_columnar(
+        self, path: str, file_schema, shard: int = 0, n_shards: int = 1, keep: list | None = None
+    ):
         """Regex-scan chunks into per-column raw byte lists; type with Arrow.
 
         Cell semantics identical to _read_rows (SURVEY.md §1.4): absent /
@@ -476,6 +521,12 @@ class SheetReaderReader(DataSourceReader):
         (formulas, attr reordering) are parsed with the expat fragment
         fallback and converted row-wise, then emitted as their own batch —
         correctness never depends on the fast path matching.
+
+        ``keep`` maps file column index → output slot (None = pruned). A
+        pruned column's cells are dropped at the raw-bytes stage: no shared-
+        string take, no numeric/date cast, no Arrow array build — the parse
+        cost of a 100-column sheet read for 3 columns is the regex row scan
+        plus 3 columns of decode, not 100.
         """
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -483,6 +534,9 @@ class SheetReaderReader(DataSourceReader):
         opts = self.opts
         col_types = self.col_types
         n_cols = len(col_types)
+        if keep is None:
+            keep = list(range(n_cols))
+        n_file = len(keep)
         names = [f.name for f in self.schema.fields]
         exp_codes = [("VARCHAR", "DOUBLE", "BOOLEAN", "DATE").index(t) for t in col_types]
 
@@ -539,12 +593,15 @@ class SheetReaderReader(DataSourceReader):
                 for cells in rows:
                     row = [None] * n_cols
                     for col, ctype, val in cells:
-                        if col >= n_cols:
+                        if col >= n_file:
                             raise ValueError(
                                 f"Row has more columns than the first row. "
-                                f"Has: {col + 1} Expected: {n_cols}"
+                                f"Has: {col + 1} Expected: {n_file}"
                             )
-                        row[col] = _convert_cell(col_types[col], ctype, val, shared, False)
+                        out = keep[col]
+                        if out is None:
+                            continue
+                        row[out] = _convert_cell(col_types[out], ctype, val, shared, False)
                     for i in range(n_cols):
                         typed_cols[i].append(row[i])
                 arrow_type = {
@@ -652,26 +709,29 @@ class SheetReaderReader(DataSourceReader):
                             col = colmap.get(letters)
                             if col is None:
                                 col = colmap[letters] = P.column_index(letters.decode())
-                            if col >= n_cols:
+                            if col >= n_file:
                                 raise ValueError(
                                     f"Row has more columns than the first row. "
-                                    f"Has: {col + 1} Expected: {n_cols}"
+                                    f"Has: {col + 1} Expected: {n_file}"
                                 )
+                            out = keep[col]
+                            if out is None:
+                                continue  # pruned column: raw bytes dropped here
                             if not v:
                                 continue  # absent / empty cell → NULL
-                            code = exp_codes[col]
+                            code = exp_codes[out]
                             if not t_attr or t_attr == b"n":
                                 dated = is_date_style.get(s_attr)
                                 if dated is None:
                                     dated = is_date_style[s_attr] = int(s_attr) in date_styles
                                 if code == (3 if dated else 1):
-                                    row[col] = v
+                                    row[out] = v
                             elif t_attr == b"s":
                                 if code == 0:
-                                    row[col] = v
+                                    row[out] = v
                             elif t_attr == b"b":
                                 if code == 2:
-                                    row[col] = v
+                                    row[out] = v
                             elif t_attr in (b"str", b"inlineStr"):
                                 raise ValueError(P.UNSUPPORTED_STRING_ERROR)
                             # t="e" / unknown → NULL (stays None)

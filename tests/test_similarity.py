@@ -129,3 +129,79 @@ def test_srp_neardup_plan_has_no_cartesian(spark, sf_dir):
     plan = S.srp_neardup_pairs(e)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# -- n06b candidate-pruning recall (VERDICT r2 item 2) -----------------------
+#
+# The declared n06b config (6 planes, 1 table) is the SQL-reproducible
+# bucketing witness; these tests QUANTIFY what that bucketing drops and pin
+# the multi-table recall path (srp_neardup_pairs n_tables) that production
+# would run: planted true near-dups (cosine ~0.99) recover at >= 0.9, and
+# even the adversarial low-0.4-threshold regime reaches >= 0.9 with the
+# right (planes, tables) dial.
+
+
+def test_srp_neardup_planted_recall(spark, sf_dir):
+    """Plant near-duplicate copies (tiny perturbation, cosine ~0.99) and
+    require the multi-table bucketing to recover >= 90% of planted pairs."""
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(200)
+    planted = e.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(planted)
+    got = S.srp_neardup_pairs(
+        corpus, n_planes=6, threshold=0.9, n_tables=8
+    )
+    pairs = _pairs(got, "id_a", "id_b")
+    want = {(r["vec_id"], r["vec_id"] + 100_000) for r in e.select("vec_id").collect()}
+    recall = len(want & pairs) / len(want)
+    assert recall >= 0.9, f"planted near-dup recall = {recall:.3f}"
+
+
+def test_srp_neardup_candidate_pruning_recall_vs_exact(spark, sf_dir):
+    """Recall against the exact O(n^2) pair set at the (hard) 0.4 threshold:
+    the declared single-table config is a aggressive pruner (documented),
+    recall grows monotonically with tables, and 4 planes x 12 tables
+    clears 0.9 (measured 0.955 at sf0.001)."""
+    e = T(spark, sf_dir, "embeddings")
+    exact = _pairs(S.embedding_neardup_pairs(e, threshold=0.4), "id_a", "id_b")
+    assert exact
+    r = {}
+    for planes, tables in [(6, 1), (6, 8), (4, 12)]:
+        got = _pairs(
+            S.srp_neardup_pairs(e, n_planes=planes, threshold=0.4, n_tables=tables),
+            "id_a",
+            "id_b",
+        )
+        assert got <= exact  # bucketing can only drop, never invent
+        r[(planes, tables)] = len(got & exact) / len(exact)
+    assert r[(6, 8)] > r[(6, 1)]  # tables buy recall
+    assert r[(4, 12)] >= 0.9, f"4x12 recall = {r[(4, 12)]:.3f}"
+
+
+def test_ivf_recall_on_id_skewed_corpus(spark, sf_dir):
+    """Seeding regression (VERDICT r2 item 5): the first n_cells ids all sit
+    in ONE tight cluster — lowest-id seeding would spend every seed there
+    and leave the rest of the space unrepresented. Hash-strata seeding must
+    keep recall on this corpus at the uniform-corpus bar."""
+    import math
+
+    rows = []
+    vid = 0
+    for c in range(8):  # 8 well-separated cluster centers on coordinate axes
+        base = [0.0] * 64
+        base[c * 8] = 10.0
+        for j in range(40):  # ids 0..39 are ALL cluster 0, 40..79 cluster 1, ...
+            v = list(base)
+            v[(c * 8 + 1 + j % 7)] += 0.5 + 0.01 * j  # small within-cluster spread
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") % 40 == 3)  # one query per cluster
+    exact = _pairs(S.brute_force_topk(df, q, k=5))
+    approx = _pairs(S.ivf_topk(df, q, k=5, n_cells=16, n_probe=4))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"skewed-corpus IVF recall@5 = {recall:.3f}"
