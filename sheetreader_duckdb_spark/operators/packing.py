@@ -43,29 +43,60 @@ __all__ = ["pack_sequences"]
 
 def _ffd_pack(ids: Iterable, counts: Iterable[int], seq_len: int):
     """First-fit-decreasing over one bucket. Returns (id, local_seq, pos,
-    truncated) tuples. Pure function of the (id, count) multiset."""
+    truncated) tuples. Pure function of the (id, count) multiset.
+
+    First-fit = LOWEST-index open sequence with room, found through a max
+    segment tree over per-sequence remaining room: descend left-first into
+    any subtree whose max ≥ need. O(n log n) total instead of the naive
+    O(n × open-sequences) linear scan — a 500k-doc bucket packs in seconds
+    (pinned in tests/test_packing.py) with assignments IDENTICAL to the
+    scan (the tree returns exactly the leftmost fitting sequence).
+    """
     order = sorted(zip(ids, counts), key=lambda t: (-t[1], t[0]))
-    room: list[int] = []  # remaining tokens per open sequence
+    n_docs = len(order)
+    cap = 1
+    while cap < max(1, n_docs):
+        cap <<= 1
+    # tree[cap + s] = remaining room of sequence s (-1 = not yet opened,
+    # which never satisfies need ≥ 0); internal nodes hold subtree max.
+    tree = [-1] * (2 * cap)
+
+    def _set(pos: int, val: int) -> None:
+        i = cap + pos
+        tree[i] = val
+        i >>= 1
+        while i:
+            left, right = tree[2 * i], tree[2 * i + 1]
+            tree[i] = left if left >= right else right
+            i >>= 1
+
+    def _leftmost(need: int) -> int:
+        if tree[1] < need:
+            return -1
+        i = 1
+        while i < cap:
+            i = 2 * i if tree[2 * i] >= need else 2 * i + 1
+        return i - cap
+
     fill: list[int] = []  # docs already placed per open sequence
     out = []
     for doc_id, n in order:
         if n >= seq_len:
             # Oversized doc: its own (flagged) sequence, closed immediately
             # (room 0) so nothing else lands in it.
-            room.append(0)
             fill.append(1)
-            out.append((doc_id, len(room) - 1, 0, n > seq_len))
+            _set(len(fill) - 1, 0)
+            out.append((doc_id, len(fill) - 1, 0, n > seq_len))
             continue
-        for s in range(len(room)):
-            if room[s] >= n:
-                out.append((doc_id, s, fill[s], False))
-                room[s] -= n
-                fill[s] += 1
-                break
+        s = _leftmost(n)
+        if s >= 0:
+            out.append((doc_id, s, fill[s], False))
+            _set(s, tree[cap + s] - n)
+            fill[s] += 1
         else:
-            room.append(seq_len - n)
             fill.append(1)
-            out.append((doc_id, len(room) - 1, 0, False))
+            _set(len(fill) - 1, seq_len - n)
+            out.append((doc_id, len(fill) - 1, 0, False))
     return out
 
 
@@ -82,8 +113,9 @@ def pack_sequences(
 
     ``seq_id`` = bucket * 2^32 + local sequence index (globally unique).
     ``seq_pos`` is the doc's placement order within its sequence — the
-    downstream concat order. One shuffle; per-bucket Python is O(docs ×
-    open-sequences) over scalar pairs, never the payload.
+    downstream concat order. One shuffle; per-bucket Python is
+    O(docs × log docs) over scalar pairs (segment-tree first-fit), never
+    the payload.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")

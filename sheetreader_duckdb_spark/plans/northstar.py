@@ -509,8 +509,11 @@ def _sql_srp_code(vec_expr: str, dim: int, n_planes: int) -> str:
     "pairs. The plan shuffles on the bucket code — no "
     "BroadcastNestedLoopJoin, and candidate pairs scale as n²/2^planes: "
     "size n_planes ≈ log2(n / target_bucket) for the corpus at hand, and "
-    "recover recall with multi-table hashing (see lsh_topk / n05b). n06 is "
-    "the O(n²) exact cross-check of this query's candidate pruning.",
+    "recover recall with multi-table hashing (srp_neardup_pairs n_tables; "
+    "recall quantified in tests/test_similarity.py — planted near-dups "
+    "≥0.9 at 6 planes × 8 tables, the hard 0.4-threshold regime ≥0.9 at "
+    "4 × 12). n06 is the O(n²) exact cross-check of this query's "
+    "candidate pruning.",
 )
 def n06b_embedding_neardup_srp(spark: SparkSession, sf: str) -> DataFrame:
     return S.srp_neardup_pairs(

@@ -323,15 +323,25 @@ class SheetReaderReader(DataSourceReader):
 
         OPT-IN (``filter_pushdown=true``), off by default: Spark 4.1 caches
         the planned scan per relation and only re-plans (pushFilters →
-        partitions) when the new query carries filters. A filterless query
-        on a DataFrame whose relation previously absorbed filters REUSES the
-        filtered scan — silently missing rows. That is safe when each query
-        builds its own ``spark.read...load(...)`` chain (the normal ETL
-        shape, and what this repo's corpus does) but a footgun for
-        interactive reuse of one loaded DataFrame — hence opt-in. With the
-        option off, every filter is returned untouched and no state exists.
-        The accepted set is staged here and consumed by the next
-        partitions() call, which embeds it into this plan's partition
+        partitions) when the new query carries filters. Measured boundary
+        (pinned end-to-end in tests/test_xlsx_pushdown.py
+        test_relation_reuse_boundary_pins_the_optin_rationale):
+
+        - fresh ``spark.read...load(...)`` chains: always safe (each builds
+          its own relation — the normal ETL shape, and this repo's corpus);
+        - distinct filter predicates on ONE loaded DataFrame: safe (every
+          filtered query calls pushFilters and re-plans);
+        - a FILTERLESS query on a DataFrame whose relation previously
+          absorbed filters: REUSES the filtered scan — silently missing
+          rows. This is the sole unsafe shape, it cannot be detected from
+          inside the source (Spark gives no callback on a filterless
+          re-use), and it is why the default stays off. The pinned test
+          flips the moment a Spark upgrade re-plans that case — the signal
+          that the default can flip to on.
+
+        With the option off, every filter is returned untouched and no
+        state exists. The accepted set is staged here and consumed by the
+        next partitions() call, which embeds it into this plan's partition
         objects; read() takes filters from the partition, never the reader."""
         # A planned-but-unexecuted query can leave a staged set behind
         # (pushFilters ran, partitions() never did). Reset on every push so

@@ -137,3 +137,70 @@ def test_rejects_bad_seq_len(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     with pytest.raises(ValueError):
         pack_sequences(d, "doc_id", "n_chars", 0)
+
+
+# -- segment-tree first-fit: exactness + big-bucket scalability --------------
+
+
+def _ffd_reference(ids, counts, seq_len):
+    """The naive O(n x open-seqs) linear-scan first-fit — kept here as the
+    semantic reference the segment-tree implementation must match exactly."""
+    order = sorted(zip(ids, counts), key=lambda t: (-t[1], t[0]))
+    room, fill, out = [], [], []
+    for doc_id, n in order:
+        if n >= seq_len:
+            room.append(0)
+            fill.append(1)
+            out.append((doc_id, len(room) - 1, 0, n > seq_len))
+            continue
+        for s in range(len(room)):
+            if room[s] >= n:
+                out.append((doc_id, s, fill[s], False))
+                room[s] -= n
+                fill[s] += 1
+                break
+        else:
+            room.append(seq_len - n)
+            fill.append(1)
+            out.append((doc_id, len(room) - 1, 0, False))
+    return out
+
+
+def test_ffd_segment_tree_matches_linear_scan():
+    import random
+
+    from sheetreader_duckdb_spark.operators.packing import _ffd_pack
+
+    rng = random.Random(7)
+    for trial in range(20):
+        n = rng.randrange(1, 400)
+        seq_len = rng.choice([64, 256, 2048])
+        ids = list(range(n))
+        counts = [rng.randrange(0, seq_len + seq_len // 4) for _ in range(n)]
+        assert _ffd_pack(ids, counts, seq_len) == _ffd_reference(ids, counts, seq_len)
+
+
+def test_ffd_500k_bucket_packs_in_seconds():
+    """VERDICT r2 item 8: a 500k-doc bucket (the top of the recommended
+    per-bucket range) must pack in seconds, not minutes — the naive scan
+    is quadratic when most docs open fresh sequences."""
+    import random
+    import time
+
+    from sheetreader_duckdb_spark.operators.packing import _ffd_pack
+
+    rng = random.Random(11)
+    n = 500_000
+    ids = list(range(n))
+    counts = [rng.randrange(200, 1800) for _ in range(n)]
+    t0 = time.perf_counter()
+    placed = _ffd_pack(ids, counts, 2048)
+    dt = time.perf_counter() - t0
+    assert len(placed) == n
+    # validity: per-sequence fill within capacity
+    fill = {}
+    for doc_id, s, pos, trunc in placed:
+        fill[s] = fill.get(s, 0) + counts[doc_id]
+        assert not trunc
+    assert all(v <= 2048 for v in fill.values())
+    assert dt < 60, f"500k-doc FFD took {dt:.1f}s"

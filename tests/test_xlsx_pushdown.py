@@ -120,3 +120,31 @@ def test_default_no_leak_on_dataframe_reuse(fixture_xlsx, spark):
     assert df.count() == N_ROWS + 1
     assert df.filter(F.col("qty") > 90.0).count() == 9
     assert df.count() == N_ROWS + 1  # unchanged — no scan-state leak
+
+
+def test_relation_reuse_boundary_pins_the_optin_rationale(fixture_xlsx, spark):
+    """VERDICT r2 item 6: the exact boundary of the Spark 4.1 relation-reuse
+    footgun, measured end-to-end. With pushdown ON and ONE loaded DataFrame:
+
+    - distinct filter predicates re-plan correctly (each calls pushFilters);
+    - a FILTERLESS query after a filtered one reuses the filtered scan and
+      silently returns the filtered row set — which is why the option stays
+      opt-in (default off is tested below to never do this).
+
+    If a Spark upgrade makes the filterless reuse return all rows, the
+    second assertion here fails — the signal to flip the default on.
+    """
+    df = _load(spark, fixture_xlsx, pushdown=True)
+    assert df.filter(F.col("qty") >= 95.0).count() == 5  # pred 1
+    assert df.filter(F.col("qty") < 5.0).count() == 5    # pred 2: re-planned
+    # The footgun: filterless reuse of the same DataFrame after a filtered
+    # query does NOT re-plan — it reuses pred 2's filtered scan.
+    assert df.count() == 5  # would be N_ROWS + 1 if Spark re-planned
+
+    # Fresh read chains are always safe (each builds its own relation).
+    assert _load(spark, fixture_xlsx, pushdown=True).count() == N_ROWS + 1
+
+    # Default (off): filtered then filterless reuse returns every row.
+    df_off = _load(spark, fixture_xlsx, pushdown=False)
+    assert df_off.filter(F.col("qty") >= 95.0).count() == 5
+    assert df_off.count() == N_ROWS + 1
