@@ -108,6 +108,34 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
+    # Standalone operator timings for the training-data write path, so the
+    # per-round record shows them individually (h02b above times the whole
+    # tagged bundle): FFD packing of documents into 2048-token windows, and
+    # the deterministic 8-shard export (a real parquet write, not noop —
+    # the write IS the operator).
+    from sheetreader_duckdb_spark.operators.export import export_shards
+    from sheetreader_duckdb_spark.operators.packing import pack_sequences
+    from sheetreader_duckdb_spark.plans.relational import T
+
+    docs = T(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    packed = pack_sequences(docs, "doc_id", "n_chars", seq_len=2048, n_buckets=8)
+    packed.write.mode("overwrite").format("noop").save()  # warmup
+    for _pass in range(2):
+        t0 = time.perf_counter()
+        packed.write.mode("overwrite").format("noop").save()
+        dt = round(time.perf_counter() - t0, 3)
+        if "pack_documents" not in timings or dt < timings["pack_documents"]:
+            timings["pack_documents"] = dt
+
+    export_dir = "/tmp/sheetreader_bench_export"
+    export_shards(docs, "doc_id", 8, export_dir, seed="bench")  # warmup
+    for _pass in range(2):
+        t0 = time.perf_counter()
+        export_shards(docs, "doc_id", 8, export_dir, seed="bench")
+        dt = round(time.perf_counter() - t0, 3)
+        if "export_documents" not in timings or dt < timings["export_documents"]:
+            timings["export_documents"] = dt
+
     # Dedicated XLSX scan measurement, directly comparable to BASELINE.md
     # "lineitem XLSX load time" — warm run, same methodology as above.
     from sheetreader_duckdb_spark import register

@@ -23,22 +23,28 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from sheetreader_duckdb_spark.functions import cents
 
-# events.parquet stores timestamp[ns]; under nanosAsLong the parquet reader
-# surfaces it as long (see tables.T) — streaming reads need the same schema.
-RAW_EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _raw_events_schema(ts_is_long: bool) -> StructType:
+    """A streaming read needs an explicit schema (no file listing at plan
+    time). ``ts`` is LongType when the parquet stores TIMESTAMP(NANOS) —
+    surfaced as raw int64 nanos under ``nanosAsLong`` — and TimestampType
+    for µs/ms-typed files, which Spark reads natively."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_long else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
 
 _STAGE_ROOT = "/tmp/sheetreader_stream_stage"
 
@@ -56,17 +62,52 @@ def stage_events_dir(sf_dir: str) -> str:
     return out
 
 
+def events_ts_is_long(path_or_dir: str) -> bool:
+    """True when the events parquet physically stores ts as int64/ns (read
+    as long under ``nanosAsLong``); False for µs/ms timestamp columns, which
+    Spark reads as a native timestamp. One footer read — resolved at plan
+    time from the file, never assumed, so the same code runs against either
+    generation of the testdata fixtures."""
+    import pyarrow.parquet as pq
+
+    p = path_or_dir
+    if os.path.isdir(p):
+        p = os.path.join(p, "events.parquet")
+    t = str(pq.read_schema(p).field("ts").type)
+    return t in ("timestamp[ns]", "int64")
+
+
+def normalize_ts(df: DataFrame, ts_is_long: bool) -> DataFrame:
+    """ns-long → µs timestamp with integer division (double math loses
+    precision at 1e18 ns; truncation matches DuckDB's ns→µs narrowing).
+    Native-timestamp inputs pass through unchanged."""
+    if ts_is_long:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-arrival stream of events with a proper event-time ts column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(RAW_EVENTS_SCHEMA)
+    stage = stage_events_dir(sf_dir)
+    ts_long = events_ts_is_long(stage)
+    reader = spark.readStream.schema(_raw_events_schema(ts_long))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(stage_events_dir(sf_dir))
-    # ns → µs with integer division; double math loses precision at 1e18.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(reader.parquet(stage), ts_long)
+
+
+def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the staged stream input — same staging dir, same
+    schema resolution, same ts normalization as ``read_events_stream``; the
+    batch run over this frame is the oracle for the streaming run."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = stage_events_dir(sf_dir)
+    ts_long = events_ts_is_long(stage)
+    df = spark.read.schema(_raw_events_schema(ts_long)).parquet(stage)
+    return normalize_ts(df, ts_long)
 
 
 def _with_watermark(events: DataFrame, watermark: str | None) -> DataFrame:

@@ -26,10 +26,14 @@ BROADCASTABLE = {"region", "nation"}
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Parquet scan → columnar, pruned, pushdown-capable.
 
-    ``events.ts`` is stored as timestamp[ns], which Spark reads as long (nanos)
-    under ``spark.sql.legacy.parquet.nanosAsLong``. Convert to a microsecond
-    timestamp with integer division (``div``) — double math would lose
-    precision at 1e18 ns, and truncation matches DuckDB's ns→µs narrowing.
+    ``events.ts`` has shipped as both timestamp[ns] and timestamp[us] across
+    testdata generations. ns-typed files surface as long (nanos) under
+    ``spark.sql.legacy.parquet.nanosAsLong`` — convert to a microsecond
+    timestamp with integer division (``div``; double math would lose
+    precision at 1e18 ns, and truncation matches DuckDB's ns→µs narrowing).
+    µs-typed files read as a native timestamp and pass through unchanged.
+    The streaming side resolves the same choice from the parquet footer
+    (streaming/events.py events_ts_is_long).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

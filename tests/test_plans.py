@@ -24,6 +24,11 @@ BNL_OK = {
     "n17_tf_idf",  # crossJoin of a 1-row in-plan total
     "h12c_global_ntile",  # crossJoin of the 1-row total; offsets are 32 rows
     "n05_ann_bruteforce_topk",  # exact baseline: broadcast queries vs corpus
+    # q8 branch: the int8 coarse stage is by design a full-corpus streaming
+    # scan against the tiny broadcast query set (4x less bandwidth than
+    # n05's float scan); the 'lsh'/'ivf' branches in the same union stay
+    # equi-join. Corpus side never shuffles.
+    "n05b_ann_lsh_topk",
 }
 
 # Queries that are not plain batch plans (streaming execution) or that read
@@ -46,7 +51,11 @@ def plans(spark, sf_dir):
 def test_no_unintended_nested_loop_join(name, plans):
     plan = plans[name]
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
-    if name not in BNL_OK:
+    if name == "n05b_ann_lsh_topk":
+        # Exactly ONE: q8's coarse scan. A second would mean the lsh/ivf
+        # branches regressed from their equi-joins.
+        assert plan.count("BroadcastNestedLoopJoin") == 1, f"{name}: BNL count"
+    elif name not in BNL_OK:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNL join"
 
 

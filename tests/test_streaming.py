@@ -66,10 +66,8 @@ def test_xlsx_stream_incremental_arrival(spark, watch_dir, tmp_path):
 def test_streaming_operators_equal_batch_replay(spark, sf_dir, tmp_path):
     """tumbling_counts is ONE function for batch and streaming inputs; the
     streaming run over the staged events must equal the batch run."""
-    # Batch side: same parquet, same ts conversion as the stream.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(SE.RAW_EVENTS_SCHEMA).parquet(SE.stage_events_dir(sf_dir))
-    batch_df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Batch side: same staged parquet, same schema/ts resolution as the stream.
+    batch_df = SE.read_events_batch(spark, sf_dir)
     expected = {
         (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
         for r in SE.tumbling_counts(batch_df).collect()
@@ -96,11 +94,7 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir):
             SE.enrich_events(df, dim).withColumnRenamed("c_mktsegment", "event_type")
         )
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(SE.RAW_EVENTS_SCHEMA).parquet(SE.stage_events_dir(sf_dir))
-    batch_df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).drop(
-        "event_type"
-    )
+    batch_df = SE.read_events_batch(spark, sf_dir).drop("event_type")
     expected = {tuple(r) for r in agg(batch_df).collect()}
 
     stream = SE.read_events_stream(spark, sf_dir).drop("event_type")
@@ -123,20 +117,18 @@ def test_streaming_dedup_at_least_once_to_exactly_once(spark, sf_dir, tmp_path):
     shutil.copy(src, dup_dir / "arrival1.parquet")
     shutil.copy(src, dup_dir / "arrival2.parquet")
 
-    stream = (
-        spark.readStream.schema(SE.RAW_EVENTS_SCHEMA)
-        .parquet(str(dup_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_long = SE.events_ts_is_long(src)
+    schema = SE._raw_events_schema(ts_long)
+    stream = SE.normalize_ts(
+        spark.readStream.schema(schema).parquet(str(dup_dir)), ts_long
     )
     deduped = SE.dedup_events(stream)
     counted = deduped.groupBy().agg(F.count(F.lit(1)).alias("n"))
     result = SE.run_available_now(counted, output_mode="complete")
     [row] = result.collect()
 
-    batch = (
-        spark.read.schema(SE.RAW_EVENTS_SCHEMA)
-        .parquet(str(dup_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = SE.normalize_ts(
+        spark.read.schema(schema).parquet(str(dup_dir)), ts_long
     )
     n_distinct = SE.dedup_events(batch).count()
     n_total = batch.count()
@@ -148,12 +140,12 @@ def test_stateful_totals_multi_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState accumulates across microbatches: split events
     into two files, force one file per trigger, and check the final state
     equals the single-batch totals."""
-    src = SE.stage_events_dir(sf_dir)
     multi = str(tmp_path / "events_multi")
     os.makedirs(multi)
-    # Two arrival files with disjoint halves of the data.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(SE.RAW_EVENTS_SCHEMA).parquet(src)
+    # Two arrival files with disjoint halves of the data; read_events_batch
+    # already normalized ts to a native timestamp, so the rewritten halves
+    # stream back with a TimestampType schema and no further conversion.
+    raw = SE.read_events_batch(spark, sf_dir)
     raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(multi + "/h0")
     raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(multi + "/h1")
     flat = str(tmp_path / "arrive")
@@ -167,10 +159,9 @@ def test_stateful_totals_multi_batch(spark, sf_dir, tmp_path):
     assert i == 2
 
     stream = (
-        spark.readStream.schema(SE.RAW_EVENTS_SCHEMA)
+        spark.readStream.schema(SE._raw_events_schema(ts_is_long=False))
         .option("maxFilesPerTrigger", "1")
         .parquet(flat)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     result = SE.run_available_now(SE.user_running_totals(stream), output_mode="update")
     # update-mode memory sink appends each batch's updates; n_events is
@@ -181,10 +172,9 @@ def test_stateful_totals_multi_batch(spark, sf_dir, tmp_path):
         if cur is None or r["n_events"] > cur[0]:
             last[r["user_id"]] = (r["n_events"], r["total_value"])
 
-    batch_df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     expected = {
         r["user_id"]: (r["n_events"], r["total_value"])
-        for r in batch_df.groupBy("user_id")
+        for r in raw.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
