@@ -200,6 +200,22 @@ def _srp_plane(p: int, dim: int) -> list[float]:
     return out
 
 
+def auto_srp_planes(n: int, target_bucket: int = 8, lo: int = 6, hi: int = 16) -> int:
+    """Plane count sized to the corpus: n_planes ≈ log2(n / target_bucket)
+    keeps expected bucket population ≈ target_bucket, so in-bucket candidate
+    pairs stay ~n·target/2 instead of exploding as n²/2^planes when a fixed
+    plane count meets a 10×-bigger corpus (measured: the fixed-6-plane
+    near-dup query went 36 s at a 20k-vector sf1 while every neighbor query
+    stayed seconds — buckets averaged 300+ vectors). Clamped to [lo, hi];
+    the lo=6 floor reproduces the declared 6-plane bucketing at the 500-
+    vector correctness scale, which the SQL oracle mirrors literally."""
+    import math
+
+    if n <= 0:
+        return lo
+    return min(hi, max(lo, round(math.log2(max(1.0, n / target_bucket)))))
+
+
 def srp_planes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
     """The ±1 hyperplanes of one hash table. ``table`` offsets the plane
     seeds so independent tables get independent planes; table 0 preserves

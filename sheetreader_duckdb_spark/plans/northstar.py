@@ -504,11 +504,13 @@ def _sql_srp_code(vec_expr: str, dim: int, n_planes: int) -> str:
     FROM a JOIN b USING (code)
     WHERE id_a < id_b AND {_SQL_COSINE} >= 0.4
     """,
-    doc="Production embedding near-dup (N3): SRP-bucket equi-join (6 "
-    "deterministic planes = 64 buckets) + exact cosine ≥ 0.4 on in-bucket "
-    "pairs. The plan shuffles on the bucket code — no "
+    doc="Production embedding near-dup (N3): SRP-bucket equi-join + exact "
+    "cosine ≥ 0.4 on in-bucket pairs. The plane count is auto-sized to the "
+    "corpus (auto_srp_planes: ≈log2(n/8), floored at the 6 planes the "
+    "literal-plane oracle reproduces at the 500-vector correctness sfs). "
+    "The plan shuffles on the bucket code — no "
     "BroadcastNestedLoopJoin, and candidate pairs scale as n²/2^planes: "
-    "size n_planes ≈ log2(n / target_bucket) for the corpus at hand, and "
+    "n_planes ≈ log2(n / target_bucket) keeps bucket population flat, and "
     "recover recall with multi-table hashing (srp_neardup_pairs n_tables; "
     "recall quantified in tests/test_similarity.py — planted near-dups "
     "≥0.9 at 6 planes × 8 tables, the hard 0.4-threshold regime ≥0.9 at "
@@ -516,9 +518,15 @@ def _sql_srp_code(vec_expr: str, dim: int, n_planes: int) -> str:
     "candidate pruning.",
 )
 def n06b_embedding_neardup_srp(spark: SparkSession, sf: str) -> DataFrame:
-    return S.srp_neardup_pairs(
-        T(spark, sf, "embeddings"), dim=64, n_planes=6, threshold=0.4
-    )
+    e = T(spark, sf, "embeddings")
+    # Size the bucketing to the corpus (metadata-speed count-star): the
+    # auto rule floors at the declared 6 planes, which is exactly what the
+    # literal-plane oracle reproduces at the 500-vector correctness sfs;
+    # bigger corpora get more planes so expected bucket population — and
+    # with it the in-bucket pair volume — stays constant instead of
+    # growing linearly with n.
+    n_planes = S.auto_srp_planes(e.count(), target_bucket=8, lo=6)
+    return S.srp_neardup_pairs(e, dim=64, n_planes=n_planes, threshold=0.4)
 
 
 # --------------------------------------------------------------------------

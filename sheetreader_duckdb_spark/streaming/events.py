@@ -209,6 +209,47 @@ def enrich_events(
     return events.join(F.broadcast(dim), on, how)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    lower: str = "10 minutes",
+    upper: str = "10 minutes",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right events
+    for the same key whose ``ts`` lies in ``[left.ts - lower, left.ts +
+    upper]`` — the correlation join of event pipelines (click ↔ impression,
+    request ↔ response).
+
+    Streaming state stays bounded because BOTH requirements Spark needs are
+    in the plan: each side carries an event-time watermark, and the join
+    condition bounds the two event times against each other — so either
+    side's buffered rows are dropped once the other side's watermark passes
+    their interval. State ≈ (watermark horizon + interval width) × arrival
+    rate per side, independent of stream lifetime. The key equality makes
+    it a state-store hash join on ``on`` — both sides shuffle once on the
+    key, never a cross product.
+
+    The same call on two batch frames is a plain range-predicate equi-join
+    (the watermarks are no-ops), which is what the replay oracle compares.
+    Right-side columns come back suffixed ``_r`` (both inputs share the
+    events schema; Spark requires unambiguous names post-join).
+    """
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, f"{c}_r")
+    lw = _with_watermark(left, watermark)
+    rw = r.withWatermark("ts_r", watermark) if r.isStreaming and watermark else r
+    cond = (
+        (F.col(on) == F.col(f"{on}_r"))
+        & (F.col("ts_r") >= F.col("ts") - F.expr(f"INTERVAL {lower}"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 # -- custom stateful operator (applyInPandasWithState) ----------------------
 _STATE_OUT_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total_cents long"

@@ -124,6 +124,21 @@ def test_quantize_zero_vector(spark):
     assert row["inv_scale"] == 0.0
 
 
+def test_auto_srp_planes_rule():
+    """The plane count the declared n06b derives from the corpus size:
+    floored at 6 (the literal-plane oracle's config) for every corpus up
+    to the correctness-sf sizes, growing ~log2(n/8) after so expected
+    bucket population stays flat, capped at 16 (long bucket codes)."""
+    assert S.auto_srp_planes(0) == 6
+    assert S.auto_srp_planes(500) == 6  # sf0.001/sf0.01 — must match oracle
+    assert S.auto_srp_planes(2000) == 8  # sf0.1
+    assert S.auto_srp_planes(20000) == 11  # 10x sf0.1
+    assert S.auto_srp_planes(10**9) == 16
+    # Monotone: a bigger corpus never gets fewer planes.
+    vals = [S.auto_srp_planes(n) for n in range(1, 200000, 997)]
+    assert vals == sorted(vals)
+
+
 def test_srp_neardup_plan_has_no_cartesian(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     plan = S.srp_neardup_pairs(e)._jdf.queryExecution().executedPlan().toString()

@@ -107,6 +107,50 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """interval_join (watermarked stream-stream join) on two event streams
+    must equal the same range-predicate join on the batch replay, and the
+    streaming plan must carry both state-bounding requirements (per-side
+    watermarks + a time-range condition → StreamingSymmetricHashJoin on the
+    key, not a cross product)."""
+
+    def pair(df):
+        clicks = df.filter(F.col("event_type") == "click").select("user_id", "ts")
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        j = SE.interval_join(
+            clicks, purchases, on="user_id", lower="0 seconds", upper="30 minutes"
+        )
+        return j.select("user_id", "ts", "ts_r", "value_r")
+
+    batch_df = SE.read_events_batch(spark, sf_dir)
+    expected = sorted(tuple(r) for r in pair(batch_df).collect())
+    assert expected, "fixture yields no click->purchase pairs; test is vacuous"
+
+    stream = SE.read_events_stream(spark, sf_dir)
+    got = sorted(
+        tuple(r)
+        for r in SE.run_available_now(pair(stream), output_mode="append").collect()
+    )
+    assert got == expected
+
+    splan = pair(stream)
+    q = (
+        splan.writeStream.format("memory")
+        .queryName("ivj_plan_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = q.lastProgress
+    assert last is not None and any(
+        "symmetricHashJoin" in (op.get("operatorName") or "")
+        for op in last.get("stateOperators", [])
+    ), f"expected a stateful symmetric hash join, got {last.get('stateOperators')}"
+
+
 def test_streaming_dedup_at_least_once_to_exactly_once(spark, sf_dir, tmp_path):
     """The same events file arriving twice (at-least-once delivery) must
     produce each event exactly once after dedup_events; batch form of the
