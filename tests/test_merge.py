@@ -1,0 +1,122 @@
+"""Keyed MERGE into a sharded parquet table (operators/merge.py): upsert /
+delete semantics, batch-proportional touch set, byte-stable equivalence to
+a fresh export of the merged dataset, and crash-free no-op re-merges."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from sheetreader_duckdb_spark.operators.export import export_shards
+from sheetreader_duckdb_spark.operators.merge import merge_into_shards, read_shards
+from sheetreader_duckdb_spark.tables import T
+
+N_SHARDS = 8
+SEED = "mrg"
+
+
+def _table(spark, sf_dir, tmp, subdir):
+    path = os.path.join(tmp, subdir)
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    export_shards(d, "doc_id", N_SHARDS, path, seed=SEED)
+    return path
+
+
+def _shard_files(path):
+    """{shard dir -> (file bytes, mtime_ns)} for the single part file."""
+    out = {}
+    for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        parts = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        assert len(parts) == 1, f"expected one part file in {d}"
+        st = os.stat(parts[0])
+        with open(parts[0], "rb") as f:
+            out[os.path.basename(d)] = (f.read(), st.st_mtime_ns)
+    return out
+
+
+def test_merge_upsert_insert_delete_semantics(spark, sf_dir, tmp_path):
+    path = _table(spark, sf_dir, str(tmp_path), "t")
+    src = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ids = [r[0] for r in src.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    upd, dele, ins = ids[0], ids[1], 10_000_001
+    changes = spark.createDataFrame(
+        [
+            (upd, "patched", 1, False),
+            (dele, "gone", 0, True),
+            (ins, "new", 7, False),
+        ],
+        "doc_id long, source string, n_chars long, is_delete boolean",
+    )
+    touched = merge_into_shards(
+        spark, changes, "doc_id", path, N_SHARDS, seed=SEED, delete_col="is_delete"
+    )
+    assert touched == sorted(touched) and len(touched) <= 3
+
+    back = read_shards(spark, path)
+    assert back.filter(F.col("doc_id") == upd).collect()[0]["source"] == "patched"
+    assert back.filter(F.col("doc_id") == dele).count() == 0
+    assert back.filter(F.col("doc_id") == ins).count() == 1
+    assert back.count() == src.count()  # -1 delete +1 insert
+
+
+def test_merge_equals_fresh_export_bytewise(spark, sf_dir, tmp_path):
+    """A merged table must be indistinguishable from a fresh export of the
+    merged dataset — same shard membership, same within-file order, same
+    bytes — so downstream training jobs can't tell history from state."""
+    path = _table(spark, sf_dir, str(tmp_path), "m")
+    src = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ids = [r[0] for r in src.select("doc_id").orderBy("doc_id").limit(4).collect()]
+    changes = spark.createDataFrame(
+        [(i, "v2", 42) for i in ids[:2]] + [(10_000_002, "fresh", 5)],
+        "doc_id long, source string, n_chars long",
+    )
+    merge_into_shards(spark, changes, "doc_id", path, N_SHARDS, seed=SEED)
+
+    merged_df = src.join(
+        changes.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(changes)
+    fresh = os.path.join(str(tmp_path), "fresh")
+    export_shards(merged_df, "doc_id", N_SHARDS, fresh, seed=SEED)
+
+    got = {k: v[0] for k, v in _shard_files(path).items()}
+    want = {k: v[0] for k, v in _shard_files(fresh).items()}
+    assert got == want
+
+
+def test_merge_touches_only_affected_shards(spark, sf_dir, tmp_path):
+    path = _table(spark, sf_dir, str(tmp_path), "u")
+    before = _shard_files(path)
+    src = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    one = src.orderBy("doc_id").limit(1).withColumn("source", F.lit("touched"))
+    touched = merge_into_shards(spark, one, "doc_id", path, N_SHARDS, seed=SEED)
+    assert len(touched) == 1
+    after = _shard_files(path)
+    for name, (data, mtime) in after.items():
+        if name == f"shard={touched[0]}":
+            assert data != before[name][0]
+        else:  # untouched shards keep their exact file, not even rewritten
+            assert (data, mtime) == before[name]
+
+
+def test_remerge_same_batch_is_byte_stable(spark, sf_dir, tmp_path):
+    path = _table(spark, sf_dir, str(tmp_path), "r")
+    src = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    batch = src.orderBy("doc_id").limit(5).withColumn("n_chars", F.lit(9))
+    merge_into_shards(spark, batch, "doc_id", path, N_SHARDS, seed=SEED)
+    first = {k: v[0] for k, v in _shard_files(path).items()}
+    merge_into_shards(spark, batch, "doc_id", path, N_SHARDS, seed=SEED)
+    second = {k: v[0] for k, v in _shard_files(path).items()}
+    assert first == second
+
+
+def test_merge_into_empty_table_dir(spark, sf_dir, tmp_path):
+    """First batch into a brand-new table: every row is an insert."""
+    path = str(tmp_path / "empty")
+    os.makedirs(path)
+    batch = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "doc_id long, source string, n_chars long"
+    )
+    merge_into_shards(spark, batch, "doc_id", path, N_SHARDS, seed=SEED)
+    assert read_shards(spark, path).count() == 2
