@@ -483,6 +483,13 @@ def h09_grouping_ops(spark: SparkSession, sf: str) -> DataFrame:
            (SELECT CAST(SUM(n_chars) AS DOUBLE) FROM documents)
     UNION ALL
     SELECT 'packing', 'overfull', 0, CAST(NULL AS DOUBLE)
+    UNION ALL
+    SELECT 'merge', 'docs',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           (SELECT CAST(SUM(n_chars) AS DOUBLE) FROM documents)
+           - (SELECT CAST(SUM(n_chars) AS DOUBLE) FROM
+              (SELECT n_chars FROM documents ORDER BY doc_id LIMIT 5))
+           + 150.0
     """.format(
         money=sql_money_sum("o_totalprice"), money_o=sql_money_sum("o.o_totalprice")
     ),
@@ -505,7 +512,13 @@ def h09_grouping_ops(spark: SparkSession, sf: str) -> DataFrame:
     "proves every doc packed exactly once with its token count intact, "
     "'overfull' pins zero non-truncated sequences over capacity, a "
     "literal-oracle invariant; occupancy/determinism in "
-    "tests/test_packing.py).",
+    "tests/test_packing.py); 'merge' = keyed MERGE into the shard layout "
+    "(operators/merge.py): patch the 3 lowest doc_ids to n_chars=42, "
+    "delete the next 2, insert 2 new docs (11+13 chars), then read the "
+    "merged table back — count is unchanged (-2+2) and the n_chars total "
+    "moves by exactly the SQL-computed delta, proving replaced rows "
+    "vanished, deletes removed, inserts landed (byte-identity to a fresh "
+    "export of the merged set in tests/test_merge.py).",
 )
 def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
     import os
@@ -593,6 +606,36 @@ def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
         nil_d,
     )
 
+    # 'merge' — keyed MERGE into a sharded copy of documents: patch the 3
+    # lowest ids, delete the next 2, insert 2 new docs; the read-back
+    # totals must land exactly on the SQL-computed delta. The 5-id collect
+    # is bounded prep (LIMIT 5), mirrored literally by the oracle's
+    # ORDER BY doc_id LIMIT 5.
+    from sheetreader_duckdb_spark.operators.merge import (
+        merge_into_shards,
+        read_shards,
+    )
+
+    mt = f"{base}/merge_tbl"
+    export_shards(docs, "doc_id", 8, mt, seed="export")
+    low5 = [r[0] for r in docs.orderBy("doc_id").limit(5).collect()]
+    changes = spark.createDataFrame(
+        [(low5[0], 42, False), (low5[1], 42, False), (low5[2], 42, False),
+         (low5[3], 0, True), (low5[4], 0, True),
+         (9_000_001, 11, False), (9_000_002, 13, False)],
+        "doc_id long, n_chars long, is_delete boolean",
+    )
+    merge_into_shards(
+        spark, changes, "doc_id", mt, 8, seed="export", delete_col="is_delete"
+    )
+    merge_row = one_row(
+        read_shards(spark, mt),
+        "merge",
+        "docs",
+        F.count(F.lit(1)),
+        F.sum("n_chars").cast("double"),
+    )
+
     return (
         ctas.unionAll(export_rows)
         .unionAll(export_shards_row)
@@ -600,6 +643,7 @@ def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(bucketed)
         .unionAll(packing_docs)
         .unionAll(packing_overfull)
+        .unionAll(merge_row)
     )
 
 
