@@ -48,14 +48,50 @@ def n14_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events CROSS JOIN panes
     GROUP BY 1, 2
+    UNION ALL
+    SELECT date_trunc('hour', c.ts) AS window_start,
+           'click_purchase_pair' AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY 1
     """,
     doc="Structured Streaming sliding windows (1h window, 15m slide): every "
     "event lands in 4 panes; oracle replays the pane assignment with "
-    "time_bucket arithmetic (N6).",
+    "time_bucket arithmetic (N6). The 'click_purchase_pair' branch is a "
+    "STREAM-STREAM interval join (streaming/events.py interval_join: "
+    "per-side watermarks + time-range condition → state-bounded symmetric "
+    "hash join on user_id): click events paired with same-user purchases "
+    "within 30 minutes, run to completion in append mode (inner matches "
+    "emit exactly once under AvailableNow replay), then shaped to hourly "
+    "counts batch-side; the oracle replays the join as a SQL range "
+    "predicate.",
 )
 def n14b_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
     stream = SE.read_events_stream(spark, sf)
-    return SE.run_available_now(SE.sliding_counts(stream), output_mode="complete")
+    slide = SE.run_available_now(SE.sliding_counts(stream), output_mode="complete")
+    clicks = stream.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    pairs = SE.run_available_now(
+        SE.interval_join(
+            clicks, purchases, on="user_id", lower="0 seconds", upper="30 minutes"
+        ),
+        output_mode="append",
+    )
+    ivj = (
+        pairs.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "window_start",
+            F.lit("click_purchase_pair").alias("event_type"),
+            "n_events",
+        )
+    )
+    return slide.select("window_start", "event_type", "n_events").unionAll(ivj)
 
 
 @query(
