@@ -132,6 +132,54 @@ def repetition_signals(df, id_col: str, text_col: str, n: int = 2):
     )
 
 
+# -- document chunking (fixed windows with overlap) --------------------------
+#
+# Long documents are split into fixed-size overlapping windows before
+# embedding or training (context budget; retrieval granularity). The window
+# plan is a pure function of (size, stride, doc length): offsets 0, stride,
+# 2·stride, … with n_chunks = max(1, ceil((len - overlap) / stride)), so the
+# final window starts before ``len`` and windows cover the whole document.
+# Scan-speed sequence+explode — zero shuffles, and every output (offsets,
+# lengths, multiplicity) is exact integer arithmetic, oracle-checkable.
+
+def chunk_documents(
+    df, id_col: str, text_col: str, size: int = 500, stride: int = 400
+):
+    """Explode each document into overlapping character windows.
+
+    Returns every input column except ``text_col`` (the chunk replaces the
+    full payload) plus (chunk_ord, chunk_start, chunk_text, n_chunk_chars);
+    a document no longer than ``size`` yields exactly one chunk. ``stride``
+    must be in (0, size] — ``size - stride`` is the overlap carried between
+    consecutive chunks. Token-based chunking is the same plan over a
+    token-count column with substring replaced by array slicing.
+    """
+    from pyspark.sql import DataFrame  # local: keep module import surface flat
+
+    assert isinstance(df, DataFrame)
+    if not 0 < stride <= size:
+        raise ValueError(f"stride must be in (0, size], got {stride} vs {size}")
+    overlap = size - stride
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.length(F.col(text_col)) - overlap) / F.lit(stride))
+    ).cast("int")
+    carried = [c for c in df.columns if c != text_col]
+    chunked = df.select(
+        *carried,
+        F.col(text_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_ord"),
+    )
+    start = F.col("chunk_ord") * stride
+    text = F.substring(F.col(text_col), start + 1, size)
+    return chunked.select(
+        *carried,
+        "chunk_ord",
+        start.alias("chunk_start"),
+        text.alias("chunk_text"),
+        F.length(text).alias("n_chunk_chars"),
+    )
+
+
 # -- PII scrubbing (pre-training text hygiene) -------------------------------
 #
 # Mask personally-identifying spans with stable placeholder tokens before a

@@ -705,6 +705,18 @@ _REP_THRESHOLD = 0.1  # dup_gram_frac cut — flags ~20% of the synthetic corpus
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(SUM(doc_id) AS BIGINT)
     FROM rep WHERE dup_gram_frac >= {_REP_THRESHOLD}
+    UNION ALL
+    SELECT 'chunk', source, CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(SUM(len(substring(text, ord * 400 + 1, 500))) AS BIGINT),
+           CAST(SUM(doc_id + ord) AS BIGINT)
+    FROM (
+        SELECT doc_id, source, text, unnest(range(
+                   GREATEST(1, CAST(CEIL((length(text) - 100) / 400.0) AS BIGINT))
+               )) AS ord
+        FROM documents
+    )
+    GROUP BY source
     """.format(
         sample_pred=SM.sample_predicate_sql("doc_id", 0.25, seed="dev"),
         mix_pred=" OR ".join(
@@ -722,7 +734,12 @@ _REP_THRESHOLD = 0.1  # dup_gram_frac cut — flags ~20% of the synthetic corpus
     "'mix' = weighted source mixture (src0 100% / src1 50% / src2 25% / "
     "src3 10%, zero shuffle); 'rep' = membership of the Gopher "
     "duplicate-2-gram filter (dup_gram_frac ≥ 0.1, operators/text.py "
-    "repetition_signals). id_sum pins exact membership of every keep-set.",
+    "repetition_signals); 'chunk' = fixed-window document chunking "
+    "(operators/text.py chunk_documents, 500-char windows / stride 400, "
+    "zero-shuffle sequence+explode) — chars sums every chunk's actual "
+    "substring length and id_sum folds in chunk ordinals, pinning window "
+    "offsets, coverage, and per-doc multiplicity. id_sum pins exact "
+    "membership of every keep-set.",
 )
 def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     from sheetreader_duckdb_spark.operators.skew import salted_agg
@@ -806,9 +823,37 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         "rep",
         False,
     )
+    # 'chunk' — fixed 500-char windows, stride 400 (operators/text.py
+    # chunk_documents): n_docs counts chunks, chars sums the actual chunk
+    # lengths (overlap included — pins the substring windows exactly),
+    # id_sum adds chunk_ord so the per-doc multiplicity AND ordinal set
+    # are both pinned.
+    nil_l = F.lit(None).cast("long")
+    chunk_b = (
+        X.chunk_documents(
+            d.select("doc_id", "source", "text"), "doc_id", "text",
+            size=500, stride=400,
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunk_chars").alias("chars"),
+            F.sum(F.col("doc_id") + F.col("chunk_ord")).alias("id_sum"),
+        )
+        .select(
+            F.lit("chunk").alias("tag"),
+            "source",
+            "n_docs",
+            nil_l.alias("ws_tokens"),
+            nil_l.alias("bpe_tokens"),
+            "chars",
+            "id_sum",
+        )
+    )
+
     return all_b.unionAll(salted_b).unionAll(sample_b).unionAll(strat_b).unionAll(
         mix_b
-    ).unionAll(rep_b)
+    ).unionAll(rep_b).unionAll(chunk_b)
 
 
 # --------------------------------------------------------------------------
