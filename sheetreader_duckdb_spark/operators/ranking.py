@@ -29,13 +29,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sheetreader_duckdb_spark.session import defer_unpersist
+
 
 def _range_ranked(
     df: DataFrame, order_cols: list[str | Column], num_partitions: int | None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (rows with _pid/_lrn columns, per-partition counts _pid/_cnt,
-    and the persisted range-shuffled frame itself — the caller owns its
-    lifetime and must unpersist once the result is materialized).
+    and the persisted range-shuffled frame itself — callers register it
+    with session.defer_unpersist so it is released at the next declared
+    query's construction).
 
     Both returned frames derive from one persisted range-shuffle, so the
     partition ids they mention are consistent.
@@ -73,7 +76,6 @@ def with_global_rank(
     order_cols: list[str | Column],
     rank_col: str = "rn",
     num_partitions: int | None = None,
-    eager_release: bool = False,
 ) -> DataFrame:
     """Append a global ``row_number() OVER (ORDER BY order_cols)`` column.
 
@@ -81,22 +83,19 @@ def with_global_rank(
     result. Two data passes over the persisted range shuffle; no
     single-partition window anywhere in the plan.
 
-    ``eager_release=True`` materializes the result (localCheckpoint) and
-    unpersists the intermediate range shuffle before returning, so no
-    operator-internal cache outlives the call — use in fire-and-collect
-    contexts (the corpus runner). Default off: lazy result, and the
-    intermediate cache lives until Spark's ContextCleaner collects it.
+    The persisted range shuffle is registered for deferred release
+    (session.defer_unpersist): it stays alive while the returned lazy
+    result is consumed and is unpersisted when the next declared query is
+    constructed (or on an explicit session.release_deferred()) — full lazy
+    speed, bounded cache across a corpus run.
     """
     ranked, counts, keyed = _range_ranked(df, order_cols, num_partitions)
-    out = (
+    defer_unpersist(keyed)
+    return (
         ranked.join(F.broadcast(_offsets(counts)), "_pid")
         .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_pid", "_lrn", "_off")
     )
-    if eager_release:
-        out = out.localCheckpoint(eager=True)
-        keyed.unpersist()
-    return out
 
 
 def with_global_ntile(
@@ -106,7 +105,6 @@ def with_global_ntile(
     tile_col: str = "tile",
     rank_col: str = "rn",
     num_partitions: int | None = None,
-    eager_release: bool = False,
 ) -> DataFrame:
     """Append global rank + ``ntile(n_tiles)`` columns, computed distributed.
 
@@ -115,7 +113,7 @@ def with_global_ntile(
     tile of rank ``r`` is closed-form arithmetic, evaluated lazily so the
     ``n < t`` edge (base = 0) never divides by zero.
 
-    ``eager_release``: see ``with_global_rank``.
+    Cache lifetime: see ``with_global_rank`` (deferred release).
     """
     ranked, counts, keyed = _range_ranked(df, order_cols, num_partitions)
     totals = counts.agg(F.sum("_cnt").cast("long").alias("_n"))
@@ -131,10 +129,7 @@ def with_global_ntile(
         f"THEN ({r} - 1) div ({big}) + 1 "
         f"ELSE (_n % {t}) + (({r} - (_n % {t}) * ({big}) - 1) div (_n div {t})) + 1 END"
     )
-    out = out.withColumn(tile_col, F.expr(tile).cast("long")).drop(
+    defer_unpersist(keyed)
+    return out.withColumn(tile_col, F.expr(tile).cast("long")).drop(
         "_pid", "_lrn", "_off", "_n"
     )
-    if eager_release:
-        out = out.localCheckpoint(eager=True)
-        keyed.unpersist()
-    return out

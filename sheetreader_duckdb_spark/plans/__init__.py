@@ -26,10 +26,24 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 
 def query(name: str, oracle: str | None, doc: str = ""):
-    """Register a (Spark program, DuckDB oracle SQL) pair."""
+    """Register a (Spark program, DuckDB oracle SQL) pair.
+
+    Each registered query releases the previous query's deferred operator
+    caches on construction (session.release_deferred) — so a sequential
+    corpus run (driver, bench, tests) holds at most one query's persisted
+    intermediates at a time, with no eager checkpoint cost inside any
+    single query."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from sheetreader_duckdb_spark.session import release_deferred
+
+            release_deferred()
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(name=name, fn=run, oracle=oracle, doc=doc)
         return fn
 
     return deco

@@ -19,6 +19,7 @@ from sheetreader_duckdb_spark.operators import sampling as SM
 from sheetreader_duckdb_spark.operators import similarity as S
 from sheetreader_duckdb_spark.operators import text as X
 from sheetreader_duckdb_spark.plans import query
+from sheetreader_duckdb_spark import session as SESS
 from sheetreader_duckdb_spark.tables import T
 
 # Shared DuckDB CTE fragments (document shingling / minhash / bands), kept in
@@ -197,10 +198,12 @@ def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     survivors = D.exact_dedup(docs.select("doc_id", "text"), "doc_id", "text")
     # Persist the shared shingle set: its explode+distinct shuffle feeds the
     # signature build AND the Jaccard verification joins, and column pruning
-    # defeats ReuseExchange across those branches (see n03). Released below:
-    # the small result is materialized (localCheckpoint) before returning,
-    # so the cache does not outlive this call in a 50-query corpus run.
-    sh = D.word_shingles(survivors, "doc_id", "text", k=3).persist()
+    # defeats ReuseExchange across those branches (see n03). Deferred
+    # release: dropped when the next declared query is constructed, so the
+    # cache never outlives its consumer in a 50-query corpus run.
+    sh = SESS.defer_unpersist(
+        D.word_shingles(survivors, "doc_id", "text", k=3).persist()
+    )
     sigs = D.minhash_signatures_md5(sh, "doc_id", n_hashes=8)
     bands = D.lsh_bands(sigs, "doc_id", n_hashes=8, band_size=2)
     pairs = D.lsh_candidate_pairs(bands, "doc_id")
@@ -255,9 +258,7 @@ def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id"),
         F.col("n_hits").alias("n"),
     )
-    out = groups.unionAll(kept).unionAll(incr).unionAll(contam).localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    return groups.unionAll(kept).unionAll(incr).unionAll(contam)
 
 
 # --------------------------------------------------------------------------
@@ -330,15 +331,11 @@ def n03_dedup_jaccard_verify(spark: SparkSession, sf: str) -> DataFrame:
     # narrow (id, shingle) projection once instead of recomputing the
     # explode+distinct shuffle per branch. At production scale this would
     # be a checkpoint; memory-and-disk persist has the same effect here.
-    # The verified-pairs result is tiny: materialize it (localCheckpoint)
-    # and release the shingle cache before returning.
-    sh = _doc_shingles(spark, sf).persist()
+    # Deferred release: the cache lives while the lazy result is consumed
+    # and is dropped when the next declared query is constructed.
+    sh = SESS.defer_unpersist(_doc_shingles(spark, sf).persist())
     pairs = _minhash_pairs(sh)
-    out = D.jaccard_verify(sh, pairs, "doc_id", threshold=0.5).localCheckpoint(
-        eager=True
-    )
-    sh.unpersist()
-    return out
+    return D.jaccard_verify(sh, pairs, "doc_id", threshold=0.5)
 
 
 # --------------------------------------------------------------------------

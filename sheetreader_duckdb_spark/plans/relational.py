@@ -781,7 +781,6 @@ def h12c_global_ntile(spark: SparkSession, sf: str) -> DataFrame:
         n_tiles=4,
         tile_col="quartile",
         rank_col="rn",
-        eager_release=True,
     )
     return r.select("o_orderkey", "rn", "quartile")
 

@@ -21,6 +21,43 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# -- deferred cache release ---------------------------------------------------
+#
+# Operators that persist an intermediate (the global-ranking range shuffle,
+# the dedup-pipeline shingle set) need the cache ALIVE until the caller
+# materializes the returned DataFrame — so they cannot unpersist before
+# returning, and checkpointing the result instead costs a full extra
+# write+read of the output (measured 2× on the ranking and dedup bench
+# queries). Deferred release keeps the fast lazy plan AND bounds cache
+# growth across a corpus run: the operator registers its intermediate here,
+# and the NEXT query's construction (the @query wrapper) releases everything
+# registered before it — by which point the previous query's result has been
+# collected. Worst case for an unusual caller (construct many, execute
+# later): a released cache recomputes, never a wrong result.
+
+_DEFERRED_UNPERSIST: list = []
+
+
+def defer_unpersist(df):
+    """Register a persisted DataFrame to be unpersisted at the next
+    ``release_deferred()`` (called by every declared query's wrapper)."""
+    _DEFERRED_UNPERSIST.append(df)
+    return df
+
+
+def release_deferred() -> int:
+    """Unpersist every deferred cache; returns how many were released."""
+    n = 0
+    while _DEFERRED_UNPERSIST:
+        df = _DEFERRED_UNPERSIST.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session gone / already released — nothing to free
+            pass
+    return n
+
+
 def get_spark(app_name: str = "sheetreader-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = default_parallelism()
     if shuffle_partitions is None:

@@ -65,21 +65,45 @@ def test_plan_has_no_partitionless_window(spark):
             assert "_pid" in line  # every window is partitioned by _pid
 
 
-def test_eager_release_unpersists_intermediate(spark):
-    """eager_release must drop the internal range-shuffle cache before
-    returning: exactly ONE persistent RDD may remain (the checkpointed
-    result, whose lifetime the caller owns) — two would mean the
-    intermediate leaked (ADVICE r02)."""
+def test_deferred_release_bounds_cache(spark):
+    """The internal range-shuffle cache must survive until the lazy result
+    is consumed, then be released by session.release_deferred (which every
+    declared query's wrapper calls on construction) — so a corpus run holds
+    at most one query's intermediates (ADVICE r02, without the eager
+    checkpoint's extra write+read of the result)."""
+    from sheetreader_duckdb_spark.session import release_deferred
+
+    release_deferred()  # clean slate
     sc = spark.sparkContext._jsc.sc()
     base = sc.getPersistentRDDs().size()
     df = spark.createDataFrame([(i, float(i % 7)) for i in range(300)], "id long, key double")
-    out = with_global_rank(df, ["key", "id"], num_partitions=4, eager_release=True)
-    assert sc.getPersistentRDDs().size() == base + 1
-    # and the result is still correct after the release
+    out = with_global_rank(df, ["key", "id"], num_partitions=4)
+    # Cache alive while the result is consumed (correct ranks), ...
     assert sorted(r["rn"] for r in out.collect()) == list(range(1, 301))
+    assert sc.getPersistentRDDs().size() == base + 1
+    # ... then released wholesale — nothing persists after the drain.
+    assert release_deferred() == 1
+    assert sc.getPersistentRDDs().size() == base
 
-    out2 = with_global_ntile(
-        df, ["key", "id"], n_tiles=4, num_partitions=4, eager_release=True
-    )
-    assert sc.getPersistentRDDs().size() == base + 2  # one per checkpointed result
+    out2 = with_global_ntile(df, ["key", "id"], n_tiles=4, num_partitions=4)
     assert out2.count() == 300
+    assert release_deferred() == 1
+    assert sc.getPersistentRDDs().size() == base
+
+
+def test_declared_query_construction_releases_previous_caches(spark):
+    """Constructing any declared query drains the deferred-release registry:
+    h12c (global ntile) leaves its range shuffle deferred; building the next
+    query must release it."""
+    from sheetreader_duckdb_spark.plans import all_queries
+    from sheetreader_duckdb_spark.session import release_deferred
+
+    release_deferred()
+    sc = spark.sparkContext._jsc.sc()
+    base = sc.getPersistentRDDs().size()
+    corpus = all_queries()
+    out = corpus["h12c_global_ntile"].fn(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    assert sc.getPersistentRDDs().size() == base + 1
+    corpus["h13_sort_topk"].fn(spark, "/root/testdata/sf0.001")
+    assert sc.getPersistentRDDs().size() == base
