@@ -81,6 +81,61 @@ def test_chunk_rejects_bad_stride(spark):
         chunk_documents(df, "doc_id", "text", size=500, stride=501)
 
 
+def test_chunk_property_reassembly(spark):
+    """Property: for arbitrary (doc length, size, stride), the chunk count
+    matches the closed form, every chunk starts at ord*stride, and
+    stripping each non-first chunk's overlap prefix reassembles the doc."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    cases = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=3000),
+        size=st.integers(min_value=2, max_value=600),
+        stride_frac=st.floats(min_value=0.05, max_value=1.0),
+    )
+    def collect(n, size, stride_frac):
+        stride = max(1, min(size, int(size * stride_frac)))
+        cases.append((n, size, stride))
+
+    collect()
+    # One Spark job per distinct (size, stride) covering all its sampled
+    # docs (a Spark job per hypothesis example would be minutes of
+    # overhead); doc_id encodes the case index.
+    from collections import defaultdict
+
+    texts = {
+        i: "".join(chr(97 + (j % 26)) for j in range(n))
+        for i, (n, _size, _stride) in enumerate(cases)
+    }
+    by_case = {}
+    groups = defaultdict(list)
+    for i, (n, size, stride) in enumerate(cases):
+        groups[(size, stride)].append((i, texts[i]))
+    for (size, stride), docs in groups.items():
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = chunk_documents(df, "doc_id", "text", size=size, stride=stride)
+        for r in out.collect():
+            by_case.setdefault(r["doc_id"], []).append(r)
+    for i, (n, size, stride) in enumerate(cases):
+        overlap = size - stride
+        expect_chunks = max(1, math.ceil((n - overlap) / stride))
+        chunks = sorted(by_case[i], key=lambda r: r["chunk_ord"])
+        assert len(chunks) == expect_chunks, (n, size, stride)
+        assert [c["chunk_start"] for c in chunks] == [
+            k * stride for k in range(expect_chunks)
+        ]
+        text = texts[i]
+        parts = [
+            c["chunk_text"] if c["chunk_ord"] == 0 else c["chunk_text"][overlap:]
+            for c in chunks
+        ]
+        assert "".join(parts) == text, (n, size, stride)
+
+
 def test_chunk_matches_oracle(spark, sf_dir):
     con = duckdb_connection(sf_dir)
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
