@@ -17,6 +17,13 @@ Usage::
           .option("columns", "a,b")          # reader-side column pruning
           .load("/data/*.xlsx"))
 
+    # Distributed write (one workbook per non-empty partition):
+    (df.write.format("sheetreader")
+       .option("max_rows_per_file", 1000000)  # ≤ 1048575 (sheet row cap)
+       .option("date1904", False)             # workbook date system
+       .mode("overwrite")                     # clears *.xlsx in the dir
+       .save("/out/dir"))
+
 Architecture (deliberately NOT the reference's): schema() is a lazy two-row
 probe of the first file; the full parse happens at task time, one partition
 per (file, sheet) — on a cluster, thousands of spreadsheets parse in
@@ -36,8 +43,10 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BooleanType,
@@ -286,6 +295,103 @@ class SheetReaderDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> "SheetReaderStreamReader":
         return SheetReaderStreamReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "SheetReaderWriter":
+        # Distributed XLSX sink: df.write.format("sheetreader").save(dir)
+        # writes one workbook per non-empty partition (part-<pid>[-k].xlsx),
+        # each readable by this source — the write-side mirror of the
+        # partition-per-file scan (no reference analog: the reference only
+        # reads, sheetreader_extension.cpp:233-350).
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("sheetreader write requires a directory path")
+        supported = (StringType, DoubleType, BooleanType, DateType)
+        for f in schema.fields:
+            if not isinstance(f.dataType, supported) and not f.dataType.typeName() in (
+                "integer", "long", "float",
+            ):
+                raise ValueError(
+                    f"sheetreader write: column {f.name!r} has unsupported type "
+                    f"{f.dataType.simpleString()} (XLSX cells are "
+                    "string/double/boolean/date; cast first)"
+                )
+        max_rows = int(self.options.get("max_rows_per_file", "1000000"))
+        if not 0 < max_rows <= 1_048_575:
+            raise ValueError("max_rows_per_file must be in (0, 1048575]")
+        if overwrite and os.path.isdir(path):
+            for fn in os.listdir(path):
+                if fn.endswith(".xlsx"):
+                    os.remove(os.path.join(path, fn))
+        os.makedirs(path, exist_ok=True)
+        return SheetReaderWriter(
+            path,
+            [f.name for f in schema.fields],
+            self.options.get("sheet_name", "Sheet1"),
+            max_rows,
+            _parse_bool(self.options.get("date1904")),
+        )
+
+
+@dataclass
+class _WriteCommit(WriterCommitMessage):
+    files: tuple = ()
+    rows: int = 0
+
+
+class SheetReaderWriter(DataSourceWriter):
+    """Executor-side XLSX writer: each partition streams its rows into
+    fixed-size workbooks through the same writer module the fixtures use
+    (shared strings, <dimension> row-count tag, both date systems), so
+    everything this sink writes the source reads back exactly. Files land
+    as part-<pid>[-<k>].xlsx via tmp+rename — a re-executed task overwrites
+    its own output idempotently, never a peer's."""
+
+    def __init__(self, path, names, sheet_name, max_rows, date1904):
+        self.path = path
+        self.names = list(names)
+        self.sheet_name = sheet_name
+        self.max_rows = max_rows
+        self.date1904 = date1904
+
+    def write(self, iterator) -> _WriteCommit:
+        from pyspark import TaskContext
+
+        from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+
+        pid = TaskContext.get().partitionId()
+        files: list[str] = []
+        total = 0
+        buf: list[list] = []
+
+        def flush() -> None:
+            nonlocal buf
+            if not buf:
+                return
+            name = f"part-{pid:05d}-{len(files):03d}.xlsx"
+            out = os.path.join(self.path, name)
+            write_xlsx(
+                out + ".tmp",
+                {self.sheet_name: [list(self.names)] + buf},
+                date1904=self.date1904,
+            )
+            os.replace(out + ".tmp", out)
+            files.append(name)
+            buf = []
+
+        n_cols = len(self.names)
+        for row in iterator:
+            buf.append([row[i] for i in range(n_cols)])
+            total += 1
+            if len(buf) >= self.max_rows:
+                flush()
+        flush()
+        return _WriteCommit(files=tuple(files), rows=total)
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:
+        return None
 
 
 @dataclass
