@@ -209,9 +209,21 @@ def s05_xlsx_sheet_selection(spark: SparkSession, sf: str) -> DataFrame:
            {sql_money_sum('l_extendedprice')} AS sum_price
     FROM lineitem
     GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'sink:' || l_returnflag,
+           CAST(COUNT(*) AS BIGINT),
+           {sql_money_sum('l_quantity')},
+           {sql_money_sum('l_extendedprice')}
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    GROUP BY l_returnflag
     """,
     doc="End-to-end XLSX ingestion (S1–S16 core path): parquet → xlsx writer → "
-    "sheetreader data source → aggregate == same aggregate on the parquet.",
+    "sheetreader data source → aggregate == same aggregate on the parquet. "
+    "The 'sink:' branch drives the DISTRIBUTED writer the same way: a "
+    "deterministic 1% lineitem slice goes through "
+    "df.write.format('sheetreader') (one workbook per partition), is read "
+    "back through the source, and must aggregate to the oracle's values — "
+    "the full write→read cycle with zero driver-side row handling.",
 )
 def s01_xlsx_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     from sheetreader_duckdb_spark import register
@@ -219,8 +231,27 @@ def s01_xlsx_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     register(spark)
     path = _xlsx_for_sf(sf)
     df = spark.read.format("sheetreader").load(path)
-    return df.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        (F.sum(cents("l_quantity")) / 100.0).alias("sum_qty"),
-        (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_price"),
+
+    def agg(frame: DataFrame, key) -> DataFrame:
+        return frame.groupBy(key.alias("l_returnflag")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(cents("l_quantity")) / 100.0).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_price"),
+        )
+
+    main = agg(df, F.col("l_returnflag"))
+
+    # 'sink:' — distributed write-back: slice → sheetreader sink → source.
+    sink_dir = f"{_CACHE_DIR}/sink_wit_{sf.strip('/').replace('/', '_')}"
+    (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .repartition(2)
+        .write.format("sheetreader")
+        .mode("overwrite")
+        .save(sink_dir)
     )
+    back = spark.read.format("sheetreader").load(f"{sink_dir}/*.xlsx")
+    sink_b = agg(back, F.concat(F.lit("sink:"), F.col("l_returnflag")))
+    return main.unionAll(sink_b)
