@@ -96,14 +96,15 @@ def main() -> None:
     for name in HEADLINE:
         corpus[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
-    # Two timed passes, per-query MIN: the box runs periodic background work
-    # (driver snapshots) and a single pass can randomly inflate a query 10×.
+    # Timed passes, per-query MIN: the box runs periodic background work
+    # (driver snapshots) and a single pass can randomly inflate a query 10×;
+    # three passes bound the noise to the quietest window each query sees.
     # fn() runs INSIDE the timer: some queries materialize intermediate
     # state at construction (localCheckpoint in the ranking/dedup release
     # paths), and timing only the final noop write would let that real
     # compute escape the measurement.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             corpus[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
@@ -123,7 +124,7 @@ def main() -> None:
     docs = T(spark, SF_DIR, "documents").select("doc_id", "n_chars")
     packed = pack_sequences(docs, "doc_id", "n_chars", seq_len=2048, n_buckets=8)
     packed.write.mode("overwrite").format("noop").save()  # warmup
-    for _pass in range(2):
+    for _pass in range(3):
         t0 = time.perf_counter()
         packed.write.mode("overwrite").format("noop").save()
         dt = round(time.perf_counter() - t0, 3)
@@ -132,7 +133,7 @@ def main() -> None:
 
     export_dir = "/tmp/sheetreader_bench_export"
     export_shards(docs, "doc_id", 8, export_dir, seed="bench")  # warmup
-    for _pass in range(2):
+    for _pass in range(3):
         t0 = time.perf_counter()
         export_shards(docs, "doc_id", 8, export_dir, seed="bench")
         dt = round(time.perf_counter() - t0, 3)
@@ -147,7 +148,7 @@ def main() -> None:
     xlsx_df = spark.read.format("sheetreader").load(_xlsx_for_sf(SF_DIR))
     xlsx_df.write.mode("overwrite").format("noop").save()  # warmup
     best = None
-    for _pass in range(2):
+    for _pass in range(3):
         t0 = time.perf_counter()
         xlsx_df.write.mode("overwrite").format("noop").save()
         dt = round(time.perf_counter() - t0, 3)
