@@ -375,12 +375,19 @@ def srp_neardup_pairs(
             for t in range(n_tables)
         ]
     )
-    coded = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-        F.explode(codes).alias("tc"),
-    ).select("id", "v", "nrm", F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
+    # Norm and codes are computed below the explode (two-step select):
+    # expressions that are siblings of an explode are re-evaluated once per
+    # generated row, which would multiply the norm fold by n_tables.
+    coded = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+            codes.alias("__codes"),
+        )
+        .select("id", "v", "nrm", F.explode("__codes").alias("tc"))
+        .select("id", "v", "nrm", F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
+    )
     a = coded.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "tbl", "code"
     )
@@ -459,8 +466,14 @@ def ivf_centroids(
     centroids = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(n_iters):
         cell = _argmax_cell(F.col(vec_col), centroids)
+        # Two-step select: the cell assignment MUST be projected below the
+        # explode. In `select(cell, posexplode(vec))` the analyzer puts the
+        # cell projection ABOVE the Generate, so the K-fold scoring
+        # expression is re-evaluated once per exploded element — dim× the
+        # work (measured 7.1 s → 0.8 s per Lloyd job at K=16, dim=64).
+        assigned = corpus.select(cell.alias("cell"), F.col(vec_col).alias("__v"))
         sums = (
-            corpus.select(cell.alias("cell"), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            assigned.select("cell", F.posexplode(F.col("__v")).alias("pos", "v"))
             .groupBy("cell", "pos")
             .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
@@ -476,32 +489,42 @@ def ivf_centroids(
     return centroids
 
 
-def _centroid_scores(vec_col: Column, centroids: list[list[float]]) -> list[Column]:
-    """Cosine of the vector against each centroid (centroid norms are
-    precomputed driver-side constants; the per-row cost is K folds)."""
+def _centroid_scores(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Array of cosines of the vector against each centroid, evaluated as ONE
+    expression: a `transform` over a single array-of-arrays literal, with
+    centroid norms precomputed driver-side. The per-row cost is K folds —
+    but, critically, each fold appears in the plan exactly once. (An earlier
+    form built K independent score columns and re-expanded them inside
+    greatest()/when() chains; at K=16, dim=64 the resulting expression tree
+    took ~20 s of analysis+codegen PER JOB — construction dominated the
+    whole n05b query at 60 s. Computing the score array once and deriving
+    argmax/top-cells from it took construction to under a second with
+    bit-identical results: same fold arithmetic, same first-index-of-max
+    tie-break, and Spark treats NaN = NaN as true in both forms.)"""
     import math
 
-    scores = []
-    for c in centroids:
-        lit = F.array(*[F.lit(w) for w in c])
-        d = F.aggregate(
-            F.zip_with(vec_col, lit, lambda v, w: v.cast("double") * w),
+    cents = F.array(*[F.array(*[F.lit(w) for w in c]) for c in centroids])
+    norms = F.array(
+        *[F.lit(math.sqrt(sum(x * x for x in c)) or 1.0) for c in centroids]
+    )
+    vn = l2_norm(vec_col)
+    return F.zip_with(
+        cents,
+        norms,
+        lambda cl, cn: F.aggregate(
+            F.zip_with(vec_col, cl, lambda v, w: v.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        scores.append(d / (l2_norm(vec_col) * F.lit(cn)))
-    return scores
+        / (vn * cn),
+    )
 
 
 def _argmax_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+    # first 0-based index achieving the max (deterministic tie-break,
+    # identical to a first-match when() chain over the same scores)
     scores = _centroid_scores(vec_col, centroids)
-    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
-    out = F.lit(None).cast("int")
-    # first index achieving the max (deterministic tie-break)
-    for i in reversed(range(len(scores))):
-        out = F.when(scores[i] == best, F.lit(i)).otherwise(out)
-    return out
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
 def ivf_topk(
@@ -528,13 +551,12 @@ def ivf_topk(
         F.col(vec_col).alias("cv"),
         _argmax_cell(F.col(vec_col), centroids).alias("cell"),
     )
-    scores = _centroid_scores(F.col(vec_col), centroids)
     ranked_cells = F.slice(
         F.array_sort(
-            F.array(*[
-                F.struct((-s).alias("neg"), F.lit(i).alias("cell"))
-                for i, s in enumerate(scores)
-            ])
+            F.transform(
+                _centroid_scores(F.col(vec_col), centroids),
+                lambda s, i: F.struct((-s).alias("neg"), i.cast("int").alias("cell")),
+            )
         ),
         1,
         n_probe,
