@@ -527,6 +527,58 @@ def _argmax_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def ivf_assign_join(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell assignment as a broadcast join against a K-row centroid table —
+    the large-K form of ``_argmax_cell``. Returns (id_col, cell).
+
+    The literal-embedded expression is the right call at small K (constant-
+    folded, map-side, zero extra rows), but its plan embeds K·dim literal
+    doubles: at the K ~ thousands a 100 TB corpus wants (cell occupancy
+    n/K), the expression tree itself becomes the bottleneck. This form
+    keeps the plan size CONSTANT in K — centroids travel as a broadcast
+    relation (K·dim doubles of data, like MLlib's KMeans model), each
+    vector meets each centroid through BroadcastNestedLoopJoin map-side,
+    and the per-vector argmax is a max_by aggregation keyed by the vector
+    id (one shuffle on a uniform key; that shuffle is the price of
+    constant plan size, and it disappears into the same exchange the
+    downstream cell equi-join needs anyway).
+
+    Scores use the same fold arithmetic as ``_argmax_cell`` (same IEEE
+    sequence: zip_with product fold / (vector-norm · centroid-norm)), and
+    ties resolve to the lowest cell id — identical to first-index-of-max —
+    so the two forms produce bit-identical assignments (pinned in
+    tests/test_similarity.py)."""
+    import math
+
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c], math.sqrt(sum(x * x for x in c)) or 1.0)
+        for i, c in enumerate(centroids)
+    ]
+    cdf = spark.createDataFrame(rows, "cell int, cvec array<double>, cnorm double")
+    score = dot(F.col(vec_col), F.col("cvec")) / (l2_norm(F.col(vec_col)) * F.col("cnorm"))
+    # max_by over struct(score, -cell): lexicographic max = highest score,
+    # then lowest cell — Spark orders NaN greater than any double, matching
+    # array_max in the literal path.
+    return (
+        corpus.select(id_col, vec_col)
+        .crossJoin(broadcast(cdf))
+        .select(id_col, F.col("cell"), score.alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("cell"),
+                F.struct(F.col("__s").alias("s"), (-F.col("cell")).alias("nc")),
+            ).alias("cell")
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

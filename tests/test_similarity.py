@@ -220,3 +220,39 @@ def test_ivf_recall_on_id_skewed_corpus(spark, sf_dir):
     approx = _pairs(S.ivf_topk(df, q, k=5, n_cells=16, n_probe=4))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"skewed-corpus IVF recall@5 = {recall:.3f}"
+
+
+def test_ivf_assign_join_matches_literal_argmax(spark, sf_dir):
+    """The broadcast-join cell assignment (large-K form, constant plan size)
+    must produce bit-identical assignments to the literal-embedded argmax —
+    same fold arithmetic, same lowest-cell tie-break — including on the
+    Lloyd-refined centroids the real index uses."""
+    e = T(spark, sf_dir, "embeddings")
+    centroids = S.ivf_centroids(e, n_cells=16, n_iters=2)
+    via_literal = {
+        (r["vec_id"], r["cell"])
+        for r in e.select(
+            "vec_id", S._argmax_cell(F.col("embedding"), centroids).alias("cell")
+        ).collect()
+    }
+    via_join = {
+        (r["vec_id"], r["cell"]) for r in S.ivf_assign_join(e, centroids).collect()
+    }
+    assert via_join == via_literal
+
+
+def test_ivf_assign_join_tie_break(spark):
+    """Duplicate centroids score identically: both forms must pick the
+    LOWEST cell id."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = [[3.0, 0.5], [3.0, 0.5], [0.5, 3.0]]  # cells 0 and 1 identical
+    lit = {
+        (r["vec_id"], r["cell"])
+        for r in df.select(
+            "vec_id", S._argmax_cell(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    jn = {(r["vec_id"], r["cell"]) for r in S.ivf_assign_join(df, cents).collect()}
+    assert jn == lit == {(0, 0), (1, 2)}
