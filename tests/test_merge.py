@@ -111,6 +111,80 @@ def test_remerge_same_batch_is_byte_stable(spark, sf_dir, tmp_path):
     assert first == second
 
 
+def test_merge_through_hadoop_fs_uri_byte_identity(spark, sf_dir, tmp_path):
+    """Addressing the table as a ``file:`` URI routes every directory op
+    through the Hadoop FileSystem API (fsutil) instead of os/shutil — the
+    path a corpus on HDFS/object storage takes — and the merged table must
+    still be byte-identical to a fresh export of the merged dataset."""
+    local = _table(spark, sf_dir, str(tmp_path), "fsapi")
+    uri = "file:" + local
+    src = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ids = [r[0] for r in src.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    changes = spark.createDataFrame(
+        [(ids[0], "v2", 42, False), (ids[1], "gone", 0, True), (10_000_003, "new", 5, False)],
+        "doc_id long, source string, n_chars long, is_delete boolean",
+    )
+    touched = merge_into_shards(
+        spark, changes, "doc_id", uri, N_SHARDS, seed=SEED, delete_col="is_delete"
+    )
+    assert touched
+
+    merged_df = src.join(
+        changes.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(changes.filter(~F.col("is_delete")).drop("is_delete"))
+    fresh = os.path.join(str(tmp_path), "fresh")
+    export_shards(merged_df, "doc_id", N_SHARDS, fresh, seed=SEED)
+    got = {k: v[0] for k, v in _shard_files(local).items()}
+    want = {k: v[0] for k, v in _shard_files(fresh).items()}
+    assert got == want
+    # no staging leftovers
+    assert not glob.glob(os.path.join(local, ".merge.tmp"))
+    assert not glob.glob(os.path.join(local, ".shard=*.old"))
+
+
+def test_merge_duplicate_change_keys_raise(spark, sf_dir, tmp_path):
+    path = _table(spark, sf_dir, str(tmp_path), "dup")
+    changes = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2)], "doc_id long, source string, n_chars long"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate-key"):
+        merge_into_shards(spark, changes, "doc_id", path, N_SHARDS, seed=SEED)
+
+
+def test_recover_shards_after_simulated_crash(spark, sf_dir, tmp_path):
+    """Both crash windows of the three-step swap leave a recoverable state:
+    (a) live renamed aside but new copy not yet in place -> recover renames
+    the .old back; (b) swap complete but .old not yet deleted -> recover
+    drops the .old and keeps the new live copy."""
+    import shutil
+
+    from sheetreader_duckdb_spark.operators.merge import recover_shards
+
+    path = _table(spark, sf_dir, str(tmp_path), "crash")
+    before = {k: v[0] for k, v in _shard_files(path).items()}
+    shard_dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+    a = int(os.path.basename(shard_dirs[0]).split("=")[1])
+    b = int(os.path.basename(shard_dirs[1]).split("=")[1])
+    # window (a): mid-flight — live copy sits in .old, no live dir
+    os.replace(
+        os.path.join(path, f"shard={a}"), os.path.join(path, f".shard={a}.old")
+    )
+    # window (b): completed swap, stale .old alongside the live dir
+    shutil.copytree(
+        os.path.join(path, f"shard={b}"), os.path.join(path, f".shard={b}.old")
+    )
+    os.makedirs(os.path.join(path, ".merge.tmp"))
+
+    rolled = recover_shards(spark, path)
+    assert rolled == [a]
+    after = {k: v[0] for k, v in _shard_files(path).items()}
+    assert after == before
+    assert not glob.glob(os.path.join(path, ".shard=*.old"))
+    assert not os.path.isdir(os.path.join(path, ".merge.tmp"))
+
+
 def test_merge_into_empty_table_dir(spark, sf_dir, tmp_path):
     """First batch into a brand-new table: every row is an insert."""
     path = str(tmp_path / "empty")
