@@ -3,7 +3,23 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints exactly ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "splits": {...}, "prev_commit": {...}, "sf": ...}
+
+Self-interpreting across rounds (two mechanisms, so no reader has to
+re-derive whether a cross-round delta is code, methodology, or the box):
+
+* ``splits`` — every query reports ``{"construct": s, "exec": s}``
+  separately: ``construct`` is the Python-side plan build (``fn()``,
+  which for a few queries materializes real intermediate state via
+  localCheckpoint), ``exec`` the noop-sink execution of the built plan.
+  ``queries`` stays {name: construct+exec} for compatibility.
+* ``prev_commit`` — in the SAME bench session, the previous round's
+  archived commit (the last ``round N:`` driver commit) is checked out
+  into a scratch git worktree and a subprocess runs a small sentinel
+  query set on it with identical methodology. Same box, same minutes:
+  current-vs-previous on the sentinels is a paired measurement, immune
+  to machine drift.
 
 The headline set covers the engine surface end-to-end:
   - xlsx_load_lineitem — sheetreader data-source scan of a 600k-row
@@ -16,15 +32,19 @@ The headline set covers the engine surface end-to-end:
     text quality, tumbling windows).
 
 Each query runs against the `noop` sink so we measure plan execution,
-not driver-side collect. One untimed warmup query absorbs JVM/codegen
-startup.
+not driver-side collect. One untimed warmup pass absorbs JVM/codegen
+startup; timed values are per-phase minima over three passes (the box
+runs periodic background work and a single pass can randomly inflate a
+query 10x).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
@@ -55,6 +75,52 @@ HEADLINE = [
     "n19_asof_join",
 ]
 
+# Paired against the previous round's commit in the same session. Small on
+# purpose (one extra JVM): an agg, a window, a sort, and a shuffle-heavy
+# north star span the plan shapes that regress independently.
+SENTINELS = [
+    "h08_agg_tpch_q1",
+    "h12_window_functions",
+    "h13_sort_topk",
+    "n02_dedup_minhash_lsh",
+]
+
+# Runs inside the previous round's worktree with ITS package on sys.path;
+# only stdlib + the corpus API it has had since round 2 (plans.all_queries,
+# session.configure_session, Query.fn). Emits one marked JSON line.
+_PREV_RUNNER = r'''
+import json, sys, time
+root, sf_dir, cpus = sys.argv[1], sys.argv[2], sys.argv[3]
+names = json.loads(sys.argv[4])
+sys.path.insert(0, root)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[" + cpus + "]")
+         .appName("sheetreader-bench-prev")
+         .config("spark.sql.shuffle.partitions", cpus)
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from sheetreader_duckdb_spark.session import configure_session
+from sheetreader_duckdb_spark.plans import all_queries
+configure_session(spark)
+corpus = all_queries()
+for n in names:  # warmup
+    corpus[n].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+acc = {n: {"construct": [], "exec": []} for n in names}
+for _ in range(3):
+    for n in names:
+        t0 = time.perf_counter()
+        df = corpus[n].fn(spark, sf_dir)
+        t1 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        t2 = time.perf_counter()
+        acc[n]["construct"].append(t1 - t0)
+        acc[n]["exec"].append(t2 - t1)
+out = {n: {"construct": round(min(v["construct"]), 3),
+           "exec": round(min(v["exec"]), 3)} for n, v in acc.items()}
+print("PREVBENCH " + json.dumps(out))
+spark.stop()
+'''
+
 
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -62,6 +128,47 @@ def _sf_from_dir(path: str) -> float:
         return float(base.removeprefix("sf"))
     except ValueError:
         return -1.0
+
+
+def _prev_commit_sentinel() -> dict:
+    """Run SENTINELS on the previous round's archived commit (latest
+    'round N:' commit) in a scratch worktree + subprocess. Never raises —
+    a bench must always print its JSON line."""
+    wt = None
+    try:
+        commit = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H"],
+            cwd=_REPO_ROOT, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not commit:
+            return {"skipped": "no prior round commit"}
+        wt = os.path.join(tempfile.mkdtemp(prefix="bench_prev_"), "wt")
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, commit],
+            cwd=_REPO_ROOT, capture_output=True, text=True, timeout=60, check=True,
+        )
+        runner = os.path.join(os.path.dirname(wt), "runner.py")
+        with open(runner, "w") as f:
+            f.write(_PREV_RUNNER)
+        res = subprocess.run(
+            [sys.executable, runner, wt, SF_DIR, CPUS, json.dumps(SENTINELS)],
+            capture_output=True, text=True, timeout=1200,
+        )
+        for line in reversed(res.stdout.splitlines()):
+            if line.startswith("PREVBENCH "):
+                return {"commit": commit[:12], "queries": json.loads(line[10:])}
+        return {
+            "commit": commit[:12],
+            "error": (res.stderr or res.stdout or "no output").strip()[-400:],
+        }
+    except Exception as exc:  # noqa: BLE001 — diagnostic block, never fatal
+        return {"error": f"{type(exc).__name__}: {exc}"[:400]}
+    finally:
+        if wt is not None:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=_REPO_ROOT, capture_output=True, timeout=60,
+            )
 
 
 def main() -> None:
@@ -91,70 +198,97 @@ def main() -> None:
     corpus["h01_scan_filter_project"].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
     # Warmup pass (untimed): absorbs parquet footer reads, Python worker
-    # pool spin-up, and per-plan codegen; the timed pass below measures
+    # pool spin-up, and per-plan codegen; the timed passes below measure
     # steady-state execution, which is what scales to a real cluster.
     for name in HEADLINE:
         corpus[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
-    # Timed passes, per-query MIN: the box runs periodic background work
-    # (driver snapshots) and a single pass can randomly inflate a query 10×;
-    # three passes bound the noise to the quietest window each query sees.
-    # fn() runs INSIDE the timer: some queries materialize intermediate
-    # state at construction (localCheckpoint in the ranking/dedup release
-    # paths), and timing only the final noop write would let that real
-    # compute escape the measurement.
-    timings: dict[str, float] = {}
+    # Timed passes. construct (fn(): plan build + any localCheckpoint-era
+    # compute) and exec (noop write of the built plan) are timed separately
+    # and each reported as the min over three passes.
+    acc: dict[str, dict[str, list[float]]] = {
+        n: {"construct": [], "exec": []} for n in HEADLINE
+    }
     for _pass in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
-            corpus[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            dt = round(time.perf_counter() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            df = corpus[name].fn(spark, SF_DIR)
+            t1 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            t2 = time.perf_counter()
+            acc[name]["construct"].append(t1 - t0)
+            acc[name]["exec"].append(t2 - t1)
+
+    splits: dict[str, dict[str, float]] = {}
+    for name, v in acc.items():
+        splits[name] = {
+            "construct": round(min(v["construct"]), 3),
+            "exec": round(min(v["exec"]), 3),
+        }
 
     # Standalone operator timings for the training-data write path, so the
     # per-round record shows them individually (h02b above times the whole
     # tagged bundle): FFD packing of documents into 2048-token windows, and
     # the deterministic 8-shard export (a real parquet write, not noop —
-    # the write IS the operator).
+    # the write IS the operator, so it all lands in exec).
     from sheetreader_duckdb_spark.operators.export import export_shards
     from sheetreader_duckdb_spark.operators.packing import pack_sequences
     from sheetreader_duckdb_spark.plans.relational import T
 
     docs = T(spark, SF_DIR, "documents").select("doc_id", "n_chars")
-    packed = pack_sequences(docs, "doc_id", "n_chars", seq_len=2048, n_buckets=8)
-    packed.write.mode("overwrite").format("noop").save()  # warmup
+    pack_sequences(docs, "doc_id", "n_chars", seq_len=2048, n_buckets=8).write.mode(
+        "overwrite"
+    ).format("noop").save()  # warmup
+    pc, pe = [], []
     for _pass in range(3):
         t0 = time.perf_counter()
+        packed = pack_sequences(docs, "doc_id", "n_chars", seq_len=2048, n_buckets=8)
+        t1 = time.perf_counter()
         packed.write.mode("overwrite").format("noop").save()
-        dt = round(time.perf_counter() - t0, 3)
-        if "pack_documents" not in timings or dt < timings["pack_documents"]:
-            timings["pack_documents"] = dt
+        t2 = time.perf_counter()
+        pc.append(t1 - t0)
+        pe.append(t2 - t1)
+    splits["pack_documents"] = {"construct": round(min(pc), 3), "exec": round(min(pe), 3)}
 
     export_dir = "/tmp/sheetreader_bench_export"
     export_shards(docs, "doc_id", 8, export_dir, seed="bench")  # warmup
+    ee = []
     for _pass in range(3):
         t0 = time.perf_counter()
         export_shards(docs, "doc_id", 8, export_dir, seed="bench")
-        dt = round(time.perf_counter() - t0, 3)
-        if "export_documents" not in timings or dt < timings["export_documents"]:
-            timings["export_documents"] = dt
+        ee.append(time.perf_counter() - t0)
+    splits["export_documents"] = {"construct": 0.0, "exec": round(min(ee), 3)}
 
     # Dedicated XLSX scan measurement, directly comparable to BASELINE.md
     # "lineitem XLSX load time" — warm run, same methodology as above.
     from sheetreader_duckdb_spark import register
 
     register(spark)
-    xlsx_df = spark.read.format("sheetreader").load(_xlsx_for_sf(SF_DIR))
-    xlsx_df.write.mode("overwrite").format("noop").save()  # warmup
-    best = None
+    xlsx_path = _xlsx_for_sf(SF_DIR)
+    spark.read.format("sheetreader").load(xlsx_path).write.mode("overwrite").format(
+        "noop"
+    ).save()  # warmup
+    xc, xe = [], []
     for _pass in range(3):
         t0 = time.perf_counter()
+        xlsx_df = spark.read.format("sheetreader").load(xlsx_path)
+        t1 = time.perf_counter()
         xlsx_df.write.mode("overwrite").format("noop").save()
-        dt = round(time.perf_counter() - t0, 3)
-        best = dt if best is None or dt < best else best
-    timings["xlsx_load_lineitem"] = best
+        t2 = time.perf_counter()
+        xc.append(t1 - t0)
+        xe.append(t2 - t1)
+    splits["xlsx_load_lineitem"] = {
+        "construct": round(min(xc), 3),
+        "exec": round(min(xe), 3),
+    }
 
+    spark.stop()
+
+    # Paired prior-round sentinel run — after spark.stop() so the two JVMs
+    # never contend for the box.
+    prev = _prev_commit_sentinel()
+
+    timings = {n: round(s["construct"] + s["exec"], 3) for n, s in splits.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -163,11 +297,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "splits": splits,
+                "prev_commit": prev,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

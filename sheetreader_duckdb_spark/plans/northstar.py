@@ -489,10 +489,25 @@ def _sql_srp_code(vec_expr: str, dim: int, n_planes: int) -> str:
 
 @query(
     "n06b_embedding_neardup_srp",
+    # The oracle mirrors auto_srp_planes EXACTLY rather than hardcoding a
+    # plane count: plane p's bit is weighted 2^p and the plane sequence is
+    # fixed, so the p-plane code is the 16-plane code mod 2^p — the SQL
+    # computes the full 16-plane code (auto_srp_planes' hi clamp) and masks
+    # by the same least(16, greatest(6, round(log2(n/8)))) rule, making the
+    # oracle valid at EVERY corpus size, not just the 500-vector sf where
+    # 6 planes happen to match. (round() ties — DuckDB half-up vs Python
+    # banker's — would need log2(n/8) to be exactly k+0.5, impossible for
+    # integer n since 2^(k+1/2) is irrational.)
     oracle=f"""
-    WITH coded AS (
+    WITH np AS (
+        SELECT CAST(least(16, greatest(6, round(log2(count(*) / 8.0))))
+                    AS BIGINT) AS p
+        FROM embeddings
+    ),
+    coded AS (
         SELECT vec_id, embedding AS v,
-               {_sql_srp_code('embedding', 64, 6)} AS code
+               {_sql_srp_code('embedding', 64, 16)}
+                 % CAST(pow(2, (SELECT p FROM np)) AS BIGINT) AS code
         FROM embeddings
     ),
     a AS (SELECT vec_id AS id_a, v AS qv, code FROM coded),
@@ -503,8 +518,9 @@ def _sql_srp_code(vec_expr: str, dim: int, n_planes: int) -> str:
     """,
     doc="Production embedding near-dup (N3): SRP-bucket equi-join + exact "
     "cosine ≥ 0.4 on in-bucket pairs. The plane count is auto-sized to the "
-    "corpus (auto_srp_planes: ≈log2(n/8), floored at the 6 planes the "
-    "literal-plane oracle reproduces at the 500-vector correctness sfs). "
+    "corpus (auto_srp_planes: ≈log2(n/8), clamped to [6, 16]), and the "
+    "oracle derives the SAME count from count(*) and masks a 16-plane "
+    "code, so Spark and oracle agree at every sf. "
     "The plan shuffles on the bucket code — no "
     "BroadcastNestedLoopJoin, and candidate pairs scale as n²/2^planes: "
     "n_planes ≈ log2(n / target_bucket) keeps bucket population flat, and "
@@ -516,12 +532,11 @@ def _sql_srp_code(vec_expr: str, dim: int, n_planes: int) -> str:
 )
 def n06b_embedding_neardup_srp(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "embeddings")
-    # Size the bucketing to the corpus (metadata-speed count-star): the
-    # auto rule floors at the declared 6 planes, which is exactly what the
-    # literal-plane oracle reproduces at the 500-vector correctness sfs;
-    # bigger corpora get more planes so expected bucket population — and
-    # with it the in-bucket pair volume — stays constant instead of
-    # growing linearly with n.
+    # Size the bucketing to the corpus (metadata-speed count-star): bigger
+    # corpora get more planes so expected bucket population — and with it
+    # the in-bucket pair volume — stays constant instead of growing
+    # linearly with n. The oracle derives the identical count from
+    # count(*), so the two can't desync at any sf.
     n_planes = S.auto_srp_planes(e.count(), target_bucket=8, lo=6)
     return S.srp_neardup_pairs(e, dim=64, n_planes=n_planes, threshold=0.4)
 
