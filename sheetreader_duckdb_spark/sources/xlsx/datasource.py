@@ -323,75 +323,123 @@ class SheetReaderDataSource(DataSource):
                 if fn.endswith(".xlsx"):
                     os.remove(os.path.join(path, fn))
         os.makedirs(path, exist_ok=True)
+        import uuid
+
         return SheetReaderWriter(
             path,
             [f.name for f in schema.fields],
             self.options.get("sheet_name", "Sheet1"),
             max_rows,
             _parse_bool(self.options.get("date1904")),
+            uuid.uuid4().hex[:12],  # job token: scopes staged-file cleanup
         )
 
 
 @dataclass
 class _WriteCommit(WriterCommitMessage):
-    files: tuple = ()
+    # (staged tmp name, final part name) pairs published at commit time.
+    renames: tuple = ()
     rows: int = 0
 
 
 class SheetReaderWriter(DataSourceWriter):
     """Executor-side XLSX writer: each partition streams its rows into
-    fixed-size workbooks through the same writer module the fixtures use
-    (shared strings, <dimension> row-count tag, both date systems), so
-    everything this sink writes the source reads back exactly. Files land
-    as part-<pid>[-<k>].xlsx via tmp+rename — a re-executed task overwrites
-    its own output idempotently, never a peer's."""
+    fixed-size workbooks through IncrementalXlsxWriter (shared strings,
+    <dimension> row-count tag, both date systems — cell encoding shared
+    with the fixture writer), so everything this sink writes the source
+    reads back exactly. Memory per task is O(unique strings) + one row:
+    rows spool to disk and stream into the zip at file close, never
+    accumulating ``max_rows_per_file`` rows in a Python list.
 
-    def __init__(self, path, names, sheet_name, max_rows, date1904):
+    Commit protocol: tasks stage files as ``.tmp-<job>-<attempt>-part-*``
+    (dot-prefixed — invisible to ``load(dir/*.xlsx)``), unique per task
+    ATTEMPT so concurrent speculative attempts never collide; the driver's
+    ``commit(messages)`` publishes exactly the winning attempts' files via
+    rename and sweeps every other staged file of this job; ``abort()``
+    deletes all of this job's staged files. A failed or aborted job
+    therefore leaves no visible workbook behind."""
+
+    def __init__(self, path, names, sheet_name, max_rows, date1904, token):
         self.path = path
         self.names = list(names)
         self.sheet_name = sheet_name
         self.max_rows = max_rows
         self.date1904 = date1904
+        self.token = token
+
+    def _tmp_name(self, attempt: int, final: str) -> str:
+        return f".tmp-{self.token}-{attempt}-{final}"
 
     def write(self, iterator) -> _WriteCommit:
         from pyspark import TaskContext
 
-        from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+        from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
 
-        pid = TaskContext.get().partitionId()
-        files: list[str] = []
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
+        renames: list[tuple[str, str]] = []
         total = 0
-        buf: list[list] = []
-
-        def flush() -> None:
-            nonlocal buf
-            if not buf:
-                return
-            name = f"part-{pid:05d}-{len(files):03d}.xlsx"
-            out = os.path.join(self.path, name)
-            write_xlsx(
-                out + ".tmp",
-                {self.sheet_name: [list(self.names)] + buf},
-                date1904=self.date1904,
-            )
-            os.replace(out + ".tmp", out)
-            files.append(name)
-            buf = []
-
+        w: IncrementalXlsxWriter | None = None
+        w_tmp = w_final = ""
+        rows_in_file = 0
         n_cols = len(self.names)
-        for row in iterator:
-            buf.append([row[i] for i in range(n_cols)])
-            total += 1
-            if len(buf) >= self.max_rows:
-                flush()
-        flush()
-        return _WriteCommit(files=tuple(files), rows=total)
+
+        def open_file() -> None:
+            nonlocal w, w_tmp, w_final, rows_in_file
+            w_final = f"part-{pid:05d}-{len(renames):03d}.xlsx"
+            w_tmp = self._tmp_name(attempt, w_final)
+            w = IncrementalXlsxWriter(
+                os.path.join(self.path, w_tmp), self.sheet_name, self.date1904
+            )
+            w.write_row(list(self.names))
+            rows_in_file = 0
+
+        try:
+            for row in iterator:
+                if w is None:
+                    open_file()
+                w.write_row([row[i] for i in range(n_cols)])
+                rows_in_file += 1
+                total += 1
+                if rows_in_file >= self.max_rows:
+                    w.close()
+                    renames.append((w_tmp, w_final))
+                    w = None
+            if w is not None:
+                w.close()
+                renames.append((w_tmp, w_final))
+                w = None
+        except BaseException:
+            if w is not None:
+                w.abandon()
+            raise
+        return _WriteCommit(renames=tuple(renames), rows=total)
+
+    def _sweep_staged(self) -> None:
+        prefix = f".tmp-{self.token}-"
+        try:
+            names = os.listdir(self.path)
+        except OSError:
+            return
+        for fn in names:
+            if fn.startswith(prefix):
+                try:
+                    os.remove(os.path.join(self.path, fn))
+                except OSError:
+                    pass
 
     def commit(self, messages) -> None:
-        return None
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, final in m.renames:
+                os.replace(os.path.join(self.path, tmp), os.path.join(self.path, final))
+        # Losing speculative attempts staged files too — drop them.
+        self._sweep_staged()
 
     def abort(self, messages) -> None:
-        return None
+        self._sweep_staged()
 
 
 @dataclass

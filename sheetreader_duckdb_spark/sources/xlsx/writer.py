@@ -20,6 +20,7 @@ is bit-exact.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import re
 import zipfile
 from xml.sax.saxutils import escape
@@ -93,6 +94,30 @@ def _fmt_double(v: float) -> str:
     return r
 
 
+def _cell_xml(ref: str, v: object, intern, date1904: bool) -> str:
+    """One ``<c>`` element (empty string for None — absent cell → NULL on
+    read). ``intern`` maps a str to its shared-string index. bool is checked
+    before int (bool subclasses int)."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+    if isinstance(v, str):
+        return f'<c r="{ref}" t="s"><v>{intern(v)}</v></c>'
+    if isinstance(v, dt.datetime):
+        days = (v - dt.datetime(1970, 1, 1)).total_seconds() / 86400.0
+        serial = _date_serial(days, date1904)
+        return f'<c r="{ref}" s="1"><v>{_fmt_double(serial)}</v></c>'
+    if isinstance(v, dt.date):
+        serial = int(_date_serial((v - _EPOCH).days, date1904))
+        return f'<c r="{ref}" s="1"><v>{serial}</v></c>'
+    if isinstance(v, int):
+        return f'<c r="{ref}"><v>{v}</v></c>'
+    if isinstance(v, float):
+        return f'<c r="{ref}"><v>{_fmt_double(v)}</v></c>'
+    raise TypeError(f"Unsupported cell value type: {type(v)}")
+
+
 def write_xlsx(
     path: str, sheets: dict[str, list[list[object]]], date1904: bool = False
 ) -> str:
@@ -134,26 +159,9 @@ def write_xlsx(
         for r_idx, row in enumerate(rows, start=1):
             parts.append(f'<row r="{r_idx}">')
             for c_idx, v in enumerate(row):
-                if v is None:
-                    continue
-                ref = f"{_col_letter(c_idx)}{r_idx}"
-                if isinstance(v, bool):
-                    parts.append(f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>')
-                elif isinstance(v, str):
-                    parts.append(f'<c r="{ref}" t="s"><v>{intern(v)}</v></c>')
-                elif isinstance(v, dt.datetime):
-                    days = (v - dt.datetime(1970, 1, 1)).total_seconds() / 86400.0
-                    serial = _date_serial(days, date1904)
-                    parts.append(f'<c r="{ref}" s="1"><v>{_fmt_double(serial)}</v></c>')
-                elif isinstance(v, dt.date):
-                    serial = int(_date_serial((v - _EPOCH).days, date1904))
-                    parts.append(f'<c r="{ref}" s="1"><v>{serial}</v></c>')
-                elif isinstance(v, int):
-                    parts.append(f'<c r="{ref}"><v>{v}</v></c>')
-                elif isinstance(v, float):
-                    parts.append(f'<c r="{ref}"><v>{_fmt_double(v)}</v></c>')
-                else:
-                    raise TypeError(f"Unsupported cell value type: {type(v)}")
+                cell = _cell_xml(f"{_col_letter(c_idx)}{r_idx}", v, intern, date1904)
+                if cell:
+                    parts.append(cell)
             parts.append("</row>\n")
         parts.append("</sheetData>\n</worksheet>")
         sheet_xmls.append("".join(parts))
@@ -210,3 +218,158 @@ def write_xlsx(
         for i, xml in enumerate(sheet_xmls):
             zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
     return path
+
+
+class IncrementalXlsxWriter:
+    """Single-sheet XLSX writer with bounded memory: the sink's hot path.
+
+    ``write_xlsx`` holds every row (and the whole sheet XML) in memory —
+    fine for fixtures, multiple GiB for a wide 1M-row sink partition. Here
+    rows stream through: each ``write_row`` encodes its cells (the same
+    ``_cell_xml`` encoder, so output is cell-identical to ``write_xlsx``)
+    and appends to a disk spool file; ``close()`` assembles the workbook by
+    streaming the spool into the zip entry in chunks. The ``<dimension>``
+    tag needs the final row count before the sheet XML's first byte, which
+    is exactly why the spool exists.
+
+    Peak Python memory is O(unique strings) — the shared-strings heap is
+    the one structure the format forces us to hold (every ``t="s"`` cell
+    references an index into it; the reference rejects inline strings,
+    sheetreader_extension.cpp:572-575, so spilling strings inline is not
+    an option for reference-compatible output) — plus an O(row) encoding
+    buffer. Numeric/date/bool-heavy data streams in O(1).
+    """
+
+    def __init__(self, path: str, sheet_name: str = "Sheet1", date1904: bool = False):
+        import tempfile
+
+        self.path = path
+        self.sheet_name = sheet_name
+        self.date1904 = date1904
+        self._sst: list[str] = []
+        self._sst_index: dict[str, int] = {}
+        d = os.path.dirname(os.path.abspath(path)) or "."
+        self._spool = tempfile.NamedTemporaryFile(
+            mode="w+", encoding="utf-8", dir=d, prefix=".xlsxspool-", delete=False
+        )
+        self.n_rows = 0
+        self._n_cols = 0
+        self._closed = False
+
+    def _intern(self, s: str) -> int:
+        i = self._sst_index.get(s)
+        if i is None:
+            i = len(self._sst)
+            self._sst_index[s] = i
+            self._sst.append(s)
+        return i
+
+    def write_row(self, row: list | tuple) -> None:
+        self.n_rows += 1
+        r_idx = self.n_rows
+        if len(row) > self._n_cols:
+            self._n_cols = len(row)
+        parts = [f'<row r="{r_idx}">']
+        for c_idx, v in enumerate(row):
+            cell = _cell_xml(
+                f"{_col_letter(c_idx)}{r_idx}", v, self._intern, self.date1904
+            )
+            if cell:
+                parts.append(cell)
+        parts.append("</row>\n")
+        self._spool.write("".join(parts))
+
+    def abandon(self) -> None:
+        """Drop the spool without producing a workbook (task failure path)."""
+        if not self._closed:
+            self._closed = True
+            self._spool.close()
+            try:
+                os.remove(self._spool.name)
+            except OSError:
+                pass
+
+    def close(self) -> str:
+        if self._closed:
+            return self.path
+        self._closed = True
+        self._spool.flush()
+
+        sheet_overrides = (
+            '<Override PartName="/xl/worksheets/sheet1.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        )
+        wb_pr = '<workbookPr date1904="1"/>' if self.date1904 else ""
+        workbook = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f"{wb_pr}<sheets>"
+            f'<sheet name="{escape(self.sheet_name, {chr(34): "&quot;"})}" sheetId="1" r:id="rId1"/>'
+            "</sheets></workbook>"
+        )
+        wb_rels = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            'Target="worksheets/sheet1.xml"/>'
+            '<Relationship Id="rId2" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>'
+            '<Relationship Id="rId3" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+            "</Relationships>"
+        )
+        try:
+            with zipfile.ZipFile(self.path, "w", zipfile.ZIP_DEFLATED) as zf:
+                zf.writestr(
+                    "[Content_Types].xml",
+                    _CONTENT_TYPES.format(sheet_overrides=sheet_overrides),
+                )
+                zf.writestr("_rels/.rels", _ROOT_RELS)
+                zf.writestr("xl/workbook.xml", workbook)
+                zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+                zf.writestr("xl/styles.xml", _STYLES)
+                dim = (
+                    f'<dimension ref="A1:{_col_letter(max(0, self._n_cols - 1))}'
+                    f'{max(1, self.n_rows)}"/>'
+                    if self.n_rows and self._n_cols
+                    else ""
+                )
+                with zf.open("xl/worksheets/sheet1.xml", "w", force_zip64=True) as out:
+                    out.write(
+                        (
+                            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+                            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">\n'
+                            f"{dim}<sheetData>"
+                        ).encode("utf-8")
+                    )
+                    self._spool.seek(0)
+                    while True:
+                        chunk = self._spool.read(1 << 20)
+                        if not chunk:
+                            break
+                        out.write(chunk.encode("utf-8"))
+                    out.write(b"</sheetData>\n</worksheet>")
+                with zf.open("xl/sharedStrings.xml", "w", force_zip64=True) as out:
+                    out.write(
+                        (
+                            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+                            '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+                            f'count="{len(self._sst)}" uniqueCount="{len(self._sst)}">'
+                        ).encode("utf-8")
+                    )
+                    for s in self._sst:
+                        out.write(
+                            f'<si><t xml:space="preserve">{escape(_xstring(s))}</t></si>'.encode(
+                                "utf-8"
+                            )
+                        )
+                    out.write(b"</sst>")
+        finally:
+            self._spool.close()
+            try:
+                os.remove(self._spool.name)
+            except OSError:
+                pass
+        return self.path

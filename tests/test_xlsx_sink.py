@@ -97,3 +97,54 @@ def test_sink_empty_partitions_write_no_files(spark, tmp_path):
     assert (
         spark.read.format("sheetreader").load(os.path.join(out, "*.xlsx")).count() == 1
     )
+
+
+def test_incremental_writer_memory_bounded(tmp_path):
+    """The sink's writer must not hold the file's rows in memory: 200k rows
+    of numerics + a low-cardinality string spool to disk, so peak Python
+    allocation during the write stays tens-of-KB-per-row-scale (< 16 MB)
+    while the produced sheet XML is far larger."""
+    import tracemalloc
+    import zipfile
+
+    from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
+
+    path = str(tmp_path / "big.xlsx")
+    tracemalloc.start()
+    w = IncrementalXlsxWriter(path)
+    w.write_row(["id", "a", "b", "src"])
+    for i in range(200_000):
+        w.write_row([float(i), i * 0.5, i % 7 == 0, f"src{i % 5}"])
+    w.close()
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 16 * 1024 * 1024, f"peak writer memory {peak / 1e6:.1f} MB"
+
+    with zipfile.ZipFile(path) as zf:
+        xml = zf.read("xl/worksheets/sheet1.xml")
+    assert xml.count(b"<row ") == 200_001
+    assert len(xml) > 5 * peak  # the XML dwarfs what we ever held
+
+
+def test_sink_failed_job_leaves_no_visible_files(spark, tmp_path):
+    """A task failure aborts the job: staged .tmp files are swept and no
+    part-*.xlsx is ever visible (ADVICE r3: abort was a no-op and a failed
+    job left orphan workbooks that later loads silently included)."""
+    out = str(tmp_path / "fail")
+    df = spark.range(0, 100, 1, 2).selectExpr(
+        "id",
+        "case when id = 99 then raise_error('boom') else concat('r', id) end as s",
+    )
+    with pytest.raises(Exception, match="boom"):
+        df.write.format("sheetreader").mode("overwrite").save(out)
+    assert glob.glob(os.path.join(out, "*.xlsx")) == []
+    assert [f for f in os.listdir(out) if f.startswith(".tmp-")] == []
+
+
+def test_sink_commit_leaves_no_staged_files(spark, tmp_path):
+    out = str(tmp_path / "clean")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1)
+    df.write.format("sheetreader").mode("overwrite").save(out)
+    names = os.listdir(out)
+    assert sorted(n for n in names if n.endswith(".xlsx")) == ["part-00000-000.xlsx"]
+    assert [n for n in names if n.startswith(".tmp-") or ".xlsxspool-" in n] == []
