@@ -282,6 +282,30 @@ def main() -> None:
         "exec": round(min(xe), 3),
     }
 
+    # Same workbook through read_xlsx's stated projection (reader-side
+    # columns= pruning): 2 of 3 columns parsed/decoded. The full-scan entry
+    # above stays the BASELINE.md-comparable number; this one shows what a
+    # caller that states its projection pays.
+    from sheetreader_duckdb_spark import read_xlsx
+
+    pruned_cols = ["l_returnflag", "l_quantity"]
+    read_xlsx(spark, xlsx_path, columns=pruned_cols).write.mode("overwrite").format(
+        "noop"
+    ).save()  # warmup
+    pcc, pce = [], []
+    for _pass in range(3):
+        t0 = time.perf_counter()
+        pdf = read_xlsx(spark, xlsx_path, columns=pruned_cols)
+        t1 = time.perf_counter()
+        pdf.write.mode("overwrite").format("noop").save()
+        t2 = time.perf_counter()
+        pcc.append(t1 - t0)
+        pce.append(t2 - t1)
+    splits["xlsx_load_pruned"] = {
+        "construct": round(min(pcc), 3),
+        "exec": round(min(pce), 3),
+    }
+
     spark.stop()
 
     # Paired prior-round sentinel run — after spark.stop() so the two JVMs

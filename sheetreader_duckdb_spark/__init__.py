@@ -82,3 +82,25 @@ def register(spark):
         pass
     spark.dataSource.register(SheetReaderDataSource)
     return spark
+
+
+def read_xlsx(spark, path, columns=None, **options):
+    """Read an XLSX through the sheetreader source, stating the projection
+    up front — the documented pattern for scans whose consumers know their
+    columns.
+
+    Spark 4.1 does not push required columns into Python data sources (the
+    Project sits above the BatchScan, so a 2-column query over a 40-column
+    sheet still decodes all 40; tests/test_xlsx_pruning.py carries the
+    canary that flips when native pruning lands). ``columns`` wires the
+    caller's projection into the reader's ``columns=`` option so pruned
+    columns are never parsed or decoded. Extra reader options pass through
+    (``skip_rows=2``, ``sheet_name="Data"``, ...).
+    """
+    register(spark)
+    r = spark.read.format("sheetreader")
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)

@@ -226,11 +226,19 @@ def s05_xlsx_sheet_selection(spark: SparkSession, sf: str) -> DataFrame:
     "the full write→read cycle with zero driver-side row handling.",
 )
 def s01_xlsx_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    from sheetreader_duckdb_spark import register
+    from sheetreader_duckdb_spark import read_xlsx, register
 
     register(spark)
     path = _xlsx_for_sf(sf)
-    df = spark.read.format("sheetreader").load(path)
+    # State the projection at the scan (read_xlsx wires it into the
+    # reader's columns= pruning): this query consumes all three sheet
+    # columns so nothing is dropped here, but the scan documents its needs
+    # instead of defaulting to decode-everything — the pattern a wide-sheet
+    # caller relies on, since Spark 4.1 won't push required columns into
+    # Python sources itself.
+    df = read_xlsx(
+        spark, path, columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
 
     def agg(frame: DataFrame, key) -> DataFrame:
         return frame.groupBy(key.alias("l_returnflag")).agg(

@@ -149,3 +149,33 @@ def test_pruning_composes_with_filter_pushdown(spark, wide_xlsx):
     )
     got = sorted(tuple(r) for r in df.collect())
     assert got == [("n98", 98.0), ("n99", 99.0)]
+
+
+def test_native_column_pushdown_canary(spark, poison_xlsx):
+    """Pin of the Spark 4.1 behavior that justifies the `columns` option
+    (and read_xlsx's columns= plumbing): a projected SELECT over a Python
+    data source still plans the scan with the FULL schema — proved here
+    because the projection EXCLUDES the poisoned column yet the read still
+    decodes it and fails. When a Spark upgrade makes this select succeed
+    with no `columns` option, native required-column pushdown has landed:
+    flip the query layer to rely on it and retire the manual plumbing
+    (mirror of test_xlsx_pushdown's relation-reuse canary)."""
+    _register(spark)
+    df = spark.read.format("sheetreader").load(poison_xlsx).select("name", "qty")
+    with pytest.raises(Exception, match="(?i)index|bounds|out of range"):
+        df.collect()
+
+
+def test_read_xlsx_helper_prunes(spark, poison_xlsx, wide_xlsx):
+    """read_xlsx(columns=...) is the documented pattern: the projection
+    reaches the reader (poisoned excluded column never decoded) and extra
+    reader options pass through."""
+    from sheetreader_duckdb_spark import read_xlsx
+
+    got = sorted(
+        tuple(r) for r in read_xlsx(spark, poison_xlsx, columns=["name", "qty"]).collect()
+    )
+    assert got == [("alpha", 1.5), ("alpha", 2.5)]
+    skipped = read_xlsx(spark, wide_xlsx, skip_rows=2)
+    assert skipped.count() == 99  # 101 rows - 2 skipped, none header-stripped
+    # (the post-skip first row is mixed-type, so auto-detect keeps it as data)
