@@ -527,6 +527,18 @@ def _argmax_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def _centroid_table(spark, centroids: list[list[float]]) -> DataFrame:
+    """The K-row broadcastable centroid relation (cell, cvec, cnorm) shared
+    by the join-form assignment and probe paths."""
+    import math
+
+    rows = [
+        (i, [float(x) for x in c], math.sqrt(sum(x * x for x in c)) or 1.0)
+        for i, c in enumerate(centroids)
+    ]
+    return spark.createDataFrame(rows, "cell int, cvec array<double>, cnorm double")
+
+
 def ivf_assign_join(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -553,14 +565,7 @@ def ivf_assign_join(
     ties resolve to the lowest cell id — identical to first-index-of-max —
     so the two forms produce bit-identical assignments (pinned in
     tests/test_similarity.py)."""
-    import math
-
-    spark = corpus.sparkSession
-    rows = [
-        (i, [float(x) for x in c], math.sqrt(sum(x * x for x in c)) or 1.0)
-        for i, c in enumerate(centroids)
-    ]
-    cdf = spark.createDataFrame(rows, "cell int, cvec array<double>, cnorm double")
+    cdf = _centroid_table(corpus.sparkSession, centroids)
     score = dot(F.col(vec_col), F.col("cvec")) / (l2_norm(F.col(vec_col)) * F.col("cnorm"))
     # max_by over struct(score, -cell): lexicographic max = highest score,
     # then lowest cell — Spark orders NaN greater than any double, matching
@@ -588,36 +593,80 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     n_iters: int = 2,
+    assign: str = "literal",
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index: corpus vectors live in
     their max-cosine centroid cell; each query probes its ``n_probe``
     closest cells; exact cosine re-rank on the candidates. The candidate
     join is an equi-join on the cell id — the corpus shuffles once, on a
     key with ~n/n_cells occupancy. Recall rises with n_probe (n_probe =
-    n_cells is exact search)."""
+    n_cells is exact search).
+
+    ``assign`` picks the cell-assignment strategy:
+
+    * ``"literal"`` (default) — centroid scores as one constant-folded
+      array expression embedded in the plan. Right at small K: map-side,
+      zero extra shuffles, but the plan carries K·dim literal doubles.
+    * ``"join"`` — the large-K form (K ~ thousands at 100 TB: cell
+      occupancy n/K): BOTH the corpus assignment (``ivf_assign_join``)
+      and the query probe-cell ranking go through a broadcast join
+      against the K-row centroid table, so plan size is CONSTANT in K;
+      the corpus pays one id-keyed shuffle for the argmax aggregation
+      plus the assignment join-back (at real scale assignments are
+      computed once and persisted, not re-derived per query).
+    """
     from pyspark.sql import Window
 
+    if assign not in ("literal", "join"):
+        raise ValueError(f"assign must be 'literal' or 'join', got {assign!r}")
     centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters)
-    c = corpus.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cv"),
-        _argmax_cell(F.col(vec_col), centroids).alias("cell"),
-    )
-    ranked_cells = F.slice(
-        F.array_sort(
-            F.transform(
-                _centroid_scores(F.col(vec_col), centroids),
-                lambda s, i: F.struct((-s).alias("neg"), i.cast("int").alias("cell")),
+    if assign == "join":
+        cells = ivf_assign_join(corpus, centroids, id_col, vec_col)
+        c = (
+            corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+            .join(cells, id_col)
+            .select(F.col(id_col).alias("cid"), "cv", "cell")
+        )
+        cdf = _centroid_table(corpus.sparkSession, centroids)
+        qscore = dot(F.col("qv"), F.col("cvec")) / (
+            l2_norm(F.col("qv")) * F.col("cnorm")
+        )
+        # desc(score), asc(cell): same (highest score, lowest cell) order
+        # as the literal path's array_sort on (-score, cell) structs.
+        pw = Window.partitionBy("qid").orderBy(
+            F.col("__s").desc(), F.col("cell").asc()
+        )
+        q = (
+            queries.select(
+                F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
             )
-        ),
-        1,
-        n_probe,
-    )
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        F.explode(ranked_cells).alias("pc"),
-    ).select("qid", "qv", F.col("pc.cell").alias("cell"))
+            .crossJoin(broadcast(cdf))
+            .select("qid", "qv", "cell", qscore.alias("__s"))
+            .withColumn("__rn", F.row_number().over(pw))
+            .filter(F.col("__rn") <= n_probe)
+            .select("qid", "qv", "cell")
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            _argmax_cell(F.col(vec_col), centroids).alias("cell"),
+        )
+        ranked_cells = F.slice(
+            F.array_sort(
+                F.transform(
+                    _centroid_scores(F.col(vec_col), centroids),
+                    lambda s, i: F.struct((-s).alias("neg"), i.cast("int").alias("cell")),
+                )
+            ),
+            1,
+            n_probe,
+        )
+        q = queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.explode(ranked_cells).alias("pc"),
+        ).select("qid", "qv", F.col("pc.cell").alias("cell"))
     scored = (
         c.join(broadcast(q), on="cell")
         .filter(F.col("qid") != F.col("cid"))
