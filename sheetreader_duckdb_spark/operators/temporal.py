@@ -15,7 +15,16 @@ union-and-carry form:
 
 Cost: ONE shuffle on the join key — the same partitioning a groupBy(key)
 would use — and a per-partition sort; no pair explosion regardless of the
-quote/probe ratio. Skewed keys fall under AQE like any other window.
+quote/probe ratio. AQE cannot split a window partition, so ONE pathological
+hot key (one symbol carrying most of the tape) serializes on one task —
+``as_of_join_salted`` is the hedge: probes of a hot key spread over
+``n_salts`` sub-partitions by a row-position salt while that key's quotes
+replicate to every sub-partition (same trick as operators/skew.py's salted
+aggregation, adapted to an order-dependent carry: replication is what keeps
+every sub-partition's carry history complete, so results are pinned
+identical to the plain form). Quote replication costs n_salts× the hot
+key's QUOTE volume only — the classic regime (few quotes, a flood of
+probes) is exactly where that is cheap.
 """
 
 from __future__ import annotations
@@ -95,3 +104,63 @@ def as_of_join(
         *[F.col(f"_c_{c}").alias(c) for c in quote_cols],
         quote_ts_as,
     )
+
+
+def as_of_join_salted(
+    probes: DataFrame,
+    quotes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    quote_cols: list[str],
+    quote_ts_as: str = "quote_ts",
+    tolerance: Column | None = None,
+    n_salts: int = 16,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Skew-hedged ``as_of_join``: identical results, hot keys parallelized.
+
+    Probes take a row-position salt (``pmod(monotonically_increasing_id(),
+    n_salts)`` — content-derived salts would send identical hot rows to one
+    sub-partition and mitigate nothing, same reasoning as salted_agg) and
+    quotes are replicated to every salt, so each (key, salt) window holds
+    the key's FULL quote history plus 1/n_salts of its probes — the carry
+    is computed from the same ordered quote sequence as the plain form,
+    hence bit-identical output (pinned in tests/test_temporal.py on an
+    adversarial 99%-one-key fixture).
+
+    ``hot_keys`` (a DataFrame with ``key_cols``, e.g. the output of a
+    heavy-hitter count) restricts salting to those keys: hot rows go
+    through the salted path, the rest through the plain single-shuffle
+    path, and the union preserves the semantics. Without it every key is
+    salted — correct but pays quote replication n_salts× across the board.
+    """
+    if n_salts <= 0:
+        raise ValueError(f"n_salts must be positive, got {n_salts}")
+    if hot_keys is not None:
+        hk = F.broadcast(hot_keys.select(*key_cols).distinct())
+        hot_out = as_of_join_salted(
+            probes.join(hk, key_cols, "left_semi"),
+            quotes.join(hk, key_cols, "left_semi"),
+            key_cols, ts_col, quote_cols, quote_ts_as, tolerance, n_salts,
+        )
+        cold_out = as_of_join(
+            probes.join(hk, key_cols, "left_anti"),
+            quotes.join(hk, key_cols, "left_anti"),
+            key_cols, ts_col, quote_cols, quote_ts_as, tolerance,
+        )
+        return hot_out.unionByName(cold_out)
+
+    salt_col = "__asof_salt"
+    for df_cols in (probes.columns, quotes.columns):
+        if salt_col in df_cols:
+            raise ValueError(f"column {salt_col!r} collides with the salt")
+    p = probes.withColumn(
+        salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    q = quotes.withColumn(
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = as_of_join(
+        p, q, [*key_cols, salt_col], ts_col, quote_cols, quote_ts_as, tolerance
+    )
+    return out.drop(salt_col)

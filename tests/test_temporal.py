@@ -96,3 +96,67 @@ def test_as_of_rejects_column_clash(spark, frames):
     probes, quotes = frames
     with pytest.raises(ValueError, match="collide"):
         as_of_join(probes, quotes.withColumnRenamed("px", "tag"), ["key"], "ts", ["tag"])
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_as_of_matches_plain_on_hot_key(spark):
+    """VERDICT r3 item 6: adversarial one-key fixture — 99% of probes and
+    quotes on one key — through the salted variant must match the plain
+    as_of_join exactly (including the no-match NULLs and tie semantics)."""
+    from sheetreader_duckdb_spark.operators.temporal import as_of_join_salted
+
+    hot_q = [(7, t * 10, float(100 + t)) for t in range(50)]
+    cold_q = [(1, 25, 1.5), (2, 5, 2.5)]
+    quotes = spark.createDataFrame(hot_q + cold_q, "key long, ts long, px double")
+    hot_p = [(7, t * 3 + 1, f"h{t}") for t in range(400)]
+    cold_p = [(1, 30, "c1"), (2, 4, "c2"), (3, 9, "c3")]
+    probes = spark.createDataFrame(hot_p + cold_p, "key long, ts long, tag string")
+
+    plain = _rows(as_of_join(probes, quotes, ["key"], "ts", ["px"]))
+    salted = _rows(as_of_join_salted(probes, quotes, ["key"], "ts", ["px"], n_salts=8))
+    assert salted == plain
+
+    hot = spark.createDataFrame([(7,)], "key long")
+    split = _rows(
+        as_of_join_salted(
+            probes, quotes, ["key"], "ts", ["px"], n_salts=8, hot_keys=hot
+        )
+    )
+    assert split == plain
+
+
+def test_salted_as_of_tolerance_matches_plain(spark):
+    from sheetreader_duckdb_spark.operators.temporal import as_of_join_salted
+
+    quotes = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 110.0), (1, 30, 120.0)], "key long, ts long, px double"
+    )
+    probes = spark.createDataFrame(
+        [(1, t, f"p{t}") for t in range(5, 100, 7)], "key long, ts long, tag string"
+    )
+    plain = _rows(as_of_join(probes, quotes, ["key"], "ts", ["px"], tolerance=F.lit(10)))
+    salted = _rows(
+        as_of_join_salted(
+            probes, quotes, ["key"], "ts", ["px"], tolerance=F.lit(10), n_salts=4
+        )
+    )
+    assert salted == plain
+
+
+def test_salted_as_of_spreads_hot_key_partitions(spark):
+    """The point of the salt: the hot key's probes occupy n_salts window
+    partitions, not one. Window partition key = (key, salt), so distinct
+    (key, salt) combos for the hot key must equal n_salts."""
+    from sheetreader_duckdb_spark.operators.temporal import as_of_join_salted
+
+    quotes = spark.createDataFrame([(7, 0, 1.0)], "key long, ts long, px double")
+    probes = spark.createDataFrame(
+        [(7, t, f"p{t}") for t in range(256)], "key long, ts long, tag string"
+    )
+    out = as_of_join_salted(probes, quotes, ["key"], "ts", ["px"], n_salts=8)
+    assert out.count() == 256  # every probe matched
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__asof_salt" in plan  # the window really partitions on the salt
