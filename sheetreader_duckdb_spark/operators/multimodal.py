@@ -4,10 +4,13 @@ Media payloads are opaque ``binary`` columns + a typed metadata struct —
 content-addressed via sha256 so exact dedup / caching / lineage works on any
 modality. Decode / feature-extraction runs as Arrow-batched ``mapInPandas``:
 the Spark-side plumbing (schema, batch shape, partitioning) is real and
-tested; the actual codec calls are STUBBED (``decode_stub='error'`` raises
-NotImplementedError — image/audio libraries are not available in this
-environment; ``'fake'`` produces a deterministic hash-derived feature vector
-so the pipeline shape is testable end-to-end).
+tested everywhere; the codec itself is selected by ``decode_stub``:
+``'real'`` lazily imports Pillow inside the executor batch loop (decode /
+resize / multi-frame sampling when installed; a NotImplementedError with an
+install hint when not — no module-level dependency is ever added),
+``'fake'`` produces deterministic hash-derived outputs so the pipeline
+shape is testable end-to-end without codecs, and ``'error'`` marks the
+wiring point explicitly.
 
 At scale: payloads stay columnar (parquet binary) and are never collected;
 mapInPandas streams Arrow batches through Python with bounded memory
@@ -65,12 +68,33 @@ def attach_media_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataF
     )
 
 
+def _require_pil(what: str):
+    """Lazy Pillow import for decode_stub='real' paths — called inside the
+    executor batch loop, so environments without the codec only pay when a
+    real decode is actually requested."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"{what} requested (decode_stub='real') but Pillow is not "
+            "installed; `pip install Pillow` on the executors, or use "
+            "decode_stub='fake' for the deterministic digest-derived path"
+        ) from exc
+
+
 def extract_features(
     media: DataFrame, dim: int = 8, decode_stub: str = "fake"
 ) -> DataFrame:
     """Decode + featurize payloads via Arrow-batched mapInPandas.
 
-    decode_stub='error' → NotImplementedError (real codecs unavailable here);
+    decode_stub='real'  → Pillow decode, lazily imported in the batch loop
+    (no module-level dependency): grayscale-resize each image payload to a
+    dim×1 strip, features = pixel intensities / 255. Raises
+    NotImplementedError with an install hint when Pillow is absent — the
+    stub surface is unchanged in codec-less environments;
+    decode_stub='error' → NotImplementedError (marks the wiring point);
     decode_stub='fake'  → deterministic feature vector derived from the
     sha256 digest (stable across runs/partitionings), exercising the real
     batch path: pandas in, pandas out, bounded batches.
@@ -88,6 +112,25 @@ def extract_features(
                     "media decode requires image/audio codecs not present in this "
                     "environment; wire a real decoder here (PIL/ffmpeg/torchaudio)"
                 )
+            if decode_stub == "real":
+                Image = _require_pil("real image decode")
+                import io
+
+                feats = []
+                for payload in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+                    strip = img.resize((dim, 1))
+                    feats.append(
+                        np.asarray(strip, dtype="float32").reshape(dim) / np.float32(255)
+                    )
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "sha256": pdf["sha256"],
+                        "feature": [f.tolist() for f in feats],
+                    }
+                )
+                continue
             feats = []
             for digest in pdf["sha256"]:
                 h = hashlib.sha256((digest or "").encode()).digest()
@@ -102,7 +145,8 @@ def extract_features(
                 }
             )
 
-    return media.select("media_id", "sha256").mapInPandas(run, schema=FEATURE_SCHEMA)
+    cols = ["media_id", "sha256"] + (["payload"] if decode_stub == "real" else [])
+    return media.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 THUMB_SCHEMA = StructType(
@@ -129,9 +173,12 @@ def resize_images(
 ) -> DataFrame:
     """Decode + resize payloads to (width, height) thumbnails via
     Arrow-batched mapInPandas — same plumbing contract as extract_features:
-    decode_stub='error' raises NotImplementedError where PIL would be
-    wired in; 'fake' emits a deterministic digest-derived thumbnail id so
-    the batch path, schema, and partition behavior are testable."""
+    'real' decodes with lazily-imported Pillow, resizes, PNG-encodes, and
+    content-addresses the thumbnail (``thumb`` = sha256 of the PNG bytes;
+    NotImplementedError with an install hint when Pillow is absent);
+    'error' raises NotImplementedError at the wiring point; 'fake' emits a
+    deterministic digest-derived thumbnail id so the batch path, schema,
+    and partition behavior are testable without codecs."""
 
     def run(batches):  # pandas in, pandas out
         import hashlib
@@ -144,10 +191,21 @@ def resize_images(
                     "image resize requires PIL/opencv, not present here; "
                     "wire the decoder into this batch loop"
                 )
-            thumbs = [
-                hashlib.sha256(f"{d}:{width}x{height}".encode()).hexdigest()
-                for d in pdf["sha256"]
-            ]
+            if decode_stub == "real":
+                Image = _require_pil("real image resize")
+                import io
+
+                thumbs = []
+                for payload in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(payload))).convert("RGB")
+                    out = io.BytesIO()
+                    img.resize((width, height)).save(out, format="PNG")
+                    thumbs.append(hashlib.sha256(out.getvalue()).hexdigest())
+            else:
+                thumbs = [
+                    hashlib.sha256(f"{d}:{width}x{height}".encode()).hexdigest()
+                    for d in pdf["sha256"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -158,16 +216,21 @@ def resize_images(
                 }
             )
 
-    return media.select("media_id", "sha256").mapInPandas(run, schema=THUMB_SCHEMA)
+    cols = ["media_id", "sha256"] + (["payload"] if decode_stub == "real" else [])
+    return media.select(*cols).mapInPandas(run, schema=THUMB_SCHEMA)
 
 
 def sample_frames(
     media: DataFrame, n_frames: int = 4, decode_stub: str = "fake"
 ) -> DataFrame:
     """Uniform frame sampling from video payloads via mapInPandas — one
-    output row per (media, frame index). 'fake' derives each frame's
-    content address deterministically from (digest, index); 'error' marks
-    where ffmpeg decoding would plug in. Output cardinality is
+    output row per (media, frame index). 'real' samples n_frames uniformly
+    from multi-frame payloads (animated GIF/WebP/TIFF) with lazily-imported
+    Pillow, content-addressing each frame's RGB bytes — container video
+    (mp4/webm) additionally needs ffmpeg, which is the same wiring point;
+    NotImplementedError with an install hint when the codec is absent.
+    'fake' derives each frame's content address deterministically from
+    (digest, index); 'error' marks the wiring point. Output cardinality is
     n_frames × input rows, produced batch-local (no shuffle)."""
 
     def run(batches):
@@ -182,13 +245,30 @@ def sample_frames(
                     "wire the decoder into this batch loop"
                 )
             ids, idxs, digests = [], [], []
-            for mid, d in zip(pdf["media_id"], pdf["sha256"]):
-                for i in range(n_frames):
-                    ids.append(mid)
-                    idxs.append(i)
-                    digests.append(hashlib.sha256(f"{d}:frame{i}".encode()).hexdigest())
+            if decode_stub == "real":
+                Image = _require_pil("real frame sampling")
+                import io
+
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    img = Image.open(io.BytesIO(bytes(payload)))
+                    total = getattr(img, "n_frames", 1)
+                    # uniform positions over the clip, always n_frames rows
+                    picks = [min(total - 1, (i * total) // n_frames) for i in range(n_frames)]
+                    for i, pos in enumerate(picks):
+                        img.seek(pos)
+                        rgb = img.convert("RGB")
+                        ids.append(mid)
+                        idxs.append(i)
+                        digests.append(hashlib.sha256(rgb.tobytes()).hexdigest())
+            else:
+                for mid, d in zip(pdf["media_id"], pdf["sha256"]):
+                    for i in range(n_frames):
+                        ids.append(mid)
+                        idxs.append(i)
+                        digests.append(hashlib.sha256(f"{d}:frame{i}".encode()).hexdigest())
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_sha256": digests}
             )
 
-    return media.select("media_id", "sha256").mapInPandas(run, schema=FRAME_SCHEMA)
+    cols = ["media_id", "sha256"] + (["payload"] if decode_stub == "real" else [])
+    return media.select(*cols).mapInPandas(run, schema=FRAME_SCHEMA)

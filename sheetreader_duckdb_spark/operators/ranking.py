@@ -87,7 +87,10 @@ def with_global_rank(
     (session.defer_unpersist): it stays alive while the returned lazy
     result is consumed and is unpersisted when the next declared query is
     constructed (or on an explicit session.release_deferred()) — full lazy
-    speed, bounded cache across a corpus run.
+    speed, bounded cache across a corpus run. STANDALONE CALLERS (outside
+    a declared-corpus run, where no next query ever constructs): call
+    session.release_deferred() after materializing the result, or the
+    range shuffle stays cached until session end.
     """
     ranked, counts, keyed = _range_ranked(df, order_cols, num_partitions)
     defer_unpersist(keyed)

@@ -35,21 +35,44 @@ def default_parallelism() -> int:
 # collected. Worst case for an unusual caller (construct many, execute
 # later): a released cache recomputes, never a wrong result.
 
+# Two caveats for callers OUTSIDE a declared-corpus run (ADVICE r3):
+#
+# * STANDALONE LEAK: the registry drains only when another declared query is
+#   constructed. A caller using with_global_rank / ntile / the dedup
+#   pipeline directly keeps the last persisted intermediate alive until
+#   session end — call ``release_deferred()`` yourself after materializing
+#   the result (the operators' docstrings say the same).
+# * CONCURRENCY: the registry is process-global. The lock below makes
+#   register/release safe to CALL concurrently, but release semantics are
+#   inherently corpus-run-shaped — a release triggered by thread A's query
+#   construction will unpersist an intermediate thread B has constructed
+#   but not yet collected. That recomputes B's lineage (slower, never
+#   wrong). Concurrent query construction should use one session per
+#   thread or leave the corpus-run pattern.
+
+import threading
+
 _DEFERRED_UNPERSIST: list = []
+_DEFERRED_LOCK = threading.Lock()
 
 
 def defer_unpersist(df):
     """Register a persisted DataFrame to be unpersisted at the next
-    ``release_deferred()`` (called by every declared query's wrapper)."""
-    _DEFERRED_UNPERSIST.append(df)
+    ``release_deferred()`` (called by every declared query's wrapper;
+    standalone operator callers should call it themselves after
+    materializing — see the module comment)."""
+    with _DEFERRED_LOCK:
+        _DEFERRED_UNPERSIST.append(df)
     return df
 
 
 def release_deferred() -> int:
     """Unpersist every deferred cache; returns how many were released."""
+    with _DEFERRED_LOCK:
+        drained = _DEFERRED_UNPERSIST[:]
+        _DEFERRED_UNPERSIST.clear()
     n = 0
-    while _DEFERRED_UNPERSIST:
-        df = _DEFERRED_UNPERSIST.pop()
+    for df in drained:
         try:
             df.unpersist()
             n += 1

@@ -51,3 +51,67 @@ def test_sample_frames_cardinality(media):
 def test_error_stub_raises(media, fn):
     with pytest.raises(PythonException, match="NotImplementedError"):
         fn(media.limit(2), decode_stub="error").collect()
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_real_mode_without_pillow_raises_install_hint(media):
+    """decode_stub='real' in a codec-less environment must fail loudly with
+    the install hint — never silently fall back to the fake path."""
+    if _pil_available():
+        pytest.skip("Pillow installed — covered by the real-decode tests")
+    with pytest.raises(PythonException, match="Pillow is not"):
+        M.extract_features(media, dim=4, decode_stub="real").collect()
+    with pytest.raises(PythonException, match="Pillow is not"):
+        M.resize_images(media, decode_stub="real").collect()
+    with pytest.raises(PythonException, match="Pillow is not"):
+        M.sample_frames(media, decode_stub="real").collect()
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_real_decode_with_pillow(spark):
+    """When Pillow IS present the lazy import wires in a real decode:
+    features are pixel intensities in [0, 1], thumbs content-address the
+    resized PNG, frame sampling walks animated payloads."""
+    import io
+
+    from PIL import Image
+
+    def png(color):
+        img = Image.new("RGB", (8, 8), color)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png((255, 0, 0)))), (2, bytearray(png((0, 0, 255))))],
+        "media_id long, payload binary",
+    ).withColumn("sha256", F.sha2(F.col("payload"), 256))
+
+    feats = {r["media_id"]: r["feature"] for r in M.extract_features(df, dim=4, decode_stub="real").collect()}
+    assert len(feats) == 2
+    assert all(0.0 <= x <= 1.0 for f in feats.values() for x in f)
+    assert feats[1] != feats[2]  # different images, different features
+
+    thumbs = M.resize_images(df, width=4, height=4, decode_stub="real").collect()
+    assert len(thumbs) == 2 and all(len(r["thumb"]) == 64 for r in thumbs)
+    again = M.resize_images(df, width=4, height=4, decode_stub="real").collect()
+    assert {tuple(r) for r in thumbs} == {tuple(r) for r in again}
+
+    # animated GIF: three distinct frames, sample 3 -> 3 distinct addresses
+    frames_src = [Image.new("RGB", (4, 4), c) for c in ((255, 0, 0), (0, 255, 0), (0, 0, 255))]
+    buf = io.BytesIO()
+    frames_src[0].save(buf, format="GIF", save_all=True, append_images=frames_src[1:])
+    gif = spark.createDataFrame(
+        [(9, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    ).withColumn("sha256", F.sha2(F.col("payload"), 256))
+    got = M.sample_frames(gif, n_frames=3, decode_stub="real").collect()
+    assert [r["frame_idx"] for r in sorted(got, key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    assert len({r["frame_sha256"] for r in got}) == 3

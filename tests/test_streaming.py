@@ -300,3 +300,78 @@ def test_multi_trigger_late_data_across_watermark(spark, tmp_path):
         ).collect()
     }
     assert (h(0), "A") in naive and all(r[0] != h(0) for r in got)
+
+
+def test_interval_join_late_data_both_sides(spark, tmp_path):
+    """VERDICT r3 item 8: the stream-stream interval join under late data on
+    BOTH sides, across three AvailableNow runs on one checkpoint. A
+    late-but-in-watermark right row still pairs with its buffered left
+    partner from the PREVIOUS trigger; rows hours beyond the watermark on
+    either side are dropped; the final sink must equal the batch
+    range-join over the kept rows."""
+    import datetime as dt
+
+    ldir, rdir = str(tmp_path / "ij_left"), str(tmp_path / "ij_right")
+    ckpt, sink = str(tmp_path / "ij_ckpt"), str(tmp_path / "ij_sink")
+    schema = "ts timestamp, user_id long, value double"
+
+    def t(hh, mm=0):
+        return dt.datetime(2024, 5, 1, hh, mm)
+
+    def arrive(path, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+    def run_once():
+        ls = spark.readStream.schema(schema).parquet(ldir)
+        rs = spark.readStream.schema(schema).parquet(rdir)
+        j = SE.interval_join(
+            ls, rs, on="user_id", lower="10 minutes", upper="10 minutes",
+            watermark="1 hour",
+        ).select("user_id", "ts", "ts_r", "value", "value_r")
+        q = (
+            j.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # T1: u1 pairs within the trigger; u2's left waits in state.
+    arrive(ldir, [(t(10, 0), 1, 1.0), (t(12, 0), 2, 2.0)])
+    arrive(rdir, [(t(10, 5), 1, 10.0)])
+    run_once()  # global watermark after: min(12:00, 10:05) - 1h = 09:05
+
+    # T2: u2's right arrives LATE (11:55 — in-watermark) and must still
+    # pair with the buffered left@12:00. The u3 pair (06:00/06:01) is
+    # hours beyond the watermark on both sides — dropped. u9 advances.
+    arrive(ldir, [(t(6, 0), 3, 3.0), (t(15, 0), 9, 9.0)])
+    arrive(rdir, [(t(11, 55), 2, 20.0), (t(6, 1), 3, 30.0), (t(15, 3), 9, 90.0)])
+    run_once()  # watermark: min(15:00, 15:03) - 1h = 14:00
+
+    # T3: the u4 pair (11:00) is beyond the 14:00 watermark -> dropped on
+    # both sides; u5 is fresh and pairs.
+    arrive(ldir, [(t(11, 0), 4, 4.0), (t(16, 0), 5, 5.0)])
+    arrive(rdir, [(t(11, 2), 4, 40.0), (t(16, 2), 5, 50.0)])
+    run_once()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+
+    # Batch replay over the KEPT rows (dropped: the u3 and u4 pairs).
+    kept_l = spark.createDataFrame(
+        [(t(10, 0), 1, 1.0), (t(12, 0), 2, 2.0), (t(15, 0), 9, 9.0), (t(16, 0), 5, 5.0)],
+        schema,
+    )
+    kept_r = spark.createDataFrame(
+        [(t(10, 5), 1, 10.0), (t(11, 55), 2, 20.0), (t(15, 3), 9, 90.0), (t(16, 2), 5, 50.0)],
+        schema,
+    )
+    want = sorted(
+        tuple(r)
+        for r in SE.interval_join(
+            kept_l, kept_r, on="user_id", lower="10 minutes", upper="10 minutes"
+        ).select("user_id", "ts", "ts_r", "value", "value_r").collect()
+    )
+    assert len(want) == 4  # u1, u2 (cross-trigger), u9, u5
+    assert got == want
