@@ -52,6 +52,7 @@ def query(name: str, oracle: str | None, doc: str = ""):
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate REGISTRY.
     from sheetreader_duckdb_spark.plans import relational  # noqa: F401
+    from sheetreader_duckdb_spark.plans import tpch  # noqa: F401
     from sheetreader_duckdb_spark.plans import northstar  # noqa: F401
     from sheetreader_duckdb_spark.plans import ingestion  # noqa: F401
     from sheetreader_duckdb_spark.plans import streaming_queries  # noqa: F401

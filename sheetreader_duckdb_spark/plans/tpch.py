@@ -1,0 +1,820 @@
+"""Adapted TPC-H suite (Q4–Q22 shapes) over the driver testdata.
+
+The reference delegates its entire relational surface to the host DuckDB (the
+extension registers only the `sheetreader` table function,
+/root/reference/src/sheetreader_extension.cpp:948-968, and the README's own
+benchmark is "TPC-H tables written to XLSX and reloaded",
+/root/reference/README.md:63-70) — so the TPC-H query set IS the reference's
+de-facto integration workload. Q1/Q3/Q5 live in plans/relational.py
+(h08/h08b/h08c); this module covers the remaining shapes, adapted to the
+driver schema where canonical columns are absent:
+
+- no `partsupp` table → Q2/Q11 have no faithful equivalent and are declared
+  out of scope; Q9/Q16/Q20 drop only their ps_* terms, keeping the join/
+  subquery topology.
+- no l_commitdate/l_receiptdate/l_shipmode/p_container/c_phone → "late" is
+  l_shipdate > o_orderdate + 60 days; Q12 groups by l_linestatus; Q19 uses
+  p_brand/p_size ranges; Q22's country code is c_nationkey % 5 and "no
+  orders" becomes "no orders since 2000-01-01" (every sf0.01 customer has
+  at least one order).
+
+Every query follows the corpus float discipline (integer-cents sums, exact
+integer AVG inputs, mirrored expression trees) so results hash-match the
+DuckDB oracle bit-exactly. Plans are written for the 100 TB posture: dims
+(region/nation/supplier) broadcast, fact-fact joins shuffle on their keys,
+correlated subqueries expressed as the decorrelated aggregate-join form
+Catalyst would produce, semi/anti joins instead of IN/EXISTS materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from sheetreader_duckdb_spark.functions import (
+    cents,
+    money_avg,
+    money_sum,
+    sql_money_avg,
+    sql_money_sum,
+)
+from sheetreader_duckdb_spark.plans import query
+from sheetreader_duckdb_spark.tables import T
+
+def _disc_price() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+def _money_sum_expr(col: F.Column) -> F.Column:
+    """SUM of a cents-quantized row expression, back to double."""
+    return F.sum(cents(col)) / 100.0
+
+
+def _d(col: str) -> F.Column:
+    return F.to_date(col)
+
+
+# --------------------------------------------------------------------------
+# Q4 — order-priority checking: correlated EXISTS → left-semi join
+# --------------------------------------------------------------------------
+@query(
+    "t04_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1995-07-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1995-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (H6/H22): correlated EXISTS over lineitem expressed "
+    "as a left-semi join with a non-equi residual (shipdate > orderdate; the "
+    "driver schema has no commitdate/receiptdate). Semi join shuffles both "
+    "sides on l_orderkey only — no lineitem row is ever duplicated.",
+)
+def t04_order_priority_exists(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").filter(
+        (_d("o_orderdate") >= F.lit("1995-07-01").cast("date"))
+        & (_d("o_orderdate") < F.lit("1995-10-01").cast("date"))
+    )
+    l = T(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (_d("l_shipdate") > _d("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecasting revenue change: pure scan-filter-aggregate
+# --------------------------------------------------------------------------
+@query(
+    "t06_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (H4/H8): selective scan + single global aggregate. All "
+    "three predicates push to the parquet scan; the aggregate is a map-side "
+    "partial sum of int64 cents — the cheapest possible 100 TB plan.",
+)
+def t06_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem")
+    return l.filter(
+        (_d("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (_d("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & F.col("l_discount").between(0.04, 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(_money_sum_expr(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# --------------------------------------------------------------------------
+@query(
+    "t07_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_money_sum('volume')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+             {_SQL_DISC_PRICE} AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 (H5/H8/H17): two aliased copies of the nation dim "
+    "(supplier-side and customer-side), disjunctive nation-pair predicate, "
+    "revenue by year. Both nation copies and supplier broadcast; lineitem⋈"
+    "orders is the only real shuffle.",
+)
+def t07_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem").filter(
+        _d("l_shipdate").between(F.lit("1995-01-01").cast("date"), F.lit("1996-12-31").cast("date"))
+    )
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        l.join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(_d("l_shipdate")).cast("long").alias("l_year"),
+        )
+        .agg(_money_sum_expr(_disc_price()).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share: conditional-sum ratio
+# --------------------------------------------------------------------------
+@query(
+    "t08_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_7' THEN vc ELSE 0 END) AS BIGINT) / 100.0
+           / (CAST(SUM(vc) AS BIGINT) / 100.0) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vc,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    ) allnations
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 (H5/H8/H21): eight-table star with the customer-side "
+    "region restriction and supplier-side nation in a CASE-gated numerator. "
+    "The share is a ratio of two exact int64 cent sums, so the double "
+    "division is bit-identical across engines.",
+)
+def t08_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    l = T(spark, sf, "lineitem")
+    s = T(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = T(spark, sf, "orders").filter(
+        _d("o_orderdate").between(F.lit("1995-01-01").cast("date"), F.lit("1996-12-31").cast("date"))
+    )
+    c = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n1 = broadcast(
+        n.join(broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("cust_nkey")
+        )
+    )
+    n2 = broadcast(n.select(F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("nation")))
+    vc = cents(_disc_price())
+    return (
+        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(n2, F.col("s_nationkey") == F.col("supp_nkey"))
+        .select(F.year(_d("o_orderdate")).cast("long").alias("o_year"), vc.alias("vc"), "nation")
+        .groupBy("o_year")
+        .agg(
+            (
+                (F.sum(F.when(F.col("nation") == "NATION_7", F.col("vc")).otherwise(F.lit(0))) / 100.0)
+                / (F.sum("vc") / 100.0)
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit (ps_supplycost-free adaptation)
+# --------------------------------------------------------------------------
+@query(
+    "t09_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {sql_money_sum('amount')} AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+             {_SQL_DISC_PRICE} AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape (H5/H8/H16): part-name LIKE filter, profit by "
+    "supplier nation and order year. The driver schema has no partsupp, so "
+    "profit omits the ps_supplycost term but keeps the full join topology.",
+)
+def t09_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    l = T(spark, sf, "lineitem")
+    s = T(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    n = T(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year(_d("o_orderdate")).cast("long").alias("o_year"))
+        .agg(_money_sum_expr(_disc_price()).alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned-item reporting: top-20 customers by lost revenue
+# --------------------------------------------------------------------------
+@query(
+    "t10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(ROUND({_SQL_DISC_PRICE} * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1995-07-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1995-10-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 (H5/H8/H14): returned-lines revenue per customer in one "
+    "quarter, top 20 (c_custkey tiebreak makes the LIMIT deterministic). "
+    "TakeOrderedAndProject — no global sort materialization.",
+)
+def t10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").filter(
+        (_d("o_orderdate") >= F.lit("1995-07-01").cast("date"))
+        & (_d("o_orderdate") < F.lit("1995-10-01").cast("date"))
+    )
+    l = T(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = T(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money_sum_expr(_disc_price()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — late-shipment priority split (shipmode-free adaptation)
+# --------------------------------------------------------------------------
+@query(
+    "t12_late_priority_split",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (H5/H8/H21): late lines (shipdate > orderdate+60d; "
+    "the schema has no commit/receipt dates or shipmode) split into "
+    "high/low-priority counts via CASE-gated sums, grouped by l_linestatus.",
+)
+def t12_late_priority_split(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = T(spark, sf, "lineitem").filter(
+        (_d("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (_d("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(_d("l_shipdate") > F.date_add(_d("o_orderdate"), 60))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution: outer join + double aggregation
+# --------------------------------------------------------------------------
+@query(
+    "t13_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 (H5/H8): left outer join with a non-key ON predicate "
+    "(priority filter inside the join, not the WHERE — the outer-join "
+    "semantics differ), COUNT of non-NULL orderkeys, then a second "
+    "aggregation over the counts. Two shuffles, both on uniform keys.",
+)
+def t13_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select("c_custkey")
+    o = T(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion effect: conditional revenue percentage
+# --------------------------------------------------------------------------
+@query(
+    "t14_promo_effect",
+    oracle=f"""
+    SELECT 100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(ROUND({_SQL_DISC_PRICE} * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0)
+           / (CAST(SUM(CAST(ROUND({_SQL_DISC_PRICE} * 100) AS BIGINT)) AS BIGINT) / 100.0)
+           AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1996-04-01'
+    """,
+    doc="TPC-H Q14 (H5/H8/H21): PROMO revenue share in one month as a ratio "
+    "of cents-exact conditional sums. Part side broadcast; single-row output.",
+)
+def t14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem").filter(
+        (_d("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (_d("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    p = T(spark, sf, "part").select("p_partkey", "p_type")
+    vc = cents(_disc_price())
+    return (
+        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * (F.sum(F.when(F.col("p_type") == "PROMO", vc).otherwise(F.lit(0))) / 100.0)
+                / (F.sum(vc) / 100.0)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier: CTE revenue view + scalar MAX subquery
+# --------------------------------------------------------------------------
+@query(
+    "t15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(ROUND({_SQL_DISC_PRICE} * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 (H8/H22): quarterly revenue-per-supplier view consumed "
+    "twice — once joined to supplier, once under a scalar MAX. Cents-exact "
+    "sums make the float equality deterministic. The Spark plan broadcasts "
+    "the one-row MAX instead of re-scanning.",
+)
+def t15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem").filter(
+        (_d("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (_d("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _money_sum_expr(_disc_price()).alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = T(spark, sf, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier variety per part group (partsupp-free adaptation)
+# --------------------------------------------------------------------------
+@query(
+    "t16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (H5/H6/H8): distinct-supplier counts per part "
+    "group via the lineitem fact (no partsupp in the driver schema), with a "
+    "NOT IN exclusion subquery expressed as a broadcast anti join "
+    "(s_suppkey is non-NULL, so NOT IN ≡ anti join).",
+)
+def t16_supplier_variety(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    l = T(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    bad = T(spark, sf, "supplier").filter(F.col("s_acctbal") < 500).select("s_suppkey")
+    return (
+        l.join(broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: correlated scalar AVG subquery
+# --------------------------------------------------------------------------
+@query(
+    "t17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / 7.0
+           AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+    doc="TPC-H Q17 (H8/H22): correlated scalar AVG decorrelated into a "
+    "per-part aggregate joined back to the fact — the exact rewrite Catalyst "
+    "and DuckDB both produce. AVG of integer-valued doubles is "
+    "order-independent (exact int sums below 2^53), so the 0.2·avg "
+    "threshold compare is deterministic across engines.",
+)
+def t17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem")
+    p = T(spark, sf, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg((F.sum(cents(F.col("l_extendedprice"))) / 100.0 / 7.0).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers: HAVING subquery as semi join
+# --------------------------------------------------------------------------
+@query(
+    "t18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 (H6/H8/H14): orders whose total quantity exceeds 300 "
+    "(IN-subquery with HAVING → aggregate + semi join), re-aggregated with "
+    "customer detail, top-100 by price with orderkey tiebreak.",
+)
+def t18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    o = T(spark, sf, "orders").join(
+        big.withColumnRenamed("l_orderkey", "bok"),
+        F.col("o_orderkey") == F.col("bok"),
+        "left_semi",
+    )
+    c = T(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _d("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue: disjunctive multi-attribute join predicate
+# --------------------------------------------------------------------------
+@query(
+    "t19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(ROUND({_SQL_DISC_PRICE} * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (H4/H5): disjunction of three conjunctive clauses "
+    "mixing part and lineitem attributes (brand/size for container/shipmode "
+    "absent from the driver schema). The equi-key join stays a hash join; "
+    "the disjunction is a post-join residual filter.",
+)
+def t19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem")
+    p = T(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    clause = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(clause)
+        .agg(_money_sum_expr(_disc_price()).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion: nested IN over grouped HAVING
+# --------------------------------------------------------------------------
+@query(
+    "t20_part_promotion",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l.l_shipdate AS DATE) <  DATE '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+    )
+    """,
+    doc="TPC-H Q20 shape (H6/H8/H16): suppliers who moved >50 units of any "
+    "red part in 1996 — grouped HAVING feeding an IN, expressed as "
+    "aggregate → distinct keys → semi join (partsupp's availqty term has no "
+    "equivalent table; the nested-subquery topology is preserved).",
+)
+def t20_part_promotion(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    l = T(spark, sf, "lineitem").filter(
+        (_d("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (_d("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    keys = (
+        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+        .filter(F.col("sq") > 50)
+        .select("l_suppkey")
+    )
+    s = T(spark, sf, "supplier")
+    return s.join(keys, s.s_suppkey == keys.l_suppkey, "left_semi").select("s_name", "s_acctbal")
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting: EXISTS + NOT EXISTS self-joins
+# --------------------------------------------------------------------------
+@query(
+    "t21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND CAST(l3.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (H6/H22): the sole-late-supplier pattern — EXISTS "
+    "(another supplier on the order) + NOT EXISTS (another LATE supplier), "
+    "late = shipdate > orderdate+60d. Spark form: one lineitem⋈orders "
+    "late-flag table consumed three times — semi join then anti join on "
+    "(orderkey, suppkey≠) — no correlated re-scans.",
+)
+def t21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    # One late-flag table: lines of F-status orders (l2/l3 in the SQL correlate
+    # on l1's orderkey, which is an F-status order, so the restriction is
+    # semantics-preserving).
+    lo = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (_d("l_shipdate") > F.date_add(_d("o_orderdate"), 60)).alias("late"),
+    )
+    others = lo.select(
+        F.col("l_orderkey").alias("ok2"),
+        F.col("l_suppkey").alias("sk2"),
+        F.col("late").alias("late2"),
+    )
+    l1 = lo.filter(F.col("late"))
+    waiting = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    ).join(
+        others.filter(F.col("late2")),
+        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+        "left_anti",
+    )
+    s = T(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — dormant high-balance customers (phone-prefix-free adaptation)
+# --------------------------------------------------------------------------
+@query(
+    "t22_dormant_customers",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT c_custkey, c_acctbal, CAST(c_nationkey % 5 AS INTEGER) AS cntrycode
+      FROM customer
+      WHERE c_nationkey % 5 IN (0, 1, 2)
+    )
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_money_sum('c_acctbal')} AS totacctbal
+    FROM eligible c
+    WHERE c.c_acctbal > (
+        SELECT {sql_money_avg('c_acctbal')} FROM eligible WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01'
+      )
+    GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape (H6/H8/H22): above-average-balance customers with "
+    "no recent orders (every sf0.01 customer has SOME order, so dormancy is "
+    "'none since 2000'; country code is c_nationkey % 5 — no c_phone in the "
+    "driver schema). Scalar AVG subquery broadcast, NOT EXISTS as anti join; "
+    "cents-exact AVG makes the balance threshold deterministic.",
+)
+def t22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
+    elig = (
+        T(spark, sf, "customer")
+        .filter((F.col("c_nationkey") % 5).isin(0, 1, 2))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("c_nationkey") % 5).cast("int").alias("cntrycode"),
+        )
+    )
+    avg_bal = elig.filter(F.col("c_acctbal") > 0.0).agg(money_avg("c_acctbal").alias("avg_bal"))
+    recent = (
+        T(spark, sf, "orders")
+        .filter(_d("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    return (
+        elig.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
