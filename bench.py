@@ -65,6 +65,9 @@ HEADLINE = [
     "h13_sort_topk",
     "h22_cte_subquery",
     "h02b_ctas_sink",
+    "t06_forecast_revenue",
+    "t18_large_orders",
+    "t21_waiting_suppliers",
     "n01_dedup_exact_pipeline",
     "n02_dedup_minhash_lsh",
     "n05_ann_bruteforce_topk",

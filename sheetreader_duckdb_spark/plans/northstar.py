@@ -1164,3 +1164,91 @@ def n13_tumbling_windows(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
     )
+
+
+# --------------------------------------------------------------------------
+# N2c — connected-components dedup clusters over the verified pair graph
+# --------------------------------------------------------------------------
+@query(
+    "n20_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    docs2 AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN survivors s USING (doc_id)
+    ),
+    {_sql_shingles('docs2')},
+    {_SQL_MINHASH_BANDS},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN shingles sa ON sa.doc_id = p.id_a
+        JOIN shingles sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+        GROUP BY p.id_a, p.id_b
+    ),
+    verified AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    cc AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+    SELECT 'cc' AS tag, node AS id, label AS lbl FROM cc
+    UNION ALL
+    SELECT 'kept' AS tag, s.doc_id AS id, CAST(NULL AS BIGINT) AS lbl
+    FROM survivors s
+    WHERE s.doc_id NOT IN (SELECT node FROM cc WHERE node <> label)
+    """,
+    doc="Connected-components dedup clusters (N2, operators/dedup.py "
+    "connected_components): the verified near-dup pair graph from the n01 "
+    "pipeline (exact-dedup survivors -> MinHash/LSH candidates -> Jaccard "
+    ">= 0.5) collapsed to transitive clusters by hash-min label propagation "
+    "(Pregel-style, one uniform node-keyed shuffle per iteration, "
+    "localCheckpoint against lineage growth; converges in O(diameter) "
+    "rounds - 2-3 on dup graphs). 'cc' = (node, min-id cluster label); "
+    "'kept' = cluster-aware keep-set, strictly stronger than the pairwise "
+    "drop-id_b policy on transitive chains (A~B~C collapses to one "
+    "representative even when A!~C). Oracle = DuckDB recursive-CTE "
+    "transitive closure: the fixpoint labels are engine-independent.",
+)
+def n20_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    survivors = D.exact_dedup(docs.select("doc_id", "text"), "doc_id", "text")
+    sh = SESS.defer_unpersist(
+        D.word_shingles(survivors, "doc_id", "text", k=3).persist()
+    )
+    pairs = _minhash_pairs(sh)
+    verified = D.jaccard_verify(sh, pairs, "doc_id", threshold=0.5)
+    labels = D.connected_components(verified.select("id_a", "id_b"))
+    cc = labels.select(
+        F.lit("cc").alias("tag"),
+        F.col("node").alias("id"),
+        F.col("label").alias("lbl"),
+    )
+    drop = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = (
+        survivors.select("doc_id")
+        .join(drop, "doc_id", "left_anti")
+        .select(
+            F.lit("kept").alias("tag"),
+            F.col("doc_id").alias("id"),
+            F.lit(None).cast("long").alias("lbl"),
+        )
+    )
+    return cc.unionAll(kept)

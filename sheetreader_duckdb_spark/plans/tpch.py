@@ -718,39 +718,43 @@ def t20_part_promotion(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY numwait DESC, s.s_name
     LIMIT 100
     """,
-    doc="TPC-H Q21 shape (H6/H22): the sole-late-supplier pattern — EXISTS "
-    "(another supplier on the order) + NOT EXISTS (another LATE supplier), "
-    "late = shipdate > orderdate+60d. Spark form: one lineitem⋈orders "
-    "late-flag table consumed three times — semi join then anti join on "
-    "(orderkey, suppkey≠) — no correlated re-scans.",
+    doc="TPC-H Q21 shape (H6/H12/H22): the sole-late-supplier pattern — "
+    "EXISTS (another supplier on the order) + NOT EXISTS (another LATE "
+    "supplier), late = shipdate > orderdate+60d. Spark form: the two EXISTS "
+    "collapse into per-order distinct-supplier window counts over ONE "
+    "lineitem⋈orders pass (EXISTS other supplier ≡ n_supp>1; NOT EXISTS "
+    "other late supplier ≡ n_late_supp=1, since the probe line is itself "
+    "late). The window reuses the join's l_orderkey partitioning — no "
+    "self-joins, no re-scans, one shuffle chain.",
 )
 def t21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
     o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
     l = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    # One late-flag table: lines of F-status orders (l2/l3 in the SQL correlate
-    # on l1's orderkey, which is an F-status order, so the restriction is
+    # Late-flag table over F-status orders only (l2/l3 in the SQL correlate on
+    # l1's orderkey, which is an F-status order, so the restriction is
     # semantics-preserving).
     lo = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "l_orderkey",
         "l_suppkey",
         (_d("l_shipdate") > F.date_add(_d("o_orderdate"), 60)).alias("late"),
     )
-    others = lo.select(
-        F.col("l_orderkey").alias("ok2"),
-        F.col("l_suppkey").alias("sk2"),
-        F.col("late").alias("late2"),
+    w = Window.partitionBy("l_orderkey")
+    # collect_set drops NULLs, so the WHEN gives distinct LATE suppliers only.
+    flagged = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
     )
-    l1 = lo.filter(F.col("late"))
-    waiting = l1.join(
-        others,
-        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
-        "left_semi",
-    ).join(
-        others.filter(F.col("late2")),
-        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
-        "left_anti",
+    waiting = flagged.filter(
+        F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     )
     s = T(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
