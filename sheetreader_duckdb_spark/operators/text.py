@@ -9,7 +9,7 @@ so every operator here is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Stopword markers per language for the n-gram/marker language-ID heuristic.
@@ -272,3 +272,77 @@ def quality_keep(
         s = signals[name]
         keep = keep & (s >= F.lit(lo)) & (s <= F.lit(hi))
     return keep
+
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters: bounded-memory candidate sketch + exact recount
+# --------------------------------------------------------------------------
+def heavy_hitter_candidates(
+    tokens: DataFrame, token_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra–Gries candidate tokens, ``(token)`` distinct.
+
+    Guarantee (the reason this scales): a Misra–Gries sketch of capacity c
+    over a partition of N_p tokens retains every token whose count in that
+    partition exceeds N_p/c. Summing over partitions, any token with GLOBAL
+    count > N/c must exceed its partition threshold somewhere (pigeonhole),
+    so the union of per-partition candidates is a superset of all global
+    heavy hitters — regardless of how rows are partitioned.
+
+    State per partition is ≤ ``capacity`` counters (the one justified
+    Python-side path: a bounded-memory mergeable sketch has no DataFrame
+    expression form). Batches fold in vectorized via value_counts; the
+    overflow step subtracts the (capacity+1)-th largest count from all
+    counters and drops non-positives — the mergeable-summaries form of the
+    MG decrement, same retention bound.
+    """
+    import pandas as pd  # noqa: F401 — imported for the worker closure
+
+    def mg(batches):
+        import pandas as pd
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            vc = pdf[token_col].value_counts()
+            for tok, c in vc.items():
+                counts[tok] += int(c)
+            if len(counts) > capacity:
+                kth = sorted(counts.values(), reverse=True)[capacity]
+                counts = Counter(
+                    {t: c - kth for t, c in counts.items() if c - kth > 0}
+                )
+        yield pd.DataFrame({"token": list(counts.keys())}, dtype="object")
+
+    return tokens.mapInPandas(mg, "token string").distinct()
+
+
+def exact_heavy_hitters(
+    tokens: DataFrame, token_col: str, denom: int
+) -> DataFrame:
+    """Tokens whose count ``cnt`` satisfies ``cnt * denom >= N`` (N = total
+    token count), with exact counts: ``(token, cnt)``.
+
+    Two passes, both bounded: (1) Misra–Gries candidates with capacity
+    denom+1 — a superset of every qualifying token by the retention bound
+    (cnt ≥ N/denom > N/(denom+1)); (2) exact recount of candidates only
+    (broadcast semi join — the candidate set is ≤ (denom+1)·partitions
+    rows), then the integer-exact threshold filter. Output is independent
+    of partitioning: the sketch only proposes, the recount decides.
+
+    This is how you take a token-frequency vocabulary off a 100 TB corpus
+    without shuffling every distinct token: the full groupBy ships the
+    whole long tail; this ships candidate counts only.
+    """
+    cands = heavy_hitter_candidates(tokens, token_col, capacity=denom + 1)
+    total = tokens.select(F.count(F.lit(1)).alias("n"))
+    counted = (
+        tokens.join(F.broadcast(cands), tokens[token_col] == cands.token, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * denom >= F.col("n"))
+        .select(F.col(token_col).alias("token"), "cnt")
+    )

@@ -1252,3 +1252,38 @@ def n20_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return cc.unionAll(kept)
+
+
+# --------------------------------------------------------------------------
+# N4b — exact heavy-hitter vocabulary via bounded-memory sketch + recount
+# --------------------------------------------------------------------------
+@query(
+    "n21_heavy_hitter_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks
+    GROUP BY token
+    HAVING COUNT(*) * 200 >= (SELECT n FROM tot)
+    """,
+    doc="Exact heavy-hitter tokens (N4, operators/text.py "
+    "exact_heavy_hitters): every whitespace token holding >= 1/200 of the "
+    "corpus token mass, with exact counts. Two bounded passes: per-partition "
+    "Misra-Gries candidate sketch (capacity 201 counters, mergeable-summaries "
+    "overflow, mapInPandas — the justified Python path: a bounded-memory "
+    "sketch has no expression form), then exact recount of the candidate "
+    "superset only (broadcast semi join). The output is partitioning-"
+    "invariant — the sketch proposes, the recount decides — so it "
+    "hash-matches the oracle's full GROUP BY ... HAVING, while at 100 TB "
+    "the plan never shuffles the distinct-token long tail. The threshold "
+    "compare is integer-exact (cnt*200 >= N) on both engines.",
+)
+def n21_heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    toks = (
+        T(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+    )
+    return X.exact_heavy_hitters(toks, "token", denom=200)
