@@ -9,9 +9,11 @@ de-facto integration workload. Q1/Q3/Q5 live in plans/relational.py
 (h08/h08b/h08c); this module covers the remaining shapes, adapted to the
 driver schema where canonical columns are absent:
 
-- no `partsupp` table → Q2/Q11 have no faithful equivalent and are declared
-  out of scope; Q9/Q16/Q20 drop only their ps_* terms, keeping the join/
-  subquery topology.
+- no `partsupp` table → Q2/Q11 derive their supplier-cost/value columns
+  from the lineitem fact (t02: ps_supplycost = min observed line price per
+  (part, supplier); t11: part value = revenue from one nation's suppliers),
+  keeping the correlated-MIN and HAVING-vs-global-scalar topologies;
+  Q9/Q16/Q20 drop only their ps_* terms.
 - no l_commitdate/l_receiptdate/l_shipmode/p_container/c_phone → "late" is
   l_shipdate > o_orderdate + 60 days; Q12 groups by l_linestatus; Q19 uses
   p_brand/p_size ranges; Q22's country code is c_nationkey % 5 and "no
@@ -821,4 +823,119 @@ def t22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             money_sum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 — min-cost supplier: correlated MIN subquery over a derived partsupp
+# --------------------------------------------------------------------------
+@query(
+    "t02_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+    FROM part p
+    JOIN ps          ON ps.ps_partkey = p.p_partkey
+    JOIN supplier s  ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (H5/H8/H22): min-cost supplier per part with the "
+    "correlated MIN subquery. The driver schema has no partsupp, so it is "
+    "DERIVED from the fact: ps_supplycost = min observed per-line price per "
+    "(part, supplier), cents-exact so the min-equality join is "
+    "deterministic. Spark form decorrelates to a per-part MIN aggregate "
+    "joined on (partkey, cost) — the ps derivation is one groupBy shuffle "
+    "shared by both sides; all dims broadcast.",
+)
+def t02_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem")
+    ps = l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg((F.min(cents(F.col("l_extendedprice"))) / 100.0).alias("ps_supplycost"))
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        T(spark, sf, "supplier")
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(broadcast(eu_sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+    min_cost = eu_ps.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = T(spark, sf, "part").filter(F.col("p_size") == 15).select("p_partkey", "p_name")
+    return (
+        eu_ps.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock: HAVING against a global-aggregate scalar
+# --------------------------------------------------------------------------
+@query(
+    "t11_important_stock",
+    oracle="""
+    WITH lv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS vc
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey = 3
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(vc AS BIGINT) / 100.0 AS value
+    FROM lv
+    WHERE vc * 500 >= (SELECT SUM(vc) FROM lv)
+    """,
+    doc="TPC-H Q11 shape (H8/H22): per-part value restricted to one "
+    "nation's suppliers, keeping parts above a 1/500 share of the total — "
+    "the HAVING-vs-global-scalar pattern. Value is derived from lineitem "
+    "revenue (no partsupp availqty/supplycost in the driver schema). The "
+    "share threshold is integer-exact (vc*500 >= total cents) on both "
+    "engines; Spark broadcasts the one-row total instead of re-scanning.",
+)
+def t11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    sup = (
+        T(spark, sf, "supplier")
+        .filter(F.col("s_nationkey") == 3)
+        .select("s_suppkey")
+    )
+    lv = (
+        T(spark, sf, "lineitem")
+        .join(broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("vc"))
+    )
+    total = lv.agg(F.sum("vc").alias("total"))
+    return (
+        lv.crossJoin(broadcast(total))
+        .filter(F.col("vc") * 500 >= F.col("total"))
+        .select(F.col("l_partkey").alias("partkey"), (F.col("vc") / 100.0).alias("value"))
     )

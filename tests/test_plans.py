@@ -29,6 +29,9 @@ BNL_OK = {
     # n05's float scan); the 'lsh'/'ivf' branches in the same union stay
     # equi-join. Corpus side never shuffles.
     "n05b_ann_lsh_topk",
+    "t11_important_stock",  # crossJoin of the 1-row broadcast total
+    "t22_dormant_customers",  # crossJoin of the 1-row broadcast average
+    "n21_heavy_hitter_tokens",  # crossJoin of the 1-row broadcast total
 }
 
 # Queries that are not plain batch plans (streaming execution) or that read
@@ -92,3 +95,34 @@ def test_dim_joins_broadcast(plans):
 
 def test_topk_compiles_to_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans["h13_sort_topk"]
+
+
+def test_tpch_scan_agg_pushes_filters(plans):
+    # Q6 is the purest scan-filter-aggregate: every predicate must reach the
+    # parquet scan, and the scan must read only the 4 referenced columns.
+    plan = plans["t06_forecast_revenue"]
+    assert "PushedFilters: " in plan
+    pushed = plan.split("PushedFilters: ", 1)[1].splitlines()[0]
+    assert "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_tax" not in read_schema
+
+
+def test_tpch_topk_take_ordered(plans):
+    for name in ("t10_returned_items", "t18_large_orders"):
+        assert "TakeOrderedAndProject" in plans[name], f"{name}: no top-k"
+
+
+def test_tpch_semi_anti_forms(plans):
+    assert "LeftSemi" in plans["t04_order_priority_exists"]
+    assert "LeftAnti" in plans["t16_supplier_variety"]
+    assert "LeftAnti" in plans["t22_dormant_customers"]
+
+
+def test_t21_single_pass_window_form(plans):
+    # The sole-late-supplier query must stay the one-pass window form: no
+    # self semi/anti joins re-deriving the late-flag table, and a bounded
+    # exchange count (8 -> 4 in the rewrite; allow AQE jitter to 5).
+    plan = plans["t21_waiting_suppliers"]
+    assert plan.count("Exchange") <= 5, "t21 regressed to the self-join form"
+    assert "Window" in plan
