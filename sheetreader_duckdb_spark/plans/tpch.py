@@ -22,8 +22,12 @@ driver schema where canonical columns are absent:
 
 Every query follows the corpus float discipline (integer-cents sums, exact
 integer AVG inputs, mirrored expression trees) so results hash-match the
-DuckDB oracle bit-exactly. Plans are written for the 100 TB posture: dims
-(region/nation/supplier) broadcast, fact-fact joins shuffle on their keys,
+DuckDB oracle bit-exactly. Plans are written for the 100 TB posture: fixed-size
+dims (region/nation, and provably-1-row aggregates) carry explicit
+broadcast hints; linearly-growing tables (supplier/part) are deliberately
+NOT hinted — AQE's size-based choice broadcasts them while they are small
+and degrades gracefully to a shuffle join at the scale where a forced
+broadcast would OOM. Fact-fact joins shuffle on their keys,
 correlated subqueries expressed as the decorrelated aggregate-join form
 Catalyst would produce, semi/anti joins instead of IN/EXISTS materialization.
 """
@@ -153,8 +157,8 @@ def t06_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="TPC-H Q7 (H5/H8/H17): two aliased copies of the nation dim "
     "(supplier-side and customer-side), disjunctive nation-pair predicate, "
-    "revenue by year. Both nation copies and supplier broadcast; lineitem⋈"
-    "orders is the only real shuffle.",
+    "revenue by year. Both nation copies broadcast (fixed-size); supplier "
+    "is size-chosen by AQE; lineitem⋈orders is the dominant shuffle.",
 )
 def t07_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     l = T(spark, sf, "lineitem").filter(
@@ -170,7 +174,7 @@ def t07_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
         F.col("supp_nation") == "NATION_2"
     ) & (F.col("cust_nation") == "NATION_1")
     return (
-        l.join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
@@ -234,8 +238,8 @@ def t08_market_share(spark: SparkSession, sf: str) -> DataFrame:
     n2 = broadcast(n.select(F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("nation")))
     vc = cents(_disc_price())
     return (
-        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(n1, F.col("c_nationkey") == F.col("cust_nkey"))
@@ -282,8 +286,8 @@ def t09_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     o = T(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     n = T(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
     return (
-        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("nation", F.year(_d("o_orderdate")).cast("long").alias("o_year"))
@@ -428,7 +432,8 @@ def t13_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
       AND CAST(l.l_shipdate AS DATE) <  DATE '1996-04-01'
     """,
     doc="TPC-H Q14 (H5/H8/H21): PROMO revenue share in one month as a ratio "
-    "of cents-exact conditional sums. Part side broadcast; single-row output.",
+    "of cents-exact conditional sums. The part join is size-chosen by AQE "
+    "(part grows with SF); single-row output.",
 )
 def t14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
     l = T(spark, sf, "lineitem").filter(
@@ -438,7 +443,7 @@ def t14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
     p = T(spark, sf, "part").select("p_partkey", "p_type")
     vc = cents(_disc_price())
     return (
-        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -509,7 +514,7 @@ def t15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="TPC-H Q16 shape (H5/H6/H8): distinct-supplier counts per part "
     "group via the lineitem fact (no partsupp in the driver schema), with a "
-    "NOT IN exclusion subquery expressed as a broadcast anti join "
+    "NOT IN exclusion subquery expressed as an anti join "
     "(s_suppkey is non-NULL, so NOT IN ≡ anti join).",
 )
 def t16_supplier_variety(spark: SparkSession, sf: str) -> DataFrame:
@@ -521,8 +526,8 @@ def t16_supplier_variety(spark: SparkSession, sf: str) -> DataFrame:
     l = T(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
     bad = T(spark, sf, "supplier").filter(F.col("s_acctbal") < 500).select("s_suppkey")
     return (
-        l.join(broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -555,7 +560,7 @@ def t17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
     p = T(spark, sf, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
     per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(F.avg("l_quantity").alias("avg_qty"))
     return (
-        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part, F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg((F.sum(cents(F.col("l_extendedprice"))) / 100.0 / 7.0).alias("avg_yearly"))
@@ -648,7 +653,7 @@ def t19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
     )
     return (
-        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(clause)
         .agg(_money_sum_expr(_disc_price()).alias("revenue"))
     )
@@ -685,7 +690,7 @@ def t20_part_promotion(spark: SparkSession, sf: str) -> DataFrame:
         & (_d("l_shipdate") < F.lit("1997-01-01").cast("date"))
     )
     keys = (
-        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
         .filter(F.col("sq") > 50)
@@ -760,7 +765,7 @@ def t21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     )
     s = T(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        waiting.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -862,7 +867,7 @@ def t22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
     "(part, supplier), cents-exact so the min-equality join is "
     "deterministic. Spark form decorrelates to a per-part MIN aggregate "
     "joined on (partkey, cost) — the ps derivation is one groupBy shuffle "
-    "shared by both sides; all dims broadcast.",
+    "shared by both sides; fixed-size dims broadcast, supplier/part by AQE.",
 )
 def t02_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     l = T(spark, sf, "lineitem")
@@ -878,7 +883,7 @@ def t02_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eu_ps = ps.join(broadcast(eu_sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+    eu_ps = ps.join(eu_sup, F.col("ps_suppkey") == F.col("s_suppkey"))
     min_cost = eu_ps.groupBy(F.col("ps_partkey").alias("mk")).agg(
         F.min("ps_supplycost").alias("min_cost")
     )
@@ -889,7 +894,7 @@ def t02_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("ps_partkey") == F.col("mk"))
             & (F.col("ps_supplycost") == F.col("min_cost")),
         )
-        .join(broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -929,7 +934,7 @@ def t11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     )
     lv = (
         T(spark, sf, "lineitem")
-        .join(broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(cents(F.col("l_extendedprice"))).alias("vc"))
     )
