@@ -865,11 +865,15 @@ def t22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
     "correlated MIN subquery. The driver schema has no partsupp, so it is "
     "DERIVED from the fact: ps_supplycost = min observed per-line price per "
     "(part, supplier), cents-exact so the min-equality join is "
-    "deterministic. Spark form decorrelates to a per-part MIN aggregate "
-    "joined on (partkey, cost) — the ps derivation is one groupBy shuffle "
-    "shared by both sides; fixed-size dims broadcast, supplier/part by AQE.",
+    "deterministic. Spark form: the correlated MIN becomes MIN OVER "
+    "(PARTITION BY partkey) on the European ps rows — one lineitem pass "
+    "(the aggregate-join decorrelation scans it twice), with the window "
+    "reusing the ps groupBy's shuffle; fixed-size dims broadcast, "
+    "supplier/part by AQE.",
 )
 def t02_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
     l = T(spark, sf, "lineitem")
     ps = l.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
@@ -884,16 +888,11 @@ def t02_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     eu_ps = ps.join(eu_sup, F.col("ps_suppkey") == F.col("s_suppkey"))
-    min_cost = eu_ps.groupBy(F.col("ps_partkey").alias("mk")).agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
+    w = Window.partitionBy("ps_partkey")
     p = T(spark, sf, "part").filter(F.col("p_size") == 15).select("p_partkey", "p_name")
     return (
-        eu_ps.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("mk"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
-        )
+        eu_ps.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
