@@ -282,15 +282,15 @@ def n02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # minima, no string materialization). xxhash64 has no DuckDB equivalent →
 # rows-only check; the algorithm's topology is oracle-proven by n02.
 # --------------------------------------------------------------------------
-@query(
-    "n02b_dedup_minhash_xxhash",
-    oracle=None,
-    doc="Scale-path MinHash+LSH: 128 xxhash64 signatures, 16 bands × 8 — the "
+# Declared via nx_scale_variants (50-row CORRECTNESS cap). Doc:
+_N02B_DOC = ("Scale-path MinHash+LSH: 128 xxhash64 signatures, 16 bands × 8 — the "
     "standard corpus-dedup setting; JVM integer hashing end-to-end (N2). "
     "Bucket size capped at 1000 (counted before any membership list is "
     "built), so one pathological cluster cannot OOM the pair expansion; "
-    "dropped buckets are auditable via lsh_oversized_buckets.",
+    "dropped buckets are auditable via lsh_oversized_buckets."
 )
+
+
 def n02b_dedup_minhash_xxhash(spark: SparkSession, sf: str) -> DataFrame:
     sh = _doc_shingles(spark, sf)
     sigs = D.minhash_signatures_xxhash(sh, "doc_id", n_hashes=128)
@@ -365,12 +365,13 @@ def n04_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # N2e — production-scale 64-bit SimHash (xxhash64 bits; rows-only)
 # --------------------------------------------------------------------------
-@query(
-    "n04b_dedup_simhash64",
-    oracle=None,
-    doc="Scale-path SimHash: 64-bit signatures from xxhash64 bit votes over "
-    "distinct unigrams (N2); the 16-bit md5 variant n04 carries the oracle.",
+# Declared via nx_scale_variants (50-row CORRECTNESS cap).
+_N04B_DOC = (
+    "Scale-path SimHash: 64-bit signatures from xxhash64 bit votes over "
+    "distinct unigrams (N2); the 16-bit md5 variant n04 carries the oracle."
 )
+
+
 def n04b_dedup_simhash64(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
     toks = d.select(
@@ -417,10 +418,8 @@ def n05_ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
 # N3b — SRP-LSH approximate top-k (no DuckDB oracle: same-bucket candidate
 # generation is Spark-side xxhash64; driver records rows-only)
 # --------------------------------------------------------------------------
-@query(
-    "n05b_ann_lsh_topk",
-    oracle=None,
-    doc="Approximate-NN family (scale paths for N3), three tagged branches "
+# Declared via nx_scale_variants (50-row CORRECTNESS cap). Doc:
+_N05B_DOC = ("Approximate-NN family (scale paths for N3), three tagged branches "
     "over the same (qid, cid, cosine, rn) shape: 'lsh' = "
     "sign-random-projection LSH top-k (16 independent 6-plane tables + "
     "Hamming-1 multi-probe on the query side, exact cosine re-rank); "
@@ -430,8 +429,10 @@ def n05_ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     "rescoring of k*refine candidates). Rows-only check (approximate "
     "candidate sets are not SQL-reproducible; n06b carries the SRP-bucket "
     "oracle); tests/test_similarity.py pins recall vs the exact n05 "
-    "result for all three (lsh >= 0.9 measured 0.96; ivf and q8 >= 0.9).",
+    "result for all three (lsh >= 0.9 measured 0.96; ivf and q8 >= 0.9)."
 )
+
+
 def n05b_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
@@ -729,6 +730,19 @@ _REP_THRESHOLD = 0.1  # dup_gram_frac cut — flags ~20% of the synthetic corpus
         FROM documents
     )
     GROUP BY source
+    UNION ALL
+    SELECT 'hh', token, cnt,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+              FROM documents) toks
+        GROUP BY token
+        HAVING COUNT(*) * 200 >= (
+            SELECT COUNT(*) FROM (SELECT unnest(string_split(lower(text), ' ')) AS t2
+                                  FROM documents) x)
+    )
     """.format(
         sample_pred=SM.sample_predicate_sql("doc_id", 0.25, seed="dev"),
         mix_pred=" OR ".join(
@@ -751,7 +765,11 @@ _REP_THRESHOLD = 0.1  # dup_gram_frac cut — flags ~20% of the synthetic corpus
     "zero-shuffle sequence+explode) — chars sums every chunk's actual "
     "substring length and id_sum folds in chunk ordinals, pinning window "
     "offsets, coverage, and per-doc multiplicity. id_sum pins exact "
-    "membership of every keep-set.",
+    "membership of every keep-set; 'hh' = exact heavy-hitter tokens "
+    "(operators/text.py exact_heavy_hitters: per-partition Misra-Gries "
+    "candidate sketch + exact recount, partitioning-invariant by the "
+    "retention bound — source carries the token, n_docs its exact count; "
+    "property tests in tests/test_heavy_hitters.py).",
 )
 def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     from sheetreader_duckdb_spark.operators.skew import salted_agg
@@ -863,9 +881,22 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
+    # 'hh' — exact heavy hitters: sketch proposes, recount decides (the
+    # declared threshold cnt*200 >= N is integer-exact on both engines).
+    toks = d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+    hh_b = X.exact_heavy_hitters(toks, "token", denom=200).select(
+        F.lit("hh").alias("tag"),
+        F.col("token").alias("source"),
+        F.col("cnt").alias("n_docs"),
+        nil_l.alias("ws_tokens"),
+        nil_l.alias("bpe_tokens"),
+        nil_l.alias("chars"),
+        nil_l.alias("id_sum"),
+    )
+
     return all_b.unionAll(salted_b).unionAll(sample_b).unionAll(strat_b).unionAll(
         mix_b
-    ).unionAll(rep_b).unionAll(chunk_b)
+    ).unionAll(rep_b).unionAll(chunk_b).unionAll(hh_b)
 
 
 # --------------------------------------------------------------------------
@@ -1254,36 +1285,42 @@ def n20_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return cc.unionAll(kept)
 
 
+
+
 # --------------------------------------------------------------------------
-# N4b — exact heavy-hitter vocabulary via bounded-memory sketch + recount
+# Rows-only scale variants, one driver row (50-row CORRECTNESS cap): the
+# xxhash64/sketch-based production paths whose primitives have no DuckDB
+# equivalent. Each is topology-proven by an oracle-backed twin (n02, n04,
+# n05/n06b) or recall-pinned in tests (test_similarity.py); this union
+# keeps them all witnessed by the driver without spending four rows.
 # --------------------------------------------------------------------------
 @query(
-    "n21_heavy_hitter_tokens",
-    oracle="""
-    WITH toks AS (
-        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
-    ),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
-    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM toks
-    GROUP BY token
-    HAVING COUNT(*) * 200 >= (SELECT n FROM tot)
-    """,
-    doc="Exact heavy-hitter tokens (N4, operators/text.py "
-    "exact_heavy_hitters): every whitespace token holding >= 1/200 of the "
-    "corpus token mass, with exact counts. Two bounded passes: per-partition "
-    "Misra-Gries candidate sketch (capacity 201 counters, mergeable-summaries "
-    "overflow, mapInPandas — the justified Python path: a bounded-memory "
-    "sketch has no expression form), then exact recount of the candidate "
-    "superset only (broadcast semi join). The output is partitioning-"
-    "invariant — the sketch proposes, the recount decides — so it "
-    "hash-matches the oracle's full GROUP BY ... HAVING, while at 100 TB "
-    "the plan never shuffles the distinct-token long tail. The threshold "
-    "compare is integer-exact (cnt*200 >= N) on both engines.",
+    "nx_scale_variants",
+    oracle=None,
+    doc="Tagged union of the four rows-only scale paths on one generic "
+    "schema (tag, k1, k2, n1, v1, s1): 'hll' = approx_count_distinct per "
+    "returnflag (H11 — HLL sketches differ across engines by design); "
+    "'mh128' = 128-seed xxhash64 MinHash + 16x8 LSH candidate pairs with "
+    "the 1000-cap bucket guard (N2 scale path; see _N02B_DOC); 'sim64' = "
+    "64-bit xxhash64 SimHash signatures (see _N04B_DOC); 'lsh'/'ivf'/'q8' "
+    "= the approximate-NN family with recall pins (see _N05B_DOC).",
 )
-def n21_heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    toks = (
-        T(spark, sf, "documents")
-        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
-    )
-    return X.exact_heavy_hitters(toks, "token", denom=200)
+def nx_scale_variants(spark: SparkSession, sf: str) -> DataFrame:
+    def g(df, tag_col, k1=None, k2=None, n1=None, v1=None, s1=None):
+        nil_l = F.lit(None).cast("long")
+        return df.select(
+            (F.lit(tag_col) if isinstance(tag_col, str) else tag_col).alias("tag"),
+            (F.col(k1).cast("long") if k1 else nil_l).alias("k1"),
+            (F.col(k2).cast("long") if k2 else nil_l).alias("k2"),
+            (F.col(n1).cast("long") if n1 else nil_l).alias("n1"),
+            (F.col(v1).cast("double") if v1 else F.lit(None).cast("double")).alias("v1"),
+            (F.col(s1) if s1 else F.lit(None).cast("string")).alias("s1"),
+        )
+
+    from sheetreader_duckdb_spark.plans.relational import h11_approx_count_distinct
+
+    hll = g(h11_approx_count_distinct(spark, sf), "hll", k1="approx_parts", s1="l_returnflag")
+    mh = g(n02b_dedup_minhash_xxhash(spark, sf), "mh128", k1="id_a", k2="id_b")
+    sim = g(n04b_dedup_simhash64(spark, sf), "sim64", k1="doc_id", k2="simhash")
+    ann = g(n05b_ann_lsh_topk(spark, sf), F.col("tag"), k1="qid", k2="cid", n1="rn", v1="cosine")
+    return hll.unionAll(mh).unionAll(sim).unionAll(ann)

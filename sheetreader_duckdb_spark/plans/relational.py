@@ -678,12 +678,8 @@ def h10_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # H11 — approx_count_distinct (sketches differ across engines → rows-only)
 # --------------------------------------------------------------------------
-@query(
-    "h11_approx_count_distinct",
-    oracle=None,  # HLL sketch implementations differ; driver does rows-only check
-    doc="approx_count_distinct per returnflag (H11). Declared without oracle: "
-    "DuckDB's HLL and Spark's HLL++ give different estimates by design.",
-)
+# H11 is declared inside northstar's nx_scale_variants union (the driver
+# caps CORRECTNESS at 50 rows; all rows-only scale variants share one row).
 def h11_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     l = T(spark, sf, "lineitem")
     return l.groupBy("l_returnflag").agg(

@@ -29,9 +29,10 @@ BNL_OK = {
     # n05's float scan); the 'lsh'/'ivf' branches in the same union stay
     # equi-join. Corpus side never shuffles.
     "n05b_ann_lsh_topk",
-    "t11_important_stock",  # crossJoin of the 1-row broadcast total
-    "t22_dormant_customers",  # crossJoin of the 1-row broadcast average
-    "n21_heavy_hitter_tokens",  # crossJoin of the 1-row broadcast total
+    # t03 carries t11's and t22's 1-row broadcast totals as branches.
+    "t03_tpch_subquery_suite",
+    # n10's hh branch crossJoins its 1-row broadcast total.
+    "n10_token_stats",
 }
 
 # Queries that are not plain batch plans (streaming execution) or that read
@@ -54,9 +55,9 @@ def plans(spark, sf_dir):
 def test_no_unintended_nested_loop_join(name, plans):
     plan = plans[name]
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
-    if name == "n05b_ann_lsh_topk":
-        # Exactly ONE: q8's coarse scan. A second would mean the lsh/ivf
-        # branches regressed from their equi-joins.
+    if name == "nx_scale_variants":
+        # Exactly ONE: the q8 coarse scan inside the n05b ANN branch. A
+        # second would mean the lsh/ivf branches regressed from equi-joins.
         assert plan.count("BroadcastNestedLoopJoin") == 1, f"{name}: BNL count"
     elif name not in BNL_OK:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNL join"
@@ -97,10 +98,27 @@ def test_topk_compiles_to_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans["h13_sort_topk"]
 
 
-def test_tpch_scan_agg_pushes_filters(plans):
+@pytest.fixture(scope="module")
+def tpch_plans(spark, sf_dir):
+    from sheetreader_duckdb_spark.plans.tpch import TPCH_BRANCHES
+
+    out = {}
+    for name, (fn, _oracle, _doc) in TPCH_BRANCHES.items():
+        out[name] = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_tpch_branches_no_cartesian(tpch_plans):
+    for name, plan in tpch_plans.items():
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        if name not in ("t11_important_stock", "t22_dormant_customers"):
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNL join"
+
+
+def test_tpch_scan_agg_pushes_filters(tpch_plans):
     # Q6 is the purest scan-filter-aggregate: every predicate must reach the
     # parquet scan, and the scan must read only the 4 referenced columns.
-    plan = plans["t06_forecast_revenue"]
+    plan = tpch_plans["t06_forecast_revenue"]
     assert "PushedFilters: " in plan
     pushed = plan.split("PushedFilters: ", 1)[1].splitlines()[0]
     assert "l_discount" in pushed and "l_quantity" in pushed
@@ -108,21 +126,21 @@ def test_tpch_scan_agg_pushes_filters(plans):
     assert "l_orderkey" not in read_schema and "l_tax" not in read_schema
 
 
-def test_tpch_topk_take_ordered(plans):
+def test_tpch_topk_take_ordered(tpch_plans):
     for name in ("t10_returned_items", "t18_large_orders"):
-        assert "TakeOrderedAndProject" in plans[name], f"{name}: no top-k"
+        assert "TakeOrderedAndProject" in tpch_plans[name], f"{name}: no top-k"
 
 
-def test_tpch_semi_anti_forms(plans):
-    assert "LeftSemi" in plans["t04_order_priority_exists"]
-    assert "LeftAnti" in plans["t16_supplier_variety"]
-    assert "LeftAnti" in plans["t22_dormant_customers"]
+def test_tpch_semi_anti_forms(tpch_plans):
+    assert "LeftSemi" in tpch_plans["t04_order_priority_exists"]
+    assert "LeftAnti" in tpch_plans["t16_supplier_variety"]
+    assert "LeftAnti" in tpch_plans["t22_dormant_customers"]
 
 
-def test_t21_single_pass_window_form(plans):
+def test_t21_single_pass_window_form(tpch_plans):
     # The sole-late-supplier query must stay the one-pass window form: no
     # self semi/anti joins re-deriving the late-flag table, and a bounded
     # exchange count (8 -> 4 in the rewrite; allow AQE jitter to 5).
-    plan = plans["t21_waiting_suppliers"]
+    plan = tpch_plans["t21_waiting_suppliers"]
     assert plan.count("Exchange") <= 5, "t21 regressed to the self-join form"
     assert "Window" in plan
