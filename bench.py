@@ -137,6 +137,7 @@ def _prev_commit_sentinel() -> dict:
     """Run SENTINELS on the previous round's archived commit (latest
     'round N:' commit) in a scratch worktree + subprocess. Never raises —
     a bench must always print its JSON line."""
+    scratch = None
     wt = None
     try:
         commit = subprocess.run(
@@ -145,7 +146,8 @@ def _prev_commit_sentinel() -> dict:
         ).stdout.strip()
         if not commit:
             return {"skipped": "no prior round commit"}
-        wt = os.path.join(tempfile.mkdtemp(prefix="bench_prev_"), "wt")
+        scratch = tempfile.mkdtemp(prefix="bench_prev_")
+        wt = os.path.join(scratch, "wt")
         subprocess.run(
             ["git", "worktree", "add", "--detach", wt, commit],
             cwd=_REPO_ROOT, capture_output=True, text=True, timeout=60, check=True,
@@ -172,6 +174,10 @@ def _prev_commit_sentinel() -> dict:
                 ["git", "worktree", "remove", "--force", wt],
                 cwd=_REPO_ROOT, capture_output=True, timeout=60,
             )
+        if scratch is not None:
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
 
 
 def main() -> None:

@@ -28,9 +28,11 @@ Shape (all Spark-side, nothing driver-materialized but the shard id list):
    instant a complete copy of each shard exists on disk (live, ``.old``,
    or ``.merge.tmp``); dot-prefixed names are invisible to Spark's input
    listing and to ``read_shards``'s glob. The swap loop is NOT atomic
-   across shards — a crash mid-loop leaves some shards new and some old;
-   run ``recover_shards`` (restores any shard whose swap was mid-flight to
-   a complete copy) and re-run the merge. Single-writer crash safety only,
+   across shards — a crash mid-loop leaves some shards new and some old.
+   ``merge_into_shards`` runs ``recover_shards`` on entry, so simply
+   re-running the merge after any crash is safe: every live shard is
+   restored to a complete copy before it is read, and the swap refuses to
+   destroy an ``.old`` it did not create. Single-writer crash safety only,
    not concurrent-writer isolation: this is a layout convention over
    parquet, not a transaction log; concurrent merges need external
    serialization (one writer per table).
@@ -138,12 +140,24 @@ def merge_into_shards(
     if delete_col is not None and delete_col not in changes.columns:
         raise ValueError(f"delete_col {delete_col!r} not in changes columns")
     ch = with_shard(changes, key, n_shards, seed)
-    # One pass over the (small) batch: touched shards + key-uniqueness check.
+    # One pass over the (small) batch: touched shards + key-uniqueness and
+    # NULL-key checks (count_distinct skips NULLs, so nulls are counted
+    # separately — a NULL key is not a duplicate, it has no shard).
     stats = (
         ch.groupBy(SHARD_COL)
-        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(key)).alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key)).alias("d"),
+            F.sum(F.col(key).isNull().cast("long")).alias("nulls"),
+        )
         .collect()
     )
+    nulls = sum(r["nulls"] for r in stats)
+    if nulls:
+        raise ValueError(
+            f"changes batch has {nulls} NULL-key row(s) for key {key!r}; "
+            "a keyed merge cannot route a NULL key to a shard"
+        )
     dupes = sum(r["n"] - r["d"] for r in stats)
     if dupes:
         raise ValueError(
@@ -154,6 +168,14 @@ def merge_into_shards(
     touched = sorted(r[SHARD_COL] for r in stats)
     if not touched:
         return []
+
+    # A previous merge may have crashed mid-swap, leaving some shard's only
+    # complete copy under .shard=<i>.old. Restore BEFORE listing/reading the
+    # live directories: otherwise the crashed shard's surviving rows are
+    # silently absent from the rewrite, and the swap loop below would then
+    # delete the .old — the last copy — before installing the incomplete
+    # result. After this call every live shard directory is complete.
+    recover_shards(spark, path)
 
     paths = [f"{path}/{SHARD_COL}={i}" for i in touched]
     existing = [p for p in paths if fsutil.exists(spark, p)]
@@ -186,7 +208,15 @@ def merge_into_shards(
         src = f"{tmp}/{SHARD_COL}={i}"
         dst = f"{path}/{SHARD_COL}={i}"
         old = _old_path(path, i)
-        fsutil.delete(spark, old)  # stale leftover from a prior crash
+        if fsutil.exists(spark, old):
+            # recover_shards ran at merge start, so an .old appearing here
+            # means another writer is mid-swap on this table. Never delete
+            # it — it may be the only complete copy of the shard.
+            raise RuntimeError(
+                f"unexpected recovery copy {old}: another merge appears to "
+                "be in flight (single-writer contract violated); run "
+                "recover_shards and retry"
+            )
         if fsutil.exists(spark, dst):
             fsutil.rename(spark, dst, old)
         if fsutil.exists(spark, src):

@@ -288,22 +288,33 @@ def heavy_hitter_candidates(
     count > N/c must exceed its partition threshold somewhere (pigeonhole),
     so the union of per-partition candidates is a superset of all global
     heavy hitters — regardless of how rows are partitioned.
+    """
+    sk = _mg_sketch(tokens, token_col, capacity)
+    return sk.filter(F.col("token").isNotNull()).select("token").distinct()
+
+
+def _mg_sketch(tokens: DataFrame, token_col: str, capacity: int) -> DataFrame:
+    """One mapInPandas pass: Misra–Gries candidate rows ``(token, NULL)``
+    plus a single ``(NULL, partition_token_count)`` sentinel per partition —
+    so downstream gets candidates AND the global total from the same scan.
 
     State per partition is ≤ ``capacity`` counters (the one justified
     Python-side path: a bounded-memory mergeable sketch has no DataFrame
     expression form). Batches fold in vectorized via value_counts; the
     overflow step subtracts the (capacity+1)-th largest count from all
     counters and drops non-positives — the mergeable-summaries form of the
-    MG decrement, same retention bound.
+    MG decrement, same retention bound. Input tokens must be non-NULL
+    (NULL marks the sentinel rows).
     """
-    import pandas as pd  # noqa: F401 — imported for the worker closure
 
     def mg(batches):
         import pandas as pd
         from collections import Counter
 
         counts: Counter = Counter()
+        n = 0
         for pdf in batches:
+            n += len(pdf)
             vc = pdf[token_col].value_counts()
             for tok, c in vc.items():
                 counts[tok] += int(c)
@@ -312,9 +323,14 @@ def heavy_hitter_candidates(
                 counts = Counter(
                     {t: c - kth for t, c in counts.items() if c - kth > 0}
                 )
-        yield pd.DataFrame({"token": list(counts.keys())}, dtype="object")
+        yield pd.DataFrame(
+            {
+                "token": pd.Series(list(counts.keys()) + [None], dtype="object"),
+                "pcount": pd.Series([None] * len(counts) + [n], dtype="Int64"),
+            }
+        )
 
-    return tokens.mapInPandas(mg, "token string").distinct()
+    return tokens.mapInPandas(mg, "token string, pcount long")
 
 
 def exact_heavy_hitters(
@@ -323,19 +339,24 @@ def exact_heavy_hitters(
     """Tokens whose count ``cnt`` satisfies ``cnt * denom >= N`` (N = total
     token count), with exact counts: ``(token, cnt)``.
 
-    Two passes, both bounded: (1) Misra–Gries candidates with capacity
-    denom+1 — a superset of every qualifying token by the retention bound
-    (cnt ≥ N/denom > N/(denom+1)); (2) exact recount of candidates only
-    (broadcast semi join — the candidate set is ≤ (denom+1)·partitions
-    rows), then the integer-exact threshold filter. Output is independent
-    of partitioning: the sketch only proposes, the recount decides.
+    Two full scans of the token stream, both bounded: (1) the Misra–Gries
+    sketch pass with capacity denom+1, which emits candidates — a superset
+    of every qualifying token by the retention bound (cnt ≥ N/denom >
+    N/(denom+1)) — AND per-partition token counts as sentinel rows, so the
+    global total N needs no extra scan; (2) exact recount of candidates
+    only (broadcast semi join — the candidate set is ≤
+    (denom+1)·partitions rows), then the integer-exact threshold filter.
+    The tiny sketch output is localCheckpoint()ed so its two consumers
+    (candidates, total) don't re-run the scan. Output is independent of
+    partitioning: the sketch only proposes, the recount decides.
 
     This is how you take a token-frequency vocabulary off a 100 TB corpus
     without shuffling every distinct token: the full groupBy ships the
     whole long tail; this ships candidate counts only.
     """
-    cands = heavy_hitter_candidates(tokens, token_col, capacity=denom + 1)
-    total = tokens.select(F.count(F.lit(1)).alias("n"))
+    sk = _mg_sketch(tokens, token_col, capacity=denom + 1).localCheckpoint()
+    cands = sk.filter(F.col("token").isNotNull()).select("token").distinct()
+    total = sk.agg(F.sum("pcount").alias("n"))
     counted = (
         tokens.join(F.broadcast(cands), tokens[token_col] == cands.token, "left_semi")
         .groupBy(token_col)

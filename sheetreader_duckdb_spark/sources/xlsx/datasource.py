@@ -390,7 +390,10 @@ class SheetReaderWriter(DataSourceWriter):
             w_final = f"part-{pid:05d}-{len(renames):03d}.xlsx"
             w_tmp = self._tmp_name(attempt, w_final)
             w = IncrementalXlsxWriter(
-                os.path.join(self.path, w_tmp), self.sheet_name, self.date1904
+                os.path.join(self.path, w_tmp),
+                self.sheet_name,
+                self.date1904,
+                spool_prefix=f".xlsxspool-{self.token}-",
             )
             w.write_row(list(self.names))
             rows_in_file = 0
@@ -417,13 +420,15 @@ class SheetReaderWriter(DataSourceWriter):
         return _WriteCommit(renames=tuple(renames), rows=total)
 
     def _sweep_staged(self) -> None:
-        prefix = f".tmp-{self.token}-"
+        # Staged workbooks AND spool files of hard-killed tasks (whose
+        # close/abandon never ran) — both carry this job's token.
+        prefixes = (f".tmp-{self.token}-", f".xlsxspool-{self.token}-")
         try:
             names = os.listdir(self.path)
         except OSError:
             return
         for fn in names:
-            if fn.startswith(prefix):
+            if fn.startswith(prefixes):
                 try:
                     os.remove(os.path.join(self.path, fn))
                 except OSError:

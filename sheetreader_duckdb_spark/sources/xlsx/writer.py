@@ -240,7 +240,13 @@ class IncrementalXlsxWriter:
     buffer. Numeric/date/bool-heavy data streams in O(1).
     """
 
-    def __init__(self, path: str, sheet_name: str = "Sheet1", date1904: bool = False):
+    def __init__(
+        self,
+        path: str,
+        sheet_name: str = "Sheet1",
+        date1904: bool = False,
+        spool_prefix: str = ".xlsxspool-",
+    ):
         import tempfile
 
         self.path = path
@@ -249,8 +255,11 @@ class IncrementalXlsxWriter:
         self._sst: list[str] = []
         self._sst_index: dict[str, int] = {}
         d = os.path.dirname(os.path.abspath(path)) or "."
+        # spool_prefix lets the distributed sink scope spool files to its
+        # job token, so a hard-killed task's spool (close/abandon never ran)
+        # is still claimed by the job-level sweep instead of leaking.
         self._spool = tempfile.NamedTemporaryFile(
-            mode="w+", encoding="utf-8", dir=d, prefix=".xlsxspool-", delete=False
+            mode="w+", encoding="utf-8", dir=d, prefix=spool_prefix, delete=False
         )
         self.n_rows = 0
         self._n_cols = 0

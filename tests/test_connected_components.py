@@ -57,11 +57,6 @@ def test_matches_union_find_on_random_graphs(spark, seed):
     assert got == expected
 
 
-def test_transitive_chain_collapses():
-    # The motivating case: A~B, B~C, A!~C must still be ONE cluster.
-    pass  # covered explicitly below with a spark fixture
-
-
 def test_chain_and_keep_set(spark):
     pairs = _pairs_df(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)])
     labels = {

@@ -194,3 +194,41 @@ def test_merge_into_empty_table_dir(spark, sf_dir, tmp_path):
     )
     merge_into_shards(spark, batch, "doc_id", path, N_SHARDS, seed=SEED)
     assert read_shards(spark, path).count() == 2
+
+
+def test_rerun_after_midswap_crash_loses_nothing(spark, sf_dir, tmp_path):
+    # Crash window: rename(dst, old) done, rename(src, dst) not — shard=<i>
+    # is GONE and .shard=<i>.old holds its only complete copy. Re-running
+    # the merge directly (no manual recover_shards) must restore that copy
+    # before reading, and the merged table must equal a fresh export of the
+    # merged dataset — i.e. zero rows lost.
+    path = _table(spark, sf_dir, str(tmp_path), "crash2")
+    src = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    some_id = src.agg(F.min("doc_id")).collect()[0][0]
+    changes = spark.createDataFrame(
+        [(int(some_id), "patched", 123)], "doc_id long, source string, n_chars long"
+    )
+    from sheetreader_duckdb_spark.operators.export import with_shard
+
+    shard = with_shard(changes, "doc_id", N_SHARDS, SEED).collect()[0]["shard"]
+    live = os.path.join(path, f"shard={shard}")
+    os.rename(live, os.path.join(path, f".shard={shard}.old"))  # simulate crash
+
+    merge_into_shards(spark, changes, "doc_id", path, N_SHARDS, seed=SEED)
+
+    merged = read_shards(spark, path)
+    expect = src.filter(F.col("doc_id") != some_id).unionByName(changes)
+    assert merged.count() == expect.count()
+    assert merged.join(expect, ["doc_id", "source", "n_chars"], "left_anti").count() == 0
+    assert not glob.glob(os.path.join(path, ".shard=*.old"))
+
+
+def test_null_change_keys_raise(spark, sf_dir, tmp_path):
+    path = _table(spark, sf_dir, str(tmp_path), "nullk")
+    changes = spark.createDataFrame(
+        [(None, "x", 1)], "doc_id long, source string, n_chars long"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="NULL-key"):
+        merge_into_shards(spark, changes, "doc_id", path, N_SHARDS, seed=SEED)

@@ -24,11 +24,6 @@ BNL_OK = {
     "n17_tf_idf",  # crossJoin of a 1-row in-plan total
     "h12c_global_ntile",  # crossJoin of the 1-row total; offsets are 32 rows
     "n05_ann_bruteforce_topk",  # exact baseline: broadcast queries vs corpus
-    # q8 branch: the int8 coarse stage is by design a full-corpus streaming
-    # scan against the tiny broadcast query set (4x less bandwidth than
-    # n05's float scan); the 'lsh'/'ivf' branches in the same union stay
-    # equi-join. Corpus side never shuffles.
-    "n05b_ann_lsh_topk",
     # t03 carries t11's and t22's 1-row broadcast totals as branches.
     "t03_tpch_subquery_suite",
     # n10's hh branch crossJoins its 1-row broadcast total.
