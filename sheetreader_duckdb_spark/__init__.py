@@ -81,6 +81,11 @@ def register(spark):
     except ImportError:
         pass
     spark.dataSource.register(SheetReaderDataSource)
+    # SQL table-function form, 1:1 with the reference's invocation surface:
+    # SELECT * FROM sheetreader('/path.xlsx', sheet_index => 2)
+    from sheetreader_duckdb_spark.sources.xlsx.udtf import register_udtf
+
+    register_udtf(spark)
     return spark
 
 
