@@ -1,0 +1,55 @@
+"""Persistent IVF index (operators/similarity.py build_ivf_index /
+ivf_topk_indexed): results identical to the in-memory ivf_topk on the same
+corpus, and the candidate scan must be partition-pruned to probed cells."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sheetreader_duckdb_spark.operators.similarity import (
+    build_ivf_index,
+    ivf_topk,
+    ivf_topk_indexed,
+)
+from sheetreader_duckdb_spark.tables import T
+
+
+def _key(rows):
+    return sorted((r["qid"], r["cid"], r["rn"], round(r["cosine"], 9)) for r in rows)
+
+
+def test_indexed_search_matches_in_memory(spark, sf_dir, tmp_path):
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e, path, n_cells=16, n_iters=2)
+    got = ivf_topk_indexed(spark, path, q, k=5, n_probe=4).collect()
+    want = ivf_topk(e, q, k=5, n_probe=4, n_cells=16, n_iters=2, assign="join").collect()
+    assert _key(got) == _key(want)
+    assert got  # non-vacuous
+
+
+def test_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf2")
+    build_ivf_index(e, path, n_cells=16, n_iters=2)
+    df = ivf_topk_indexed(spark, path, q, k=5, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The assignments scan must carry a dynamic pruning expression on the
+    # cell partition column — only probed cells' files are read.
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_index_layout_is_cell_partitioned(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    e = T(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf3")
+    build_ivf_index(e, path, n_cells=8, n_iters=1)
+    cells = sorted(glob.glob(os.path.join(path, "assignments", "cell=*")))
+    assert 1 <= len(cells) <= 8
+    # Every corpus vector is assigned exactly once.
+    n = spark.read.parquet(f"{path}/assignments").count()
+    assert n == e.count()
