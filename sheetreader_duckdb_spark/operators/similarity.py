@@ -792,3 +792,49 @@ def ivf_topk_indexed(
         .filter(F.col("rn") <= k)
         .select("qid", "cid", "cosine", "rn")
     )
+
+
+def ivf_index_upsert(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a batch of vectors to a persisted IVF index without touching the
+    existing corpus: assign each new vector against the STORED centroids
+    (broadcast join — centroids do not retrain on upsert, as in any ANN
+    index; rebuild explicitly after enough drift) and append to the cell
+    partitions. Work is batch-proportional: only the new rows are scored
+    and written; existing assignment files keep their exact bytes. The
+    caller owns key uniqueness (ids already in the index are NOT replaced
+    — this is an append, mirroring vector-database add()).
+
+    Returns the (id, cell) assignment of the batch (small; also useful for
+    routing audits).
+    """
+    cdf = spark.read.parquet(f"{path}/centroids")
+    score = dot(F.col(vec_col), F.col("cvec")) / (
+        l2_norm(F.col(vec_col)) * F.col("cnorm")
+    )
+    cells = (
+        new_vectors.select(id_col, vec_col)
+        .crossJoin(broadcast(cdf))
+        .select(id_col, F.col("cell"), score.alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("cell"),
+                F.struct(F.col("__s").alias("s"), (-F.col("cell")).alias("nc")),
+            ).alias("cell")
+        )
+    )
+    (
+        new_vectors.select(id_col, vec_col)
+        .join(cells, id_col)
+        .repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/assignments")
+    )
+    return cells

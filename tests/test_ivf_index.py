@@ -53,3 +53,34 @@ def test_index_layout_is_cell_partitioned(spark, sf_dir, tmp_path):
     # Every corpus vector is assigned exactly once.
     n = spark.read.parquet(f"{path}/assignments").count()
     assert n == e.count()
+
+
+def test_upsert_is_batch_proportional_and_searchable(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    e = T(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") >= 100)
+    batch = e.filter(F.col("vec_id") < 100).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    path = str(tmp_path / "ivf4")
+    build_ivf_index(base, path, n_cells=8, n_iters=1)
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(os.path.join(path, "assignments", "cell=*", "*.parquet"))
+    }
+
+    from sheetreader_duckdb_spark.operators.similarity import ivf_index_upsert
+
+    cells = ivf_index_upsert(spark, path, batch)
+    assert cells.count() == batch.count()
+    # Existing assignment files untouched byte-for-byte (append-only).
+    for f, mtime in before.items():
+        assert os.stat(f).st_mtime_ns == mtime, f"rewrote {f}"
+    total = spark.read.parquet(f"{path}/assignments").count()
+    assert total == base.count() + batch.count()
+    # The upserted vectors are immediately searchable.
+    q = e.filter(F.col("vec_id") < 3)
+    got = ivf_topk_indexed(spark, path, q, k=5, n_probe=8)
+    assert got.filter(F.col("cid") >= 1_000_000).count() > 0
