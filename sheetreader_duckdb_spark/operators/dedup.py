@@ -479,3 +479,66 @@ def cluster_dedup_keep(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs: pigeonhole band join + exact Hamming verify
+# --------------------------------------------------------------------------
+def simhash_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    n_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash signatures:
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and Hamming distance
+    ≤ ``max_hamming``.
+
+    Pigeonhole banding: the signature splits into ``max_hamming + 1``
+    equal bit-bands — a pair differing in ≤ max_hamming bits must agree
+    exactly on at least one band, so the candidate set (equi-join per
+    (band index, band value), uniform hash keys) is a superset of every
+    qualifying pair; ``bit_count(xor)`` then verifies exactly. This is
+    what turns the signature operator (simhash16 / simhash64_xxhash) into
+    a dedup method. At scale use 64-bit signatures: band width 16 gives
+    ~N/65536 occupancy per band bucket; the 16-bit oracle-parity form has
+    toy-sized bands (width 4) and exists for the DuckDB hash-match.
+    ``n_bits`` must split evenly into max_hamming + 1 bands.
+    """
+    n_bands = max_hamming + 1
+    if n_bits % n_bands:
+        raise ValueError(
+            f"n_bits={n_bits} must be divisible by max_hamming+1={n_bands} "
+            "(equal-width pigeonhole bands)"
+        )
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    sig = F.col(sig_col).cast("long")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(sig, j * width).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), sig.alias("__sig"), F.explode(bands).alias("b")
+    ).select(id_col, "__sig", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__sig").alias("sa"), "band", "val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__sig").alias("sb"), "band", "val"
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

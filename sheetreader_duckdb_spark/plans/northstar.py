@@ -347,19 +347,58 @@ def n03_dedup_jaccard_verify(spark: SparkSession, sf: str) -> DataFrame:
     WITH toks AS (
         SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, {D.simhash16_expr_sql('duckdb')} AS simhash
+        FROM toks GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, simhash, j AS band, (simhash >> (j * 8)) & 255 AS val
+        FROM sigs CROSS JOIN (SELECT unnest(range(2)) AS j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM banded a JOIN banded b USING (band, val)
+        WHERE a.doc_id < b.doc_id
     )
-    SELECT doc_id, {D.simhash16_expr_sql('duckdb')} AS simhash
-    FROM toks GROUP BY doc_id
+    SELECT 'sig' AS tag, doc_id AS a, simhash AS b, CAST(NULL AS BIGINT) AS h
+    FROM sigs
+    UNION ALL
+    SELECT 'pair' AS tag, id_a, id_b, hamming
+    FROM (SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+          FROM cand)
+    WHERE hamming <= 1
     """,
-    doc="16-bit SimHash from md5 nibbles over distinct unigrams (N2). "
-    "Production variant: 64-bit from xxhash64 (simhash64_xxhash).",
+    doc="SimHash dedup (N2), two tagged branches: 'sig' = 16-bit md5-nibble "
+    "signatures over distinct unigrams; 'pair' = near-dup pairs via "
+    "operators/dedup.py simhash_pairs — pigeonhole banding (hamming <= 1 "
+    "=> 2 bands of 8 bits; a qualifying pair agrees exactly on >= 1 band), "
+    "band equi-join on uniform keys, exact bit_count(xor) verify. The "
+    "16-bit signature space is the oracle-parity toy; the production form "
+    "is the same plan over simhash64_xxhash (64-bit, band width 16, "
+    "~N/65536 bucket occupancy — see nx_scale_variants 'sim64').",
 )
 def n04_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).distinct()
-    return D.simhash16(toks, "doc_id")
+    sigs = D.simhash16(toks, "doc_id")
+    nil = F.lit(None).cast("long")
+    sig_b = sigs.select(
+        F.lit("sig").alias("tag"),
+        F.col("doc_id").alias("a"),
+        F.col("simhash").cast("long").alias("b"),
+        nil.alias("h"),
+    )
+    pair_b = D.simhash_pairs(sigs, "doc_id", n_bits=16, max_hamming=1).select(
+        F.lit("pair").alias("tag"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("hamming").alias("h"),
+    )
+    return sig_b.unionAll(pair_b)
 
 
 # --------------------------------------------------------------------------
