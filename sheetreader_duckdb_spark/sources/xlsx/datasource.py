@@ -325,13 +325,15 @@ class SheetReaderDataSource(DataSource):
         os.makedirs(path, exist_ok=True)
         import uuid
 
+        token = uuid.uuid4().hex[:12]  # job token: scopes the staging dir
+        os.makedirs(os.path.join(path, f".staging-{token}"), exist_ok=True)
         return SheetReaderWriter(
             path,
             [f.name for f in schema.fields],
             self.options.get("sheet_name", "Sheet1"),
             max_rows,
             _parse_bool(self.options.get("date1904")),
-            uuid.uuid4().hex[:12],  # job token: scopes staged-file cleanup
+            token,
         )
 
 
@@ -351,13 +353,18 @@ class SheetReaderWriter(DataSourceWriter):
     rows spool to disk and stream into the zip at file close, never
     accumulating ``max_rows_per_file`` rows in a Python list.
 
-    Commit protocol: tasks stage files as ``.tmp-<job>-<attempt>-part-*``
-    (dot-prefixed — invisible to ``load(dir/*.xlsx)``), unique per task
-    ATTEMPT so concurrent speculative attempts never collide; the driver's
+    Commit protocol: tasks stage files (and their row spools) inside a
+    job-scoped staging DIRECTORY ``.staging-<job>/`` (dot-prefixed —
+    invisible to ``load(dir/*.xlsx)``), named ``<attempt>-part-*`` so
+    concurrent speculative attempts never collide; the driver's
     ``commit(messages)`` publishes exactly the winning attempts' files via
-    rename and sweeps every other staged file of this job; ``abort()``
-    deletes all of this job's staged files. A failed or aborted job
-    therefore leaves no visible workbook behind."""
+    rename out of staging, then removes the whole staging directory;
+    ``abort()`` removes the directory outright. Removing the DIRECTORY is
+    what makes cleanup race-free: a straggler task that finishes after the
+    job already failed tries to assemble its workbook inside a path that
+    no longer exists and errors out in its own worker — it cannot leak a
+    file into the table directory. A failed or aborted job therefore
+    leaves no visible workbook and no staged bytes behind."""
 
     def __init__(self, path, names, sheet_name, max_rows, date1904, token):
         self.path = path
@@ -367,8 +374,11 @@ class SheetReaderWriter(DataSourceWriter):
         self.date1904 = date1904
         self.token = token
 
+    def _staging_dir(self) -> str:
+        return os.path.join(self.path, f".staging-{self.token}")
+
     def _tmp_name(self, attempt: int, final: str) -> str:
-        return f".tmp-{self.token}-{attempt}-{final}"
+        return os.path.join(f".staging-{self.token}", f"{attempt}-{final}")
 
     def write(self, iterator) -> _WriteCommit:
         from pyspark import TaskContext
@@ -389,11 +399,14 @@ class SheetReaderWriter(DataSourceWriter):
             nonlocal w, w_tmp, w_final, rows_in_file
             w_final = f"part-{pid:05d}-{len(renames):03d}.xlsx"
             w_tmp = self._tmp_name(attempt, w_final)
+            # Staged workbook AND its spool live inside the staging dir —
+            # created ONCE driver-side (writer()); tasks never recreate it,
+            # so after commit/abort removes it a straggler's open fails in
+            # its own worker instead of resurrecting the directory.
             w = IncrementalXlsxWriter(
                 os.path.join(self.path, w_tmp),
                 self.sheet_name,
                 self.date1904,
-                spool_prefix=f".xlsxspool-{self.token}-",
             )
             w.write_row(list(self.names))
             rows_in_file = 0
@@ -420,19 +433,13 @@ class SheetReaderWriter(DataSourceWriter):
         return _WriteCommit(renames=tuple(renames), rows=total)
 
     def _sweep_staged(self) -> None:
-        # Staged workbooks AND spool files of hard-killed tasks (whose
-        # close/abandon never ran) — both carry this job's token.
-        prefixes = (f".tmp-{self.token}-", f".xlsxspool-{self.token}-")
-        try:
-            names = os.listdir(self.path)
-        except OSError:
-            return
-        for fn in names:
-            if fn.startswith(prefixes):
-                try:
-                    os.remove(os.path.join(self.path, fn))
-                except OSError:
-                    pass
+        # Remove the whole job staging directory: winning files were already
+        # renamed out; everything left (losing attempts, hard-killed tasks'
+        # spools) goes with the directory, and any straggler still writing
+        # in it errors in its own worker instead of leaking into the table.
+        import shutil
+
+        shutil.rmtree(self._staging_dir(), ignore_errors=True)
 
     def commit(self, messages) -> None:
         for m in messages:
@@ -440,7 +447,6 @@ class SheetReaderWriter(DataSourceWriter):
                 continue
             for tmp, final in m.renames:
                 os.replace(os.path.join(self.path, tmp), os.path.join(self.path, final))
-        # Losing speculative attempts staged files too — drop them.
         self._sweep_staged()
 
     def abort(self, messages) -> None:

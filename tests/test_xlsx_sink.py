@@ -138,7 +138,10 @@ def test_sink_failed_job_leaves_no_visible_files(spark, tmp_path):
     with pytest.raises(Exception, match="boom"):
         df.write.format("sheetreader").mode("overwrite").save(out)
     assert glob.glob(os.path.join(out, "*.xlsx")) == []
-    assert [f for f in os.listdir(out) if f.startswith(".tmp-")] == []
+    # The job-scoped staging directory is removed wholesale on abort; a
+    # straggler task cannot recreate it (created driver-side only), so no
+    # staged bytes survive a failed job.
+    assert [f for f in os.listdir(out) if f.startswith(".staging-")] == []
 
 
 def test_sink_commit_leaves_no_staged_files(spark, tmp_path):
@@ -147,4 +150,4 @@ def test_sink_commit_leaves_no_staged_files(spark, tmp_path):
     df.write.format("sheetreader").mode("overwrite").save(out)
     names = os.listdir(out)
     assert sorted(n for n in names if n.endswith(".xlsx")) == ["part-00000-000.xlsx"]
-    assert [n for n in names if n.startswith(".tmp-") or ".xlsxspool-" in n] == []
+    assert [n for n in names if n.startswith((".tmp-", ".staging-")) or ".xlsxspool-" in n] == []
