@@ -741,6 +741,10 @@ def build_ivf_index(
         .join(cells, id_col)
         .repartition(F.col("cell"))
         .write.mode("overwrite")
+        # Rebuilds must replace the WHOLE assignments table: under a
+        # session-wide partitionOverwriteMode=dynamic, cells absent from
+        # the new build would otherwise survive and serve stale vectors.
+        .option("partitionOverwriteMode", "static")
         .partitionBy("cell")
         .parquet(f"{path}/assignments")
     )

@@ -32,10 +32,19 @@ _OPTION_ARGS = (
     "threads",
     "columns",
     "inline_strings",
+    "batch_size",
 )
 
 
 def _options_dict(path, **kwargs) -> dict:
+    # The reference's table function errors on unknown named parameters —
+    # a misspelled option must not silently read with defaults.
+    unknown = sorted(set(kwargs) - set(_OPTION_ARGS))
+    if unknown:
+        raise ValueError(
+            f"sheetreader: unknown named argument(s) {unknown}; "
+            f"valid: {sorted(_OPTION_ARGS)}"
+        )
     opts = {"path": str(path)}
     for k in _OPTION_ARGS:
         v = kwargs.get(k)
@@ -63,6 +72,17 @@ class SheetReaderUDTF:
                 "exactly like the reference's bind step)"
             )
         const = {k: (a.value if hasattr(a, "value") else a) for k, a in kwargs.items()}
+        # Every option shapes the inferred schema (skip_rows/types/...), so a
+        # non-foldable option would make analyze() and eval() disagree —
+        # reject it here rather than return misaligned rows at runtime.
+        non_literal = sorted(
+            k for k, a in kwargs.items() if hasattr(a, "value") and a.value is None
+        )
+        if non_literal:
+            raise ValueError(
+                f"sheetreader: named argument(s) {non_literal} must be "
+                "literal (they participate in plan-time schema inference)"
+            )
         ds = SheetReaderDataSource(_options_dict(path.value, **const))
         return AnalyzeResult(schema=ds.schema())
 

@@ -240,13 +240,7 @@ class IncrementalXlsxWriter:
     buffer. Numeric/date/bool-heavy data streams in O(1).
     """
 
-    def __init__(
-        self,
-        path: str,
-        sheet_name: str = "Sheet1",
-        date1904: bool = False,
-        spool_prefix: str = ".xlsxspool-",
-    ):
+    def __init__(self, path: str, sheet_name: str = "Sheet1", date1904: bool = False):
         import tempfile
 
         self.path = path
@@ -254,12 +248,12 @@ class IncrementalXlsxWriter:
         self.date1904 = date1904
         self._sst: list[str] = []
         self._sst_index: dict[str, int] = {}
+        # The spool lives next to the output path. The distributed sink
+        # points that path inside its job-scoped .staging-<job>/ directory,
+        # so a hard-killed task's spool is removed with the directory.
         d = os.path.dirname(os.path.abspath(path)) or "."
-        # spool_prefix lets the distributed sink scope spool files to its
-        # job token, so a hard-killed task's spool (close/abandon never ran)
-        # is still claimed by the job-level sweep instead of leaking.
         self._spool = tempfile.NamedTemporaryFile(
-            mode="w+", encoding="utf-8", dir=d, prefix=spool_prefix, delete=False
+            mode="w+", encoding="utf-8", dir=d, prefix=".xlsxspool-", delete=False
         )
         self.n_rows = 0
         self._n_cols = 0

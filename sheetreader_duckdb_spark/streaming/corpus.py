@@ -50,14 +50,25 @@ def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
 
 
 def _prior_digests(spark: SparkSession, corpus_path: str, batch_id: int) -> DataFrame:
-    import glob as _glob
+    # Directory listing through the Hadoop FS API (operators/fsutil), so the
+    # builder dedups correctly on the object storage a real corpus lives on;
+    # a driver-local glob would silently return [] there and disable dedup.
+    from sheetreader_duckdb_spark.operators import fsutil
 
-    dirs = _glob.glob(f"{corpus_path}/digests/batch=*")
+    dirs = fsutil.glob_dirs(spark, f"{corpus_path}/digests/batch=*")
     if not dirs:
         return spark.createDataFrame([], "h string")
+    # Explicit schema: a batch directory left data-less by a crash between
+    # the docs and digests writes must not break schema inference on the
+    # redelivery that would repair it.
     return (
-        spark.read.option("basePath", f"{corpus_path}/digests")
+        spark.read.schema("h string")
+        .option("basePath", f"{corpus_path}/digests")
         .parquet(f"{corpus_path}/digests/batch=*")
+        .withColumn(
+            "batch",
+            F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1).cast("long"),
+        )
         .filter(F.col("batch") < batch_id)
         .select("h")
     )
@@ -71,16 +82,18 @@ def accept_batch(
     (batch content, batch_id) — see the module docstring."""
     spark = batch.sparkSession
     prior = _prior_digests(spark, corpus_path, batch_id)
-    withd = batch.withColumn("__h", content_digest(text_col))
+    # distinct() first: a redelivered source commonly carries byte-identical
+    # duplicate ROWS, which a keep-min-id-per-digest semi join would pass
+    # through twice. (Rows sharing an id+digest but differing elsewhere are
+    # a caller-contract violation, as in incremental_exact_dedup.)
+    withd = batch.distinct().withColumn("__h", content_digest(text_col))
     novel = withd.join(prior.select(F.col("h").alias("__h")), "__h", "left_anti")
     # Exact dedup WITHIN the batch (min id per digest), like
     # incremental_exact_dedup — inlined so the digest column is computed
-    # once and reused for the digest-store write.
+    # once and reused for the digest-store write. accepted derives from
+    # novel (already anti-joined against prior — no second prior join).
     keep = novel.groupBy("__h").agg(F.min(id_col).alias(id_col))
-    accepted = (
-        withd.join(keep.select(id_col), id_col, "left_semi")
-        .join(prior.select(F.col("h").alias("__h")), "__h", "left_anti")
-    )
+    accepted = novel.join(keep.select(id_col), id_col, "left_semi")
     accepted = accepted.localCheckpoint()  # one computation for both writes
     n = accepted.count()
     (

@@ -90,3 +90,12 @@ def test_non_literal_path_rejected(registered, demo_xlsx):
         registered.sql(
             "SELECT * FROM sheetreader(concat('/no/', rand()::string))"
         ).collect()
+
+
+def test_unknown_named_argument_rejected(registered, demo_xlsx):
+    # The reference's table function errors on unknown named parameters;
+    # a typo must not silently read with defaults.
+    with pytest.raises(Exception, match="unknown named argument"):
+        registered.sql(
+            f"SELECT * FROM sheetreader('{demo_xlsx}', shet_index => 2)"
+        ).collect()
