@@ -313,3 +313,89 @@ def run_available_now(
         except Exception as e:  # noqa: BLE001
             last_err = e
     raise last_err
+
+
+# -- modern stateful API (Spark 4 transformWithStateInPandas) ----------------
+#
+# Same running-totals state machine as user_running_totals, expressed in the
+# transformWithState processor API (typed state handles, timers, TTL — the
+# successor to applyInPandasWithState). Requires the RocksDB state store
+# provider (run_available_now_tws sets it for the query) AND the
+# google.protobuf package in the worker Python (the processor API's state
+# protocol) — absent here, so tws_available() gates it and the test skips,
+# the same environment-imposed pattern as the multimodal codecs. The
+# applyInPandasWithState form (user_running_totals) is the always-available
+# declared operator; this parallel form exists for the richer state surface
+# (list/map state, event timers) where the environment provides protobuf.
+
+
+def tws_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, total_cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total_cents = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total_cents += int((pdf["value"] * 100).round().sum())
+            self._totals.update((n, total_cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total_cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotals(),
+            outputStructType=_STATE_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def run_available_now_tws(sdf: DataFrame, **kwargs) -> DataFrame:
+    """run_available_now with the RocksDB state store provider
+    transformWithState requires (restored afterwards)."""
+    spark = sdf.sparkSession
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return run_available_now(sdf, **kwargs)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
