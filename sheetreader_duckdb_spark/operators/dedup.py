@@ -484,6 +484,165 @@ def cluster_dedup_keep(
 # --------------------------------------------------------------------------
 # SimHash near-dup pairs: pigeonhole band join + exact Hamming verify
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# N2f — cross-document repeated n-gram spans (exact substring dedup)
+# --------------------------------------------------------------------------
+#
+# Document-level dedup (exact/MinHash/SimHash above) keeps one copy of a
+# near-identical PAIR but does nothing about a boilerplate paragraph pasted
+# into ten thousand otherwise-distinct pages. "Deduplicating Training Data
+# Makes Language Models Better" (Lee et al. 2022) removes the repeated
+# substrings themselves; this is the n-gram-granular form of that operator:
+# find every word n-gram occurring in >= min_docs distinct documents, merge
+# each document's hits into maximal token spans (interval union), and
+# optionally cut those spans out of the text.
+#
+# Shuffle topology at 100 TB:
+# - gram occurrence expansion is map-side (posexplode of a sequence);
+# - the cross-corpus step is ONE hash-aggregate shuffle keyed by the gram
+#   (count_distinct(doc) with partial aggregation — uniform keys, the same
+#   shape as the MinHash band shuffle), followed by a semi join back that
+#   shuffles on the same key and so reuses the partitioning;
+# - everything after (island merge, coverage stats, span removal) is keyed
+#   by doc id over the DUPLICATED residue only — orders of magnitude
+#   smaller than the corpus.
+# All stages are built-in expressions (WholeStageCodegen); the gram string
+# itself can be replaced by xxhash64(gram) at scale to shrink shuffle width
+# (the md5-free string form here is the oracle-parity path, like the
+# MinHash md5/xxhash pair above).
+
+
+def duplicate_ngram_occurrences(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Token positions of cross-document repeated word ``n``-grams:
+    ``(id, pos)`` — the gram starting at token index ``pos`` (0-based, over
+    ``split(lower(text), ' ')``) occurs in at least ``min_docs`` distinct
+    documents. One corpus-wide shuffle (gram hash-aggregate + semi join on
+    the same key); a position belongs to exactly one gram, so rows are
+    unique by construction."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    gram_expr = (
+        f"transform(sequence(0, size(_w) - {n}), i -> "
+        + f"concat_ws(' ', {', '.join(f'_w[i + {j}]' for j in range(n))}))"
+    )
+    grams = (
+        df.select(F.col(id_col), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select(id_col, F.posexplode(F.expr(gram_expr)).alias("pos", "g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    return grams.join(dup, "g", "left_semi").select(id_col, "pos")
+
+
+def duplicate_ngram_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Maximal duplicated token spans per document:
+    ``(id, span_start, span_end)`` with ``span_end`` exclusive — the union
+    of the ``[pos, pos + n)`` intervals of duplicate_ngram_occurrences,
+    merged when overlapping or adjacent (classic island detection: a
+    running MAX of interval ends over a per-doc window, a new island
+    whenever a gap appears). The window shuffle is keyed by doc id over
+    the duplicated residue only."""
+    from pyspark.sql.window import Window
+
+    occ = duplicate_ngram_occurrences(df, id_col, text_col, n=n, min_docs=min_docs)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        occ.withColumn("__island", island)
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+        )
+        .drop("__island")
+    )
+
+
+def duplicate_ngram_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Per-affected-document summary of duplicated coverage:
+    ``(id, n_spans, dup_tokens)`` — merged span count and total tokens
+    covered by cross-document repeated n-grams. Documents with no
+    duplicated gram produce no row."""
+    spans = duplicate_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+
+
+def remove_duplicate_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Cut every cross-document repeated n-gram span out of each document.
+
+    Returns the input rows plus a ``scrub_text`` column: the document's
+    tokens (canonical space — ``split(lower(text), ' ')``, single-space
+    joined) with every covered token removed; a fully-covered document
+    scrubs to ``''``. The original ``text_col`` is left untouched so
+    callers keep provenance. Only affected documents (a span exists) pay
+    the reconstruction joins — the unaffected majority takes the map-side
+    canonical join only.
+
+    The reconstruction is relational on purpose (posexplode tokens →
+    anti-join covered positions → ordered re-agg): every step is a
+    built-in expression over the duplicated residue, and the identical
+    plan is expressible in ANSI SQL for the oracle twin.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    spans = duplicate_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    covered = spans.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("idx"),
+    )
+    affected = spans.select(id_col).distinct()
+    toks = (
+        df.join(affected, id_col, "left_semi")
+        .select(F.col(id_col), F.posexplode(words).alias("idx", "tok"))
+    )
+    kept = toks.join(covered, [id_col, "idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("__scrub")
+    )
+    # A fully-covered doc keeps no token: rebuilt has no row, affected does
+    # — coalesce to ''. Unaffected docs coalesce to their canonical join.
+    scrubbed = affected.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col("__scrub"), F.lit("")).alias("__scrub")
+    )
+    return (
+        df.join(scrubbed, id_col, "left")
+        .withColumn(
+            "scrub_text", F.coalesce(F.col("__scrub"), F.concat_ws(" ", words))
+        )
+        .drop("__scrub")
+    )
+
+
 def simhash_pairs(
     signatures: DataFrame,
     id_col: str,

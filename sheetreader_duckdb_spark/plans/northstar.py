@@ -716,6 +716,50 @@ _REP_THRESHOLD = 0.1  # dup_gram_frac cut — flags ~20% of the synthetic corpus
         SELECT doc_id,
                SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c) AS dup_gram_frac
         FROM per_gram GROUP BY doc_id
+    ),
+    dw AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    dg AS (
+        SELECT doc_id, i AS pos, array_to_string(list_slice(w, i + 1, i + 5), ' ') AS g
+        FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i
+              FROM dw WHERE len(w) >= 5)
+    ),
+    ddup AS (SELECT g FROM dg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    docc AS (SELECT doc_id, pos FROM dg WHERE g IN (SELECT g FROM ddup)),
+    disl AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        FROM (SELECT doc_id, pos,
+                     MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+              FROM docc)
+    ),
+    dspan AS (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 5 AS e
+        FROM disl GROUP BY doc_id, island
+    ),
+    dup_stats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+        FROM dspan GROUP BY doc_id
+    ),
+    dtok AS (
+        SELECT doc_id, i AS idx, w[i + 1] AS tok
+        FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM dw)
+        WHERE doc_id IN (SELECT doc_id FROM dup_stats)
+    ),
+    dkept AS (
+        SELECT t.doc_id, t.idx, t.tok FROM dtok t
+        WHERE NOT EXISTS (SELECT 1 FROM dspan sp
+                          WHERE sp.doc_id = t.doc_id
+                            AND t.idx >= sp.s AND t.idx < sp.e)
+    ),
+    dup_scrub AS (
+        SELECT a.doc_id,
+               CAST(('0x' || substr(md5(COALESCE(r.scrub, '')), 1, 8)) AS BIGINT) AS fp
+        FROM (SELECT DISTINCT doc_id FROM dup_stats) a
+        LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS scrub
+                   FROM dkept GROUP BY doc_id) r USING (doc_id)
     )
     SELECT 'all' AS tag, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(ws) AS BIGINT) AS ws_tokens,
@@ -770,6 +814,14 @@ _REP_THRESHOLD = 0.1  # dup_gram_frac cut — flags ~20% of the synthetic corpus
     )
     GROUP BY source
     UNION ALL
+    SELECT 'dupspan', d.source, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(st.dup_tokens) AS BIGINT), CAST(SUM(st.n_spans) AS BIGINT),
+           CAST(SUM(sc.fp) AS BIGINT), CAST(SUM(d.doc_id) AS BIGINT)
+    FROM dup_stats st
+    JOIN documents d USING (doc_id)
+    JOIN dup_scrub sc USING (doc_id)
+    GROUP BY d.source
+    UNION ALL
     SELECT 'hh', token, cnt,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT)
@@ -804,7 +856,16 @@ _REP_THRESHOLD = 0.1  # dup_gram_frac cut — flags ~20% of the synthetic corpus
     "zero-shuffle sequence+explode) — chars sums every chunk's actual "
     "substring length and id_sum folds in chunk ordinals, pinning window "
     "offsets, coverage, and per-doc multiplicity. id_sum pins exact "
-    "membership of every keep-set; 'hh' = exact heavy-hitter tokens "
+    "membership of every keep-set; 'dupspan' = cross-document repeated "
+    "5-gram spans (Lee et al. 2022 exact substring dedup, "
+    "operators/dedup.py duplicate_ngram_* / remove_duplicate_ngrams: one "
+    "gram hash-aggregate shuffle + semi join, interval-union island merge "
+    "over the duplicated residue, relational span removal) — n_docs / "
+    "ws_tokens / bpe_tokens carry affected docs, covered tokens, and "
+    "merged-span count per source; chars sums a 32-bit md5 prefix of each "
+    "affected doc's scrubbed text, pinning the rewrite byte-for-byte; "
+    "brute-force property tests in tests/test_dupspan.py; 'hh' = exact "
+    "heavy-hitter tokens "
     "(operators/text.py exact_heavy_hitters: per-partition Misra-Gries "
     "candidate sketch + exact recount, partitioning-invariant by the "
     "retention bound — source carries the token, n_docs its exact count; "
@@ -920,6 +981,41 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
+    # 'dupspan' — cross-document repeated 5-gram spans (Lee et al. 2022
+    # substring dedup, operators/dedup.py): per-source affected-doc count,
+    # total covered tokens, merged-span count, and the sum of a 32-bit md5
+    # prefix of each affected doc's scrubbed text — pinning occurrence
+    # detection, interval union, AND the span-removal rewrite byte-for-byte.
+    dstats = D.duplicate_ngram_stats(d, "doc_id", "text", n=5, min_docs=2)
+    dscrub = D.remove_duplicate_ngrams(
+        d.select("doc_id", "source", "text"), "doc_id", "text", n=5, min_docs=2
+    )
+    scrub_fp = F.conv(
+        F.substring(F.md5(F.col("scrub_text").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    dupspan_b = (
+        dstats.join(
+            dscrub.select("doc_id", "source", scrub_fp.alias("__fp")), "doc_id"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dup_tokens").alias("ws_tokens"),
+            F.sum("n_spans").alias("bpe_tokens"),
+            F.sum("__fp").alias("chars"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .select(
+            F.lit("dupspan").alias("tag"),
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "chars",
+            "id_sum",
+        )
+    )
+
     # 'hh' — exact heavy hitters: sketch proposes, recount decides (the
     # declared threshold cnt*200 >= N is integer-exact on both engines).
     toks = d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
@@ -935,7 +1031,7 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
     return all_b.unionAll(salted_b).unionAll(sample_b).unionAll(strat_b).unionAll(
         mix_b
-    ).unionAll(rep_b).unionAll(chunk_b).unionAll(hh_b)
+    ).unionAll(rep_b).unionAll(chunk_b).unionAll(dupspan_b).unionAll(hh_b)
 
 
 # --------------------------------------------------------------------------
