@@ -430,6 +430,7 @@ def connected_components(
         )
         cand = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
             "node",
+            F.col("label").alias("__old"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
@@ -439,23 +440,22 @@ def connected_components(
         ind = cand.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
+        # The pre-iteration label rides along as __old so convergence is a
+        # filter+count over the checkpointed partitions — no extra shuffle
+        # join against the previous labels per iteration.
         new_labels = (
             cand.join(ind, cand.label == ind.pnode, "left")
             .select(
                 "node",
+                "__old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             edges.unpersist()
             return labels
