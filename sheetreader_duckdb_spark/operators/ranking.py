@@ -101,6 +101,46 @@ def with_global_rank(
     )
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    cum_col: str = "cum_value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a global running ``SUM(value_col) OVER (ORDER BY order_cols)``
+    column (inclusive of the current row) — the same two-pass shape as
+    ``with_global_rank``: range-partition on the sort keys, per-partition
+    VALUE sums become broadcast offsets, the within-partition running sum
+    is an ordinary keyed window. No single-partition WindowExec anywhere.
+
+    Include a unique tiebreak key in ``order_cols`` for a deterministic
+    result. Cache lifetime: see ``with_global_rank`` (deferred release).
+    """
+    sess = df.sparkSession
+    n_part = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    keyed = df.repartitionByRange(n_part, *cols).persist()
+    # _offsets sums the `_cnt` column of whatever per-partition aggregate it
+    # is handed — here per-partition value totals rather than row counts.
+    sums = keyed.groupBy(F.spark_partition_id().alias("_pid")).agg(
+        F.sum(F.col(value_col)).alias("_cnt")
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    defer_unpersist(keyed)
+    return (
+        keyed.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lcum", F.sum(F.col(value_col)).over(w))
+        .join(F.broadcast(_offsets(sums)), "_pid")
+        .withColumn(cum_col, F.col("_off") + F.col("_lcum"))
+        .drop("_pid", "_lcum", "_off")
+    )
+
+
 def with_global_ntile(
     df: DataFrame,
     order_cols: list[str | Column],

@@ -144,6 +144,69 @@ def stratified_sample(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy per-group selection under a token budget: within each group,
+    walk rows in ``order_cols`` order (best first — put the quality rank
+    here, with a unique tiebreak key last) and keep a row while the running
+    token total INCLUDING it stays ≤ ``budget``.
+
+    This is the dataset-assembly step after quality scoring: "take the best
+    documents from each source until its token allowance is spent". One
+    shuffle on the group columns — the per-group running sum is an ordinary
+    keyed window, bounded by the group's size; a pathologically hot group
+    is a sort within one partition, not a driver collect. For a GLOBAL
+    budget over a total order use ``operators.ranking.with_global_cumsum``
+    (two-pass range shuffle, no single-partition window) and filter on its
+    running sum the same way.
+
+    Exact integer semantics (no floats), so the keep-set is
+    oracle-checkable: SUM(tokens) OVER (PARTITION BY group ORDER BY ...
+    ROWS UNBOUNDED PRECEDING) <= budget.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum", F.sum(F.col(token_col)).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+
+
+def budget_select_global(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    token_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global-budget form of ``budget_select``: one total order across the
+    whole corpus, keep rows while the global running token total stays
+    ≤ ``budget``. Distributed via ranking.with_global_cumsum (range
+    partition + broadcast per-partition offsets) — no single-partition
+    window. Include a unique tiebreak key in ``order_cols``."""
+    from sheetreader_duckdb_spark.operators.ranking import with_global_cumsum
+
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    out = with_global_cumsum(
+        df, list(order_cols), token_col, cum_col="__cum",
+        num_partitions=num_partitions,
+    )
+    return out.filter(F.col("__cum") <= budget).drop("__cum")
+
+
 def _check_weights(weights: Sequence[tuple[str, float]]) -> None:
     if not weights:
         raise ValueError("weights must be non-empty")

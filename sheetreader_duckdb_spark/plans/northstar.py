@@ -690,6 +690,7 @@ def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _REP_THRESHOLD = 0.1  # dup_gram_frac cut — flags ~20% of the synthetic corpus
+_BUDGET_TOKENS = 2000  # per-source token allowance — partial at every test sf
 
 
 @query(
@@ -814,6 +815,22 @@ _REP_THRESHOLD = 0.1  # dup_gram_frac cut — flags ~20% of the synthetic corpus
     )
     GROUP BY source
     UNION ALL
+    SELECT 'budget', source, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(ws) AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM (
+        SELECT doc_id, source, ws,
+               SUM(ws) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT doc_id, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                         x -> x IN ({{stop_set}}))) AS BIGINT)
+                       / CAST(len(string_split(text, ' ')) AS BIGINT) AS q
+              FROM documents)
+    ) WHERE cum <= {_BUDGET_TOKENS}
+    GROUP BY source
+    UNION ALL
     SELECT 'dupspan', d.source, CAST(COUNT(*) AS BIGINT),
            CAST(SUM(st.dup_tokens) AS BIGINT), CAST(SUM(st.n_spans) AS BIGINT),
            CAST(SUM(sc.fp) AS BIGINT), CAST(SUM(d.doc_id) AS BIGINT)
@@ -840,6 +857,7 @@ _REP_THRESHOLD = 0.1  # dup_gram_frac cut — flags ~20% of the synthetic corpus
             f"(source = '{s}' AND {SM.sample_predicate_sql('doc_id', fr, seed='mx')})"
             for s, fr in _MIX_FRACTIONS.items()
         ),
+        stop_set=", ".join(f"'{w}'" for w in X.STOPWORDS),
     ),
     doc="Corpus token accounting by source (N4, 'all': exact integer sums) "
     "and its dataset-assembly companions as tagged branches over the same "
@@ -856,7 +874,14 @@ _REP_THRESHOLD = 0.1  # dup_gram_frac cut — flags ~20% of the synthetic corpus
     "zero-shuffle sequence+explode) — chars sums every chunk's actual "
     "substring length and id_sum folds in chunk ordinals, pinning window "
     "offsets, coverage, and per-doc multiplicity. id_sum pins exact "
-    "membership of every keep-set; 'dupspan' = cross-document repeated "
+    "membership of every keep-set; 'budget' = token-budget corpus "
+    "selection (operators/sampling.py budget_select: per-source greedy "
+    "best-quality-first prefix — stopword-ratio rank, doc_id tiebreak — "
+    "kept while the running token total stays ≤ 2000; one group-keyed "
+    "window shuffle, exact integer semantics; global-budget twin "
+    "budget_select_global rides ranking.with_global_cumsum's two-pass "
+    "range shuffle, no single-partition window, tests/"
+    "test_budget_select.py); 'dupspan' = cross-document repeated "
     "5-gram spans (Lee et al. 2022 exact substring dedup, "
     "operators/dedup.py duplicate_ngram_* / remove_duplicate_ngrams: one "
     "gram hash-aggregate shuffle + semi join, interval-union island merge "
@@ -981,6 +1006,39 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
+    # 'budget' — token-budget corpus selection (operators/sampling.py
+    # budget_select): per source, take documents best-quality-first
+    # (stopword ratio desc, doc_id tiebreak) while the running whitespace-
+    # token total stays within the per-source allowance. n_docs/ws_tokens/
+    # id_sum pin the exact keep-set and its token mass.
+    bq_in = d.select(
+        "doc_id",
+        "source",
+        X.n_tokens(F.col("text")).alias("ws"),
+        (X.stopword_hits(F.col("text")) / X.n_tokens(F.col("text"))).alias("q"),
+    )
+    budget_b = (
+        SM.budget_select(
+            bq_in, ["source"], [F.col("q").desc(), "doc_id"], "ws",
+            budget=_BUDGET_TOKENS,
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .select(
+            F.lit("budget").alias("tag"),
+            "source",
+            "n_docs",
+            "ws_tokens",
+            nil_l.alias("bpe_tokens"),
+            nil_l.alias("chars"),
+            "id_sum",
+        )
+    )
+
     # 'dupspan' — cross-document repeated 5-gram spans (Lee et al. 2022
     # substring dedup, operators/dedup.py): per-source affected-doc count,
     # total covered tokens, merged-span count, and the sum of a 32-bit md5
@@ -1031,7 +1089,9 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
     return all_b.unionAll(salted_b).unionAll(sample_b).unionAll(strat_b).unionAll(
         mix_b
-    ).unionAll(rep_b).unionAll(chunk_b).unionAll(dupspan_b).unionAll(hh_b)
+    ).unionAll(rep_b).unionAll(chunk_b).unionAll(budget_b).unionAll(
+        dupspan_b
+    ).unionAll(hh_b)
 
 
 # --------------------------------------------------------------------------
