@@ -12,6 +12,19 @@ Layout under ``corpus_path``::
 
     docs/batch=<id>/      accepted documents of micro-batch <id>
     digests/batch=<id>/   their content digests (h)
+    bands/batch=<id>/     near-dup mode: their LSH band table (id, band, band_key)
+    shingles/batch=<id>/  near-dup mode: their shingle table (id, sh)
+
+``near_dup=True`` layers MinHash/LSH near-duplicate rejection on top of the
+exact digest check: arriving docs are dropped when they near-match the
+accepted corpus (band equi-join against the stored band tables + exact
+Jaccard verify against the stored shingles — the corpus side is its
+precomputed residue tables, never the documents) or another doc of the
+same batch (pairwise: the larger id of every verified in-batch pair is
+dropped). Each accepted batch then stores its own band/shingle tables, so
+the corpus-side state stays build-once/append-only — identical
+incremental posture to the digest store, just two more batch-addressed
+directories.
 
 Exactly-once without a transaction log — the batch id IS the commit token:
 
@@ -49,39 +62,66 @@ def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     )
 
 
-def _prior_digests(spark: SparkSession, corpus_path: str, batch_id: int) -> DataFrame:
-    # Directory listing through the Hadoop FS API (operators/fsutil), so the
-    # builder dedups correctly on the object storage a real corpus lives on;
-    # a driver-local glob would silently return [] there and disable dedup.
+def _prior_table(
+    spark: SparkSession, corpus_path: str, sub: str, batch_id: int, schema: str
+) -> DataFrame:
+    """Rows of ``<corpus_path>/<sub>/batch=*`` for batches < ``batch_id``.
+
+    Directory listing through the Hadoop FS API (operators/fsutil), so the
+    builder dedups correctly on the object storage a real corpus lives on;
+    a driver-local glob would silently return [] there and disable dedup.
+    Explicit schema: a batch directory left data-less by a crash between
+    the per-batch writes must not break schema inference on the redelivery
+    that would repair it.
+    """
     from sheetreader_duckdb_spark.operators import fsutil
 
-    dirs = fsutil.glob_dirs(spark, f"{corpus_path}/digests/batch=*")
+    dirs = fsutil.glob_dirs(spark, f"{corpus_path}/{sub}/batch=*")
     if not dirs:
-        return spark.createDataFrame([], "h string")
-    # Explicit schema: a batch directory left data-less by a crash between
-    # the docs and digests writes must not break schema inference on the
-    # redelivery that would repair it.
+        return spark.createDataFrame([], schema)
+    cols = [s.strip().split(" ")[0] for s in schema.split(",")]
     return (
-        spark.read.schema("h string")
-        .option("basePath", f"{corpus_path}/digests")
-        .parquet(f"{corpus_path}/digests/batch=*")
+        spark.read.schema(schema)
+        .option("basePath", f"{corpus_path}/{sub}")
+        .parquet(f"{corpus_path}/{sub}/batch=*")
         .withColumn(
             "batch",
             F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1).cast("long"),
         )
         .filter(F.col("batch") < batch_id)
-        .select("h")
+        .select(*cols)
     )
 
 
 def accept_batch(
-    batch: DataFrame, batch_id: int, corpus_path: str, id_col: str, text_col: str
+    batch: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    id_col: str,
+    text_col: str,
+    near_dup: bool = False,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
 ) -> int:
     """Dedup one micro-batch against the accepted corpus and commit it under
     its batch id. Returns the number of accepted rows. Idempotent per
-    (batch content, batch_id) — see the module docstring."""
+    (batch content, batch_id) — see the module docstring. ``near_dup=True``
+    additionally rejects MinHash/LSH near-duplicates (of the accepted
+    corpus via its stored band/shingle tables, and within the batch —
+    pairwise, the larger id of each Jaccard-verified pair drops) and
+    stores the accepted rows' band/shingle tables for future batches."""
+    from sheetreader_duckdb_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures_md5,
+        word_shingles,
+    )
+
     spark = batch.sparkSession
-    prior = _prior_digests(spark, corpus_path, batch_id)
+    prior = _prior_table(spark, corpus_path, "digests", batch_id, "h string")
     # distinct() first: a redelivered source commonly carries byte-identical
     # duplicate ROWS, which a keep-min-id-per-digest semi join would pass
     # through twice. (Rows sharing an id+digest but differing elsewhere are
@@ -94,7 +134,56 @@ def accept_batch(
     # novel (already anti-joined against prior — no second prior join).
     keep = novel.groupBy("__h").agg(F.min(id_col).alias(id_col))
     accepted = novel.join(keep.select(id_col), id_col, "left_semi")
-    accepted = accepted.localCheckpoint()  # one computation for both writes
+
+    bands_b = sh_b = None
+    if near_dup:
+        # Checkpoint the exact-survivor set once: the shingle/band lineage
+        # below feeds the corpus check, the in-batch check, AND the band/
+        # shingle store writes.
+        accepted = accepted.localCheckpoint()
+        sh_b = word_shingles(accepted, id_col, text_col, k=k)
+        sig_b = minhash_signatures_md5(sh_b, id_col, n_hashes=n_hashes)
+        bands_b = lsh_bands(sig_b, id_col, n_hashes=n_hashes, band_size=band_size)
+        prior_bands = _prior_table(
+            spark, corpus_path, "bands", batch_id,
+            f"{id_col} long, band int, band_key string",
+        )
+        prior_sh = _prior_table(
+            spark, corpus_path, "shingles", batch_id, f"{id_col} long, sh string"
+        )
+        # vs the accepted corpus: batch bands equi-join the stored corpus
+        # bands; candidates verify with exact Jaccard against the stored
+        # corpus shingles (same topology as incremental_neardup_drop, with
+        # the batch-side tables shared instead of recomputed).
+        cand = (
+            bands_b.select(F.col(id_col).alias("id_b"), "band", "band_key")
+            .join(
+                prior_bands.select(
+                    F.col(id_col).alias("id_a"), "band", "band_key"
+                ),
+                ["band", "band_key"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        both_sh = prior_sh.unionByName(sh_b)
+        drop_corpus = (
+            jaccard_verify(both_sh, cand, id_col, threshold=threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        # within the batch: candidate pairs among the batch's own bands,
+        # verified on its shingles; drop the larger id of each pair.
+        pairs_b = lsh_candidate_pairs(bands_b, id_col)
+        drop_within = (
+            jaccard_verify(sh_b, pairs_b, id_col, threshold=threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        drop = drop_corpus.unionByName(drop_within).distinct()
+        accepted = accepted.join(drop, id_col, "left_anti")
+
+    accepted = accepted.localCheckpoint()  # one computation for all writes
     n = accepted.count()
     (
         accepted.drop("__h")
@@ -106,6 +195,18 @@ def accept_batch(
         .write.mode("overwrite")
         .parquet(f"{corpus_path}/digests/batch={batch_id}")
     )
+    if near_dup:
+        ids = accepted.select(id_col)
+        (
+            bands_b.join(ids, id_col, "left_semi")
+            .write.mode("overwrite")
+            .parquet(f"{corpus_path}/bands/batch={batch_id}")
+        )
+        (
+            sh_b.join(ids, id_col, "left_semi")
+            .write.mode("overwrite")
+            .parquet(f"{corpus_path}/shingles/batch={batch_id}")
+        )
     return n
 
 
@@ -118,18 +219,28 @@ def run_corpus_builder(
     text_col: str = "text",
     schema: str = "doc_id long, text string, lang string, source string, n_chars long",
     available_now: bool = True,
+    near_dup: bool = False,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
 ):
     """Run the streaming builder over a directory of arriving parquet files.
 
     ``available_now=True`` drains everything currently present and stops —
     the testable/batch-drain mode; ``False`` runs continuously. The
     checkpoint makes batch ids stable across restarts, which is what the
-    idempotent commit keys on.
+    idempotent commit keys on. ``near_dup=True`` adds MinHash/LSH
+    near-duplicate rejection on arrival (see accept_batch).
     """
     stream = spark.readStream.schema(schema).parquet(input_path)
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        accept_batch(df, batch_id, corpus_path, id_col, text_col)
+        accept_batch(
+            df, batch_id, corpus_path, id_col, text_col,
+            near_dup=near_dup, threshold=threshold,
+            n_hashes=n_hashes, band_size=band_size, k=k,
+        )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_path

@@ -49,6 +49,65 @@ def test_redelivered_batch_is_idempotent(spark, tmp_path):
     assert got == [1, 2, 3]
 
 
+NEAR_A = "the quick brown fox jumps over the lazy dog today"
+# Prefix variant: every trigram of NEAR_A survives, so Jaccard = 8/9 and
+# all four LSH bands collide — a reliable near-dup under (8 hashes, band
+# size 2, k=3, threshold 0.5).
+NEAR_A2 = "so " + NEAR_A
+NEAR_B = "completely different words about training data pipelines at scale"
+NEAR_C = "unrelated third document mentioning streaming corpus construction only"
+
+
+def test_near_dup_rejected_across_batches(spark, tmp_path):
+    corpus = str(tmp_path / "corpus_nd")
+    b0 = _docs(spark, [(1, NEAR_A), (2, NEAR_B)])
+    assert accept_batch(b0, 0, corpus, "doc_id", "text", near_dup=True) == 2
+    # Batch 1: a near-dup of accepted doc 1 (one token differs -> Jaccard
+    # well above 0.5 on 3-shingles) plus a novel doc.
+    b1 = _docs(spark, [(10, NEAR_A2), (11, NEAR_C)])
+    assert accept_batch(b1, 1, corpus, "doc_id", "text", near_dup=True) == 1
+    got = sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect())
+    assert got == [1, 2, 11]
+    # The stored residue tables cover exactly the accepted docs.
+    bands = spark.read.option("basePath", f"{corpus}/bands").parquet(
+        f"{corpus}/bands/batch=*"
+    )
+    assert sorted(
+        r["doc_id"] for r in bands.select("doc_id").distinct().collect()
+    ) == [1, 2, 11]
+
+
+def test_near_dup_rejected_within_batch(spark, tmp_path):
+    corpus = str(tmp_path / "corpus_nd2")
+    # One batch carrying a near-dup pair: the larger id drops.
+    b0 = _docs(spark, [(5, NEAR_A2), (3, NEAR_A), (7, NEAR_B)])
+    assert accept_batch(b0, 0, corpus, "doc_id", "text", near_dup=True) == 2
+    got = sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect())
+    assert got == [3, 7]
+
+
+def test_near_dup_redelivery_idempotent(spark, tmp_path):
+    corpus = str(tmp_path / "corpus_nd3")
+    accept_batch(
+        _docs(spark, [(1, NEAR_A)]), 0, corpus, "doc_id", "text", near_dup=True
+    )
+    b1 = _docs(spark, [(2, NEAR_A2), (3, NEAR_B)])
+    n_first = accept_batch(b1, 1, corpus, "doc_id", "text", near_dup=True)
+    # Redelivery of the same batch id: its own band/shingle directories
+    # (possibly partially written) are invisible to its dedup, so the
+    # accept-set recomputes identically and overwrites its own dirs.
+    n_retry = accept_batch(b1, 1, corpus, "doc_id", "text", near_dup=True)
+    assert n_first == n_retry == 1
+    got = sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect())
+    assert got == [1, 3]
+    sh = spark.read.option("basePath", f"{corpus}/shingles").parquet(
+        f"{corpus}/shingles/batch=*"
+    )
+    assert sorted(
+        r["doc_id"] for r in sh.select("doc_id").distinct().collect()
+    ) == [1, 3]
+
+
 def test_streaming_end_to_end_with_restart(spark, tmp_path):
     inp = str(tmp_path / "in")
     corpus = str(tmp_path / "corpus3")
