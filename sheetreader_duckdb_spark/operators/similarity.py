@@ -708,6 +708,90 @@ def embedding_neardup_pairs(
 
 
 # --------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) dedup bucketed by k-means cells.
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication" (Abbas et al. 2023): cluster the embeddings, then drop
+# near-duplicates WITHIN each cluster only — the cluster equi-join replaces
+# the O(n²) pair scoring the same way SRP buckets do, but with data-adaptive
+# cells instead of random hyperplanes, which is the standard production
+# recipe for high-threshold (≈ exact) semantic dup removal.
+# --------------------------------------------------------------------------
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Same-cell embedding pairs with cosine ≥ threshold:
+    ``(id_a < id_b, cell, cosine)``.
+
+    Assignment uses ``ivf_assign_join`` (broadcast centroid table — plan
+    size constant in K), so the corpus shuffles once on the cell id and
+    pair generation is an equi-join within cells; with balanced cells the
+    candidate volume is n²/K instead of n². Precision is exact (every
+    emitted pair is cosine-verified); recall misses only near-dup pairs
+    whose members land in DIFFERENT cells — rare at the high thresholds
+    SemDeDup targets (≈ identical vectors almost always share a nearest
+    centroid; planted-duplicate recall pinned in
+    tests/test_semantic_dedup.py). For low-threshold regimes use
+    ``srp_neardup_pairs``'s multi-table form instead.
+
+    Pass precomputed ``centroids`` (e.g. from a persisted index) to skip
+    the Lloyd loop; otherwise ``ivf_centroids`` runs with its
+    deterministic hash-strata seeding.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells)
+    assigned = ivf_assign_join(corpus, centroids, id_col, vec_col)
+    sided = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__v"), l2_norm(F.col(vec_col)).alias("__n")
+    ).join(assigned, id_col)
+    a = sided.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("va"),
+        F.col("__n").alias("na"), "cell",
+    )
+    b = sided.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"), "cell",
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "cell",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup keep-set: one representative (min id) per connected
+    semantic-duplicate cluster, everything unpaired kept. Transitive
+    chains collapse correctly — the verified pair graph goes through
+    ``dedup.cluster_dedup_keep``'s connected-components labeling rather
+    than a pairwise drop."""
+    from sheetreader_duckdb_spark.operators.dedup import cluster_dedup_keep
+
+    pairs = semantic_dedup_pairs(
+        corpus, id_col, vec_col, n_cells=n_cells, threshold=threshold,
+        centroids=centroids,
+    ).select("id_a", "id_b")
+    return cluster_dedup_keep(corpus, pairs, id_col)
+
+
+# --------------------------------------------------------------------------
 # Persistent IVF index: build once, search many times
 # --------------------------------------------------------------------------
 def build_ivf_index(

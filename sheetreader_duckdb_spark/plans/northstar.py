@@ -1492,13 +1492,20 @@ def n20_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "nx_scale_variants",
     oracle=None,
-    doc="Tagged union of the four rows-only scale paths on one generic "
+    doc="Tagged union of the rows-only scale paths on one generic "
     "schema (tag, k1, k2, n1, v1, s1): 'hll' = approx_count_distinct per "
     "returnflag (H11 — HLL sketches differ across engines by design); "
     "'mh128' = 128-seed xxhash64 MinHash + 16x8 LSH candidate pairs with "
     "the 1000-cap bucket guard (N2 scale path; see _N02B_DOC); 'sim64' = "
     "64-bit xxhash64 SimHash signatures (see _N04B_DOC); 'lsh'/'ivf'/'q8' "
-    "= the approximate-NN family with recall pins (see _N05B_DOC).",
+    "= the approximate-NN family with recall pins (see _N05B_DOC); "
+    "'semdedup' = SemDeDup semantic near-dup pairs (Abbas et al. 2023, "
+    "operators/similarity.py semantic_dedup_pairs: k-means cell bucketing "
+    "via the constant-plan broadcast assignment, exact cosine verify on "
+    "same-cell pairs only — candidate volume n²/K; precision exact and "
+    "planted-duplicate recall ≥0.9 pinned in tests/test_semantic_dedup.py; "
+    "the Lloyd centroid loop has no SQL equivalent, hence rows-only, with "
+    "the oracle-backed O(n²) twin n06 pinning pair semantics).",
 )
 def nx_scale_variants(spark: SparkSession, sf: str) -> DataFrame:
     def g(df, tag_col, k1=None, k2=None, n1=None, v1=None, s1=None):
@@ -1518,4 +1525,11 @@ def nx_scale_variants(spark: SparkSession, sf: str) -> DataFrame:
     mh = g(n02b_dedup_minhash_xxhash(spark, sf), "mh128", k1="id_a", k2="id_b")
     sim = g(n04b_dedup_simhash64(spark, sf), "sim64", k1="doc_id", k2="simhash")
     ann = g(n05b_ann_lsh_topk(spark, sf), F.col("tag"), k1="qid", k2="cid", n1="rn", v1="cosine")
-    return hll.unionAll(mh).unionAll(sim).unionAll(ann)
+    sem = g(
+        S.semantic_dedup_pairs(
+            T(spark, sf, "embeddings"), n_cells=8, threshold=0.4
+        ),
+        "semdedup",
+        k1="id_a", k2="id_b", n1="cell", v1="cosine",
+    )
+    return hll.unionAll(mh).unionAll(sim).unionAll(ann).unionAll(sem)
