@@ -73,6 +73,7 @@ HEADLINE = [
     "n05_ann_bruteforce_topk",
     "n06b_embedding_neardup_srp",
     "n07_text_signals",
+    "n10_token_stats",
     "n13_tumbling_windows",
     "n17_tf_idf",
     "n19_asof_join",

@@ -742,12 +742,24 @@ def semantic_dedup_pairs(
     the Lloyd loop; otherwise ``ivf_centroids`` runs with its
     deterministic hash-strata seeding.
     """
+    from sheetreader_duckdb_spark.session import defer_unpersist
+
     if centroids is None:
         centroids = ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells)
     assigned = ivf_assign_join(corpus, centroids, id_col, vec_col)
-    sided = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("__v"), l2_norm(F.col(vec_col)).alias("__n")
-    ).join(assigned, id_col)
+    # Persisted (deferred-release registry): both sides of the in-cell
+    # self-join read the SAME materialized assignment instead of executing
+    # the broadcast-assignment lineage twice. At production scale this is
+    # the persisted IVF index (build_ivf_index) — pass its centroids in and
+    # the cache is the per-run equivalent of the stored assignment table.
+    sided = defer_unpersist(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__n"),
+        )
+        .join(assigned, id_col)
+        .persist()
+    )
     a = sided.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("va"),
         F.col("__n").alias("na"), "cell",

@@ -51,9 +51,23 @@ def test_no_unintended_nested_loop_join(name, plans):
     plan = plans[name]
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     if name == "nx_scale_variants":
-        # Exactly ONE: the q8 coarse scan inside the n05b ANN branch. A
-        # second would mean the lsh/ivf branches regressed from equi-joins.
-        assert plan.count("BroadcastNestedLoopJoin") == 1, f"{name}: BNL count"
+        # Two tiny-broadcast-side BNL operators are intended: the q8
+        # coarse scan inside the n05b ANN branch (live in the plan), and
+        # the K-row centroid table of semdedup's ivf_assign_join
+        # (constant-plan large-K assignment) — the latter sits INSIDE the
+        # persisted assignment subtree, which the self-join prints once
+        # per cache scan, so only the q8 one appears outside an
+        # InMemoryRelation block. More live BNLs would mean the lsh/ivf
+        # candidate branches regressed from equi-joins.
+        lines = plan.splitlines()
+        live_bnl = sum(
+            1
+            for i, l in enumerate(lines)
+            if "BroadcastNestedLoopJoin" in l
+            and not any("InMemory" in x for x in lines[max(0, i - 12) : i])
+        )
+        assert live_bnl == 1, f"{name}: live BNL count {live_bnl}"
+        assert plan.count("BroadcastNestedLoopJoin") <= 3, f"{name}: BNL count"
     elif name not in BNL_OK:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNL join"
 
