@@ -716,6 +716,17 @@ def embedding_neardup_pairs(
 # cells instead of random hyperplanes, which is the standard production
 # recipe for high-threshold (≈ exact) semantic dup removal.
 # --------------------------------------------------------------------------
+def auto_ivf_cells(
+    n: int, target_cell: int = 100, lo: int = 8, hi: int = 4096
+) -> int:
+    """Cell count that keeps expected cell occupancy ≈ ``target_cell``:
+    same-cell candidate volume is n·occupancy, so a FIXED K degrades
+    quadratically as the corpus grows (the SRP plane-count lesson,
+    ``auto_srp_planes``). ``n`` is a metadata count-star — derive it from
+    the data, don't hardcode it."""
+    return max(lo, min(hi, (n + target_cell - 1) // target_cell))
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -1525,9 +1525,14 @@ def nx_scale_variants(spark: SparkSession, sf: str) -> DataFrame:
     mh = g(n02b_dedup_minhash_xxhash(spark, sf), "mh128", k1="id_a", k2="id_b")
     sim = g(n04b_dedup_simhash64(spark, sf), "sim64", k1="doc_id", k2="simhash")
     ann = g(n05b_ann_lsh_topk(spark, sf), F.col("tag"), k1="qid", k2="cid", n1="rn", v1="cosine")
+    # Cell count derived from a metadata count-star: fixed K degrades
+    # quadratically with corpus growth (candidate volume n·(n/K) — the
+    # auto_srp_planes lesson applied to the k-means bucketing).
+    emb = T(spark, sf, "embeddings")
     sem = g(
         S.semantic_dedup_pairs(
-            T(spark, sf, "embeddings"), n_cells=8, threshold=0.4
+            emb, n_cells=S.auto_ivf_cells(emb.count(), target_cell=100),
+            threshold=0.4,
         ),
         "semdedup",
         k1="id_a", k2="id_b", n1="cell", v1="cosine",
