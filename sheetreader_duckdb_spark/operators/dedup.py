@@ -58,18 +58,25 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # N2 — MinHash + LSH
 # --------------------------------------------------------------------------
+def gram_expr(n: int, arr: str = "_w") -> str:
+    """SQL expression producing the array of space-joined word ``n``-grams
+    of a token-array column ``arr`` — THE n-gram definition shared by every
+    gram-based operator (shingles, repetition signals, substring-span
+    dedup), so their gram spaces are provably identical."""
+    return (
+        f"transform(sequence(0, size({arr}) - {n}), i -> "
+        + f"concat_ws(' ', {', '.join(f'{arr}[i + {j}]' for j in range(n))}))"
+    )
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct word k-grams per document: (id, sh). Map-side explode; the
     DISTINCT is fused into downstream aggregation, no extra shuffle."""
     words = F.split(F.lower(F.col(text_col)), " ")
-    shingle_expr = (
-        f"transform(sequence(0, size(_w) - {k}), i -> "
-        + f"concat_ws(' ', {', '.join(f'_w[i + {j}]' for j in range(k))}))"
-    )
     return (
         df.select(F.col(id_col), words.alias("_w"))
         .filter(F.size("_w") >= k)
-        .select(id_col, F.explode(F.expr(shingle_expr)).alias("sh"))
+        .select(id_col, F.explode(F.expr(gram_expr(k))).alias("sh"))
         .distinct()
     )
 
@@ -149,6 +156,8 @@ def incremental_neardup_drop(
     n_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
+    new_shingles: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Ids of new-batch docs that are near-duplicates of the EXISTING
     corpus: new docs' LSH bands equi-join the stored corpus bands, and the
@@ -158,11 +167,26 @@ def incremental_neardup_drop(
     The existing corpus contributes only its precomputed (id, band,
     band_key) and (id, shingle) tables — built once when each batch is
     accepted, never recomputed. New-batch work is proportional to the
-    batch, not the corpus; the band join shuffles on uniform hash keys.
+    batch, not the corpus: the band join shuffles on uniform hash keys,
+    and the corpus shingle store is pruned to the CANDIDATE ids before
+    any aggregate touches it (an unpruned per-id size count would shuffle
+    every shingle ever stored on every batch).
+
+    Callers that already derived the batch's shingle/band tables (e.g.
+    the streaming corpus builder, which also writes them to its store)
+    pass them via ``new_shingles``/``new_bands`` so the lineage is built
+    once; both default to deriving from ``new_df``.
     """
-    sh_new = word_shingles(new_df, id_col, text_col, k=k)
-    sigs = minhash_signatures_md5(sh_new, id_col, n_hashes=n_hashes)
-    bands_new = lsh_bands(sigs, id_col, n_hashes=n_hashes, band_size=band_size)
+    sh_new = (
+        new_shingles
+        if new_shingles is not None
+        else word_shingles(new_df, id_col, text_col, k=k)
+    )
+    if new_bands is not None:
+        bands_new = new_bands
+    else:
+        sigs = minhash_signatures_md5(sh_new, id_col, n_hashes=n_hashes)
+        bands_new = lsh_bands(sigs, id_col, n_hashes=n_hashes, band_size=band_size)
     pairs = (
         bands_new.select(F.col(id_col).alias("id_b"), "band", "band_key")
         .join(
@@ -174,10 +198,14 @@ def incremental_neardup_drop(
     )
     # Exact verification against the stored corpus shingles: same join
     # topology as jaccard_verify but the two sides come from different
-    # tables (corpus = a, batch = b).
-    sizes_a = existing_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_a"))
+    # tables (corpus = a, batch = b). The corpus side is candidate-pruned
+    # FIRST — sizes and intersection both read only candidates' shingles.
+    sa_pruned = existing_shingles.join(
+        pairs.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    sizes_a = sa_pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_a"))
     sizes_b = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_b"))
-    sa = existing_shingles.select(F.col(id_col).alias("id_a"), "sh")
+    sa = sa_pruned.select(F.col(id_col).alias("id_a"), "sh")
     sb = sh_new.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
         pairs.join(sa, "id_a")
@@ -522,14 +550,10 @@ def duplicate_ngram_occurrences(
     the same key); a position belongs to exactly one gram, so rows are
     unique by construction."""
     words = F.split(F.lower(F.col(text_col)), " ")
-    gram_expr = (
-        f"transform(sequence(0, size(_w) - {n}), i -> "
-        + f"concat_ws(' ', {', '.join(f'_w[i + {j}]' for j in range(n))}))"
-    )
     grams = (
         df.select(F.col(id_col), words.alias("_w"))
         .filter(F.size("_w") >= n)
-        .select(id_col, F.posexplode(F.expr(gram_expr)).alias("pos", "g"))
+        .select(id_col, F.posexplode(F.expr(gram_expr(n))).alias("pos", "g"))
     )
     dup = (
         grams.groupBy("g")
@@ -575,13 +599,21 @@ def duplicate_ngram_spans(
 
 
 def duplicate_ngram_stats(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Per-affected-document summary of duplicated coverage:
     ``(id, n_spans, dup_tokens)`` — merged span count and total tokens
     covered by cross-document repeated n-grams. Documents with no
-    duplicated gram produce no row."""
-    spans = duplicate_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    duplicated gram produce no row. Pass precomputed ``spans``
+    (duplicate_ngram_spans output, ideally persisted) when also running
+    the removal pass — the corpus-wide gram shuffle then happens once."""
+    if spans is None:
+        spans = duplicate_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
     return spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
@@ -589,7 +621,12 @@ def duplicate_ngram_stats(
 
 
 def remove_duplicate_ngrams(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Cut every cross-document repeated n-gram span out of each document.
 
@@ -604,10 +641,13 @@ def remove_duplicate_ngrams(
     The reconstruction is relational on purpose (posexplode tokens →
     anti-join covered positions → ordered re-agg): every step is a
     built-in expression over the duplicated residue, and the identical
-    plan is expressible in ANSI SQL for the oracle twin.
+    plan is expressible in ANSI SQL for the oracle twin. Pass precomputed
+    ``spans`` (ideally persisted) when also computing stats — the
+    corpus-wide gram shuffle then happens once.
     """
     words = F.split(F.lower(F.col(text_col)), " ")
-    spans = duplicate_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    if spans is None:
+        spans = duplicate_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
     covered = spans.select(
         id_col,
         F.explode(

@@ -32,6 +32,29 @@ from pyspark.sql import functions as F
 from sheetreader_duckdb_spark.session import defer_unpersist
 
 
+def _range_partitioned(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    num_partitions: int | None,
+    agg: Column,
+) -> tuple[DataFrame, DataFrame, list[Column]]:
+    """The shared two-pass scaffolding: persisted range shuffle on the sort
+    keys plus a per-partition aggregate ``(_pid, _cnt)`` of ``agg`` (row
+    count for ranking, value sum for cumulative sums — ``_offsets`` sums
+    whatever ``_cnt`` holds). The persist is load-bearing: RangePartitioner
+    samples with a lineage-dependent seed, so the aggregate pass and the
+    per-row pass MUST read the same materialized boundaries. Callers
+    register the returned frame with session.defer_unpersist."""
+    sess = df.sparkSession
+    n_part = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    keyed = df.repartitionByRange(n_part, *cols).persist()
+    per_part = keyed.groupBy(F.spark_partition_id().alias("_pid")).agg(
+        agg.alias("_cnt")
+    )
+    return keyed, per_part, cols
+
+
 def _range_ranked(
     df: DataFrame, order_cols: list[str | Column], num_partitions: int | None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -43,12 +66,8 @@ def _range_ranked(
     Both returned frames derive from one persisted range-shuffle, so the
     partition ids they mention are consistent.
     """
-    sess = df.sparkSession
-    n_part = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    keyed = df.repartitionByRange(n_part, *cols).persist()
-    counts = keyed.groupBy(F.spark_partition_id().alias("_pid")).agg(
-        F.count(F.lit(1)).alias("_cnt")
+    keyed, counts, cols = _range_partitioned(
+        df, order_cols, num_partitions, F.count(F.lit(1))
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
     ranked = keyed.withColumn("_pid", F.spark_partition_id()).withColumn(
@@ -117,14 +136,8 @@ def with_global_cumsum(
     Include a unique tiebreak key in ``order_cols`` for a deterministic
     result. Cache lifetime: see ``with_global_rank`` (deferred release).
     """
-    sess = df.sparkSession
-    n_part = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    keyed = df.repartitionByRange(n_part, *cols).persist()
-    # _offsets sums the `_cnt` column of whatever per-partition aggregate it
-    # is handed — here per-partition value totals rather than row counts.
-    sums = keyed.groupBy(F.spark_partition_id().alias("_pid")).agg(
-        F.sum(F.col(value_col)).alias("_cnt")
+    keyed, sums, cols = _range_partitioned(
+        df, order_cols, num_partitions, F.sum(F.col(value_col))
     )
     w = (
         Window.partitionBy("_pid")

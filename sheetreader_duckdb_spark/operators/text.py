@@ -113,15 +113,13 @@ def repetition_signals(df, id_col: str, text_col: str, n: int = 2):
     from pyspark.sql import DataFrame  # local: keep module import surface flat
 
     assert isinstance(df, DataFrame)
+    from sheetreader_duckdb_spark.operators.dedup import gram_expr
+
     words = F.split(F.lower(F.col(text_col)), " ")
-    gram_expr = (
-        f"transform(sequence(0, size(_w) - {n}), i -> "
-        + f"concat_ws(' ', {', '.join(f'_w[i + {j}]' for j in range(n))}))"
-    )
     grams = (
         df.select(F.col(id_col), words.alias("_w"))
         .filter(F.size("_w") >= n)
-        .select(id_col, F.explode(F.expr(gram_expr)).alias("g"))
+        .select(id_col, F.explode(F.expr(gram_expr(n))).alias("g"))
     )
     per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy(id_col).agg(

@@ -1044,9 +1044,18 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     # total covered tokens, merged-span count, and the sum of a 32-bit md5
     # prefix of each affected doc's scrubbed text — pinning occurrence
     # detection, interval union, AND the span-removal rewrite byte-for-byte.
-    dstats = D.duplicate_ngram_stats(d, "doc_id", "text", n=5, min_docs=2)
+    # The corpus-wide gram shuffle runs ONCE: spans are computed and
+    # persisted (deferred-release registry), then both the stats and the
+    # span-removal passes derive from the residue-sized cached table.
+    dspans = SESS.defer_unpersist(
+        D.duplicate_ngram_spans(d, "doc_id", "text", n=5, min_docs=2).persist()
+    )
+    dstats = D.duplicate_ngram_stats(
+        d, "doc_id", "text", n=5, min_docs=2, spans=dspans
+    )
     dscrub = D.remove_duplicate_ngrams(
-        d.select("doc_id", "source", "text"), "doc_id", "text", n=5, min_docs=2
+        d.select("doc_id", "source", "text"), "doc_id", "text", n=5, min_docs=2,
+        spans=dspans,
     )
     scrub_fp = F.conv(
         F.substring(F.md5(F.col("scrub_text").cast("binary")), 1, 8), 16, 10

@@ -104,6 +104,7 @@ def accept_batch(
     n_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> int:
     """Dedup one micro-batch against the accepted corpus and commit it under
     its batch id. Returns the number of accepted rows. Idempotent per
@@ -111,8 +112,13 @@ def accept_batch(
     additionally rejects MinHash/LSH near-duplicates (of the accepted
     corpus via its stored band/shingle tables, and within the batch —
     pairwise, the larger id of each Jaccard-verified pair drops) and
-    stores the accepted rows' band/shingle tables for future batches."""
+    stores the accepted rows' band/shingle tables for future batches.
+    ``max_bucket_size`` caps the in-batch candidate expansion (a template-
+    spam cluster surviving exact dedup would otherwise expand O(size²)
+    pairs in one bucket; dropped buckets are auditable via
+    ``dedup.lsh_oversized_buckets`` on the batch's band table)."""
     from sheetreader_duckdb_spark.operators.dedup import (
+        incremental_neardup_drop,
         jaccard_verify,
         lsh_bands,
         lsh_candidate_pairs,
@@ -144,37 +150,29 @@ def accept_batch(
         sh_b = word_shingles(accepted, id_col, text_col, k=k)
         sig_b = minhash_signatures_md5(sh_b, id_col, n_hashes=n_hashes)
         bands_b = lsh_bands(sig_b, id_col, n_hashes=n_hashes, band_size=band_size)
+        # Stored tables carry the batch's actual id type — a corpus keyed
+        # by string ids must read back with the same schema.
+        id_type = batch.schema[id_col].dataType.simpleString()
         prior_bands = _prior_table(
             spark, corpus_path, "bands", batch_id,
-            f"{id_col} long, band int, band_key string",
+            f"{id_col} {id_type}, band int, band_key string",
         )
         prior_sh = _prior_table(
-            spark, corpus_path, "shingles", batch_id, f"{id_col} long, sh string"
+            spark, corpus_path, "shingles", batch_id,
+            f"{id_col} {id_type}, sh string",
         )
-        # vs the accepted corpus: batch bands equi-join the stored corpus
-        # bands; candidates verify with exact Jaccard against the stored
-        # corpus shingles (same topology as incremental_neardup_drop, with
-        # the batch-side tables shared instead of recomputed).
-        cand = (
-            bands_b.select(F.col(id_col).alias("id_b"), "band", "band_key")
-            .join(
-                prior_bands.select(
-                    F.col(id_col).alias("id_a"), "band", "band_key"
-                ),
-                ["band", "band_key"],
-            )
-            .select("id_a", "id_b")
-            .distinct()
+        # vs the accepted corpus: the shared operator (candidate-pruned
+        # corpus side, batch-proportional), with the batch tables passed in
+        # so the shingle/band lineage is built once for check + store.
+        drop_corpus = incremental_neardup_drop(
+            accepted, id_col, text_col, prior_bands, prior_sh,
+            threshold=threshold, n_hashes=n_hashes, band_size=band_size, k=k,
+            new_shingles=sh_b, new_bands=bands_b,
         )
-        both_sh = prior_sh.unionByName(sh_b)
-        drop_corpus = (
-            jaccard_verify(both_sh, cand, id_col, threshold=threshold)
-            .select(F.col("id_b").alias(id_col))
-            .distinct()
-        )
-        # within the batch: candidate pairs among the batch's own bands,
-        # verified on its shingles; drop the larger id of each pair.
-        pairs_b = lsh_candidate_pairs(bands_b, id_col)
+        # within the batch: candidate pairs among the batch's own bands
+        # (bucket expansion capped), verified on its shingles; drop the
+        # larger id of each pair.
+        pairs_b = lsh_candidate_pairs(bands_b, id_col, max_bucket_size=max_bucket_size)
         drop_within = (
             jaccard_verify(sh_b, pairs_b, id_col, threshold=threshold)
             .select(F.col("id_b").alias(id_col))
@@ -224,6 +222,7 @@ def run_corpus_builder(
     n_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
+    max_bucket_size: int | None = 1000,
 ):
     """Run the streaming builder over a directory of arriving parquet files.
 
@@ -240,6 +239,7 @@ def run_corpus_builder(
             df, batch_id, corpus_path, id_col, text_col,
             near_dup=near_dup, threshold=threshold,
             n_hashes=n_hashes, band_size=band_size, k=k,
+            max_bucket_size=max_bucket_size,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

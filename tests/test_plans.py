@@ -58,13 +58,31 @@ def test_no_unintended_nested_loop_join(name, plans):
         # persisted assignment subtree, which the self-join prints once
         # per cache scan, so only the q8 one appears outside an
         # InMemoryRelation block. More live BNLs would mean the lsh/ivf
-        # candidate branches regressed from equi-joins.
+        # candidate branches regressed from equi-joins. Cached-ness is
+        # decided by walking the plan tree's ancestors via indentation
+        # (the InMemoryRelation node printing the subtree is strictly
+        # shallower), not by a fixed-line lookback.
         lines = plan.splitlines()
+
+        def _depth(line: str) -> int:
+            return len(line) - len(line.lstrip(" :+-|"))
+
+        def _under_cache(i: int) -> bool:
+            cur = _depth(lines[i])
+            for j in range(i - 1, -1, -1):
+                d = _depth(lines[j])
+                if d < cur:
+                    if "InMemory" in lines[j]:
+                        return True
+                    cur = d
+                    if cur == 0:
+                        break
+            return False
+
         live_bnl = sum(
             1
             for i, l in enumerate(lines)
-            if "BroadcastNestedLoopJoin" in l
-            and not any("InMemory" in x for x in lines[max(0, i - 12) : i])
+            if "BroadcastNestedLoopJoin" in l and not _under_cache(i)
         )
         assert live_bnl == 1, f"{name}: live BNL count {live_bnl}"
         assert plan.count("BroadcastNestedLoopJoin") <= 3, f"{name}: BNL count"
