@@ -815,6 +815,247 @@ def semantic_dedup_keep(
 
 
 # --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance search — the
+# billion-vector compression path (Jégou et al. 2011, the FAISS IVF-PQ
+# recipe). The vector splits into m subspaces; each subspace gets its own
+# small codebook (Lloyd on the sub-vectors), and a vector is stored as m
+# small code ids — dim·4 bytes → m bytes (32× at dim=64, m=8, 16 codes).
+# Search is ADC: the query precomputes a lookup table of its dot product
+# against every codebook entry (m·n_codes values, map-side per query row),
+# and a corpus vector's approximate dot is the sum of m table lookups —
+# no float vector ever touched in the coarse pass. Exact rescoring of the
+# top-(k·refine) survivors recovers recall, same two-stage shape as
+# quantized_topk.
+# --------------------------------------------------------------------------
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 2,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks ``[m][n_codes][dim/m]`` via Lloyd iterations
+    trained on ALL subspaces at once — one assignment+aggregate job per
+    iteration regardless of m (not m separate loops): each row emits its m
+    (subspace, code, sub-vector) assignments map-side, one groupBy
+    accumulates per-(subspace, code, position) sums, and the driver holds
+    only the m·n_codes·(dim/m) = dim·n_codes codebook doubles. Seeds are
+    the sub-vectors of ``n_codes`` hash-strata rows (deterministic,
+    order-uncorrelated — the ivf_centroids seeding applied per subspace).
+    """
+    from pyspark.sql import Window
+
+    if dim % m:
+        raise ValueError(f"dim={dim} must split evenly into m={m} subspaces")
+    dsub = dim // m
+    h = F.xxhash64(F.concat(F.lit("pq-seed:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(F.pmod(h, F.lit(n_codes))).orderBy(h, F.col(id_col))
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .select(vec_col)
+        .collect()
+    )
+    books = [
+        [[float(r[0][j * dsub + p]) for p in range(dsub)] for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(n_iters):
+        assigns = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _pq_code_expr(F.col(vec_col), books[j], j * dsub, dsub).alias(
+                        "code"
+                    ),
+                    F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sub"),
+                )
+                for j in range(m)
+            ]
+        )
+        # Assignment projected below the explode (the explode-sibling
+        # re-evaluation trap — see ivf_centroids).
+        exploded = (
+            corpus.select(assigns.alias("__a"))
+            .select(F.explode("__a").alias("a"))
+            .select("a.j", "a.code", F.posexplode(F.col("a.sub")).alias("pos", "v"))
+        )
+        sums = (
+            exploded.groupBy("j", "code", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in sums:
+            acc.setdefault((r["j"], r["code"]), {})[r["pos"]] = r["s"] / r["n"]
+        books = [
+            [
+                [acc[(j, c)][p] for p in range(dsub)] if (j, c) in acc else books[j][c]
+                for c in range(n_codes)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def _pq_code_expr(
+    vec_col: Column, book: list[list[float]], offset: int, dsub: int
+) -> Column:
+    """0-based index of the L2-nearest codebook entry for the sub-vector at
+    ``offset`` — one expression over a single array-of-arrays literal (the
+    _centroid_scores lesson: never K independent re-expanded columns).
+    Ties resolve to the first index."""
+    sub = F.slice(vec_col, offset + 1, dsub)
+    entries = F.array(*[F.array(*[F.lit(w) for w in c]) for c in book])
+    dists = F.transform(
+        entries,
+        lambda cl: F.aggregate(
+            F.zip_with(sub, cl, lambda v, w: (v.cast("double") - w) * (v.cast("double") - w)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Append the m-code PQ encoding (``array<int>``) plus the codebook-
+    reconstructed norm ``pq_norm`` (‖x̂‖ = √Σ_j ‖book_j[code_j]‖² — the
+    cosine denominator the coarse pass uses). Map-side; the codebooks are
+    dim·n_codes literal doubles, the join-form alternative for huge
+    codebooks follows ivf_assign_join."""
+    import math
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _pq_code_expr(F.col(vec_col), codebooks[j], j * dsub, dsub)
+            for j in range(m)
+        ]
+    )
+    norm2 = [
+        [sum(x * x for x in c) for c in codebooks[j]] for j in range(m)
+    ]
+    n2_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in norm2])
+    # withColumn then derive: the m nearest-entry searches run once for the
+    # code column, and the norm is m table lookups over that column.
+    return df.withColumn(code_col, codes).withColumn(
+        "pq_norm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col(code_col), n2_lit,
+                    lambda c, row: F.element_at(row, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 4,
+) -> DataFrame:
+    """Two-stage PQ/ADC top-k by cosine: coarse score from the query's
+    per-codebook-entry dot-product lookup table (approx dot = Σ_j
+    LUT_j[code_j], approx norm from the reconstruction), exact float
+    rescoring of the top-(k·refine) survivors. Output schema matches
+    brute_force_topk: (qid, cid, cosine, rn).
+
+    Scale shape: the corpus travels as its m-byte codes (the 32×-smaller
+    relation is all the coarse pass reads), queries broadcast with their
+    m·n_codes LUT arrays, and no corpus shuffle happens before the
+    residue-sized rescore. Recall pinned in tests/test_pq.py."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def lut_expr(qv: Column) -> Column:
+        return F.array(
+            *[
+                F.array(
+                    *[
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(qv, j * dsub + 1, dsub),
+                                F.array(*[F.lit(w) for w in c]),
+                                lambda v, wq: v.cast("double") * wq,
+                            ),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
+                        for c in codebooks[j]
+                    ]
+                )
+                for j in range(m)
+            ]
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        lut_expr(F.col(vec_col)).alias("lut"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    enc = pq_encode(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
+        codebooks,
+        vec_col="cv",
+    )
+    approx_dot = F.aggregate(
+        F.zip_with(
+            F.col("pq_codes"), F.col("lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    coarse = approx_dot / (
+        F.col("qn") * F.when(F.col("pq_norm") > 0, F.col("pq_norm")).otherwise(F.lit(1.0))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
+    candidates = (
+        enc.join(broadcast(q), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "qv", "cv", coarse.alias("coarse"))
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= k * refine)
+    )
+    rescored = candidates.select(
+        "qid",
+        "cid",
+        (
+            dot(F.col("qv"), F.col("cv"))
+            / (l2_norm(F.col("qv")) * l2_norm(F.col("cv")))
+        ).alias("cosine"),
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cosine", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
 # Persistent IVF index: build once, search many times
 # --------------------------------------------------------------------------
 def build_ivf_index(

@@ -458,17 +458,23 @@ def n05_ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
 # generation is Spark-side xxhash64; driver records rows-only)
 # --------------------------------------------------------------------------
 # Declared via nx_scale_variants (50-row CORRECTNESS cap). Doc:
-_N05B_DOC = ("Approximate-NN family (scale paths for N3), three tagged branches "
+_N05B_DOC = ("Approximate-NN family (scale paths for N3), four tagged branches "
     "over the same (qid, cid, cosine, rn) shape: 'lsh' = "
     "sign-random-projection LSH top-k (16 independent 6-plane tables + "
     "Hamming-1 multi-probe on the query side, exact cosine re-rank); "
     "'ivf' = inverted-file ANN (hash-strata-seeded Lloyd centroids, cell "
     "equi-join, n_probe=4 of 16 cells); 'q8' = int8-quantized two-stage "
     "search (exact integer coarse cosine on 4x-smaller vectors, float "
-    "rescoring of k*refine candidates). Rows-only check (approximate "
-    "candidate sets are not SQL-reproducible; n06b carries the SRP-bucket "
-    "oracle); tests/test_similarity.py pins recall vs the exact n05 "
-    "result for all three (lsh >= 0.9 measured 0.96; ivf and q8 >= 0.9)."
+    "rescoring of k*refine candidates); 'pq' = product quantization + ADC "
+    "(Jégou et al. 2011 — 16 per-subspace codebooks trained in one "
+    "aggregate per Lloyd iteration, corpus stored as 16 small code ids = "
+    "16x compression, query-side lookup-table scoring, exact float "
+    "rescoring). Rows-only check (approximate candidate sets are not "
+    "SQL-reproducible; n06b carries the SRP-bucket oracle); "
+    "tests/test_similarity.py + tests/test_pq.py pin recall vs the exact "
+    "n05 result for all four (lsh >= 0.9 measured 0.96; ivf and q8 >= "
+    "0.9; pq >= 0.9 measured 1.0 at m=16, refine=16 on the PQ-worst-case "
+    "Gaussian testdata)."
 )
 
 
@@ -484,7 +490,11 @@ def n05b_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     q8_b = S.quantized_topk(e, q, k=5, refine=4).select(
         F.lit("q8").alias("tag"), "qid", "cid", "cosine", "rn"
     )
-    return lsh_b.unionAll(ivf_b).unionAll(q8_b)
+    books = S.pq_codebooks(e, dim=64, m=16, n_codes=16, n_iters=2)
+    pq_b = S.pq_topk(e, q, books, k=5, refine=16).select(
+        F.lit("pq").alias("tag"), "qid", "cid", "cosine", "rn"
+    )
+    return lsh_b.unionAll(ivf_b).unionAll(q8_b).unionAll(pq_b)
 
 
 # --------------------------------------------------------------------------
@@ -1506,8 +1516,9 @@ def n20_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     "returnflag (H11 — HLL sketches differ across engines by design); "
     "'mh128' = 128-seed xxhash64 MinHash + 16x8 LSH candidate pairs with "
     "the 1000-cap bucket guard (N2 scale path; see _N02B_DOC); 'sim64' = "
-    "64-bit xxhash64 SimHash signatures (see _N04B_DOC); 'lsh'/'ivf'/'q8' "
-    "= the approximate-NN family with recall pins (see _N05B_DOC); "
+    "64-bit xxhash64 SimHash signatures (see _N04B_DOC); "
+    "'lsh'/'ivf'/'q8'/'pq' = the approximate-NN family with recall pins "
+    "(see _N05B_DOC); "
     "'semdedup' = SemDeDup semantic near-dup pairs (Abbas et al. 2023, "
     "operators/similarity.py semantic_dedup_pairs: k-means cell bucketing "
     "via the constant-plan broadcast assignment, exact cosine verify on "
