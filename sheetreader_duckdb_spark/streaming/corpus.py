@@ -52,7 +52,15 @@ from pyspark.sql import functions as F
 
 from sheetreader_duckdb_spark.operators.dedup import content_digest
 
-__all__ = ["accept_batch", "run_corpus_builder", "read_corpus"]
+__all__ = [
+    "accept_batch",
+    "run_corpus_builder",
+    "read_corpus",
+    "compact_corpus_state",
+    "recover_corpus_state",
+]
+
+_STATE_STORES = ("digests", "bands", "shingles")
 
 
 def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
@@ -206,6 +214,101 @@ def accept_batch(
             .parquet(f"{corpus_path}/shingles/batch={batch_id}")
         )
     return n
+
+
+def _batch_id(path: str) -> int:
+    return int(path.rsplit("=", 1)[1].rstrip("/").removesuffix(".old").rstrip("."))
+
+
+def recover_corpus_state(spark: SparkSession, corpus_path: str) -> list[str]:
+    """Restore a consistent state layout after a crashed compaction.
+
+    Per store: leftover ``.batch=<i>.old`` directories mean a compaction
+    crashed mid-swap. If its ``.compact.tmp`` still exists the swap never
+    completed — roll every ``.old`` back into place and drop the tmp; if
+    the tmp is gone the merged directory was installed — the ``.old``
+    copies are redundant and are deleted. Returns the stores touched.
+    Run this (or ``compact_corpus_state``, which runs it first) before
+    restarting the builder after a compaction crash.
+    """
+    from sheetreader_duckdb_spark.operators import fsutil
+
+    touched = []
+    for sub in _STATE_STORES:
+        base = f"{corpus_path}/{sub}"
+        olds = fsutil.glob_dirs(spark, f"{base}/.batch=*.old")
+        if not olds:
+            continue
+        touched.append(sub)
+        tmp = f"{base}/.compact.tmp"
+        if fsutil.exists(spark, tmp):
+            for old in olds:
+                live = f"{base}/batch={_batch_id(old)}"
+                if not fsutil.exists(spark, live):
+                    fsutil.rename(spark, old, live)
+                else:
+                    fsutil.delete(spark, old)
+            fsutil.delete(spark, tmp)
+        else:
+            for old in olds:
+                fsutil.delete(spark, old)
+    return touched
+
+
+def compact_corpus_state(
+    spark: SparkSession,
+    corpus_path: str,
+    target_partitions: int | None = None,
+) -> dict[str, int]:
+    """Merge each state store's many ``batch=<i>`` directories into one.
+
+    The builder's commit protocol appends one directory per micro-batch
+    per store (the LSM-ish layout the module docstring describes); after
+    thousands of batches the per-batch dedup pays a listing + many-small-
+    files tax. Compaction rewrites each store as a single ``batch=<B>``
+    directory where B is the highest batch id present — future batches
+    have ids > B, so the ``< batch_id`` visibility rule is untouched.
+    ``docs/`` is deliberately NOT compacted: its per-batch directories are
+    provenance.
+
+    Crash-safe swap per store (single-writer, like operators/merge.py —
+    STOP the builder first; a concurrent accept_batch reading mid-swap
+    could miss prior digests and accept a duplicate):
+
+    1. write the merged rows to ``.compact.tmp`` (complete copy on disk);
+    2. rename every live ``batch=<i>`` aside to ``.batch=<i>.old``;
+    3. rename the tmp in as ``batch=<B>``;
+    4. delete the ``.old`` copies.
+
+    A crash at any point leaves a complete copy of every row (live, tmp,
+    or ``.old``); ``recover_corpus_state`` (run on entry) rolls back or
+    completes the swap. Returns {store: directories merged}.
+
+    ``target_partitions`` sizes the merged write (default: one partition
+    per ~8 input directories — at production scale pass an explicit value
+    sized to ~128 MB output files).
+    """
+    from sheetreader_duckdb_spark.operators import fsutil
+
+    recover_corpus_state(spark, corpus_path)
+    merged_counts: dict[str, int] = {}
+    for sub in _STATE_STORES:
+        base = f"{corpus_path}/{sub}"
+        dirs = fsutil.glob_dirs(spark, f"{base}/batch=*")
+        if len(dirs) <= 1:
+            continue
+        top = max(_batch_id(d) for d in dirs)
+        n_out = target_partitions or max(1, len(dirs) // 8)
+        tmp = f"{base}/.compact.tmp"
+        fsutil.delete(spark, tmp)
+        spark.read.parquet(*dirs).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        for d in dirs:
+            fsutil.rename(spark, d, f"{base}/.batch={_batch_id(d)}.old")
+        fsutil.rename(spark, tmp, f"{base}/batch={top}")
+        for d in dirs:
+            fsutil.delete(spark, f"{base}/.batch={_batch_id(d)}.old")
+        merged_counts[sub] = len(dirs)
+    return merged_counts
 
 
 def run_corpus_builder(

@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 from sheetreader_duckdb_spark.streaming.corpus import (
     accept_batch,
+    compact_corpus_state,
     read_corpus,
+    recover_corpus_state,
     run_corpus_builder,
 )
 
@@ -106,6 +108,56 @@ def test_near_dup_redelivery_idempotent(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in sh.select("doc_id").distinct().collect()
     ) == [1, 3]
+
+
+def _state_dirs(corpus, sub):
+    import glob
+
+    return sorted(glob.glob(f"{corpus}/{sub}/batch=*"))
+
+
+def test_compaction_preserves_dedup_and_shrinks_layout(spark, tmp_path):
+    corpus = str(tmp_path / "corpus_cp")
+    for i, text in enumerate([NEAR_A, NEAR_B, NEAR_C]):
+        accept_batch(
+            _docs(spark, [(i * 10, text)]), i, corpus, "doc_id", "text",
+            near_dup=True,
+        )
+    assert len(_state_dirs(corpus, "digests")) == 3
+    merged = compact_corpus_state(spark, corpus)
+    assert merged == {"digests": 3, "bands": 3, "shingles": 3}
+    # One directory per store, named after the highest batch id.
+    for sub in ("digests", "bands", "shingles"):
+        assert _state_dirs(corpus, sub) == [f"{corpus}/{sub}/batch=2"]
+    # docs/ keeps its per-batch provenance directories.
+    assert len(_state_dirs(corpus, "docs")) == 3
+    # Dedup against the compacted state still works: an exact dup AND a
+    # near dup of pre-compaction batches are both rejected.
+    b3 = _docs(spark, [(50, NEAR_B), (51, NEAR_A2), (52, "fresh doc never seen before ok")])
+    assert accept_batch(b3, 3, corpus, "doc_id", "text", near_dup=True) == 1
+    got = sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect())
+    assert got == [0, 10, 20, 52]
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    import os
+    import shutil
+
+    corpus = str(tmp_path / "corpus_cr")
+    for i, text in enumerate([NEAR_A, NEAR_B]):
+        accept_batch(_docs(spark, [(i, text)]), i, corpus, "doc_id", "text")
+    # Simulate a crash mid-swap: merged tmp written, one live dir renamed
+    # aside, tmp NOT yet installed.
+    base = f"{corpus}/digests"
+    shutil.copytree(f"{base}/batch=0", f"{base}/.compact.tmp")
+    os.rename(f"{base}/batch=0", f"{base}/.batch=0.old")
+    assert recover_corpus_state(spark, corpus) == ["digests"]
+    assert sorted(os.listdir(base)) == ["batch=0", "batch=1"]  # rolled back
+    # And the completed-swap case: olds left behind, tmp already renamed in.
+    os.rename(f"{base}/batch=0", f"{base}/.batch=0.old")
+    shutil.copytree(f"{base}/.batch=0.old", f"{base}/batch=0")
+    assert recover_corpus_state(spark, corpus) == ["digests"]
+    assert sorted(os.listdir(base)) == ["batch=0", "batch=1"]  # olds dropped
 
 
 def test_streaming_end_to_end_with_restart(spark, tmp_path):
