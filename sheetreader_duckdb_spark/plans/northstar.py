@@ -1114,13 +1114,24 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# N4e — count-based TF-IDF (SURVEY §2.3 N4: "tf-idf (count-based)").
-# IDF is the exact rational N/df (no transcendental), so both engines
-# produce bit-identical doubles; the ln() variant is a one-line swap.
+# N4e — data-valuation suite: count-based TF-IDF + bigram-LM scoring +
+# DSIR importance selection (SURVEY §2.3 N4). Three tagged branches on the
+# generic (tag, k1, k2, n1, n2, v1, v2) union schema (the t01/t03 pattern;
+# the driver caps the corpus at 50 entries, so new operators merge into
+# existing rows). Every double is an exact BIGINT/BIGINT rational or a
+# BIGINT product of one — no transcendental, so both engines produce
+# bit-identical values:
+#   'tfidf' — tf per (doc, token), idf as the exact rational N/df (the
+#             ln() variant is a one-line swap);
+#   'lm'    — operators/lm.py lm_doc_stats: val/test docs scored against
+#             unigram/bigram count tables trained on the 'corpus-v1'
+#             train split (the CCNet recipe's integer skeleton; the
+#             add-α log-likelihood lives in lm_loglik, tolerance-tested);
+#   'dsir'  — operators/lm.py dsir_scores/dsir_select: top-40 raw docs by
+#             hashed-n-gram importance ratio against the src0 target
+#             domain (exact-rational DSIR form; 4096 md5 buckets).
 # --------------------------------------------------------------------------
-@query(
-    "n17_tf_idf",
-    oracle="""
+_N17_ORACLE = """
     WITH toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         FROM documents
@@ -1129,21 +1140,117 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
         FROM toks GROUP BY doc_id, tok
     ),
-    df AS (
+    dfx AS (
         SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok
     ),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
-    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
-           tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS tf_idf
-    FROM tf JOIN df USING (tok) CROSS JOIN n
-    WHERE df.df >= 50
-    """,
-    doc="Count-based TF-IDF over unigrams (N4): tf per (doc, token), df via "
-    "distinct-doc count, idf as the exact rational N/df. df≥50 keeps the "
-    "declared result compact; at scale the df table is broadcast.",
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    tfidf_b AS (
+        SELECT 'tfidf' AS tag, CAST(tf.doc_id AS VARCHAR) AS k1, tf.tok AS k2,
+               tf.tf AS n1, dfx.df AS n2,
+               tf.tf * (CAST(n.n_docs AS DOUBLE) / dfx.df) AS v1,
+               CAST(NULL AS DOUBLE) AS v2
+        FROM tf JOIN dfx USING (tok) CROSS JOIN n
+        WHERE dfx.df >= 50
+    ),
+    tagged AS (SELECT doc_id, text, {v1_case} AS split FROM documents),
+    tr AS (SELECT string_split(lower(text), ' ') AS w FROM tagged
+           WHERE split = 'train'),
+    uni AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(w) AS tok FROM tr) GROUP BY tok
+    ),
+    bi AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM (SELECT w[i + 1] || ' ' || w[i + 2] AS g
+              FROM (SELECT w, unnest(range(len(w) - 1)) AS i
+                    FROM tr WHERE len(w) >= 2))
+        GROUP BY g
+    ),
+    vg AS (
+        SELECT doc_id, w[i + 1] AS w1, w[i + 1] || ' ' || w[i + 2] AS g
+        FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM tagged WHERE split != 'train')
+              WHERE len(w) >= 2)
+    ),
+    vgc AS (
+        SELECT doc_id, g, w1, CAST(COUNT(*) AS BIGINT) AS c
+        FROM vg GROUP BY doc_id, g, w1
+    ),
+    lm_b AS (
+        SELECT 'lm' AS tag, CAST(vgc.doc_id AS VARCHAR) AS k1,
+               CAST(NULL AS VARCHAR) AS k2,
+               CAST(SUM(c) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN bi.c12 IS NULL THEN c ELSE 0 END) AS BIGINT)
+                   AS n2,
+               CAST(SUM(c * COALESCE(bi.c12, 0)) AS DOUBLE)
+                   / CAST(SUM(c) AS BIGINT) AS v1,
+               CAST(SUM(c * COALESCE(uni.c1, 0)) AS DOUBLE)
+                   / CAST(SUM(c) AS BIGINT) AS v2
+        FROM vgc LEFT JOIN bi USING (g) LEFT JOIN uni ON vgc.w1 = uni.tok
+        GROUP BY vgc.doc_id
+    ),
+    feats AS (
+        SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS feat
+        FROM documents
+        UNION ALL
+        SELECT doc_id, source, w[i + 1] || ' ' || w[i + 2] AS feat
+        FROM (SELECT doc_id, source, w, unnest(range(len(w) - 1)) AS i
+              FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+                    FROM documents)
+              WHERE len(w) >= 2)
+    ),
+    fb AS (
+        SELECT doc_id, source, substr(md5('dsir:' || feat), 1, 3) AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM feats GROUP BY doc_id, source, b
+    ),
+    tgt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS t FROM fb
+            WHERE source = 'src0' GROUP BY b),
+    raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS r FROM fb GROUP BY b),
+    sc AS (
+        SELECT doc_id, source,
+               CAST(SUM(c * (COALESCE(t, 0) + 1)) AS BIGINT) AS num,
+               CAST(SUM(c * (COALESCE(r, 0) + 1)) AS BIGINT) AS den
+        FROM fb LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b)
+        GROUP BY doc_id, source
+    ),
+    dsir_b AS (
+        SELECT 'dsir' AS tag, CAST(doc_id AS VARCHAR) AS k1, source AS k2,
+               num AS n1, den AS n2,
+               CAST(num AS DOUBLE) / den AS v1, CAST(NULL AS DOUBLE) AS v2
+        FROM sc ORDER BY CAST(num AS DOUBLE) / den DESC, doc_id LIMIT 40
+    )
+    SELECT * FROM tfidf_b
+    UNION ALL SELECT * FROM lm_b
+    UNION ALL SELECT * FROM dsir_b
+"""
+
+
+@query(
+    "n17_tf_idf",
+    oracle=_N17_ORACLE.format(
+        v1_case=SM.split_case_sql("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1"),
+    ),
+    doc="Data-valuation suite (N4), three tagged branches: 'tfidf' = "
+    "count-based TF-IDF over unigrams (idf as the exact rational N/df, "
+    "df≥50 keeps the declared result compact, df table broadcast at "
+    "scale); 'lm' = bigram-LM scoring of the corpus-v1 val/test docs "
+    "against count tables trained on the train split (operators/lm.py — "
+    "exact integer witnesses: bigram mass, OOV occurrences, mean gram/"
+    "context frequency as BIGINT/BIGINT rationals; the smoothed "
+    "log-likelihood form is lm_loglik, tolerance-tested); 'dsir' = top-40 "
+    "docs by DSIR-style hashed-n-gram importance ratio vs the src0 target "
+    "domain (4096-bucket md5 features, exact-rational score, "
+    "TakeOrderedAndProject selection).",
 )
 def n17_tf_idf(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark.operators import lm as LM
+
     d = T(spark, sf, "documents")
+    nil_s = F.lit(None).cast("string")
+    nil_d = F.lit(None).cast("double")
+
     toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df")).filter(
@@ -1153,17 +1260,48 @@ def n17_tf_idf(spark: SparkSession, sf: str) -> DataFrame:
     # row) — no separate driver-side job; the df join is left to AQE, which
     # broadcasts it when it is small and shuffles when it is not.
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
+    tfidf_b = (
         tf.join(df_, "tok")
         .crossJoin(n)
         .select(
-            "doc_id",
-            "tok",
-            "tf",
-            "df",
-            (F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))).alias("tf_idf"),
+            F.lit("tfidf").alias("tag"),
+            F.col("doc_id").cast("string").alias("k1"),
+            F.col("tok").alias("k2"),
+            F.col("tf").cast("long").alias("n1"),
+            F.col("df").cast("long").alias("n2"),
+            (F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))).alias("v1"),
+            nil_d.alias("v2"),
         )
     )
+
+    tagged = d.withColumn(
+        "split", SM.hash_split(F.col("doc_id"), _SPLIT_WEIGHTS, seed="corpus-v1")
+    )
+    uni, bi = LM.lm_tables(tagged.filter("split = 'train'"))
+    lm_b = LM.lm_doc_stats(tagged.filter("split != 'train'"), uni, bi).select(
+        F.lit("lm").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        nil_s.alias("k2"),
+        F.col("n_bigrams").alias("n1"),
+        F.col("oov_bigrams").alias("n2"),
+        F.col("mean_c12").alias("v1"),
+        F.col("mean_ctx").alias("v2"),
+    )
+
+    sel = LM.dsir_select(
+        LM.dsir_scores(d, F.col("source") == "src0", carry=["source"]), 40
+    )
+    dsir_b = sel.select(
+        F.lit("dsir").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("source").alias("k2"),
+        F.col("num").alias("n1"),
+        F.col("den").alias("n2"),
+        F.col("score").alias("v1"),
+        nil_d.alias("v2"),
+    )
+
+    return tfidf_b.unionAll(lm_b).unionAll(dsir_b)
 
 
 # --------------------------------------------------------------------------
