@@ -320,11 +320,13 @@ def h08b_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
     WHERE r.r_name = 'ASIA'
-      AND CAST(o.o_orderdate AS DATE) >= DATE '1994-01-01'
-      AND CAST(o.o_orderdate AS DATE) < DATE '1995-01-01'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-01-01'
     GROUP BY n.n_name
     """,
     doc="TPC-H Q5 shape (H5/H8): six-table star join — region/nation broadcast, "
+    "order-year window shifted to the testdata date range (orders start 1995) "
+    "so the declared witness is non-empty, "
     "co-nation supplier equi-condition folded into the join keys, cents-exact "
     "revenue per nation.",
 )
@@ -333,8 +335,8 @@ def h08c_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     n = T(spark, sf, "nation")
     c = T(spark, sf, "customer")
     o = T(spark, sf, "orders").filter(
-        (F.to_date("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.to_date("o_orderdate") < F.lit("1995-01-01").cast("date"))
+        (F.to_date("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-01-01").cast("date"))
     )
     l = T(spark, sf, "lineitem")
     s = T(spark, sf, "supplier")
