@@ -217,25 +217,43 @@ def _doc_bucket_counts(
     seed: str,
     nchars: int,
     carry: list[str],
+    extra: dict[str, Column] | None = None,
 ) -> DataFrame:
-    """Per-doc hashed-feature bucket counts: (id, *carry, b, c).
+    """Per-doc hashed-feature bucket counts: (id, *carry, *extra, b, c).
 
     Features are the doc's unigrams AND bigrams WITH multiplicity; the
     bucket is the first ``nchars`` md5 hex chars of ``seed:feature``
     (``sampling.bucket_hex`` — the corpus' portable hash idiom).
+    ``extra`` maps output name → expression over ``docs``; the columns
+    ride along through the explode and the aggregate key — doc-level
+    attributes the caller needs downstream without a join back to
+    ``docs``.
     """
+    extra = extra or {}
+    extra_names = list(extra)
     feats = (
-        docs.select(F.col(id_col), *carry, _tokens(text_col).alias("_w"))
+        docs.select(
+            F.col(id_col),
+            *carry,
+            *[c.alias(n) for n, c in extra.items()],
+            _tokens(text_col).alias("_w"),
+        )
         .select(
             id_col,
             *carry,
+            *extra_names,
             F.explode(F.concat(F.col("_w"), _bigrams_or_empty())).alias("feat"),
         )
         .select(
-            id_col, *carry, bucket_hex(F.col("feat"), seed, nchars).alias("b")
+            id_col,
+            *carry,
+            *extra_names,
+            bucket_hex(F.col("feat"), seed, nchars).alias("b"),
         )
     )
-    return feats.groupBy(id_col, *carry, "b").agg(F.count(F.lit(1)).alias("c"))
+    return feats.groupBy(id_col, *carry, *extra_names, "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
 
 
 def dsir_scores(
@@ -262,15 +280,23 @@ def dsir_scores(
     distribution joins are broadcast by construction.
     """
     carry = carry or []
-    fb = _doc_bucket_counts(docs, id_col, text_col, seed, nchars, carry)
-    # Bucket ids are pure functions of the feature string, so the target
-    # table can be derived from the same fb aggregate — tag rows once.
-    tagged = docs.select(F.col(id_col), target_pred.alias("_is_tgt"))
-    fbt = fb.join(tagged, id_col)
-    tgt = (
-        fbt.filter("_is_tgt").groupBy("b").agg(F.sum("c").cast("long").alias("t"))
+    # The target predicate is an expression over ``docs``, so it rides
+    # through the feature explode as a column — no join back to docs to
+    # tag rows. The bucket-count relation still feeds three consumers
+    # (target mass, raw mass, per-doc scoring): persist it once so the
+    # feature explode + md5 hashing runs a single time, released at the
+    # next declared query's construction (standalone callers: call
+    # session.release_deferred() after materializing — see session.py).
+    from sheetreader_duckdb_spark import session as SESS
+
+    fb = SESS.defer_unpersist(
+        _doc_bucket_counts(
+            docs, id_col, text_col, seed, nchars, carry,
+            extra={"_is_tgt": target_pred},
+        ).persist()
     )
-    raw = fbt.groupBy("b").agg(F.sum("c").cast("long").alias("r"))
+    tgt = fb.filter("_is_tgt").groupBy("b").agg(F.sum("c").cast("long").alias("t"))
+    raw = fb.groupBy("b").agg(F.sum("c").cast("long").alias("r"))
     num = F.sum(F.col("c") * (F.coalesce("t", F.lit(0)) + F.lit(1))).cast("long")
     den = F.sum(F.col("c") * (F.coalesce("r", F.lit(0)) + F.lit(1))).cast("long")
     return (
