@@ -32,7 +32,15 @@ import shutil
 
 from pyspark.sql import SparkSession
 
-__all__ = ["has_scheme", "exists", "rename", "delete", "glob_dirs"]
+__all__ = [
+    "has_scheme",
+    "exists",
+    "rename",
+    "delete",
+    "glob_dirs",
+    "write_text",
+    "read_text",
+]
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
@@ -85,6 +93,53 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     if not fs.exists(jpath):
         return False
     return bool(fs.delete(jpath, recursive))
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file with publish-by-rename visibility.
+
+    The content lands at ``<path>.writing`` first and is renamed into
+    place, so a reader never observes a half-written ``path``: single-FILE
+    rename is atomic on POSIX and HDFS, and on S3-like stores the final
+    object appears with a single PUT-copy. Used for intent/journal markers
+    (streaming/corpus.py compaction plan) — crash mid-write leaves only
+    the ``.writing`` scratch, which ``read_text`` never looks at.
+    """
+    scratch = f"{path}.writing"
+    delete(spark, scratch)
+    if not has_scheme(path):
+        with open(scratch, "w", encoding="utf-8") as f:
+            f.write(text)
+    else:
+        fs, jpath, jvm = _fs(spark, scratch)
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(scratch), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+    delete(spark, path)
+    rename(spark, scratch, path)
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Content of a small text file, or None if it does not exist."""
+    if not exists(spark, path):
+        return None
+    if not has_scheme(path):
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+    fs, jpath, jvm = _fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        out = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            out.append(b)
+        return out.decode("utf-8")
+    finally:
+        stream.close()
 
 
 def glob_dirs(spark: SparkSession, pattern: str) -> list[str]:

@@ -160,18 +160,30 @@ def quantized_topk(
         F.col("cqn") * F.col("qqn")
     )
     w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
-    candidates = (
-        c.join(broadcast(q), F.col("qid") != F.col("cid"))
-        .select("qid", "cid", "qv", "cv", coarse_score.alias("coarse"))
+    # The ranking window shuffles only (qid, cid, coarse) — float vectors
+    # never enter a shuffle (same discipline as pq_topk).
+    cand_ids = (
+        c.drop("cv").join(
+            broadcast(q.select("qid", "qq", "qqn")), F.col("qid") != F.col("cid")
+        )
+        .select("qid", "cid", coarse_score.alias("coarse"))
         .withColumn("crn", F.row_number().over(w))
         .filter(F.col("crn") <= k * refine)
+        .select("qid", "cid")
     )
-    rescored = candidates.select(
-        "qid",
-        "cid",
-        (dot(F.col("qv"), F.col("cv")) / (l2_norm(F.col("qv")) * l2_norm(F.col("cv")))).alias(
-            "cosine"
-        ),
+    # Residue-sized float fetch: survivor ids broadcast against the corpus.
+    cvecs = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    rescored = (
+        cvecs.join(broadcast(cand_ids), "cid")
+        .join(broadcast(q.select("qid", "qv")), "qid")
+        .select(
+            "qid",
+            "cid",
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / (l2_norm(F.col("qv")) * l2_norm(F.col("cv")))
+            ).alias("cosine"),
+        )
     )
     w2 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
@@ -861,6 +873,14 @@ def pq_codebooks(
         .select(vec_col)
         .collect()
     )
+    if len(seed_rows) < n_codes:
+        # The Lloyd update indexes codes 0..n_codes-1 against the seed
+        # list — fail fast instead of an IndexError mid-iteration.
+        raise ValueError(
+            f"corpus yields only {len(seed_rows)} seed rows across hash "
+            f"strata (needs n_codes={n_codes}); lower n_codes or train on "
+            "a larger corpus"
+        )
     books = [
         [[float(r[0][j * dsub + p]) for p in range(dsub)] for r in seed_rows]
         for j in range(m)
@@ -934,8 +954,6 @@ def pq_encode(
     cosine denominator the coarse pass uses). Map-side; the codebooks are
     dim·n_codes literal doubles, the join-form alternative for huge
     codebooks follows ivf_assign_join."""
-    import math
-
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     codes = F.array(
@@ -981,9 +999,12 @@ def pq_topk(
     brute_force_topk: (qid, cid, cosine, rn).
 
     Scale shape: the corpus travels as its m-byte codes (the 32×-smaller
-    relation is all the coarse pass reads), queries broadcast with their
-    m·n_codes LUT arrays, and no corpus shuffle happens before the
-    residue-sized rescore. Recall pinned in tests/test_pq.py."""
+    relation is all the coarse pass reads — the per-qid ranking window
+    shuffles only (qid, cid, coarse) triples, never a float vector), and
+    the float vectors of the k·refine survivors are fetched by a
+    broadcast semi-join of the survivor ids against the corpus — zero
+    corpus shuffle end to end. Queries broadcast with their m·n_codes
+    LUT arrays. Recall pinned in tests/test_pq.py."""
     from pyspark.sql import Window
 
     m = len(codebooks)
@@ -1033,19 +1054,29 @@ def pq_topk(
         F.col("qn") * F.when(F.col("pq_norm") > 0, F.col("pq_norm")).otherwise(F.lit(1.0))
     )
     w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
-    candidates = (
-        enc.join(broadcast(q), F.col("qid") != F.col("cid"))
-        .select("qid", "cid", "qv", "cv", coarse.alias("coarse"))
+    # Coarse pass carries ONLY (qid, cid, coarse) through the ranking
+    # window — the float vectors PQ exists to avoid never enter a shuffle.
+    cand_ids = (
+        enc.select("cid", "pq_codes", "pq_norm")
+        .join(broadcast(q.select("qid", "lut", "qn")), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", coarse.alias("coarse"))
         .withColumn("crn", F.row_number().over(w))
         .filter(F.col("crn") <= k * refine)
+        .select("qid", "cid")
     )
-    rescored = candidates.select(
-        "qid",
-        "cid",
-        (
-            dot(F.col("qv"), F.col("cv"))
-            / (l2_norm(F.col("qv")) * l2_norm(F.col("cv")))
-        ).alias("cosine"),
+    # Residue-sized float fetch: k·refine·|Q| survivor ids broadcast
+    # against the corpus (map-side), query vectors broadcast by qid.
+    cvecs = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    rescored = (
+        cvecs.join(broadcast(cand_ids), "cid")
+        .join(broadcast(q.select("qid", "qv", "qn")), "qid")
+        .select(
+            "qid",
+            "cid",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * l2_norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
     )
     w2 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (

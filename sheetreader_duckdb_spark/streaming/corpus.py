@@ -223,36 +223,90 @@ def _batch_id(path: str) -> int:
 def recover_corpus_state(spark: SparkSession, corpus_path: str) -> list[str]:
     """Restore a consistent state layout after a crashed compaction.
 
-    Per store: leftover ``.batch=<i>.old`` directories mean a compaction
-    crashed mid-swap. If its ``.compact.tmp`` still exists the swap never
-    completed — roll every ``.old`` back into place and drop the tmp; if
-    the tmp is gone the merged directory was installed — the ``.old``
-    copies are redundant and are deleted. Returns the stores touched.
-    Run this (or ``compact_corpus_state``, which runs it first) before
-    restarting the builder after a compaction crash.
+    The compaction journal (``.compact.plan``, written atomically AFTER
+    the merged tmp is complete and BEFORE any live directory moves) makes
+    recovery deterministic:
+
+    * plan present and parseable → the merged data in ``compact_tmp`` is
+      complete: ROLL FORWARD — re-run the rename-aside/install/cleanup
+      steps from the plan. Every step is idempotent, so a crash during
+      recovery just means recovery runs again.
+    * no plan (or a torn, unparseable one) → no live directory was moved
+      yet: ROLL BACK — drop the tmp and the torn plan. Any stray
+      ``.batch=<i>.old`` without a plan (pre-journal layouts) is restored
+      if its live directory is missing, else dropped — under copy+delete
+      rename semantics the surviving live copy is the complete one.
+
+    Returns the stores touched. Run this (or ``compact_corpus_state``,
+    which runs it first) before restarting the builder after a crash.
     """
     from sheetreader_duckdb_spark.operators import fsutil
 
     touched = []
     for sub in _STATE_STORES:
         base = f"{corpus_path}/{sub}"
+        plan_path = f"{base}/.compact.plan"
+        tmp = f"{base}/compact_tmp"
+        plan = None
+        raw = fsutil.read_text(spark, plan_path)
+        if raw is not None:
+            import json
+
+            try:
+                plan = json.loads(raw)
+            except ValueError:
+                plan = None  # torn write: no renames can have happened
         olds = fsutil.glob_dirs(spark, f"{base}/.batch=*.old")
-        if not olds:
+        if plan is None and raw is None and not olds and not fsutil.exists(spark, tmp):
             continue
         touched.append(sub)
-        tmp = f"{base}/.compact.tmp"
-        if fsutil.exists(spark, tmp):
+        if plan is not None:
+            _install_compacted(spark, base, plan)
+        else:
+            fsutil.delete(spark, tmp)
+            fsutil.delete(spark, plan_path)
             for old in olds:
                 live = f"{base}/batch={_batch_id(old)}"
                 if not fsutil.exists(spark, live):
                     fsutil.rename(spark, old, live)
                 else:
                     fsutil.delete(spark, old)
-            fsutil.delete(spark, tmp)
-        else:
-            for old in olds:
-                fsutil.delete(spark, old)
     return touched
+
+
+def _install_compacted(spark: SparkSession, base: str, plan: dict) -> None:
+    """Idempotent rename-aside → install → cleanup from a journal plan.
+
+    Precondition: ``compact_tmp`` under ``base`` holds the complete merged
+    rows (the plan is only ever written after that write commits). Safe to
+    re-run from any crash point — each step checks current state first.
+    """
+    from sheetreader_duckdb_spark.operators import fsutil
+
+    tmp = f"{base}/compact_tmp"
+    target = plan["target"]
+    for i in plan["merged"]:
+        live = f"{base}/batch={i}"
+        aside = f"{base}/.batch={i}.old"
+        if fsutil.exists(spark, live):
+            # Under copy+delete rename semantics a mid-rename crash leaves
+            # live complete and aside partial — live wins, retry the move.
+            fsutil.delete(spark, aside)
+            fsutil.rename(spark, live, aside)
+    # Install is a fresh committed Spark write from the tmp (overwrite
+    # replaces any partial attempt); completeness is the committer's
+    # _SUCCESS semantics, not a directory rename — so a non-atomic
+    # object-store rename can never leave a half-installed store that
+    # looks live.
+    (
+        spark.read.parquet(tmp)
+        .write.mode("overwrite")
+        .parquet(f"{base}/batch={target}")
+    )
+    for i in plan["merged"]:
+        fsutil.delete(spark, f"{base}/.batch={i}.old")
+    fsutil.delete(spark, tmp)
+    fsutil.delete(spark, f"{base}/.compact.plan")
 
 
 def compact_corpus_state(
@@ -260,34 +314,54 @@ def compact_corpus_state(
     corpus_path: str,
     target_partitions: int | None = None,
 ) -> dict[str, int]:
-    """Merge each state store's many ``batch=<i>`` directories into one.
+    """Merge each state store's ``batch=<i>`` directories (LSM compaction).
 
     The builder's commit protocol appends one directory per micro-batch
     per store (the LSM-ish layout the module docstring describes); after
     thousands of batches the per-batch dedup pays a listing + many-small-
-    files tax. Compaction rewrites each store as a single ``batch=<B>``
-    directory where B is the highest batch id present — future batches
-    have ids > B, so the ``< batch_id`` visibility rule is untouched.
-    ``docs/`` is deliberately NOT compacted: its per-batch directories are
+    files tax. Compaction merges every directory EXCEPT the newest into
+    one named ``batch=<m>`` where ``m`` is the highest id merged — so a
+    store compacts to two directories: the merged history and the newest
+    batch, untouched.
+
+    The newest batch is deliberately left out: Structured Streaming may
+    redeliver the LAST batch after a crash (its state directories written,
+    its checkpoint commit log not), and the redelivered batch dedups
+    against digests of batches ``< batch_id`` only. Folding the newest
+    batch's rows into a directory carrying its own id would hide ALL
+    prior digests from that redelivery and break the idempotent
+    accept-set guarantee; with ``m < top`` the merged history stays
+    visible to it. Earlier batches cannot be redelivered (the stream
+    commits batch N's log before starting N+1), so merging them is safe.
+    ``docs/`` is never compacted: its per-batch directories are
     provenance.
 
-    Crash-safe swap per store (single-writer, like operators/merge.py —
-    STOP the builder first; a concurrent accept_batch reading mid-swap
-    could miss prior digests and accept a duplicate):
+    Crash-safe swap per store (single-writer — STOP the builder first; a
+    concurrent accept_batch reading mid-swap could miss prior digests and
+    accept a duplicate):
 
-    1. write the merged rows to ``.compact.tmp`` (complete copy on disk);
-    2. rename every live ``batch=<i>`` aside to ``.batch=<i>.old``;
-    3. rename the tmp in as ``batch=<B>``;
-    4. delete the ``.old`` copies.
+    1. write the merged rows to ``compact_tmp`` (committed Spark write);
+    2. journal the intent: ``.compact.plan`` (atomic single-file publish)
+       listing the merged ids and the target — the point of no return;
+    3. rename the merged live directories aside to ``.batch=<i>.old``;
+    4. install ``batch=<m>`` as a committed Spark write FROM the tmp (not
+       a directory rename — object stores copy+delete renames are not
+       atomic, a crashed install is detectable as a missing ``_SUCCESS``
+       and simply re-run);
+    5. delete the asides, the tmp, and the plan.
 
-    A crash at any point leaves a complete copy of every row (live, tmp,
-    or ``.old``); ``recover_corpus_state`` (run on entry) rolls back or
-    completes the swap. Returns {store: directories merged}.
+    A crash before step 2 rolls back (recover_corpus_state drops the
+    tmp); from step 2 on, recovery ROLLS FORWARD by re-running steps 3-5
+    from the journal — each step is idempotent. At every instant a
+    complete copy of every row exists (live, tmp, or ``.old``).
+    Returns {store: directories merged}.
 
     ``target_partitions`` sizes the merged write (default: one partition
     per ~8 input directories — at production scale pass an explicit value
     sized to ~128 MB output files).
     """
+    import json
+
     from sheetreader_duckdb_spark.operators import fsutil
 
     recover_corpus_state(spark, corpus_path)
@@ -295,19 +369,24 @@ def compact_corpus_state(
     for sub in _STATE_STORES:
         base = f"{corpus_path}/{sub}"
         dirs = fsutil.glob_dirs(spark, f"{base}/batch=*")
-        if len(dirs) <= 1:
+        top = max((_batch_id(d) for d in dirs), default=0)
+        merge_dirs = [d for d in dirs if _batch_id(d) < top]
+        if len(merge_dirs) <= 1:
             continue
-        top = max(_batch_id(d) for d in dirs)
-        n_out = target_partitions or max(1, len(dirs) // 8)
-        tmp = f"{base}/.compact.tmp"
+        merged_ids = sorted(_batch_id(d) for d in merge_dirs)
+        n_out = target_partitions or max(1, len(merge_dirs) // 8)
+        tmp = f"{base}/compact_tmp"
         fsutil.delete(spark, tmp)
-        spark.read.parquet(*dirs).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-        for d in dirs:
-            fsutil.rename(spark, d, f"{base}/.batch={_batch_id(d)}.old")
-        fsutil.rename(spark, tmp, f"{base}/batch={top}")
-        for d in dirs:
-            fsutil.delete(spark, f"{base}/.batch={_batch_id(d)}.old")
-        merged_counts[sub] = len(dirs)
+        (
+            spark.read.parquet(*merge_dirs)
+            .coalesce(n_out)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        plan = {"merged": merged_ids, "target": merged_ids[-1]}
+        fsutil.write_text(spark, f"{base}/.compact.plan", json.dumps(plan))
+        _install_compacted(spark, base, plan)
+        merged_counts[sub] = len(merge_dirs)
     return merged_counts
 
 
@@ -333,8 +412,11 @@ def run_corpus_builder(
     the testable/batch-drain mode; ``False`` runs continuously. The
     checkpoint makes batch ids stable across restarts, which is what the
     idempotent commit keys on. ``near_dup=True`` adds MinHash/LSH
-    near-duplicate rejection on arrival (see accept_batch).
+    near-duplicate rejection on arrival (see accept_batch). State-store
+    recovery (crashed compaction roll-forward/rollback) runs on entry, so
+    a restart after any crash starts from a consistent layout.
     """
+    recover_corpus_state(spark, corpus_path)
     stream = spark.readStream.schema(schema).parquet(input_path)
 
     def sink(df: DataFrame, batch_id: int) -> None:

@@ -125,10 +125,14 @@ def test_compaction_preserves_dedup_and_shrinks_layout(spark, tmp_path):
         )
     assert len(_state_dirs(corpus, "digests")) == 3
     merged = compact_corpus_state(spark, corpus)
-    assert merged == {"digests": 3, "bands": 3, "shingles": 3}
-    # One directory per store, named after the highest batch id.
+    assert merged == {"digests": 2, "bands": 2, "shingles": 2}
+    # Two directories per store: history merged under the highest MERGED
+    # id, the newest batch untouched (it may still be redelivered).
     for sub in ("digests", "bands", "shingles"):
-        assert _state_dirs(corpus, sub) == [f"{corpus}/{sub}/batch=2"]
+        assert _state_dirs(corpus, sub) == [
+            f"{corpus}/{sub}/batch=1",
+            f"{corpus}/{sub}/batch=2",
+        ]
     # docs/ keeps its per-batch provenance directories.
     assert len(_state_dirs(corpus, "docs")) == 3
     # Dedup against the compacted state still works: an exact dup AND a
@@ -139,25 +143,64 @@ def test_compaction_preserves_dedup_and_shrinks_layout(spark, tmp_path):
     assert got == [0, 10, 20, 52]
 
 
+def test_compaction_keeps_top_batch_redeliverable(spark, tmp_path):
+    # Structured Streaming can redeliver the LAST batch after a crash (its
+    # state dirs written, its commit log not). Compaction must not fold
+    # history into a directory carrying the top batch's id — that would
+    # hide every prior digest from the redelivery's `< batch_id` filter
+    # and let duplicates into the corpus.
+    corpus = str(tmp_path / "corpus_redeliver")
+    accept_batch(_docs(spark, [(1, "alpha"), (2, "beta")]), 0, corpus, "doc_id", "text")
+    b1 = _docs(spark, [(3, "alpha"), (4, "gamma")])  # 3 dups batch 0's alpha
+    assert accept_batch(b1, 1, corpus, "doc_id", "text") == 1
+    compact_corpus_state(spark, corpus)
+    # Redelivery of the top batch AFTER compaction: identical accept-set.
+    assert accept_batch(b1, 1, corpus, "doc_id", "text") == 1
+    got = sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect())
+    assert got == [1, 2, 4]
+
+
 def test_compaction_crash_recovery(spark, tmp_path):
+    import json
     import os
     import shutil
 
     corpus = str(tmp_path / "corpus_cr")
-    for i, text in enumerate([NEAR_A, NEAR_B]):
+    for i, text in enumerate([NEAR_A, NEAR_B, NEAR_C]):
         accept_batch(_docs(spark, [(i, text)]), i, corpus, "doc_id", "text")
-    # Simulate a crash mid-swap: merged tmp written, one live dir renamed
-    # aside, tmp NOT yet installed.
     base = f"{corpus}/digests"
-    shutil.copytree(f"{base}/batch=0", f"{base}/.compact.tmp")
+
+    # Crash BEFORE the journal: merged tmp (possibly partial) written, no
+    # plan — rollback drops the tmp, live dirs untouched.
+    shutil.copytree(f"{base}/batch=0", f"{base}/compact_tmp")
+    assert "digests" in recover_corpus_state(spark, corpus)
+    assert sorted(os.listdir(base)) == ["batch=0", "batch=1", "batch=2"]
+
+    # Crash AFTER the journal, mid-rename: plan + complete tmp present,
+    # one of the two merged dirs renamed aside — roll FORWARD: install
+    # batch=1 from the tmp, restore nothing, clean up.
+    spark.read.parquet(f"{base}/batch=0", f"{base}/batch=1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/compact_tmp")
+    with open(f"{base}/.compact.plan", "w") as f:
+        json.dump({"merged": [0, 1], "target": 1}, f)
     os.rename(f"{base}/batch=0", f"{base}/.batch=0.old")
-    assert recover_corpus_state(spark, corpus) == ["digests"]
-    assert sorted(os.listdir(base)) == ["batch=0", "batch=1"]  # rolled back
-    # And the completed-swap case: olds left behind, tmp already renamed in.
-    os.rename(f"{base}/batch=0", f"{base}/.batch=0.old")
-    shutil.copytree(f"{base}/.batch=0.old", f"{base}/batch=0")
-    assert recover_corpus_state(spark, corpus) == ["digests"]
-    assert sorted(os.listdir(base)) == ["batch=0", "batch=1"]  # olds dropped
+    assert "digests" in recover_corpus_state(spark, corpus)
+    assert sorted(os.listdir(base)) == ["batch=1", "batch=2"]
+    merged_rows = spark.read.parquet(f"{base}/batch=1").count()
+    assert merged_rows == 2  # both original digests present after roll-forward
+
+    # Torn plan file (crash mid-journal-write): parse fails → rollback.
+    shutil.copytree(f"{base}/batch=1", f"{base}/compact_tmp")
+    with open(f"{base}/.compact.plan", "w") as f:
+        f.write('{"merged": [0,')  # torn json
+    assert "digests" in recover_corpus_state(spark, corpus)
+    assert sorted(os.listdir(base)) == ["batch=1", "batch=2"]
+
+    # Legacy stray .old without a plan: restored when live is missing.
+    os.rename(f"{base}/batch=1", f"{base}/.batch=1.old")
+    assert "digests" in recover_corpus_state(spark, corpus)
+    assert sorted(os.listdir(base)) == ["batch=1", "batch=2"]
 
 
 def test_streaming_end_to_end_with_restart(spark, tmp_path):
