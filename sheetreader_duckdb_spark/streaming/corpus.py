@@ -285,6 +285,16 @@ def _install_compacted(spark: SparkSession, base: str, plan: dict) -> None:
 
     tmp = f"{base}/compact_tmp"
     target = plan["target"]
+    if not fsutil.exists(spark, tmp):
+        # The tmp is deleted only AFTER the install write committed and
+        # the asides were dropped — plan-present + tmp-gone means the
+        # only step left is removing the journal. Without this check a
+        # crash in that window would rename the fully-installed merged
+        # directory aside and then fail reading the missing tmp.
+        for i in plan["merged"]:
+            fsutil.delete(spark, f"{base}/.batch={i}.old")
+        fsutil.delete(spark, f"{base}/.compact.plan")
+        return
     for i in plan["merged"]:
         live = f"{base}/batch={i}"
         aside = f"{base}/.batch={i}.old"

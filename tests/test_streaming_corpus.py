@@ -202,6 +202,16 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert "digests" in recover_corpus_state(spark, corpus)
     assert sorted(os.listdir(base)) == ["batch=1", "batch=2"]
 
+    # Crash in the tail window: install committed, asides + tmp already
+    # deleted, only the plan left. Recovery must NOT rename the installed
+    # merged directory aside (the tmp it would re-install from is gone) —
+    # it just drops the journal and keeps the live layout.
+    with open(f"{base}/.compact.plan", "w") as f:
+        json.dump({"merged": [0, 1], "target": 1}, f)
+    assert "digests" in recover_corpus_state(spark, corpus)
+    assert sorted(os.listdir(base)) == ["batch=1", "batch=2"]
+    assert spark.read.parquet(f"{base}/batch=1").count() == 2
+
 
 def test_streaming_end_to_end_with_restart(spark, tmp_path):
     inp = str(tmp_path / "in")
