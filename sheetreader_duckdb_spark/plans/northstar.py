@@ -1552,6 +1552,14 @@ def n13_tumbling_windows(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # N2c — connected-components dedup clusters over the verified pair graph
 # --------------------------------------------------------------------------
+# Leakage-safe split: the assignment hashes the CLUSTER representative
+# (cc label, or the doc's own id when unclustered), so a near-duplicate
+# cluster can never straddle train/val/test — hashing doc_id directly
+# would leak training near-dups into eval. Same md5 split machinery as
+# the corpus splits (operators/sampling.py), different seed.
+_CCSPLIT_CASE = SM.split_case_sql("grp", _SPLIT_WEIGHTS, seed="ccsplit")
+
+
 @query(
     "n20_dedup_clusters",
     oracle=f"""
@@ -1595,6 +1603,12 @@ def n13_tumbling_windows(spark: SparkSession, sf: str) -> DataFrame:
     SELECT 'kept' AS tag, s.doc_id AS id, CAST(NULL AS BIGINT) AS lbl
     FROM survivors s
     WHERE s.doc_id NOT IN (SELECT node FROM cc WHERE node <> label)
+    UNION ALL
+    SELECT 'split_' || ({_CCSPLIT_CASE}) AS tag, g.doc_id AS id, g.grp AS lbl
+    FROM (
+        SELECT s.doc_id, COALESCE(cc.label, s.doc_id) AS grp
+        FROM survivors s LEFT JOIN cc ON cc.node = s.doc_id
+    ) g
     """,
     doc="Connected-components dedup clusters (N2, operators/dedup.py "
     "connected_components): the verified near-dup pair graph from the n01 "
@@ -1605,8 +1619,13 @@ def n13_tumbling_windows(spark: SparkSession, sf: str) -> DataFrame:
     "rounds - 2-3 on dup graphs). 'cc' = (node, min-id cluster label); "
     "'kept' = cluster-aware keep-set, strictly stronger than the pairwise "
     "drop-id_b policy on transitive chains (A~B~C collapses to one "
-    "representative even when A!~C). Oracle = DuckDB recursive-CTE "
-    "transitive closure: the fixpoint labels are engine-independent.",
+    "representative even when A!~C). 'split_<name>' = leakage-safe "
+    "train/val/test assignment hashing the cluster representative "
+    "(COALESCE(label, doc_id)) through the engine-invariant md5 split, so "
+    "no near-dup cluster straddles splits (tests/test_connected_components"
+    ".py pins zero straddling verified pairs). Oracle = DuckDB "
+    "recursive-CTE transitive closure: the fixpoint labels are "
+    "engine-independent.",
 )
 def n20_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = T(spark, sf, "documents")
@@ -1634,7 +1653,28 @@ def n20_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("lbl"),
         )
     )
-    return cc.unionAll(kept)
+    # Leakage-safe split: group by cluster representative, hash the GROUP.
+    # The labels relation is tiny (dup-graph nodes only) — broadcast it so
+    # the survivor scan picks up its group map-side, no shuffle.
+    from pyspark.sql.functions import broadcast
+
+    grp = (
+        survivors.select("doc_id")
+        .join(
+            broadcast(labels.select(F.col("node").alias("doc_id"), "label")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("label", F.col("doc_id")).alias("grp"))
+    )
+    split = grp.select(
+        F.concat(
+            F.lit("split_"), SM.hash_split("grp", _SPLIT_WEIGHTS, seed="ccsplit")
+        ).alias("tag"),
+        F.col("doc_id").alias("id"),
+        F.col("grp").alias("lbl"),
+    )
+    return cc.unionAll(kept).unionAll(split)
 
 
 

@@ -85,3 +85,54 @@ def test_long_chain_needs_iterations(spark):
         connected_components(_pairs_df(spark, chain), max_iters=2)
     labels = connected_components(_pairs_df(spark, chain), max_iters=30).collect()
     assert {r["label"] for r in labels} == {0}
+
+
+def test_cluster_split_never_straddles(spark):
+    # Leakage-safe split (n20 'split_*' branches): the split hashes the
+    # cluster representative, so every verified near-dup pair must land in
+    # one split. Hashing doc_id directly fails this on any cluster whose
+    # members hash to different buckets — the pin catches a refactor that
+    # swaps the key back.
+    from sheetreader_duckdb_spark.operators.sampling import hash_split
+
+    random.seed(7)
+    pairs = [(random.randrange(200), random.randrange(200)) for _ in range(120)]
+    pairs = [(min(a, b), max(a, b)) for a, b in pairs if a != b]
+    pdf = _pairs_df(spark, pairs)
+    labels = connected_components(pdf)
+    docs = spark.range(0, 200).select(F.col("id").cast("bigint").alias("doc_id"))
+    grp = (
+        docs.join(
+            labels.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
+        )
+        .select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("grp")
+        )
+    )
+    weights = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    assigned = grp.select(
+        "doc_id", hash_split("grp", weights, seed="ccsplit").alias("split")
+    )
+    straddle = (
+        pdf.join(
+            assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddle == 0
+    # ... and the doc_id-keyed assignment DOES straddle on this graph,
+    # otherwise the pin is vacuous.
+    naive = docs.select("doc_id", hash_split("doc_id", weights, seed="ccsplit").alias("split"))
+    naive_straddle = (
+        pdf.join(naive.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")), "id_a")
+        .join(naive.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert naive_straddle > 0
