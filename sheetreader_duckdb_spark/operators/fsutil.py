@@ -131,13 +131,11 @@ def read_text(spark: SparkSession, path: str) -> str | None:
     fs, jpath, jvm = _fs(spark, path)
     stream = fs.open(jpath)
     try:
-        out = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            out.append(b)
-        return out.decode("utf-8")
+        # One JVM-side drain (InputStream.read() per byte would be one
+        # py4j round trip per byte).
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
     finally:
         stream.close()
 
