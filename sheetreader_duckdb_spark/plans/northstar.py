@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sheetreader_duckdb_spark.operators import dedup as D
+from sheetreader_duckdb_spark.operators import quality_model as QM
 from sheetreader_duckdb_spark.operators import sampling as SM
 from sheetreader_duckdb_spark.operators import similarity as S
 from sheetreader_duckdb_spark.operators import text as X
@@ -613,6 +614,19 @@ def _sql_scrub_expr(text_sql: str = "text") -> str:
     return expr
 
 
+# Frozen linear quality model (operators/quality_model.py) for the n07
+# witness: rational features only (stop/punct ratios, mean word len), so
+# the margin is IEEE products + a fixed-order sum — bit-identical across
+# engines. Training itself (pyspark.ml LBFGS) and the sigmoid scoring
+# path are pinned in tests/test_quality_model.py; the declared corpus
+# witnesses the codegen'd inference expression with these frozen weights.
+_MLQ_MODEL = {
+    "features": ["stop_ratio", "punct_ratio", "mean_word_len"],
+    "weights": [10.0, -8.0, 0.35],
+    "intercept": -4.0,
+}
+
+
 def _sql_text_signals() -> str:
     langs = list(X.LANG_MARKERS)
     stop_set = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -640,6 +654,8 @@ def _sql_text_signals() -> str:
            substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fp8,
            {SM.split_case_sql('doc_id', _SPLIT_WEIGHTS, seed='corpus-v1')} AS split,
            {X.quality_keep_sql('text')} AS keep,
+           {QM.margin_sql(_MLQ_MODEL, QM.quality_feature_sqls('text', 'n_chars'))} AS mlq_margin,
+           ({QM.margin_sql(_MLQ_MODEL, QM.quality_feature_sqls('text', 'n_chars'))} > 0) AS mlq_keep,
            md5({_sql_scrub_expr('text')}) AS scrub_fp
     FROM m
     """
@@ -655,7 +671,11 @@ def _sql_text_signals() -> str:
     "fingerprint of whitespace-normalized lowercased text, and the "
     "deterministic 80/10/10 train/val/test hash-split assignment "
     "(operators/sampling.py), the Gopher-style quality keep decision "
-    "(operators/text.py QUALITY_RULES), and the PII-scrub witness "
+    "(operators/text.py QUALITY_RULES), the model-based quality filter's "
+    "inference path (operators/quality_model.py: mlq_margin = frozen "
+    "linear model over rational signals as ONE codegen'd expression, "
+    "mlq_keep = margin > 0 — training via pyspark.ml LBFGS and sigmoid "
+    "parity pinned in tests/test_quality_model.py), and the PII-scrub witness "
     "(scrub_fp = md5 of scrub_pii(text) — pins every masked byte of the "
     "URL/email/phone scrub without shipping the text). Scan-speed column "
     "expressions, zero shuffles.",
@@ -684,6 +704,13 @@ def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(fp, 1, 8).alias("fp8"),
         SM.hash_split("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1").alias("split"),
         X.quality_keep(text).alias("keep"),
+        QM.margin_expr(
+            _MLQ_MODEL, QM.quality_feature_exprs(text, F.col("n_chars"))
+        ).alias("mlq_margin"),
+        (
+            QM.margin_expr(_MLQ_MODEL, QM.quality_feature_exprs(text, F.col("n_chars")))
+            > 0
+        ).alias("mlq_keep"),
         F.md5(X.scrub_pii(text).cast("binary")).alias("scrub_fp"),
     )
 
