@@ -415,6 +415,8 @@ def run_corpus_builder(
     band_size: int = 2,
     k: int = 3,
     max_bucket_size: int | None = 1000,
+    compact_every: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Run the streaming builder over a directory of arriving parquet files.
 
@@ -425,9 +427,24 @@ def run_corpus_builder(
     near-duplicate rejection on arrival (see accept_batch). State-store
     recovery (crashed compaction roll-forward/rollback) runs on entry, so
     a restart after any crash starts from a consistent layout.
+
+    ``compact_every=N`` runs ``compact_corpus_state`` inline after every
+    Nth committed batch. This is safe precisely because it runs INSIDE
+    foreachBatch: the builder is the state stores' single writer, and no
+    other batch can be mid-read. If the process dies after the compaction
+    but before the stream commits the batch's log entry, the redelivered
+    batch still sees the full history — compaction never touches the
+    newest (its own) batch directory, and the merged directory keeps an
+    id below it. Each compaction rewrites the accumulated history (one
+    level, full merge) — at production scale pick N so the rewrite stays
+    a small multiple of the inter-batch interval, or compact offline.
+    ``max_files_per_trigger`` caps files per micro-batch (source option).
     """
     recover_corpus_state(spark, corpus_path)
-    stream = spark.readStream.schema(schema).parquet(input_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
 
     def sink(df: DataFrame, batch_id: int) -> None:
         accept_batch(
@@ -436,6 +453,8 @@ def run_corpus_builder(
             n_hashes=n_hashes, band_size=band_size, k=k,
             max_bucket_size=max_bucket_size,
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_corpus_state(spark, corpus_path)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_path

@@ -237,3 +237,43 @@ def test_streaming_end_to_end_with_restart(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
     )
     assert got == [(1, "alpha"), (2, "beta"), (4, "delta")]
+
+
+def test_inline_auto_compaction(spark, tmp_path):
+    # compact_every runs compaction inside foreachBatch (the builder is
+    # the single writer, so between-batch compaction cannot race a
+    # reader). Five single-file batches with dups, compact every 2:
+    # dedup semantics must be unchanged and the state layout must have
+    # merged (fewer digest dirs than batches).
+    import time
+
+    inp = str(tmp_path / "in_ac")
+    corpus = str(tmp_path / "corpus_ac")
+    ckpt = str(tmp_path / "ckpt_ac")
+    os.makedirs(inp)
+    batches = [
+        [(1, "alpha")],
+        [(2, "beta")],
+        [(3, "alpha")],   # dup of batch 0
+        [(4, "gamma")],
+        [(5, "beta"), (6, "delta")],  # one dup, one novel
+    ]
+    for rows in batches:
+        _docs(spark, rows).coalesce(1).write.mode("append").parquet(inp)
+        time.sleep(0.05)  # distinct mtimes -> stable file-source ordering
+    run_corpus_builder(
+        spark, inp, corpus, ckpt, id_col="doc_id", text_col="text",
+        schema=SCHEMA, compact_every=2, max_files_per_trigger=1,
+    )
+    kept = sorted(r["text"] for r in read_corpus(spark, corpus).collect())
+    assert kept == ["alpha", "beta", "delta", "gamma"]
+    # 5 batches committed, but compaction (after batches 1 and 3) merged
+    # history: the digests store holds fewer directories than batches.
+    n_dirs = len(_state_dirs(corpus, "digests"))
+    assert n_dirs < 5
+    # No journal/tmp/aside debris left behind.
+    leftovers = [
+        p for p in os.listdir(f"{corpus}/digests")
+        if not p.startswith("batch=")
+    ]
+    assert leftovers == []
