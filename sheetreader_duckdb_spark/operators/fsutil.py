@@ -104,19 +104,28 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
     object appears with a single PUT-copy. Used for intent/journal markers
     (streaming/corpus.py compaction plan) — crash mid-write leaves only
     the ``.writing`` scratch, which ``read_text`` never looks at.
+
+    Overwrite caveat: on the local fast path the publish is an atomic
+    clobber (``os.replace``), so a reader of an EXISTING path always sees
+    old-or-new content. On the Hadoop-API path, overwrite is
+    delete-then-rename — a crash in between leaves the path briefly
+    missing (old content gone, new copy still in scratch). The compaction
+    journal never overwrites a live plan, so that window is unreachable
+    there; callers that rewrite markers on object stores should treat
+    absent-after-crash as "retry from scratch".
     """
     scratch = f"{path}.writing"
-    delete(spark, scratch)
     if not has_scheme(path):
         with open(scratch, "w", encoding="utf-8") as f:
             f.write(text)
-    else:
-        fs, jpath, jvm = _fs(spark, scratch)
-        out = fs.create(jvm.org.apache.hadoop.fs.Path(scratch), True)
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
+        os.replace(scratch, path)
+        return
+    fs, jscratch, jvm = _fs(spark, scratch)
+    out = fs.create(jscratch, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
     delete(spark, path)
     rename(spark, scratch, path)
 

@@ -629,6 +629,7 @@ _MLQ_MODEL = {
 
 def _sql_text_signals() -> str:
     langs = list(X.LANG_MARKERS)
+    mlq_sql = QM.margin_sql(_MLQ_MODEL, QM.quality_feature_sqls("text", "n_chars"))
     stop_set = ", ".join(f"'{w}'" for w in X.STOPWORDS)
     scores = ", ".join(f"{_sql_lang_score(lg)} AS s_{lg}" for lg in langs)
     greatest = f"greatest({', '.join('s_' + lg for lg in langs)})"
@@ -654,8 +655,8 @@ def _sql_text_signals() -> str:
            substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fp8,
            {SM.split_case_sql('doc_id', _SPLIT_WEIGHTS, seed='corpus-v1')} AS split,
            {X.quality_keep_sql('text')} AS keep,
-           {QM.margin_sql(_MLQ_MODEL, QM.quality_feature_sqls('text', 'n_chars'))} AS mlq_margin,
-           ({QM.margin_sql(_MLQ_MODEL, QM.quality_feature_sqls('text', 'n_chars'))} > 0) AS mlq_keep,
+           {mlq_sql} AS mlq_margin,
+           ({mlq_sql} > 0) AS mlq_keep,
            md5({_sql_scrub_expr('text')}) AS scrub_fp
     FROM m
     """
@@ -683,6 +684,7 @@ def _sql_text_signals() -> str:
 def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
     text = F.col("text")
+    mlq = QM.margin_expr(_MLQ_MODEL, QM.quality_feature_exprs(text, F.col("n_chars")))
     n_ws = X.n_tokens(text)
     n_stop = X.stopword_hits(text)
     n_punct = X.punct_count(text)
@@ -704,13 +706,8 @@ def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(fp, 1, 8).alias("fp8"),
         SM.hash_split("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1").alias("split"),
         X.quality_keep(text).alias("keep"),
-        QM.margin_expr(
-            _MLQ_MODEL, QM.quality_feature_exprs(text, F.col("n_chars"))
-        ).alias("mlq_margin"),
-        (
-            QM.margin_expr(_MLQ_MODEL, QM.quality_feature_exprs(text, F.col("n_chars")))
-            > 0
-        ).alias("mlq_keep"),
+        mlq.alias("mlq_margin"),
+        (mlq > 0).alias("mlq_keep"),
         F.md5(X.scrub_pii(text).cast("binary")).alias("scrub_fp"),
     )
 

@@ -232,10 +232,17 @@ def recover_corpus_state(spark: SparkSession, corpus_path: str) -> list[str]:
       steps from the plan. Every step is idempotent, so a crash during
       recovery just means recovery runs again.
     * no plan (or a torn, unparseable one) → no live directory was moved
-      yet: ROLL BACK — drop the tmp and the torn plan. Any stray
-      ``.batch=<i>.old`` without a plan (pre-journal layouts) is restored
-      if its live directory is missing, else dropped — under copy+delete
-      rename semantics the surviving live copy is the complete one.
+      by the journaled protocol: ROLL BACK — drop the tmp and the torn
+      plan. Stray ``.batch=<i>.old`` dirs without a plan come from the
+      PRE-journal layout, which is disambiguated by its tmp
+      (``.compact.tmp``): tmp present means the legacy swap never
+      installed — restore each ``.old`` whose live directory is missing
+      (under copy+delete rename semantics a surviving live copy is the
+      complete one, so live wins); NO tmp means the legacy swap
+      completed and its merged ``batch=<top>`` already contains every
+      ``.old``'s rows — the ``.old``s are redundant and restoring them
+      would DUPLICATE state rows (doubled shingle/band counts corrupt
+      Jaccard), so they are dropped.
 
     Returns the stores touched. Run this (or ``compact_corpus_state``,
     which runs it first) before restarting the builder after a crash.
@@ -256,20 +263,34 @@ def recover_corpus_state(spark: SparkSession, corpus_path: str) -> list[str]:
                 plan = json.loads(raw)
             except ValueError:
                 plan = None  # torn write: no renames can have happened
+        legacy_tmp = f"{base}/.compact.tmp"
         olds = fsutil.glob_dirs(spark, f"{base}/.batch=*.old")
-        if plan is None and raw is None and not olds and not fsutil.exists(spark, tmp):
+        if (
+            plan is None
+            and raw is None
+            and not olds
+            and not fsutil.exists(spark, tmp)
+            and not fsutil.exists(spark, legacy_tmp)
+        ):
             continue
         touched.append(sub)
         if plan is not None:
             _install_compacted(spark, base, plan)
         else:
+            swap_incomplete = fsutil.exists(spark, tmp) or fsutil.exists(
+                spark, legacy_tmp
+            )
             fsutil.delete(spark, tmp)
+            fsutil.delete(spark, legacy_tmp)
             fsutil.delete(spark, plan_path)
             for old in olds:
                 live = f"{base}/batch={_batch_id(old)}"
-                if not fsutil.exists(spark, live):
+                if swap_incomplete and not fsutil.exists(spark, live):
                     fsutil.rename(spark, old, live)
                 else:
+                    # Either live survived (live wins) or the swap that
+                    # created this .old completed (its rows already sit in
+                    # the merged directory) — restoring would duplicate.
                     fsutil.delete(spark, old)
     return touched
 

@@ -151,13 +151,22 @@ def test_compaction_keeps_top_batch_redeliverable(spark, tmp_path):
     # and let duplicates into the corpus.
     corpus = str(tmp_path / "corpus_redeliver")
     accept_batch(_docs(spark, [(1, "alpha"), (2, "beta")]), 0, corpus, "doc_id", "text")
-    b1 = _docs(spark, [(3, "alpha"), (4, "gamma")])  # 3 dups batch 0's alpha
-    assert accept_batch(b1, 1, corpus, "doc_id", "text") == 1
-    compact_corpus_state(spark, corpus)
-    # Redelivery of the top batch AFTER compaction: identical accept-set.
-    assert accept_batch(b1, 1, corpus, "doc_id", "text") == 1
+    accept_batch(_docs(spark, [(3, "gamma")]), 1, corpus, "doc_id", "text")
+    # Top batch dups both an old batch's doc AND the most recent one.
+    b2 = _docs(spark, [(4, "alpha"), (5, "gamma"), (6, "delta")])
+    assert accept_batch(b2, 2, corpus, "doc_id", "text") == 1
+    merged = compact_corpus_state(spark, corpus)
+    assert merged["digests"] == 2  # batches 0+1 really merged (under id 1)
+    assert _state_dirs(corpus, "digests") == [
+        f"{corpus}/digests/batch=1",
+        f"{corpus}/digests/batch=2",
+    ]
+    # Redelivery of the top batch AFTER compaction: identical accept-set —
+    # the merged history (id 1 < 2) stays visible to its `< batch_id`
+    # dedup filter.
+    assert accept_batch(b2, 2, corpus, "doc_id", "text") == 1
     got = sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect())
-    assert got == [1, 2, 4]
+    assert got == [1, 2, 3, 6]
 
 
 def test_compaction_crash_recovery(spark, tmp_path):
@@ -197,7 +206,9 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert "digests" in recover_corpus_state(spark, corpus)
     assert sorted(os.listdir(base)) == ["batch=1", "batch=2"]
 
-    # Legacy stray .old without a plan: restored when live is missing.
+    # Legacy MID-swap (.compact.tmp still present, live renamed aside):
+    # the pre-journal swap never installed — restore the .old.
+    shutil.copytree(f"{base}/batch=1", f"{base}/.compact.tmp")
     os.rename(f"{base}/batch=1", f"{base}/.batch=1.old")
     assert "digests" in recover_corpus_state(spark, corpus)
     assert sorted(os.listdir(base)) == ["batch=1", "batch=2"]
@@ -211,6 +222,14 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert "digests" in recover_corpus_state(spark, corpus)
     assert sorted(os.listdir(base)) == ["batch=1", "batch=2"]
     assert spark.read.parquet(f"{base}/batch=1").count() == 2
+
+    # Legacy COMPLETED swap (no tmp anywhere, live missing): the merged
+    # top directory already holds every .old's rows, so the leftover .old
+    # is redundant and must be DROPPED — restoring it would duplicate
+    # every one of its rows (doubled shingles corrupt Jaccard verify).
+    os.rename(f"{base}/batch=1", f"{base}/.batch=1.old")
+    assert "digests" in recover_corpus_state(spark, corpus)
+    assert sorted(os.listdir(base)) == ["batch=2"]
 
 
 def test_streaming_end_to_end_with_restart(spark, tmp_path):
