@@ -19,11 +19,14 @@ Division of labor — built for the 100 TB shape:
   at scan speed — no ml runtime on the scoring path, no UDF, no shuffle,
   exactly like `text.quality_keep`. A 100 TB corpus pays K fused
   multiply-adds per row.
-* **Oracle** (`margin_sql`): the linear margin is IEEE-754 products and a
-  fixed-order sum over exact rational signals, so it is bit-identical
-  across engines (the sigmoid is transcendental and is deliberately NOT
-  part of the cross-engine witness). Generated from the SAME coefficient
-  dict as `margin_expr`, so Spark and oracle can never desync.
+* **Oracle** (`margin_quantized_sql`): the feature signals are exact
+  rationals (bit-identical across engines), and Spark evaluates the
+  margin as strict left-associated IEEE arithmetic — but DuckDB may
+  contract the multiply-add chain into FMAs (measured 1-ulp drift), so
+  the hash witness is the floor-quantized integer margin, not the raw
+  double (the sigmoid is transcendental and also stays out). All SQL is
+  generated from the SAME coefficient dict as the Spark expressions, so
+  Spark and oracle can never desync.
 
 Feature signals reuse operators/text.py (reference semantics:
 SURVEY.md §2.3 N4 — the reference's host engine computes per-document
@@ -47,6 +50,8 @@ __all__ = [
     "train_quality_model",
     "margin_expr",
     "margin_sql",
+    "margin_quantized_expr",
+    "margin_quantized_sql",
     "score_expr",
 ]
 
@@ -150,12 +155,42 @@ def margin_sql(model: Mapping, feature_sqls: Mapping[str, str]) -> str:
     """DuckDB expression for the same margin — same literals, same order.
 
     Float literals are rendered with repr (shortest round-trip form), which
-    both engines parse to the identical IEEE-754 double.
+    both engines parse to the identical IEEE-754 double. The RESULT can
+    still drift by an ulp (DuckDB FMA contraction) — hash-compare through
+    ``margin_quantized_sql`` instead of this raw form.
     """
     parts = [repr(float(model["intercept"]))]
     for name, w in _pairs(model):
         parts.append(f"{w!r} * ({feature_sqls[name]})")
     return "(" + " + ".join(parts) + ")"
+
+
+def margin_quantized_expr(
+    model: Mapping, feature_cols: Mapping[str, Column], scale: int = 1_000_000
+) -> Column:
+    """``floor(margin·scale)`` as BIGINT — the cross-engine hash witness.
+
+    The raw margin is NOT reliably bit-identical across engines: DuckDB's
+    expression engine may contract ``a + w·f`` chains into fused
+    multiply-adds (measured: a 1-ulp divergence from strict left-assoc
+    IEEE, which Spark follows). Floor-quantizing to ``scale`` absorbs
+    ulp-level drift while ``|margin|·scale·2⁻⁵² ≪ 1`` — i.e. |margin| up
+    to ~1e3 at the default scale, far above any calibrated model's margin
+    (the n07 frozen model's are O(10)); beyond that a 1-ulp input drift
+    can cross a quantization boundary (pinned with a pathological 1e8
+    weight in tests). House integer-quantization convention for float
+    witnesses in the declared corpus.
+    """
+    return F.floor(margin_expr(model, feature_cols) * F.lit(float(scale))).cast("long")
+
+
+def margin_quantized_sql(
+    model: Mapping, feature_sqls: Mapping[str, str], scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of ``margin_quantized_expr``."""
+    return (
+        f"CAST(floor({margin_sql(model, feature_sqls)} * {float(scale)!r}) AS BIGINT)"
+    )
 
 
 def score_expr(model: Mapping, feature_cols: Mapping[str, Column]) -> Column:

@@ -615,11 +615,13 @@ def _sql_scrub_expr(text_sql: str = "text") -> str:
 
 
 # Frozen linear quality model (operators/quality_model.py) for the n07
-# witness: rational features only (stop/punct ratios, mean word len), so
-# the margin is IEEE products + a fixed-order sum — bit-identical across
-# engines. Training itself (pyspark.ml LBFGS) and the sigmoid scoring
-# path are pinned in tests/test_quality_model.py; the declared corpus
-# witnesses the codegen'd inference expression with these frozen weights.
+# witness: rational features only (stop/punct ratios, mean word len) are
+# bit-identical across engines, but the margin's multiply-add chain may
+# FMA-contract in DuckDB (1-ulp drift) — the hash witness is therefore
+# the floor-quantized integer margin. Training itself (pyspark.ml LBFGS)
+# and the sigmoid scoring path are pinned in tests/test_quality_model.py;
+# the declared corpus witnesses the codegen'd inference expression with
+# these frozen weights.
 _MLQ_MODEL = {
     "features": ["stop_ratio", "punct_ratio", "mean_word_len"],
     "weights": [10.0, -8.0, 0.35],
@@ -630,6 +632,9 @@ _MLQ_MODEL = {
 def _sql_text_signals() -> str:
     langs = list(X.LANG_MARKERS)
     mlq_sql = QM.margin_sql(_MLQ_MODEL, QM.quality_feature_sqls("text", "n_chars"))
+    mlq_q_sql = QM.margin_quantized_sql(
+        _MLQ_MODEL, QM.quality_feature_sqls("text", "n_chars")
+    )
     stop_set = ", ".join(f"'{w}'" for w in X.STOPWORDS)
     scores = ", ".join(f"{_sql_lang_score(lg)} AS s_{lg}" for lg in langs)
     greatest = f"greatest({', '.join('s_' + lg for lg in langs)})"
@@ -655,7 +660,7 @@ def _sql_text_signals() -> str:
            substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fp8,
            {SM.split_case_sql('doc_id', _SPLIT_WEIGHTS, seed='corpus-v1')} AS split,
            {X.quality_keep_sql('text')} AS keep,
-           {mlq_sql} AS mlq_margin,
+           {mlq_q_sql} AS mlq_margin_q,
            ({mlq_sql} > 0) AS mlq_keep,
            md5({_sql_scrub_expr('text')}) AS scrub_fp
     FROM m
@@ -673,10 +678,12 @@ def _sql_text_signals() -> str:
     "deterministic 80/10/10 train/val/test hash-split assignment "
     "(operators/sampling.py), the Gopher-style quality keep decision "
     "(operators/text.py QUALITY_RULES), the model-based quality filter's "
-    "inference path (operators/quality_model.py: mlq_margin = frozen "
+    "inference path (operators/quality_model.py: mlq_margin_q = frozen "
     "linear model over rational signals as ONE codegen'd expression, "
-    "mlq_keep = margin > 0 — training via pyspark.ml LBFGS and sigmoid "
-    "parity pinned in tests/test_quality_model.py), and the PII-scrub witness "
+    "floor-quantized to 1e-6 because DuckDB may FMA-contract the "
+    "multiply-add chain; mlq_keep = margin > 0 — training via pyspark.ml "
+    "LBFGS and sigmoid parity pinned in tests/test_quality_model.py), "
+    "and the PII-scrub witness "
     "(scrub_fp = md5 of scrub_pii(text) — pins every masked byte of the "
     "URL/email/phone scrub without shipping the text). Scan-speed column "
     "expressions, zero shuffles.",
@@ -706,7 +713,9 @@ def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(fp, 1, 8).alias("fp8"),
         SM.hash_split("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1").alias("split"),
         X.quality_keep(text).alias("keep"),
-        mlq.alias("mlq_margin"),
+        QM.margin_quantized_expr(
+            _MLQ_MODEL, QM.quality_feature_exprs(text, F.col("n_chars"))
+        ).alias("mlq_margin_q"),
         (mlq > 0).alias("mlq_keep"),
         F.md5(X.scrub_pii(text).cast("binary")).alias("scrub_fp"),
     )

@@ -84,34 +84,64 @@ def test_training_is_deterministic(spark, trained):
     assert again == model
 
 
-def test_margin_sql_bit_identical_in_duckdb(spark, trained):
-    # Cross-engine witness: rational features only (the n07 oracle shape) —
-    # IEEE products + fixed-order sum must match to the last bit.
+@pytest.mark.parametrize(
+    "weights,intercept",
+    [
+        ([10.0, -8.0, 0.35], -4.0),  # the frozen n07 witness values
+        # repr-noisy doubles: the literals must round-trip through repr()
+        # into BOTH parsers to the identical IEEE-754 bit pattern.
+        ([0.1 + 0.2, -1e-17, 123456789.123456789], 1.0 / 3.0),
+    ],
+)
+def test_margin_cross_engine(spark, trained, weights, intercept):
+    # Cross-engine witness semantics (the n07 oracle shape): feature
+    # values and the QUANTIZED margin are exact across engines; the raw
+    # double margin is NOT a fair exactness target because DuckDB may
+    # FMA-contract the multiply-add chain (measured 1-ulp drift), while
+    # Spark follows strict left-assoc IEEE — which we pin against a pure
+    # Python evaluation.
     docs, *_ = trained
     frozen = {
         "features": ["stop_ratio", "punct_ratio", "mean_word_len"],
-        "weights": [10.0, -8.0, 0.35],
-        "intercept": -4.0,
+        "weights": weights,
+        "intercept": intercept,
     }
     exprs = Q.quality_feature_exprs(F.col("text"), F.col("n_chars"))
-    spark_m = {
-        r["doc_id"]: r["m"]
-        for r in docs.select(
-            "doc_id", Q.margin_expr(frozen, exprs).alias("m")
-        ).collect()
-    }
+    rows = docs.select(
+        "doc_id",
+        *[exprs[n].alias(n) for n in frozen["features"]],
+        Q.margin_expr(frozen, exprs).alias("m"),
+        Q.margin_quantized_expr(frozen, exprs).alias("mq"),
+    ).collect()
+    # Spark == strict left-associated IEEE over its own feature values.
+    for r in rows:
+        acc = frozen["intercept"]
+        for name, w in zip(frozen["features"], weights):
+            acc = acc + w * r[name]
+        assert r["m"] == acc, (r["doc_id"], r["m"], acc)
     pdf = docs.select("doc_id", "text", "n_chars").toPandas()
     con = duckdb.connect()
     con.register("documents", pdf)
     sqls = Q.quality_feature_sqls()
-    duck_m = dict(
+    duck = dict(
         con.execute(
-            f"SELECT doc_id, {Q.margin_sql(frozen, sqls)} AS m FROM documents"
+            f"SELECT doc_id, ({Q.margin_sql(frozen, sqls)},"
+            f" {Q.margin_quantized_sql(frozen, sqls)}) FROM documents"
         ).fetchall()
     )
-    assert spark_m.keys() == duck_m.keys()
-    for k, v in spark_m.items():
-        assert v == duck_m[k], (k, v, duck_m[k])  # exact, not approx
+    assert duck.keys() == {r["doc_id"] for r in rows}
+    calibrated = max(abs(x) for x in weights + [intercept]) < 1e3
+    for r in rows:
+        dm, dmq = duck[r["doc_id"]]
+        assert dm == pytest.approx(r["m"], rel=1e-14)  # ulp-level only
+        if calibrated:
+            # Quantization absorbs ulp drift while |margin|·scale·2⁻⁵² ≪ 1
+            # — exact for any calibrated model (n07's margins are O(10)).
+            assert dmq == r["mq"], (r["doc_id"], dmq, r["mq"])
+        else:
+            # Pathological 1e8-scale weights: a 1-ulp margin drift can
+            # cross a quantization boundary — off by at most one step.
+            assert abs(dmq - r["mq"]) <= 1, (r["doc_id"], dmq, r["mq"])
 
 
 def test_log_feature_close_cross_engine(spark, trained):
