@@ -2,9 +2,15 @@
 """Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-     "splits": {...}, "prev_commit": {...}, "sf": ...}
+Prints exactly ONE JSON line (kept deliberately COMPACT — the driver
+captures only a 2000-char stdout tail, and round 4's enriched line
+overflowed it, costing the round its machine-readable bench record):
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The rich payload — per-query {construct, exec} splits and the paired
+prev-commit sentinel block — is written to a committed side file
+``BENCH_DETAIL_r{N}.json`` instead (N = next round, inferred from the
+latest "round N:" driver commit).
 
 Self-interpreting across rounds (two mechanisms, so no reader has to
 re-derive whether a cross-round delta is code, methodology, or the box):
@@ -80,13 +86,17 @@ HEADLINE = [
 ]
 
 # Paired against the previous round's commit in the same session. Small on
-# purpose (one extra JVM): an agg, a window, a sort, and a shuffle-heavy
-# north star span the plan shapes that regress independently.
+# purpose (one extra JVM): an agg, a join-heavy Q5, a window, a sort, a
+# shuffle-heavy north star, and a real write op span the plan shapes that
+# regress independently. (h08c + h02b added round 5: r4's h08c swing could
+# only be attributed to box noise by inference — now it's measured.)
 SENTINELS = [
     "h08_agg_tpch_q1",
+    "h08c_tpch_q5",
     "h12_window_functions",
     "h13_sort_topk",
     "n02_dedup_minhash_lsh",
+    "h02b_ctas_sink",
 ]
 
 # Runs inside the previous round's worktree with ITS package on sys.path;
@@ -124,6 +134,28 @@ out = {n: {"construct": round(min(v["construct"]), 3),
 print("PREVBENCH " + json.dumps(out))
 spark.stop()
 '''
+
+
+def _next_round() -> int:
+    """Infer the upcoming round number: latest driver 'round N:' commit + 1,
+    falling back to max existing BENCH_r*.json + 1."""
+    try:
+        subj = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%s"],
+            cwd=_REPO_ROOT, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if subj.startswith("round "):
+            return int(subj.split(":", 1)[0].split()[1]) + 1
+    except Exception:  # noqa: BLE001
+        pass
+    rounds = [0]
+    for name in os.listdir(_REPO_ROOT):
+        if name.startswith("BENCH_r") and name.endswith(".json"):
+            try:
+                rounds.append(int(name[len("BENCH_r"):-len(".json")]))
+            except ValueError:
+                pass
+    return max(rounds) + 1
 
 
 def _sf_from_dir(path: str) -> float:
@@ -336,19 +368,38 @@ def main() -> None:
 
     timings = {n: round(s["construct"] + s["exec"], 3) for n, s in splits.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+
+    # Rich payload → committed side file (splits, paired sentinels). The
+    # stdout line carries only what the driver's 2000-char tail must parse.
+    detail_path = os.path.join(_REPO_ROOT, f"BENCH_DETAIL_r{_next_round():02d}.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
                 "splits": splits,
                 "prev_commit": prev,
-                "sf": _sf_from_dir(SF_DIR),
-            }
+            },
+            f,
+            indent=1,
         )
+        f.write("\n")
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_from_dir(SF_DIR),
+        }
     )
+    # The driver records only a 2000-char stdout tail; a line longer than
+    # that is unrecoverable mid-line (the round-4 failure). Hard-stop here.
+    assert len(line) < 1900, f"bench stdout line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

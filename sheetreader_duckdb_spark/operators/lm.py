@@ -185,9 +185,21 @@ def lm_loglik(
     vocabulary size + 1 (the unseen type), computed in-plan as a 1-row
     aggregate cross-joined in (broadcast of one row — no driver action).
     ``ll`` is the occurrence-weighted sum over the doc's bigrams,
-    ``ppl = exp(-ll / n_bigrams)``.  Floating caveat: see the module
-    docstring — pin these with a tolerance, hash the ``lm_doc_stats``
-    integers instead.
+    ``ppl = exp(-ll / n_bigrams)``.
+
+    Context-denominator note (CCNet-style approximation): ``c1`` is the
+    TOTAL unigram occurrence count of ``w1``, which includes
+    document-final occurrences that never open a bigram, so
+    ``Σ_w2 p(w2|w1)`` sums to slightly less than 1 — the conditional is
+    deliberately unnormalized. The standard MLE would use bigram-prefix
+    counts (``Σ c12 over grams starting with w1``, one extra aggregate
+    over the ``bi`` table); the unigram form is kept because it needs no
+    second pass and the deficiency is a per-``w1`` constant factor that
+    cancels in cross-document comparisons against the same LM tables.
+    tests/test_lm.py pins the identical formula in pure Python.
+
+    Floating caveat: see the module docstring — pin these with a
+    tolerance, hash the ``lm_doc_stats`` integers instead.
     """
     dbc = _doc_bigram_counts(docs, id_col, text_col)
     vocab = uni.agg((F.count(F.lit(1)) + F.lit(1)).alias("_v"))

@@ -631,7 +631,6 @@ _MLQ_MODEL = {
 
 def _sql_text_signals() -> str:
     langs = list(X.LANG_MARKERS)
-    mlq_sql = QM.margin_sql(_MLQ_MODEL, QM.quality_feature_sqls("text", "n_chars"))
     mlq_q_sql = QM.margin_quantized_sql(
         _MLQ_MODEL, QM.quality_feature_sqls("text", "n_chars")
     )
@@ -661,7 +660,7 @@ def _sql_text_signals() -> str:
            {SM.split_case_sql('doc_id', _SPLIT_WEIGHTS, seed='corpus-v1')} AS split,
            {X.quality_keep_sql('text')} AS keep,
            {mlq_q_sql} AS mlq_margin_q,
-           ({mlq_sql} > 0) AS mlq_keep,
+           ({mlq_q_sql} >= 0) AS mlq_keep,
            md5({_sql_scrub_expr('text')}) AS scrub_fp
     FROM m
     """
@@ -681,8 +680,11 @@ def _sql_text_signals() -> str:
     "inference path (operators/quality_model.py: mlq_margin_q = frozen "
     "linear model over rational signals as ONE codegen'd expression, "
     "floor-quantized to 1e-6 because DuckDB may FMA-contract the "
-    "multiply-add chain; mlq_keep = margin > 0 — training via pyspark.ml "
-    "LBFGS and sigmoid parity pinned in tests/test_quality_model.py), "
+    "multiply-add chain; mlq_keep = mlq_margin_q >= 0, derived from the "
+    "SAME quantized witness on both engines so a margin within 1 ulp of "
+    "zero cannot flip the boolean between engines — training via "
+    "pyspark.ml LBFGS and sigmoid parity pinned in "
+    "tests/test_quality_model.py), "
     "and the PII-scrub witness "
     "(scrub_fp = md5 of scrub_pii(text) — pins every masked byte of the "
     "URL/email/phone scrub without shipping the text). Scan-speed column "
@@ -691,7 +693,9 @@ def _sql_text_signals() -> str:
 def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
     text = F.col("text")
-    mlq = QM.margin_expr(_MLQ_MODEL, QM.quality_feature_exprs(text, F.col("n_chars")))
+    mlq_q = QM.margin_quantized_expr(
+        _MLQ_MODEL, QM.quality_feature_exprs(text, F.col("n_chars"))
+    )
     n_ws = X.n_tokens(text)
     n_stop = X.stopword_hits(text)
     n_punct = X.punct_count(text)
@@ -713,10 +717,8 @@ def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(fp, 1, 8).alias("fp8"),
         SM.hash_split("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1").alias("split"),
         X.quality_keep(text).alias("keep"),
-        QM.margin_quantized_expr(
-            _MLQ_MODEL, QM.quality_feature_exprs(text, F.col("n_chars"))
-        ).alias("mlq_margin_q"),
-        (mlq > 0).alias("mlq_keep"),
+        mlq_q.alias("mlq_margin_q"),
+        (mlq_q >= 0).alias("mlq_keep"),
         F.md5(X.scrub_pii(text).cast("binary")).alias("scrub_fp"),
     )
 

@@ -234,15 +234,15 @@ def recover_corpus_state(spark: SparkSession, corpus_path: str) -> list[str]:
     * no plan (or a torn, unparseable one) → no live directory was moved
       by the journaled protocol: ROLL BACK — drop the tmp and the torn
       plan. Stray ``.batch=<i>.old`` dirs without a plan come from the
-      PRE-journal layout, which is disambiguated by its tmp
-      (``.compact.tmp``): tmp present means the legacy swap never
-      installed — restore each ``.old`` whose live directory is missing
-      (under copy+delete rename semantics a surviving live copy is the
-      complete one, so live wins); NO tmp means the legacy swap
-      completed and its merged ``batch=<top>`` already contains every
-      ``.old``'s rows — the ``.old``s are redundant and restoring them
-      would DUPLICATE state rows (doubled shingle/band counts corrupt
-      Jaccard), so they are dropped.
+      PRE-journal layout and are reconciled by ``_recover_legacy_swap``,
+      which does NOT assume atomic renames: whichever of
+      {``.compact.tmp``, live ``batch=<top>``} holds more readable rows
+      is the complete merged copy (the legacy protocol never lets both
+      be partial at once) and is rolled FORWARD via a committed
+      overwrite install; every merged source (asides and un-renamed
+      live inputs) is then dropped, since restoring them next to the
+      merged directory would DUPLICATE state rows (doubled
+      shingle/band counts corrupt Jaccard).
 
     Returns the stores touched. Run this (or ``compact_corpus_state``,
     which runs it first) before restarting the builder after a crash.
@@ -277,22 +277,126 @@ def recover_corpus_state(spark: SparkSession, corpus_path: str) -> list[str]:
         if plan is not None:
             _install_compacted(spark, base, plan)
         else:
-            swap_incomplete = fsutil.exists(spark, tmp) or fsutil.exists(
-                spark, legacy_tmp
-            )
+            # Journaled-protocol rollback: a tmp without a plan means no
+            # live directory was ever moved — drop the tmp / torn plan.
+            # Leftover .olds cannot belong to the journaled protocol
+            # (its .olds are only ever deleted BEFORE the plan), so any
+            # .old here is a pre-journal legacy layout.
             fsutil.delete(spark, tmp)
-            fsutil.delete(spark, legacy_tmp)
             fsutil.delete(spark, plan_path)
-            for old in olds:
-                live = f"{base}/batch={_batch_id(old)}"
-                if swap_incomplete and not fsutil.exists(spark, live):
-                    fsutil.rename(spark, old, live)
-                else:
-                    # Either live survived (live wins) or the swap that
-                    # created this .old completed (its rows already sit in
-                    # the merged directory) — restoring would duplicate.
-                    fsutil.delete(spark, old)
+            if olds:
+                _recover_legacy_swap(spark, base, legacy_tmp, olds)
+            else:
+                # Legacy step-1 crash (merged tmp incomplete, every live
+                # directory untouched): plain rollback.
+                fsutil.delete(spark, legacy_tmp)
     return touched
+
+
+def _count_or_none(spark: SparkSession, path: str) -> int | None:
+    """Row count of a parquet directory, or None if it cannot be read
+    (missing, or torn mid-copy so a part file is truncated)."""
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:  # noqa: BLE001 — recovery probe, any failure = unreadable
+        return None
+
+
+def _recover_legacy_swap(
+    spark: SparkSession, base: str, legacy_tmp: str, olds: list[str]
+) -> None:
+    """Reconcile a crashed PRE-journal compaction swap (``.compact.tmp`` +
+    ``.batch=<i>.old`` layout) without assuming atomic renames.
+
+    The legacy protocol was: (1) write merged rows to ``.compact.tmp``;
+    (2) rename every merge-input ``batch=<i>`` aside; (3) rename the tmp
+    in as ``batch=<target>`` (target = highest merged id); (4) delete the
+    asides. Under copy+delete rename semantics the key invariant is: the
+    tmp stays COMPLETE until step 3's delete phase begins, and that phase
+    only begins once the installed ``batch=<target>`` copy is complete —
+    so at every step-3 crash point at least one of {tmp, live target}
+    holds the complete merged rows, and the one with MORE readable rows
+    is it (a partial copy holds a strict subset of the part files).
+    The previous rule here — 'a surviving live copy is the complete one'
+    — held for the aside direction but was INVERTED for the install
+    direction: a crash mid step 3's copy left a partial live target that
+    the old rollback kept while deleting the complete tmp and aside.
+
+    Decision tree (asides present, plan absent):
+
+    * tmp absent → the swap installed; asides are redundant copies of
+      rows the merged target already holds — drop them (restoring would
+      double shingle/band rows and corrupt Jaccard verification).
+    * tmp present, some NON-target aside still has a live counterpart →
+      crash mid step 2 (the install cannot have started: step 3 runs
+      only after every aside rename finished). Every live dir is
+      complete, every live-missing aside is complete — classic
+      rollback: restore live-missing asides, drop survivors' partial
+      asides, drop the tmp.
+    * tmp present otherwise → step-2-complete or step-3 crash: compare
+      readable row counts of tmp vs live target and ROLL FORWARD from
+      whichever is larger (ties: both complete, keep live) via a
+      committed Spark overwrite install, then drop asides + tmp.
+
+    Residual documented assumption: a layout from the short-lived
+    merge-ALL-batches legacy variant, crashed between two aside renames
+    with later inputs not yet renamed, is reconciled as if the
+    not-yet-renamed inputs were outside the merge — their rows stay live
+    and also sit inside the installed merge, so digest dedup (semi-join,
+    duplicate-tolerant) survives but shingle counts can double for those
+    batches; atomic-rename stores (POSIX/HDFS) never hit this.
+    """
+    from sheetreader_duckdb_spark.operators import fsutil
+
+    old_ids = sorted(_batch_id(o) for o in olds)
+    target = old_ids[-1]
+    target_live = f"{base}/batch={target}"
+    if not fsutil.exists(spark, legacy_tmp):
+        for old in olds:
+            fsutil.delete(spark, old)
+        return
+    survivors = {
+        i for i in old_ids if fsutil.exists(spark, f"{base}/batch={i}")
+    }
+    if survivors - {target}:
+        # Mid step 2: install never started, every live copy complete.
+        for old in olds:
+            i = _batch_id(old)
+            if i in survivors:
+                fsutil.delete(spark, old)  # partial aside, live wins
+            else:
+                fsutil.rename(spark, old, f"{base}/batch={i}")
+        fsutil.delete(spark, legacy_tmp)
+        return
+    tmp_rows = _count_or_none(spark, legacy_tmp)
+    live_rows = _count_or_none(spark, target_live)
+    if tmp_rows is not None and (live_rows is None or tmp_rows > live_rows):
+        # tmp is the complete merged copy (step-2 tail or mid install
+        # copy): install it with a committed overwrite write — recovery
+        # itself is then crash-safe (an interrupted install leaves the
+        # complete tmp in place for the re-run).
+        spark.read.parquet(legacy_tmp).write.mode("overwrite").parquet(target_live)
+    elif live_rows is None:
+        # Neither copy readable — unreachable under the protocol
+        # invariant (torn tmp ⇒ install completed ⇒ live complete);
+        # defensively restore the pre-merge asides and bail.
+        for old in olds:
+            i = _batch_id(old)
+            if not fsutil.exists(spark, f"{base}/batch={i}"):
+                fsutil.rename(spark, old, f"{base}/batch={i}")
+            else:
+                fsutil.delete(spark, old)
+        fsutil.delete(spark, legacy_tmp)
+        return
+    # else: live target holds >= the tmp's readable rows ⇒ the install
+    # copy completed (step-3 delete phase) ⇒ live target is complete.
+    # Drop the tmp's _SUCCESS marker first: a crash mid tmp-delete then
+    # leaves a tmp that reads as partial (never more rows than the
+    # installed live), so a recovery re-run lands back in live-wins.
+    fsutil.delete(spark, f"{legacy_tmp}/_SUCCESS")
+    fsutil.delete(spark, legacy_tmp)
+    for old in olds:
+        fsutil.delete(spark, old)
 
 
 def _install_compacted(spark: SparkSession, base: str, plan: dict) -> None:

@@ -232,6 +232,36 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert sorted(os.listdir(base)) == ["batch=2"]
 
 
+def test_legacy_install_direction_crash_keeps_complete_copy(spark, tmp_path):
+    """Legacy (pre-journal) swap crashed mid step 3's COPY phase under
+    copy+delete rename semantics: live ``batch=<target>`` exists but is
+    PARTIAL, while ``.compact.tmp`` and ``.batch=<target>.old`` hold the
+    complete copies. The old 'a surviving live copy is the complete one'
+    rollback deleted both complete copies and kept the partial live —
+    data loss. Recovery must roll forward from the complete tmp."""
+    import shutil
+
+    corpus = str(tmp_path / "corpus_lidc")
+    for i, text in enumerate([NEAR_A, NEAR_B, NEAR_C]):
+        accept_batch(_docs(spark, [(i, text)]), i, corpus, "doc_id", "text")
+    base = f"{corpus}/digests"
+    # Build the complete merged tmp (batches 0+1 under target id 1).
+    spark.read.parquet(f"{base}/batch=0", f"{base}/batch=1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/.compact.tmp")
+    # Step 2 completed: both inputs renamed aside.
+    os.rename(f"{base}/batch=0", f"{base}/.batch=0.old")
+    os.rename(f"{base}/batch=1", f"{base}/.batch=1.old")
+    # Step 3 crash mid-copy: live target holds only a strict subset of
+    # the tmp's part files (here: the _SUCCESS marker and no data file).
+    os.makedirs(f"{base}/batch=1")
+    shutil.copy(f"{base}/.compact.tmp/_SUCCESS", f"{base}/batch=1/_SUCCESS")
+    assert "digests" in recover_corpus_state(spark, corpus)
+    assert sorted(os.listdir(base)) == ["batch=1", "batch=2"]
+    # Both merged digests survived — the partial live did not win.
+    assert spark.read.parquet(f"{base}/batch=1").count() == 2
+
+
 def test_streaming_end_to_end_with_restart(spark, tmp_path):
     inp = str(tmp_path / "in")
     corpus = str(tmp_path / "corpus3")
