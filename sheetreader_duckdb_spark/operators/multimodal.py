@@ -52,17 +52,82 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def attach_media_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """Content-address a payload column: sha256 digest + byte length + a
-    deterministic mime sniff. Pure column expressions — scan-speed."""
-    payload = F.col(payload_col).cast("binary")
-    return df.select(
-        F.col(id_col).alias("media_id"),
-        F.col(payload_col).alias("payload"),
+# Magic-byte prefixes for the container formats a media lake actually
+# holds. Matched with built-in substring equality on the binary column —
+# whole-stage codegen, zero Python. (`F.substring` is 1-indexed; offsets
+# follow each container spec.)
+_MAGIC_RULES: list[tuple[int, bytes, str]] = [
+    (1, b"\x89PNG\r\n\x1a\n", "image/png"),
+    (1, b"\xff\xd8\xff", "image/jpeg"),
+    (1, b"GIF8", "image/gif"),
+    (1, b"ID3", "audio/mpeg"),
+    (1, b"OggS", "audio/ogg"),
+    (1, b"fLaC", "audio/flac"),
+    (1, b"\x1a\x45\xdf\xa3", "video/webm"),  # EBML (webm/mkv)
+]
+# RIFF and ISO-BMFF discriminate on a SECOND field past the prefix.
+_RIFF_RULES: list[tuple[bytes, str]] = [
+    (b"WAVE", "audio/wav"),
+    (b"AVI ", "video/x-msvideo"),
+    (b"WEBP", "image/webp"),
+]
+
+
+def sniff_mime(payload) -> "F.Column":
+    """Magic-byte mime sniff over a binary column, as one codegen'd CASE.
+
+    Covers PNG/JPEG/GIF/WEBP images, WAV/MP3/OGG/FLAC audio, and
+    MP4/AVI/WEBM video: fixed prefixes, the RIFF container's format field
+    (bytes 9-12), and ISO-BMFF's ``ftyp`` box (bytes 5-8 — MP4/MOV/3GP
+    all land here, reported as video/mp4). Unknown payloads map to
+    application/octet-stream rather than guessing.
+    """
+    expr = F.when(
+        F.substring(payload, 5, 4) == F.lit(b"ftyp"), F.lit("video/mp4")
+    )
+    for fmt, mime in _RIFF_RULES:
+        expr = expr.when(
+            (F.substring(payload, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(payload, 9, 4) == F.lit(fmt)),
+            F.lit(mime),
+        )
+    for off, magic, mime in _MAGIC_RULES:
+        expr = expr.when(
+            F.substring(payload, off, len(magic)) == F.lit(magic), F.lit(mime)
+        )
+    return expr.otherwise(F.lit("application/octet-stream"))
+
+
+def _witness_mime(payload) -> "F.Column":
+    """The declared n11 oracle witness: a deterministic length-derived
+    label (testdata payloads are synthetic strings, not real media), kept
+    so the cross-engine hash check has a DuckDB-expressible twin."""
+    return (
         F.when(F.octet_length(payload) % 3 == 0, "image/png")
         .when(F.octet_length(payload) % 3 == 1, "audio/wav")
         .otherwise("video/mp4")
-        .alias("mime"),
+    )
+
+
+def attach_media_metadata(
+    df: DataFrame, id_col: str, payload_col: str, mime_sniff: str = "magic"
+) -> DataFrame:
+    """Content-address a payload column: sha256 digest + byte length + a
+    mime sniff. Pure column expressions — scan-speed.
+
+    ``mime_sniff='magic'`` (default) sniffs real container magic bytes
+    (``sniff_mime``); ``'witness'`` keeps the deterministic
+    length-derived label the declared n11 oracle pins (synthetic
+    testdata carries no real magic bytes).
+    """
+    if mime_sniff not in ("magic", "witness"):
+        raise ValueError(f"mime_sniff must be 'magic' or 'witness', got {mime_sniff!r}")
+    payload = F.col(payload_col).cast("binary")
+    mime = sniff_mime(payload) if mime_sniff == "magic" else _witness_mime(payload)
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        mime.alias("mime"),
         F.sha2(payload, 256).alias("sha256"),
         F.octet_length(payload).cast("long").alias("n_bytes"),
     )

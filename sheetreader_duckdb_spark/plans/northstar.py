@@ -1354,7 +1354,12 @@ def n17_tf_idf(spark: SparkSession, sf: str) -> DataFrame:
     FROM documents
     """,
     doc="Content-addressed multimodal metadata over opaque payloads: sha256 "
-    "digest, byte length, deterministic mime sniff (N5). The decode / "
+    "digest, byte length, deterministic mime witness (N5; mime_sniff="
+    "'witness' — the synthetic testdata carries no container magic bytes, "
+    "so the DuckDB-expressible length-derived label is the declared "
+    "witness; the production default sniffs real PNG/RIFF/ftyp/EBML "
+    "prefixes via built-in substring equality, "
+    "tests/test_multimodal.py::test_sniff_mime_magic_bytes). The decode / "
     "feature-extraction path is operators.multimodal.extract_features "
     "(mapInPandas, stubbed codecs).",
 )
@@ -1362,7 +1367,7 @@ def n11_multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
     from sheetreader_duckdb_spark.operators.multimodal import attach_media_metadata
 
     d = T(spark, sf, "documents")
-    return attach_media_metadata(d, "doc_id", "text").select(
+    return attach_media_metadata(d, "doc_id", "text", mime_sniff="witness").select(
         "media_id", "mime", "sha256", "n_bytes"
     )
 

@@ -115,3 +115,47 @@ def test_real_decode_with_pillow(spark):
     got = M.sample_frames(gif, n_frames=3, decode_stub="real").collect()
     assert [r["frame_idx"] for r in sorted(got, key=lambda r: r["frame_idx"])] == [0, 1, 2]
     assert len({r["frame_sha256"] for r in got}) == 3
+
+
+def test_sniff_mime_magic_bytes(spark):
+    """The production mime path sniffs real container magic bytes via
+    built-in substring equality (zero Python): fixed prefixes, the RIFF
+    format field at bytes 9-12, ISO-BMFF's ftyp box at bytes 5-8."""
+    cases = [
+        (b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "image/png"),
+        (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00", "image/jpeg"),
+        (b"GIF89a\x04\x00\x04\x00", "image/gif"),
+        (b"RIFF\x24\x08\x00\x00WAVEfmt ", "audio/wav"),
+        (b"RIFF\x10\x00\x00\x00AVI LIST", "video/x-msvideo"),
+        (b"RIFF\x0c\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (b"\x00\x00\x00\x18ftypmp42\x00\x00", "video/mp4"),
+        (b"\x00\x00\x00\x14ftypqt  ", "video/mp4"),  # MOV lands in BMFF too
+        (b"ID3\x03\x00\x00\x00", "audio/mpeg"),
+        (b"OggS\x00\x02", "audio/ogg"),
+        (b"fLaC\x00\x00\x00\x22", "audio/flac"),
+        (b"\x1a\x45\xdf\xa3\x42\x86", "video/webm"),
+        (b"plain text, no magic", "application/octet-stream"),
+        (b"RIFF\x00\x00\x00\x00????", "application/octet-stream"),  # unknown RIFF
+        (b"", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, (p, _) in enumerate(cases)],
+        "media_id long, payload binary",
+    )
+    out = M.attach_media_metadata(df, "media_id", "payload")  # default: magic
+    got = {r["media_id"]: r["mime"] for r in out.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_attach_media_metadata_witness_mode_unchanged(spark):
+    """mime_sniff='witness' keeps the declared n11 oracle's
+    length-derived label exactly."""
+    df = spark.createDataFrame(
+        [(0, "abc"), (1, "abcd"), (2, "abcde")], "media_id long, payload string"
+    )
+    out = M.attach_media_metadata(df, "media_id", "payload", mime_sniff="witness")
+    got = {r["media_id"]: r["mime"] for r in out.collect()}
+    assert got == {0: "image/png", 1: "audio/wav", 2: "video/mp4"}
+    with pytest.raises(ValueError, match="mime_sniff"):
+        M.attach_media_metadata(df, "media_id", "payload", mime_sniff="nope")
