@@ -1086,6 +1086,145 @@ def pq_topk(
     )
 
 
+def pq_int_quantize(vec: Column, scale: int = 128) -> Column:
+    """Element-wise exact integer quantization ``round(v * scale)`` as
+    BIGINT. float→double is exact, ×scale (power of two) is exact, and
+    round() agrees across engines (the ``cents`` precedent) — so the
+    integer vector is bit-identical everywhere."""
+    return F.transform(
+        vec, lambda v: F.round(v.cast("double") * F.lit(scale)).cast("long")
+    )
+
+
+def pq_adc_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    refine: int = 4,
+    scale: int = 128,
+) -> DataFrame:
+    """Integer-exact PQ + ADC witness: the full two-stage pq_topk pipeline
+    (encode → ADC coarse rank → exact float rescore) with every coarse
+    quantity in BIGINT so a DuckDB oracle reproduces it bit-for-bit.
+
+    Construction (each piece SQL-expressible, which is the point):
+    vectors int-quantize via ``pq_int_quantize``; subspace ``j``'s
+    codebook is the ``j``-th sub-vector of the int-quantized corpus rows
+    with ``id_col`` in [0, n_codes) (deterministic data-derived seeds —
+    no Lloyd loop, the oracle builds the same books from the same rows);
+    encoding is an exact integer L2 argmin (ties → lowest code id); the
+    ADC coarse score is the exact integer LUT sum Σ_j <q_sub_j,
+    book_j[code_j]>. The float Lloyd-trained production path stays
+    ``pq_codebooks``/``pq_topk`` (recall-pinned in tests/test_pq.py);
+    this witness pins the ENGINE — same argmin/LUT/rescore topology,
+    cross-engine-hashable arithmetic.
+
+    Returns a tagged union: 'coarse' rows are the k·refine ADC survivors
+    per query (score = coarse integer dot as double, rn = coarse rank),
+    'final' rows the exactly-rescored top-k (score = float cosine).
+    Scale shape matches pq_topk: the corpus shuffles only integer codes
+    through the ranking window; float vectors are fetched for the
+    broadcast survivor residue only.
+    """
+    from pyspark.sql import Window
+
+    if dim % m:
+        raise ValueError(f"dim={dim} must split evenly into m={m} subspaces")
+    dsub = dim // m
+    iv = pq_int_quantize(F.col(vec_col), scale)
+    seed_rows = {
+        r["__sid"]: r["__iv"]
+        for r in corpus.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).cast("long").alias("__sid"), iv.alias("__iv"))
+        .collect()
+    }
+    if len(seed_rows) < n_codes:
+        raise ValueError(
+            f"corpus holds only {len(seed_rows)} rows with {id_col} < "
+            f"{n_codes}; the witness codebooks need ids 0..{n_codes - 1}"
+        )
+    books = [
+        [[int(seed_rows[c][j * dsub + p]) for p in range(dsub)] for c in range(n_codes)]
+        for j in range(m)
+    ]
+
+    def int_entries(j: int) -> Column:
+        return F.array(*[F.array(*[F.lit(w) for w in c]) for c in books[j]])
+
+    def code_expr(vec_int: Column, j: int) -> Column:
+        sub = F.slice(vec_int, j * dsub + 1, dsub)
+        dists = F.transform(
+            int_entries(j),
+            lambda cl: F.aggregate(
+                F.zip_with(sub, cl, lambda v, w: (v - w) * (v - w)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    def lut_expr(vec_int: Column, j: int) -> Column:
+        sub = F.slice(vec_int, j * dsub + 1, dsub)
+        return F.transform(
+            int_entries(j),
+            lambda cl: F.aggregate(
+                F.zip_with(sub, cl, lambda v, w: v * w),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        )
+
+    enc = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.array(*[code_expr(iv, j) for j in range(m)]).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.array(*[lut_expr(iv, j) for j in range(m)]).alias("lut"),
+    )
+    coarse = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
+    cand = (
+        enc.join(broadcast(q), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", coarse.alias("coarse"))
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= k * refine)
+    )
+    coarse_rows = cand.select(
+        F.lit("coarse").alias("tag"),
+        "qid",
+        "cid",
+        F.col("coarse").cast("double").alias("score"),
+        F.col("crn").cast("long").alias("rn"),
+    )
+    vecs = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    rescored = (
+        cand.select("qid", "cid")
+        .join(broadcast(vecs.withColumnRenamed("__vid", "qid").withColumnRenamed("__v", "qv")), "qid")
+        .join(vecs.withColumnRenamed("__vid", "cid").withColumnRenamed("__v", "cv"), "cid")
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    final_rows = (
+        rescored.withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(F.lit("final").alias("tag"), "qid", "cid", F.col("cos").alias("score"), "rn")
+    )
+    return coarse_rows.unionAll(final_rows)
+
+
 # --------------------------------------------------------------------------
 # Persistent IVF index: build once, search many times
 # --------------------------------------------------------------------------

@@ -430,28 +430,20 @@ _SQL_COSINE = """
 """
 
 
-@query(
-    "n05_ann_bruteforce_topk",
-    oracle=f"""
+def _sql_n05_bf() -> str:
+    return f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
     c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
     s AS (
         SELECT qid, cid, {_SQL_COSINE} AS cosine
         FROM q CROSS JOIN c WHERE qid <> cid
     )
-    SELECT qid, cid, cosine, CAST(rn AS BIGINT) AS rn
+    SELECT 'bf' AS tag, qid, cid, cosine AS score, CAST(rn AS BIGINT) AS rn
     FROM (SELECT qid, cid, cosine,
                  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
           FROM s)
     WHERE rn <= 5
-    """,
-    doc="Exact top-5 cosine neighbors for 10 query vectors: broadcast "
-    "queries, JVM fold dot products, per-query top-k window (N3). The "
-    "approximate scale path is operators.similarity.lsh_topk (SRP buckets).",
-)
-def n05_ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
-    e = T(spark, sf, "embeddings")
-    return S.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    """
 
 
 # --------------------------------------------------------------------------
@@ -590,6 +582,134 @@ def n06b_embedding_neardup_srp(spark: SparkSession, sf: str) -> DataFrame:
     # count(*), so the two can't desync at any sf.
     n_planes = S.auto_srp_planes(e.count(), target_bucket=8, lo=6)
     return S.srp_neardup_pairs(e, dim=64, n_planes=n_planes, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# N3c-witness — PQ + ADC with integer-exact coarse arithmetic, so the
+# product-quantization pipeline graduates from rows-only to hash-checked:
+# the oracle rebuilds the SAME codebooks from the data (int-quantized
+# sub-vectors of vec_id < n_codes), re-derives the integer argmin
+# encoding and LUT scores in BIGINT, and rescored cosines reuse the
+# hash-green n05 form. Constants mirrored on both sides:
+_PQ_W = {"dim": 64, "m": 8, "n_codes": 16, "k": 5, "refine": 4, "scale": 128}
+
+
+def _sql_pq_adc() -> str:
+    d, m, nc, k, rf, sc = (
+        _PQ_W["dim"], _PQ_W["m"], _PQ_W["n_codes"],
+        _PQ_W["k"], _PQ_W["refine"], _PQ_W["scale"],
+    )
+    ds = d // m
+    return f"""
+    WITH iv AS (
+        SELECT vec_id,
+               list_transform(range(1, {d + 1}),
+                   i -> CAST(round(CAST(embedding[i] AS DOUBLE) * {sc}) AS BIGINT)) AS v,
+               embedding AS fv
+        FROM embeddings
+    ),
+    books AS (SELECT vec_id AS code, v FROM iv WHERE vec_id < {nc}),
+    subs AS (SELECT unnest(range({m})) AS j),
+    dists AS (
+        SELECT c.vec_id AS cid, s.j, b.code,
+               list_sum(list_transform(range(1, {ds + 1}), p ->
+                   (c.v[s.j * {ds} + p] - b.v[s.j * {ds} + p])
+                 * (c.v[s.j * {ds} + p] - b.v[s.j * {ds} + p]))) AS dd
+        FROM iv c CROSS JOIN subs s CROSS JOIN books b
+    ),
+    codes AS (
+        SELECT cid, j, code FROM (
+            SELECT cid, j, code,
+                   row_number() OVER (PARTITION BY cid, j ORDER BY dd, code) AS r
+            FROM dists
+        ) WHERE r = 1
+    ),
+    adc AS (
+        SELECT q.vec_id AS qid, co.cid,
+               SUM(list_sum(list_transform(range(1, {ds + 1}), p ->
+                   q.v[co.j * {ds} + p] * b.v[co.j * {ds} + p]))) AS coarse
+        FROM iv q
+        CROSS JOIN codes co
+        JOIN books b ON co.code = b.code
+        WHERE q.vec_id < 10 AND q.vec_id <> co.cid
+        GROUP BY q.vec_id, co.cid
+    ),
+    cand AS (
+        SELECT qid, cid, coarse,
+               row_number() OVER (PARTITION BY qid ORDER BY coarse DESC, cid) AS crn
+        FROM adc
+    ),
+    survivors AS (SELECT qid, cid, coarse, crn FROM cand WHERE crn <= {k * rf}),
+    resc AS (
+        SELECT s.qid, s.cid,
+               list_sum(list_transform(range(1, {d + 1}),
+                   i -> CAST(q.fv[i] AS DOUBLE) * CAST(c.fv[i] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(range(1, {d + 1}),
+                   i -> CAST(q.fv[i] AS DOUBLE) * CAST(q.fv[i] AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(range(1, {d + 1}),
+                   i -> CAST(c.fv[i] AS DOUBLE) * CAST(c.fv[i] AS DOUBLE))))) AS cos
+        FROM survivors s
+        JOIN iv q ON q.vec_id = s.qid
+        JOIN iv c ON c.vec_id = s.cid
+    )
+    SELECT 'pq_coarse' AS tag, qid, cid, CAST(coarse AS DOUBLE) AS score,
+           CAST(crn AS BIGINT) AS rn
+    FROM survivors
+    UNION ALL
+    SELECT 'pq_final', qid, cid, cos, CAST(rn AS BIGINT)
+    FROM (SELECT qid, cid, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM resc)
+    WHERE rn <= {k}
+    """
+
+
+@query(
+    "n05_ann_bruteforce_topk",
+    oracle=(
+        "SELECT * FROM (" + _sql_n05_bf() + ")\n"
+        "    UNION ALL\n"
+        "    SELECT * FROM (" + _sql_pq_adc() + ")"
+    ),
+    doc="ANN search, three tagged branches over (tag, qid, cid, score, "
+    "rn), ALL hash-checked: 'bf' = exact top-5 cosine neighbors for 10 "
+    "query vectors (broadcast queries, JVM fold dot products, per-query "
+    "top-k window — the N3 exact baseline); 'pq_coarse'/'pq_final' = "
+    "product quantization + ADC top-k, hash-checked end to end (Jégou "
+    "et al. 2011 — the witness form of the Lloyd-trained "
+    "operators/similarity.py pq_codebooks/pq_topk path, whose recall "
+    "tests/test_pq.py pins): vectors int-quantize exactly (round(v·128) "
+    "as BIGINT), subspace codebooks are the int sub-vectors of corpus "
+    "rows vec_id < 16 — data-derived AND SQL-reproducible — encoding is "
+    "an exact integer L2 argmin, the ADC coarse score an exact integer "
+    "LUT sum ('pq_coarse': engine-bit-identical survivor ranks), and "
+    "the k·refine survivors rescore with the exact float cosine "
+    "('pq_final': the hash-green bf form). Scale shape matches pq_topk: "
+    "only m-int codes shuffle through the ranking window; float vectors "
+    "are fetched for the broadcast survivor residue only. The "
+    "approximate scale family (lsh/ivf/q8/float-pq) is nx_scale_variants.",
+)
+def n05_ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    qset = e.filter(F.col("vec_id") < 10)
+    bf = S.brute_force_topk(e, qset, k=5).select(
+        F.lit("bf").alias("tag"),
+        "qid",
+        "cid",
+        F.col("cosine").alias("score"),
+        "rn",
+    )
+    pq = S.pq_adc_exact(
+        e,
+        qset,
+        dim=_PQ_W["dim"],
+        m=_PQ_W["m"],
+        n_codes=_PQ_W["n_codes"],
+        k=_PQ_W["k"],
+        refine=_PQ_W["refine"],
+        scale=_PQ_W["scale"],
+    ).withColumn("tag", F.concat(F.lit("pq_"), F.col("tag")))
+    return bf.unionAll(pq)
 
 
 # --------------------------------------------------------------------------
@@ -1530,18 +1650,27 @@ def n12_session_windows(spark: SparkSession, sf: str) -> DataFrame:
            CASE WHEN ts - quote_ts > INTERVAL 2 HOUR THEN NULL ELSE px END,
            CASE WHEN ts - quote_ts > INTERVAL 2 HOUR THEN NULL ELSE quote_ts END
     FROM base
+    UNION ALL
+    SELECT 'salted', event_id, user_id, ts, px, quote_ts FROM base
     """,
     doc="As-of join (temporal primitive Spark lacks natively): every view "
     "event joined with the user's latest purchase at or before it, NULLs "
     "when none precedes ('asof'), plus the staleness-tolerance form "
     "('tol2h': matches older than 2 hours are nulled — the operator's "
     "tolerance parameter, expressed in the oracle as a CASE over the "
-    "untolerated ASOF result). Scale-safe union-and-carry plan — one "
-    "shuffle on the key, no range-join pair explosion; oracle is DuckDB's "
-    "native ASOF LEFT JOIN.",
+    "untolerated ASOF result), plus the skew-hedged salted form "
+    "('salted': as_of_join_salted replicates quotes across n_salts "
+    "row-position probe salts so hot keys parallelize — bit-identical to "
+    "the plain form by construction, so its oracle IS the plain ASOF "
+    "result). Scale-safe union-and-carry plan — one shuffle on the key, "
+    "no range-join pair explosion; oracle is DuckDB's native ASOF LEFT "
+    "JOIN.",
 )
 def n19_asof_join(spark: SparkSession, sf: str) -> DataFrame:
-    from sheetreader_duckdb_spark.operators.temporal import as_of_join
+    from sheetreader_duckdb_spark.operators.temporal import (
+        as_of_join,
+        as_of_join_salted,
+    )
 
     ev = T(spark, sf, "events")
     probes = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
@@ -1560,7 +1689,10 @@ def n19_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         ["px"],
         tolerance=F.expr("INTERVAL 2 HOURS"),
     ).select(F.lit("tol2h").alias("tag"), *cols)
-    return plain.unionAll(tol)
+    salted = as_of_join_salted(
+        probes, quotes, ["user_id"], "ts", ["px"], n_salts=4
+    ).select(F.lit("salted").alias("tag"), *cols)
+    return plain.unionAll(tol).unionAll(salted)
 
 
 @query(

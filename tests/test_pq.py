@@ -93,3 +93,44 @@ def test_rescored_cosines_are_exact(emb, books):
         key = (r["qid"], r["cid"])
         if key in exact:
             assert abs(r["cosine"] - exact[key]) < 1e-12
+
+
+def test_pq_adc_exact_full_refine_equals_bruteforce(emb):
+    """The integer-exact PQ/ADC witness (pq_adc_exact, the n05 'pq_*'
+    branches): when refine covers the whole corpus the coarse pass prunes
+    nothing, so the 'final' branch must equal the exact brute-force top-k
+    bit for bit — ranks, ids, and cosines."""
+    from sheetreader_duckdb_spark.operators.similarity import pq_adc_exact
+
+    q = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    out = pq_adc_exact(emb, q, dim=64, m=8, n_codes=16, k=5, refine=n)
+    final = {
+        (r["qid"], r["cid"]): (r["rn"], r["score"])
+        for r in out.filter(F.col("tag") == "final").collect()
+    }
+    exact = {
+        (r["qid"], r["cid"]): (r["rn"], r["cosine"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    assert set(final) == set(exact)
+    for key, (rn, score) in final.items():
+        assert rn == exact[key][0]
+        assert score == exact[key][1]  # same fold, bit-identical
+
+
+def test_pq_adc_exact_coarse_is_integer(emb):
+    """Coarse scores are exact integers (BIGINT cast to double) — the
+    cross-engine witness property."""
+    from sheetreader_duckdb_spark.operators.similarity import pq_adc_exact
+
+    q = emb.filter(F.col("vec_id") < 3)
+    out = pq_adc_exact(emb, q, dim=64, m=8, n_codes=16, k=5, refine=2)
+    rows = out.filter(F.col("tag") == "coarse").collect()
+    assert len(rows) == 3 * 10
+    assert all(r["score"] == int(r["score"]) for r in rows)
+    # per-query ranks are 1..k*refine
+    per = {}
+    for r in rows:
+        per.setdefault(r["qid"], []).append(r["rn"])
+    assert all(sorted(v) == list(range(1, 11)) for v in per.values())
