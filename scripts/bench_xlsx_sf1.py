@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Re-witness the BASELINE.md headline at the reference's own scale
+(round-2 methodology, BENCHNOTES.md:3-27): a 6M-row ~102 MB lineitem
+XLSX (sf0.1's 3-column lineitem replicated 10x through our writer),
+scanned via spark.read.format("sheetreader") on local[32], warm, min of
+PASSES timed runs each at threads=1 / threads=4 / auto-sharding.
+
+Reference chart (BASELINE.md): ~13.6 s at 1 thread, ~7.1 s at 4 threads.
+Prints ONE JSON line; numbers land in BENCHNOTES.md per round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+PASSES = int(os.environ.get("XLSX_BENCH_PASSES", "2"))
+REPLICAS = int(os.environ.get("XLSX_BENCH_REPLICAS", "10"))
+CACHE = "/tmp/sheetreader_xlsx_fixture_cache"
+
+
+def build_sf1_xlsx() -> str:
+    os.makedirs(CACHE, exist_ok=True)
+    path = f"{CACHE}/lineitem_sf1_{REPLICAS}x.xlsx"
+    if os.path.exists(path):
+        return path
+    import duckdb
+
+    from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
+
+    rows = duckdb.sql(
+        f"SELECT l_returnflag, l_quantity, l_extendedprice "
+        f"FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    tmp = path + ".tmp"
+    w = IncrementalXlsxWriter(tmp, "Sheet1")
+    w.write_row(["l_returnflag", "l_quantity", "l_extendedprice"])
+    for _ in range(REPLICAS):
+        for r in rows:
+            w.write_row(list(r))
+    w.close()
+    os.replace(tmp, path)
+    return path
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from sheetreader_duckdb_spark import register
+
+    path = build_sf1_xlsx()
+    size_mb = round(os.path.getsize(path) / 1e6, 1)
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("xlsx-sf1-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    register(spark)
+
+    def timed(**opts) -> float:
+        reader = spark.read.format("sheetreader")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        reader.load(path).write.mode("overwrite").format("noop").save()  # warm
+        best = float("inf")
+        for _ in range(PASSES):
+            t0 = time.perf_counter()
+            reader = spark.read.format("sheetreader")
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            reader.load(path).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 2)
+
+    out = {
+        "metric": "xlsx_sf1_load",
+        "file_mb": size_mb,
+        "rows": 600572 * REPLICAS if "0.1" in SF_DIR else None,
+        "threads_1": timed(threads=1),
+        "threads_4": timed(threads=4),
+        "auto": timed(),
+        "baseline_1t": 13.6,
+        "baseline_4t": 7.1,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1196,11 +1196,19 @@ def pq_adc_exact(
         lambda a, x: a + x,
     )
     w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
-    cand = (
+    # cand feeds BOTH outputs (the 'coarse' branch and the rescore's
+    # survivor ids) — persist it so the corpus-wide coarse scan + ranking
+    # window runs once, not once per consumer; the k·refine·|Q| survivor
+    # rows are residue-sized. Released by the next query construction
+    # (session.defer_unpersist), same lifecycle as the dedup shingles.
+    from sheetreader_duckdb_spark import session as SESS
+
+    cand = SESS.defer_unpersist(
         enc.join(broadcast(q), F.col("qid") != F.col("cid"))
         .select("qid", "cid", coarse.alias("coarse"))
         .withColumn("crn", F.row_number().over(w))
         .filter(F.col("crn") <= k * refine)
+        .persist()
     )
     coarse_rows = cand.select(
         F.lit("coarse").alias("tag"),
