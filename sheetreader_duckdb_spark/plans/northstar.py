@@ -748,12 +748,31 @@ _MLQ_MODEL = {
     "intercept": -4.0,
 }
 
+# Frozen BPE merge table for the n07 tokenizer witness (operators/bpe.py):
+# fit once with bpe_train(word_counts(documents), n_merges=24) on the
+# sf0.01 corpus — the quality_model pattern: TRAINING is pinned against
+# the pure-Python reference in tests/test_bpe.py, the declared corpus
+# witnesses ENCODING under these frozen merges, which compiles to a chain
+# of built-in replaces on both engines (generated from this one list, so
+# Spark and oracle can never desync).
+_BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
+]
+
 
 def _sql_text_signals() -> str:
+    from sheetreader_duckdb_spark.operators import bpe as BP
+
     langs = list(X.LANG_MARKERS)
     mlq_q_sql = QM.margin_quantized_sql(
         _MLQ_MODEL, QM.quality_feature_sqls("text", "n_chars")
     )
+    bpe_n_sql = BP.bpe_token_count_sql("text", _BPE_MERGES)
+    bpe_fp_sql = f"md5({BP.bpe_encode_sql('text', _BPE_MERGES)})"
     stop_set = ", ".join(f"'{w}'" for w in X.STOPWORDS)
     scores = ", ".join(f"{_sql_lang_score(lg)} AS s_{lg}" for lg in langs)
     greatest = f"greatest({', '.join('s_' + lg for lg in langs)})"
@@ -781,7 +800,9 @@ def _sql_text_signals() -> str:
            {X.quality_keep_sql('text')} AS keep,
            {mlq_q_sql} AS mlq_margin_q,
            ({mlq_q_sql} >= 0) AS mlq_keep,
-           md5({_sql_scrub_expr('text')}) AS scrub_fp
+           md5({_sql_scrub_expr('text')}) AS scrub_fp,
+           {bpe_n_sql} AS bpe_vocab_tokens,
+           {bpe_fp_sql} AS bpe_enc_fp
     FROM m
     """
 
@@ -807,10 +828,18 @@ def _sql_text_signals() -> str:
     "tests/test_quality_model.py), "
     "and the PII-scrub witness "
     "(scrub_fp = md5 of scrub_pii(text) — pins every masked byte of the "
-    "URL/email/phone scrub without shipping the text). Scan-speed column "
-    "expressions, zero shuffles.",
+    "URL/email/phone scrub without shipping the text), plus the BPE "
+    "tokenizer witness (operators/bpe.py: bpe_vocab_tokens = token count "
+    "and bpe_enc_fp = md5 of the full encoding under the frozen 24-merge "
+    "table _BPE_MERGES — encoding is a chain of built-in replaces over "
+    "the spaced-symbol representation, generated from the same merge "
+    "list on both engines; merge FITTING is the one-shuffle word_counts "
+    "+ bounded driver loop, pinned vs the pure-Python reference in "
+    "tests/test_bpe.py). Scan-speed column expressions, zero shuffles.",
 )
 def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
+    from sheetreader_duckdb_spark.operators import bpe as BP
+
     d = T(spark, sf, "documents")
     text = F.col("text")
     mlq_q = QM.margin_quantized_expr(
@@ -840,6 +869,10 @@ def n07_text_signals(spark: SparkSession, sf: str) -> DataFrame:
         mlq_q.alias("mlq_margin_q"),
         (mlq_q >= 0).alias("mlq_keep"),
         F.md5(X.scrub_pii(text).cast("binary")).alias("scrub_fp"),
+        BP.bpe_token_count_expr(text, _BPE_MERGES).alias("bpe_vocab_tokens"),
+        F.md5(BP.bpe_encode_expr(text, _BPE_MERGES).cast("binary")).alias(
+            "bpe_enc_fp"
+        ),
     )
 
 
