@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sheetreader_duckdb_spark.operators import dedup as D
+from sheetreader_duckdb_spark.operators import fingerprint as FP
 from sheetreader_duckdb_spark.operators import quality_model as QM
 from sheetreader_duckdb_spark.operators import sampling as SM
 from sheetreader_duckdb_spark.operators import similarity as S
@@ -1049,6 +1050,18 @@ _BUDGET_TOKENS = 2000  # per-source token allowance — partial at every test sf
             SELECT COUNT(*) FROM (SELECT unnest(string_split(lower(text), ' ')) AS t2
                                   FROM documents) x)
     )
+    UNION ALL
+    SELECT 'winnow', source, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(nf) AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(SUM(sf) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+    FROM (
+        SELECT doc_id, source, len(e) AS nf, CAST(list_sum(e) AS BIGINT) AS sf
+        FROM (SELECT doc_id, source,
+                     {FP.winnow_encoded_sql('text', 5, 4)} AS e
+              FROM documents) __w
+    ) __ws
+    WHERE nf > 0
+    GROUP BY source
     """.format(
         sample_pred=SM.sample_predicate_sql("doc_id", 0.25, seed="dev"),
         mix_pred=" OR ".join(
@@ -1092,7 +1105,16 @@ _BUDGET_TOKENS = 2000  # per-source token allowance — partial at every test sf
     "(operators/text.py exact_heavy_hitters: per-partition Misra-Gries "
     "candidate sketch + exact recount, partitioning-invariant by the "
     "retention bound — source carries the token, n_docs its exact count; "
-    "property tests in tests/test_heavy_hitters.py).",
+    "property tests in tests/test_heavy_hitters.py); 'winnow' = "
+    "rolling-hash document fingerprints (Schleimer et al. 2003 winnowing, "
+    "operators/fingerprint.py: 32-bit md5-prefix k-gram hashes, "
+    "rightmost-minimum of every w-hash window, position dedup — the MOSS "
+    "guarantee: any shared substring of length >= w+k-1 surfaces as a "
+    "shared fingerprint) — ws_tokens counts fingerprints, chars sums the "
+    "encoded (position, hash) values, pinning selection exactly; the "
+    "pair-detection form winnow_pairs (fingerprint-hash equi-join + "
+    "shared-count threshold) is property-tested in "
+    "tests/test_fingerprint.py.",
 )
 def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     from sheetreader_duckdb_spark.operators.skew import salted_agg
@@ -1294,11 +1316,53 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         nil_l.alias("id_sum"),
     )
 
+    # 'winnow' — rolling-hash document fingerprints (Schleimer et al.
+    # 2003, operators/fingerprint.py): per source, docs with fingerprints,
+    # total fingerprint count, and the sum of every encoded (position,
+    # hash32) fingerprint — pinning the k-gram rolling hashes, the
+    # rightmost-minimum window selection, and the position dedup exactly.
+    # Scan-speed column expressions, zero shuffle before the aggregate.
+    winnow_b = (
+        d.select(
+            "doc_id",
+            "source",
+            # array projected once BELOW the consumers — size and sum
+            # must not each re-run the winnowing chain (the explode-
+            # sibling re-evaluation lesson).
+            FP.winnow_encoded_expr(F.col("text"), 5, 4).alias("__e"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size("__e").alias("__n"),
+            F.aggregate("__e", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "__s"
+            ),
+        )
+        .filter(F.col("__n") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("ws_tokens"),
+            F.sum("__s").alias("chars"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .select(
+            F.lit("winnow").alias("tag"),
+            "source",
+            "n_docs",
+            "ws_tokens",
+            nil_l.alias("bpe_tokens"),
+            "chars",
+            "id_sum",
+        )
+    )
+
     return all_b.unionAll(salted_b).unionAll(sample_b).unionAll(strat_b).unionAll(
         mix_b
     ).unionAll(rep_b).unionAll(chunk_b).unionAll(budget_b).unionAll(
         dupspan_b
-    ).unionAll(hh_b)
+    ).unionAll(hh_b).unionAll(winnow_b)
 
 
 # --------------------------------------------------------------------------
