@@ -1321,9 +1321,25 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     # total fingerprint count, and the sum of every encoded (position,
     # hash32) fingerprint — pinning the k-gram rolling hashes, the
     # rightmost-minimum window selection, and the position dedup exactly.
-    # Scan-speed column expressions, zero shuffle before the aggregate.
+    # Scan-speed column expressions; the one pre-aggregate exchange is a
+    # deliberate round-robin repartition of the raw text: winnowing is
+    # CPU-bound (one md5 per character k-gram), and a small corpus file
+    # arrives as a single input split — without the spread the whole
+    # hash chain runs on one core (measured 20 s vs 6 s at sf0.1 on
+    # local[32]). At cluster scale the scan is already multi-split and
+    # the exchange moves only the text bytes it would shuffle anyway.
+    # The docs-with-fingerprints predicate is expressed as length(text)
+    # >= k, NOT size(__e) > 0: they are equivalent (m >= 1 k-gram hashes
+    # guarantees the single-window global minimum is selected), but the
+    # size form is a filter over the full winnowing chain, and the
+    # optimizer pushes filters through Repartition — re-running the md5
+    # chain serially on the raw scan's single input split (measured: a
+    # 9 s one-task stage at sf0.1) before the spread even happens. The
+    # length form is scan-pushable and free.
     winnow_b = (
-        d.select(
+        d.filter(F.length("text") >= 5)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
             "doc_id",
             "source",
             # array projected once BELOW the consumers — size and sum
@@ -1339,7 +1355,6 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
                 "__s"
             ),
         )
-        .filter(F.col("__n") > 0)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

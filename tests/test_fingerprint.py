@@ -199,6 +199,50 @@ def test_max_hash_freq_drops_boilerplate(spark):
     assert len(capped) <= 10  # 45 boilerplate pairs collapsed
 
 
+def test_xxhash64_scale_path(spark):
+    # The Spark-only scale hash: selection/pair semantics must be
+    # hash-agnostic — the guarantee holds, and winnow_pairs equals the
+    # brute-force intersection of the engine's own fingerprint sets
+    # (no Python reference needed: internal consistency is the contract;
+    # cross-engine parity is the md5 path's job).
+    rng = random.Random(19)
+    alpha = "abcdefghij "
+    chunk = "".join(rng.choice(alpha) for _ in range(W + K - 1))
+    docs = []
+    for i in range(10):
+        pre = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        post = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        docs.append((i, pre + (chunk if i % 2 == 0 else "") + post))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = FP.winnow_fingerprints(df, "doc_id", "text", K, W, hash="xxhash64").collect()
+    sets: dict[int, set[int]] = {i: set() for i, _ in docs}
+    for r in fps:
+        sets[r.doc_id].add(r.fp)
+    # guarantee across the planted-chunk docs
+    for a in range(0, 10, 2):
+        for b in range(a + 2, 10, 2):
+            assert sets[a] & sets[b]
+    want = {
+        (a, b, len(sets[a] & sets[b]))
+        for a in sets
+        for b in sets
+        if a < b and len(sets[a] & sets[b]) >= 1
+    }
+    got = {
+        (r.id_a, r.id_b, r.shared_fps)
+        for r in FP.winnow_pairs(
+            df, "doc_id", "text", K, W,
+            min_shared=1, max_hash_freq=None, hash="xxhash64",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bad_hash_name_raises():
+    with pytest.raises(ValueError):
+        FP.kgram_hashes_expr(F.lit("abc"), K, hash="sha1")
+
+
 @pytest.mark.parametrize("w", [2, 4, 9])
 def test_density_bound(spark, w):
     # Winnowing stores at most one fingerprint per window start: the
