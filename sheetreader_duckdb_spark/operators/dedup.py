@@ -683,6 +683,112 @@ def remove_duplicate_ngrams(
     )
 
 
+def duplicate_line_occurrences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Line-level cross-document duplicates (the RefinedWeb / FineWeb
+    line-dedup primitive): ``(id, ln, line_chars)`` — the 0-based line
+    ``ln`` of ``split(text, '\\n')`` whose TRIMMED form occurs in at
+    least ``min_docs`` distinct documents. Lines trimming to fewer than
+    ``min_chars`` characters (default: blank lines) are never flagged.
+
+    Matching is on the trimmed line; removal (below) drops the original
+    line verbatim. One corpus-wide shuffle: trimmed-line hash-aggregate
+    + semi join on the same key — the Lee-et-al gram-dedup topology, so
+    the 100 TB posture is identical (uniform hash keys, duplicated
+    residue only downstream)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "line"),
+    ).withColumn("__norm", F.trim("line"))
+    elig = lines.filter(F.length("__norm") >= min_chars)
+    dup = (
+        elig.groupBy("__norm")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__norm")
+    )
+    return elig.join(dup, "__norm", "left_semi").select(
+        id_col, "ln", F.length("line").alias("line_chars")
+    )
+
+
+def duplicate_line_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    min_chars: int = 1,
+    occurrences: DataFrame | None = None,
+) -> DataFrame:
+    """Per-affected-document summary: ``(id, dup_lines, dup_chars)`` —
+    count of removed lines and their raw (untrimmed) character total.
+    Documents with no duplicated line produce no row. Pass precomputed
+    ``occurrences`` (ideally persisted) when also running the removal
+    pass so the corpus-wide line shuffle happens once."""
+    if occurrences is None:
+        occurrences = duplicate_line_occurrences(
+            df, id_col, text_col, min_docs=min_docs, min_chars=min_chars
+        )
+    return occurrences.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_lines"),
+        F.sum("line_chars").alias("dup_chars"),
+    )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    min_chars: int = 1,
+    occurrences: DataFrame | None = None,
+) -> DataFrame:
+    """Remove every cross-document duplicated line from each document.
+
+    Returns the input rows plus ``line_scrub_text``: the document's
+    lines with every flagged line dropped, '\\n'-joined in original
+    order. Unlike the token-level scrub, this is IDENTITY-preserving
+    for unaffected documents (split + join on '\\n' is lossless), so
+    ``line_scrub_text == text`` wherever nothing was removed; a
+    fully-flagged document scrubs to ``''``. Only affected documents
+    pay the reconstruction joins."""
+    if occurrences is None:
+        occurrences = duplicate_line_occurrences(
+            df, id_col, text_col, min_docs=min_docs, min_chars=min_chars
+        )
+    occ = occurrences.select(id_col, "ln")
+    affected = occ.select(id_col).distinct()
+    lines = df.join(affected, id_col, "left_semi").select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "line"),
+    )
+    kept = lines.join(occ, [id_col, "ln"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ln", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("__scrub")
+    )
+    scrubbed = affected.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col("__scrub"), F.lit("")).alias("__scrub")
+    )
+    return (
+        df.join(scrubbed, id_col, "left")
+        .withColumn(
+            "line_scrub_text", F.coalesce(F.col("__scrub"), F.col(text_col))
+        )
+        .drop("__scrub")
+    )
+
+
 def simhash_pairs(
     signatures: DataFrame,
     id_col: str,

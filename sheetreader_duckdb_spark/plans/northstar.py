@@ -960,6 +960,44 @@ _BUDGET_TOKENS = 2000  # per-source token allowance — partial at every test sf
         FROM (SELECT DISTINCT doc_id FROM dup_stats) a
         LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS scrub
                    FROM dkept GROUP BY doc_id) r USING (doc_id)
+    ),
+    lld AS (
+        SELECT doc_id, source,
+               '== section ' || source || ' ==' || chr(10) || text || chr(10)
+               || 'shared footer boilerplate' AS ltext
+        FROM documents
+    ),
+    ll AS (
+        SELECT doc_id, source, i AS ln, ls[i + 1] AS line
+        FROM (SELECT doc_id, source, ls, unnest(range(len(ls))) AS i
+              FROM (SELECT doc_id, source, string_split(ltext, chr(10)) AS ls
+                    FROM lld))
+    ),
+    ldupn AS (
+        SELECT trim(line) AS t FROM ll WHERE len(trim(line)) >= 1
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    locc AS (
+        SELECT doc_id, ln, len(line) AS line_chars FROM ll
+        WHERE len(trim(line)) >= 1 AND trim(line) IN (SELECT t FROM ldupn)
+    ),
+    lstats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_lines,
+               CAST(SUM(line_chars) AS BIGINT) AS dup_chars
+        FROM locc GROUP BY doc_id
+    ),
+    lkept AS (
+        SELECT l.doc_id, l.ln, l.line FROM ll l
+        WHERE l.doc_id IN (SELECT doc_id FROM lstats)
+          AND NOT EXISTS (SELECT 1 FROM locc o
+                          WHERE o.doc_id = l.doc_id AND o.ln = l.ln)
+    ),
+    lscrub AS (
+        SELECT a.doc_id,
+               CAST(('0x' || substr(md5(COALESCE(r.s, '')), 1, 8)) AS BIGINT) AS fp
+        FROM (SELECT DISTINCT doc_id FROM lstats) a
+        LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS s
+                   FROM lkept GROUP BY doc_id) r USING (doc_id)
     )
     SELECT 'all' AS tag, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(ws) AS BIGINT) AS ws_tokens,
@@ -1051,6 +1089,14 @@ _BUDGET_TOKENS = 2000  # per-source token allowance — partial at every test sf
                                   FROM documents) x)
     )
     UNION ALL
+    SELECT 'linededup', d.source, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(st.dup_lines) AS BIGINT), CAST(SUM(st.dup_chars) AS BIGINT),
+           CAST(SUM(sc.fp) AS BIGINT), CAST(SUM(d.doc_id) AS BIGINT)
+    FROM lstats st
+    JOIN lld d USING (doc_id)
+    JOIN lscrub sc USING (doc_id)
+    GROUP BY d.source
+    UNION ALL
     SELECT 'winnow', source, CAST(COUNT(*) AS BIGINT),
            CAST(SUM(nf) AS BIGINT), CAST(NULL AS BIGINT),
            CAST(SUM(sf) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
@@ -1105,7 +1151,15 @@ _BUDGET_TOKENS = 2000  # per-source token allowance — partial at every test sf
     "(operators/text.py exact_heavy_hitters: per-partition Misra-Gries "
     "candidate sketch + exact recount, partitioning-invariant by the "
     "retention bound — source carries the token, n_docs its exact count; "
-    "property tests in tests/test_heavy_hitters.py); 'winnow' = "
+    "property tests in tests/test_heavy_hitters.py); 'linededup' = "
+    "line-level cross-document dedup (RefinedWeb/FineWeb primitive, "
+    "operators/dedup.py duplicate_line_occurrences/stats/"
+    "remove_duplicate_lines: trim-form matching, verbatim removal, "
+    "lossless '\\n' rebuild) over an in-query derived line corpus "
+    "(per-source header + text + global footer, identical on both "
+    "engines) — dup_lines/dup_chars totals plus an md5-prefix sum of "
+    "every scrubbed text; brute-force + identity property tests in "
+    "tests/test_linededup.py; 'winnow' = "
     "rolling-hash document fingerprints (Schleimer et al. 2003 winnowing, "
     "operators/fingerprint.py: 32-bit md5-prefix k-gram hashes, "
     "rightmost-minimum of every w-hash window, position dedup — the MOSS "
@@ -1316,6 +1370,59 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         nil_l.alias("id_sum"),
     )
 
+    # 'linededup' — line-level cross-document dedup (the RefinedWeb /
+    # FineWeb primitive, operators/dedup.py duplicate_line_* /
+    # remove_duplicate_lines). The raw documents are single-line, so the
+    # witness derives a line-structured corpus in-query: a per-source
+    # header line (duplicated across that source's docs), the original
+    # text as the middle line, and a globally-shared footer — both
+    # engines build the identical corpus from the same concat. Witness:
+    # per source, affected docs, removed-line and removed-char totals,
+    # and the md5-prefix sum of each scrubbed text — pinning trim-form
+    # matching, verbatim-line removal, and the ordered '\n' rebuild
+    # byte-for-byte (the scrub must reduce exactly to the original
+    # text wherever the text itself is not cross-doc duplicated).
+    # The corpus-wide line shuffle runs ONCE via the persisted
+    # occurrence table, as dupspan does for grams.
+    lt = F.concat(
+        F.lit("== section "),
+        F.col("source"),
+        F.lit(" ==\n"),
+        F.col("text"),
+        F.lit("\nshared footer boilerplate"),
+    )
+    ld = d.select("doc_id", "source", lt.alias("ltext"))
+    locc = SESS.defer_unpersist(
+        D.duplicate_line_occurrences(ld, "doc_id", "ltext").persist()
+    )
+    lstats = D.duplicate_line_stats(ld, "doc_id", "ltext", occurrences=locc)
+    lscrub = D.remove_duplicate_lines(ld, "doc_id", "ltext", occurrences=locc)
+    lfp = F.conv(
+        F.substring(F.md5(F.col("line_scrub_text").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    linededup_b = (
+        lstats.join(
+            lscrub.select("doc_id", "source", lfp.alias("__fp")), "doc_id"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dup_lines").alias("ws_tokens"),
+            F.sum("dup_chars").alias("bpe_tokens"),
+            F.sum("__fp").alias("chars"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .select(
+            F.lit("linededup").alias("tag"),
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "chars",
+            "id_sum",
+        )
+    )
+
     # 'winnow' — rolling-hash document fingerprints (Schleimer et al.
     # 2003, operators/fingerprint.py): per source, docs with fingerprints,
     # total fingerprint count, and the sum of every encoded (position,
@@ -1377,7 +1484,7 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         mix_b
     ).unionAll(rep_b).unionAll(chunk_b).unionAll(budget_b).unionAll(
         dupspan_b
-    ).unionAll(hh_b).unionAll(winnow_b)
+    ).unionAll(hh_b).unionAll(linededup_b).unionAll(winnow_b)
 
 
 # --------------------------------------------------------------------------
