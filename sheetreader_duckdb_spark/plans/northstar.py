@@ -19,6 +19,7 @@ from sheetreader_duckdb_spark.operators import fingerprint as FP
 from sheetreader_duckdb_spark.operators import quality_model as QM
 from sheetreader_duckdb_spark.operators import sampling as SM
 from sheetreader_duckdb_spark.operators import similarity as S
+from sheetreader_duckdb_spark.operators import web as WB
 from sheetreader_duckdb_spark.operators import text as X
 from sheetreader_duckdb_spark.plans import query
 from sheetreader_duckdb_spark import session as SESS
@@ -998,6 +999,28 @@ _BUDGET_TOKENS = 2000  # per-source token allowance — partial at every test sf
         FROM (SELECT DISTINCT doc_id FROM lstats) a
         LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS s
                    FROM lkept GROUP BY doc_id) r USING (doc_id)
+    ),
+    udf AS (
+        SELECT doc_id, source,
+               'https://WWW.' || source ||
+               (CASE WHEN doc_id % 2 = 0 THEN '.CO.UK' ELSE '.Example.COM' END)
+               || '/Docs/' || doc_id || '?utm_source=x&ref=' || (doc_id % 7)
+               || '&b=2&a=1#s' AS url
+        FROM documents
+    ),
+    uurl AS (
+        SELECT doc_id, source,
+               {WB.normalize_url_sql('url')} AS nurl,
+               {WB.registrable_domain_sql(WB.url_host_sql('url'))} AS dom
+        FROM udf
+    ),
+    ukept AS (
+        SELECT doc_id, source, nurl, dom,
+               row_number() OVER (
+                   PARTITION BY dom
+                   ORDER BY md5(nurl || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM uurl
     )
     SELECT 'all' AS tag, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(ws) AS BIGINT) AS ws_tokens,
@@ -1089,6 +1112,13 @@ _BUDGET_TOKENS = 2000  # per-source token allowance — partial at every test sf
                                   FROM documents) x)
     )
     UNION ALL
+    SELECT 'url', source, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT dom) AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(SUM(CAST(('0x' || substr(md5(nurl), 1, 8)) AS BIGINT)) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM ukept WHERE rk <= 10
+    GROUP BY source
+    UNION ALL
     SELECT 'linededup', d.source, CAST(COUNT(*) AS BIGINT),
            CAST(SUM(st.dup_lines) AS BIGINT), CAST(SUM(st.dup_chars) AS BIGINT),
            CAST(SUM(sc.fp) AS BIGINT), CAST(SUM(d.doc_id) AS BIGINT)
@@ -1151,7 +1181,16 @@ _BUDGET_TOKENS = 2000  # per-source token allowance — partial at every test sf
     "(operators/text.py exact_heavy_hitters: per-partition Misra-Gries "
     "candidate sketch + exact recount, partitioning-invariant by the "
     "retention bound — source carries the token, n_docs its exact count; "
-    "property tests in tests/test_heavy_hitters.py); 'linededup' = "
+    "property tests in tests/test_heavy_hitters.py); 'url' = web-corpus "
+    "curation (operators/web.py: normalize_url_expr strips tracking "
+    "params/fragments/default ports, lowercases scheme+host, sorts "
+    "surviving query params; registrable_domain_expr's two-level-suffix "
+    "heuristic; per_domain_cap's deterministic md5-rank window, cap 10) "
+    "over per-doc derived URLs built identically on both engines — "
+    "normalization pinned byte-for-byte via md5-prefix sums, the cap "
+    "selection exactly; Spark/DuckDB generators share the frozen "
+    "TRACKING_PARAMS / TWO_LEVEL_SUFFIXES tables, fixture + parity + "
+    "cap-property tests in tests/test_web.py); 'linededup' = "
     "line-level cross-document dedup (RefinedWeb/FineWeb primitive, "
     "operators/dedup.py duplicate_line_occurrences/stats/"
     "remove_duplicate_lines: trim-form matching, verbatim removal, "
@@ -1370,6 +1409,59 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         nil_l.alias("id_sum"),
     )
 
+    # 'url' — web-corpus curation (operators/web.py): URL
+    # canonicalization (tracking-param strip, case/port/fragment rules,
+    # bytewise param sort), registrable-domain extraction (two-level
+    # suffix heuristic), and the deterministic per-domain cap (md5-rank
+    # window, ≤10 docs per domain). The documents table carries no URL,
+    # so the witness derives one per doc — mixed-case host from the
+    # source (half .CO.UK, half .Example.COM so the suffix rule AND a
+    # shared-megadomain skew case are both exercised), tracking params,
+    # unsorted survivors, and a fragment — identically on both engines.
+    # Witness per source: kept docs, distinct domains, md5-prefix sum of
+    # the canonical URLs, id sum — pinning normalization byte-for-byte
+    # and the exact cap selection.
+    udf_url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".CO.UK")).otherwise(
+            F.lit(".Example.COM")
+        ),
+        F.lit("/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&b=2&a=1#s"),
+    )
+    ud = d.select("doc_id", "source", udf_url.alias("url"))
+    ucapped = WB.per_domain_cap(ud, "url", 10, "doc_id", keep_rank=True)
+    nurl_fp = F.conv(
+        F.substring(
+            F.md5(WB.normalize_url_expr(F.col("url")).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    url_b = (
+        ucapped.select("doc_id", "source", "domain", nurl_fp.alias("__fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("domain").alias("ws_tokens"),
+            F.sum("__fp").alias("chars"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .select(
+            F.lit("url").alias("tag"),
+            "source",
+            "n_docs",
+            "ws_tokens",
+            nil_l.alias("bpe_tokens"),
+            "chars",
+            "id_sum",
+        )
+    )
+
     # 'linededup' — line-level cross-document dedup (the RefinedWeb /
     # FineWeb primitive, operators/dedup.py duplicate_line_* /
     # remove_duplicate_lines). The raw documents are single-line, so the
@@ -1484,7 +1576,7 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         mix_b
     ).unionAll(rep_b).unionAll(chunk_b).unionAll(budget_b).unionAll(
         dupspan_b
-    ).unionAll(hh_b).unionAll(linededup_b).unionAll(winnow_b)
+    ).unionAll(hh_b).unionAll(url_b).unionAll(linededup_b).unionAll(winnow_b)
 
 
 # --------------------------------------------------------------------------
