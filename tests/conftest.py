@@ -58,6 +58,17 @@ _SLOW_TESTS = {
     # heaviest full-corpus oracle rows (driver re-checks at sf0.01)
     "test_queries_oracle.py::test_query_matches_oracle[nx_scale_variants]",
     "test_queries_oracle.py::test_query_matches_oracle[n06b_embedding_neardup_srp]",
+    # n10 joined this set round 5: 14 tagged branches (~40 s at sf0.001),
+    # every branch oracle-backed and driver-re-checked at sf0.01; its
+    # operators keep fast smoke witnesses in test_fingerprint/_linededup/
+    # _web/_dupspan/_heavy_hitters/_budget_select/_skew.
+    "test_queries_oracle.py::test_query_matches_oracle[n10_token_stats]",
+    # fingerprint/linededup property sweeps (fast witnesses stay in smoke:
+    # duckdb twin, winnowing guarantee, density bound, linededup fixtures)
+    "test_fingerprint.py::test_spark_matches_python_reference",
+    "test_fingerprint.py::test_winnow_pairs_matches_bruteforce",
+    "test_fingerprint.py::test_max_hash_freq_drops_boilerplate",
+    "test_linededup.py::test_matches_bruteforce_random",
     # misc heavy integration
     "test_dupspan.py::test_shared_boilerplate_span",
     "test_dupspan.py::test_identical_docs_fully_covered",
