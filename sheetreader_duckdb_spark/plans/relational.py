@@ -496,6 +496,15 @@ def h09_grouping_ops(spark: SparkSession, sf: str) -> DataFrame:
            - (SELECT CAST(SUM(n_chars) AS DOUBLE) FROM
               (SELECT n_chars FROM documents ORDER BY doc_id LIMIT 5))
            + 150.0
+    UNION ALL
+    SELECT 'jsonl', 'docs',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           (SELECT CAST(SUM(n_chars) AS DOUBLE) FROM documents)
+    UNION ALL
+    SELECT 'jsonl', 'textfp',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           (SELECT CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+                   AS DOUBLE) FROM documents)
     """.format(
         money=sql_money_sum("o_totalprice"), money_o=sql_money_sum("o.o_totalprice")
     ),
@@ -524,7 +533,13 @@ def h09_grouping_ops(spark: SparkSession, sf: str) -> DataFrame:
     "merged table back — count is unchanged (-2+2) and the n_chars total "
     "moves by exactly the SQL-computed delta, proving replaced rows "
     "vanished, deletes removed, inserts landed (byte-identity to a fresh "
-    "export of the merged set in tests/test_merge.py).",
+    "export of the merged set in tests/test_merge.py); 'jsonl' = the "
+    "deterministic export written as JSONL (format='json': one object "
+    "per line, the training-data interchange format) and read back — "
+    "'docs' proves no row lost or duplicated, 'textfp' an md5-prefix "
+    "sum over the read-back text equal to the oracle's sum over the "
+    "source table, proving every document survives JSON string "
+    "escaping byte-for-byte.",
 )
 def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
     import os
@@ -642,6 +657,33 @@ def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_chars").cast("double"),
     )
 
+    # 'jsonl' — deterministic JSONL export (the training-data interchange
+    # format): export_shards with format='json' (Spark's json sink writes
+    # one JSON object per line = JSONL), read back with an explicit
+    # schema; 'docs' proves no row lost or duplicated, 'textfp' proves
+    # every text survives JSON string escaping byte-for-byte (md5-prefix
+    # sum vs the source table — the oracle computes the same sum straight
+    # from documents; md5-prefix sums stay < 2^53, exact in the DOUBLE
+    # witness column).
+    jdocs = T(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    export_shards(jdocs, "doc_id", 4, f"{base}/jsonl", seed="jsonl", format="json")
+    jback = spark.read.schema("doc_id long, text string, n_chars long").json(
+        f"{base}/jsonl"
+    )
+    jfp = F.conv(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    jsonl_docs = one_row(
+        jback, "jsonl", "docs", F.count(F.lit(1)), F.sum("n_chars").cast("double")
+    )
+    jsonl_fp = one_row(
+        jback.select(jfp.alias("__fp")),
+        "jsonl",
+        "textfp",
+        F.count(F.lit(1)),
+        F.sum("__fp").cast("double"),
+    )
+
     return (
         ctas.unionAll(export_rows)
         .unionAll(export_shards_row)
@@ -650,6 +692,8 @@ def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(packing_docs)
         .unionAll(packing_overfull)
         .unionAll(merge_row)
+        .unionAll(jsonl_docs)
+        .unionAll(jsonl_fp)
     )
 
 

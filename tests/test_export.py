@@ -76,3 +76,38 @@ def test_rejects_bad_n_shards(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     with pytest.raises(ValueError):
         with_shard(d, "doc_id", 0)
+
+
+def test_jsonl_roundtrip_hostile_strings_and_byte_stability(spark, tmp_path):
+    """format='json' writes JSONL; every string must survive JSON
+    escaping byte-for-byte (quotes, backslashes, newlines, tabs, unicode,
+    control chars), and a re-export must produce byte-identical files."""
+    rows = [
+        (0, 'quote " and \\ backslash'),
+        (1, "newline\nand\ttab"),
+        (2, "unicode — ünïcødé 🙂"),
+        (3, "control \x01\x1f chars"),
+        (4, "{'looks': 'like json'}"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "k long, text string")
+    p1, p2 = str(tmp_path / "j1"), str(tmp_path / "j2")
+    export_shards(df, "k", 2, p1, seed="j", format="json")
+    back = spark.read.schema("k long, text string").json(p1)
+    got = {r.k: r.text for r in back.collect()}
+    assert got == dict(rows)
+    export_shards(df.repartition(5), "k", 2, p2, seed="j", format="json")
+
+    def shard_bytes(p):
+        out = {}
+        for i in range(2):
+            d = os.path.join(p, f"shard={i}")
+            blobs = []
+            for f in sorted(os.listdir(d)):
+                if f.startswith("part-"):
+                    with open(os.path.join(d, f), "rb") as fh:
+                        blobs.append(fh.read())
+            out[i] = b"".join(blobs)
+        return out
+
+    assert shard_bytes(p1) == shard_bytes(p2)
