@@ -33,8 +33,10 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "mix_sources",
+    "sqrt_temperature_sample",
     "split_case_sql",
     "sample_predicate_sql",
+    "temperature_predicate_sql",
 ]
 
 # Default hash-space resolution: first 4 md5 hex chars = 65536 buckets.
@@ -249,6 +251,47 @@ def mix_sources(
     return df.filter(keep)
 
 
+def sqrt_temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    key: Column | str,
+    seed: str = "temp",
+    nchars: int = _DEFAULT_NCHARS,
+) -> DataFrame:
+    """α=0.5 temperature resampling of a multi-source corpus (the GPT-3 /
+    multilingual-LM source-reweighting recipe): after sampling, each
+    source's expected row count is ∝ sqrt(its original count), flattening
+    megasource dominance while keeping every row of the smallest source
+    (its keep probability is 1).
+
+    Per-source keep probability p_s = sqrt(n_min / n_s) is never computed
+    as a float: a row survives iff ``bucket² · n_s < (16^nchars)² · n_min``
+    — exact integer cross-multiplication of the squared hash draw (bucket
+    < t_s ⟺ bucket² < t_s², all in DECIMAL(38,0) so 100 TB-scale counts
+    cannot overflow), deterministic and bit-identical on both engines.
+    Only α = 1/2 admits this radical-free exact form; other temperatures
+    would need float thresholds (quantize via ``mix_sources`` instead).
+
+    Scale shape: one count aggregate over the source key (tiny result),
+    broadcast back; the keep decision is a scan-speed predicate. Same
+    seed+key ⇒ same draw as the other hash samplers, so nested-sample
+    monotonicity across operators holds per source.
+    """
+    cnt = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__tn"))
+    nmin = cnt.agg(F.min("__tn").alias("__tnmin"))
+    rates = cnt.crossJoin(F.broadcast(nmin))
+    b = F.conv(bucket_hex(key, seed, nchars), 16, 10).cast("decimal(38,0)")
+    space2 = F.lit(16 ** (2 * nchars)).cast("decimal(38,0)")
+    keep = (b * b * F.col("__tn").cast("decimal(38,0)")) < (
+        space2 * F.col("__tnmin").cast("decimal(38,0)")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(keep)
+        .drop("__tn", "__tnmin")
+    )
+
+
 # -- oracle-SQL builders (DuckDB), mirroring the expressions above ----------
 
 def split_case_sql(
@@ -278,3 +321,23 @@ def sample_predicate_sql(
     """DuckDB WHERE predicate computing the same keep-set as hash_sample."""
     b = f"substr(md5('{seed}:' || {key_sql}), 1, {nchars})"
     return f"{b} < '{_hex_threshold(fraction, nchars)}'"
+
+
+def temperature_predicate_sql(
+    key_sql: str,
+    n_sql: str,
+    nmin_sql: str,
+    seed: str = "temp",
+    nchars: int = _DEFAULT_NCHARS,
+) -> str:
+    """DuckDB WHERE predicate computing the same keep-set as
+    sqrt_temperature_sample, given SQL expressions for the row's source
+    count and the corpus-wide minimum source count (the caller supplies
+    them from its own CTEs). HUGEINT mirrors Spark's DECIMAL(38,0) —
+    both exact beyond 64-bit at full scale."""
+    b = f"CAST(('0x' || substr(md5('{seed}:' || CAST({key_sql} AS VARCHAR)), 1, {nchars})) AS BIGINT)"
+    space2 = 16 ** (2 * nchars)
+    return (
+        f"CAST({b} AS HUGEINT) * {b} * ({n_sql})"
+        f" < CAST({space2} AS HUGEINT) * ({nmin_sql})"
+    )

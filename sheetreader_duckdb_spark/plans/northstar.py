@@ -1112,6 +1112,24 @@ _BUDGET_TOKENS = 2000  # per-source token allowance — partial at every test sf
                                   FROM documents) x)
     )
     UNION ALL
+    SELECT 'temp', tsrc, CAST(COUNT(*) AS BIGINT),
+           CAST(MAX(tn) AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM (SELECT g.doc_id, g.tsrc, c.tn
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 6 THEN 'big'
+                            WHEN doc_id % 10 < 9 THEN 'mid'
+                            ELSE 'small' END AS tsrc
+                FROM documents) g
+          JOIN (SELECT tsrc, CAST(COUNT(*) AS BIGINT) AS tn
+                FROM (SELECT CASE WHEN doc_id % 10 < 6 THEN 'big'
+                                  WHEN doc_id % 10 < 9 THEN 'mid'
+                                  ELSE 'small' END AS tsrc
+                      FROM documents) GROUP BY tsrc) c USING (tsrc)) tj
+    WHERE {SM.temperature_predicate_sql('doc_id', 'tn',
+           "(SELECT MIN(tn2) FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tn2 FROM (SELECT CASE WHEN doc_id % 10 < 6 THEN 'big' WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS ts2 FROM documents) GROUP BY ts2))")}
+    GROUP BY tsrc
+    UNION ALL
     SELECT 'url', source, CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(DISTINCT dom) AS BIGINT), CAST(NULL AS BIGINT),
            CAST(SUM(CAST(('0x' || substr(md5(nurl), 1, 8)) AS BIGINT)) AS BIGINT),
@@ -1181,7 +1199,15 @@ _BUDGET_TOKENS = 2000  # per-source token allowance — partial at every test sf
     "(operators/text.py exact_heavy_hitters: per-partition Misra-Gries "
     "candidate sketch + exact recount, partitioning-invariant by the "
     "retention bound — source carries the token, n_docs its exact count; "
-    "property tests in tests/test_heavy_hitters.py); 'url' = web-corpus "
+    "property tests in tests/test_heavy_hitters.py); 'temp' = "
+    "sqrt-temperature mixture sampling (operators/sampling.py "
+    "sqrt_temperature_sample: per-source keep probability "
+    "sqrt(n_min/n_s) via exact integer cross-multiplication "
+    "bucket^2*n_s < 16^8*n_min in DECIMAL/HUGEINT — radical-free, "
+    "float-free, hash-exact cross-engine) over a derived 60/30/10 "
+    "skew grouping (the real sources are uniform); brute-force + "
+    "flattening + DuckDB-parity tests in tests/test_sampling.py); "
+    "'url' = web-corpus "
     "curation (operators/web.py: normalize_url_expr strips tracking "
     "params/fragments/default ports, lowercases scheme+host, sorts "
     "surviving query params; registrable_domain_expr's two-level-suffix "
@@ -1409,6 +1435,42 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         nil_l.alias("id_sum"),
     )
 
+    # 'temp' — sqrt-temperature mixture sampling (operators/sampling.py
+    # sqrt_temperature_sample): the GPT-3-style source reweighting with
+    # per-source keep probability sqrt(n_min/n_s), decided by EXACT
+    # integer cross-multiplication (bucket²·n_s < 16^8·n_min in
+    # DECIMAL/HUGEINT — no float, no sqrt), so the keep-set hash-matches
+    # the oracle bit-for-bit. The real sources are uniform (25 docs
+    # each ⇒ the op would be the identity), so the witness derives a
+    # skewed 60/30/10 grouping from doc_id — identically on both
+    # engines. ws_tokens carries each group's pre-sample count.
+    tgrp_c = (
+        F.when(F.col("doc_id") % 10 < 6, F.lit("big"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("mid"))
+        .otherwise(F.lit("small"))
+    )
+    td = d.select("doc_id", tgrp_c.alias("tsrc"))
+    tcnt = td.groupBy("tsrc").agg(F.count(F.lit(1)).alias("__tcount"))
+    temp_b = (
+        SM.sqrt_temperature_sample(td, "tsrc", "doc_id")
+        .join(F.broadcast(tcnt), "tsrc")
+        .groupBy("tsrc")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("__tcount").alias("ws_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .select(
+            F.lit("temp").alias("tag"),
+            F.col("tsrc").alias("source"),
+            "n_docs",
+            "ws_tokens",
+            nil_l.alias("bpe_tokens"),
+            nil_l.alias("chars"),
+            "id_sum",
+        )
+    )
+
     # 'url' — web-corpus curation (operators/web.py): URL
     # canonicalization (tracking-param strip, case/port/fragment rules,
     # bytewise param sort), registrable-domain extraction (two-level
@@ -1576,7 +1638,7 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         mix_b
     ).unionAll(rep_b).unionAll(chunk_b).unionAll(budget_b).unionAll(
         dupspan_b
-    ).unionAll(hh_b).unionAll(url_b).unionAll(linededup_b).unionAll(winnow_b)
+    ).unionAll(hh_b).unionAll(temp_b).unionAll(url_b).unionAll(linededup_b).unionAll(winnow_b)
 
 
 # --------------------------------------------------------------------------

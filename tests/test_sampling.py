@@ -196,3 +196,93 @@ def test_weight_validation():
         SM.hash_split("k", [("a", 0.5), ("a", 0.5)])  # duplicate name
     with pytest.raises(ValueError):
         SM.hash_split("k", [])
+
+
+# -- sqrt-temperature mixture sampling --------------------------------------
+
+def _temp_corpus(spark):
+    rows = []
+    rid = 0
+    for grp, n in (("big", 300), ("mid", 150), ("small", 50)):
+        for _ in range(n):
+            rows.append((rid, grp))
+            rid += 1
+    return spark.createDataFrame(rows, "doc_id long, src string")
+
+
+def _temp_brute(rows, seed="temp", nchars=4):
+    import hashlib
+
+    counts = {}
+    for _i, g in rows:
+        counts[g] = counts.get(g, 0) + 1
+    nmin = min(counts.values())
+    kept = set()
+    for i, g in rows:
+        b = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:nchars], 16)
+        if b * b * counts[g] < (16 ** (2 * nchars)) * nmin:
+            kept.add(i)
+    return kept, counts, nmin
+
+
+def test_sqrt_temperature_matches_bruteforce(spark):
+    df = _temp_corpus(spark)
+    rows = [(r.doc_id, r.src) for r in df.collect()]
+    want, _, _ = _temp_brute(rows)
+    got = {
+        r.doc_id
+        for r in SM.sqrt_temperature_sample(df, "src", "doc_id").collect()
+    }
+    assert got == want
+
+
+def test_sqrt_temperature_flattens_and_keeps_smallest(spark):
+    df = _temp_corpus(spark)
+    kept = SM.sqrt_temperature_sample(df, "src", "doc_id")
+    counts = {r.src: r["count"] for r in kept.groupBy("src").count().collect()}
+    # the smallest source is kept in full (p = 1)
+    assert counts["small"] == 50
+    # expectations: 300·sqrt(50/300)=122.5, 150·sqrt(50/150)=86.6 — allow
+    # binomial noise (±4σ ≈ ±34 and ±26)
+    assert 88 <= counts["big"] <= 157
+    assert 60 <= counts["mid"] <= 113
+    # flattening: the big/small kept ratio must be far below the 6× input
+    # ratio (expected sqrt(6) ≈ 2.45)
+    assert counts["big"] / counts["small"] < 4
+
+
+def test_sqrt_temperature_deterministic_under_partitioning(spark):
+    df = _temp_corpus(spark)
+    a = sorted(
+        r.doc_id for r in SM.sqrt_temperature_sample(df, "src", "doc_id").collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in SM.sqrt_temperature_sample(
+            df.repartition(13), "src", "doc_id"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_predicate_sql_parity(spark):
+    import duckdb
+
+    df = _temp_corpus(spark)
+    spark_kept = sorted(
+        r.doc_id
+        for r in SM.sqrt_temperature_sample(df, "src", "doc_id").collect()
+    )
+    con = duckdb.connect()
+    rows = [(r.doc_id, r.src) for r in df.collect()]
+    con.execute("CREATE TABLE t (doc_id BIGINT, src VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    pred = SM.temperature_predicate_sql("doc_id", "c.tn", "(SELECT MIN(tn) FROM c)")
+    duck_kept = [
+        r[0]
+        for r in con.execute(
+            "WITH c AS (SELECT src, COUNT(*) AS tn FROM t GROUP BY src) "
+            f"SELECT doc_id FROM t JOIN c USING (src) WHERE {pred} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert duck_kept == spark_kept
