@@ -44,16 +44,12 @@ _ENC_MUL = 1000003
 _ENC_MOD = 2147483647
 
 
-def _bind(value: Column, body) -> Column:
-    """Evaluate ``value`` ONCE and reference it many times: wrap it in a
-    1-element array and apply ``body`` through a ``transform`` lambda, so
-    downstream references are a NamedLambdaVariable — not copies of the
-    producing subtree. Without this, Catalyst inlines the full producer
-    expression at EVERY reference site; with the per-window references
-    below that turns winnowing into O(m²·w) md5 calls per document
-    (measured 82 s for 50 docs; ~0.5 s bound). The DuckDB twin gets the
-    same sharing from its ``SELECT ... AS hh`` subquery."""
-    return F.get(F.transform(F.array(value), body), 0)
+# Shared with the PQ witness encode (exprutil.bind_once): Catalyst
+# inlines a producing subtree at every reference site — unbound, the
+# per-window references turned winnowing into O(m²·w) md5 calls per
+# document (measured 82 s for 50 docs; ~0.5 s bound). The DuckDB twin
+# gets the same sharing from its ``SELECT ... AS hh`` subquery.
+from sheetreader_duckdb_spark.operators.exprutil import bind_once as _bind
 
 
 def kgram_hashes_expr(text: Column, k: int, hash: str = "md5") -> Column:

@@ -1153,11 +1153,18 @@ def pq_adc_exact(
         for j in range(m)
     ]
 
+    from sheetreader_duckdb_spark.operators.exprutil import bind_once
+
     def int_entries(j: int) -> Column:
         return F.array(*[F.array(*[F.lit(w) for w in c]) for c in books[j]])
 
-    def code_expr(vec_int: Column, j: int) -> Column:
-        sub = F.slice(vec_int, j * dsub + 1, dsub)
+    # The quantized vector and each subspace slice are lambda-bound
+    # (exprutil.bind_once): unbound, `sub` re-ran the full 64-element
+    # quantize transform inside every one of the m×n_codes codebook
+    # lambdas — m·n_codes·dim work per row for what is one projection
+    # (the winnowing inlining trap; measured 6.6→1.1 s on n05's exec).
+
+    def code_from_sub(sub: Column, j: int) -> Column:
         dists = F.transform(
             int_entries(j),
             lambda cl: F.aggregate(
@@ -1168,8 +1175,7 @@ def pq_adc_exact(
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    def lut_expr(vec_int: Column, j: int) -> Column:
-        sub = F.slice(vec_int, j * dsub + 1, dsub)
+    def lut_from_sub(sub: Column, j: int) -> Column:
         return F.transform(
             int_entries(j),
             lambda cl: F.aggregate(
@@ -1179,13 +1185,27 @@ def pq_adc_exact(
             ),
         )
 
+    def per_subspace(builder) -> Column:
+        def for_j(j: int):
+            # single-arg lambda on purpose: a 2-arg lambda would be
+            # called by transform() as (element, index)
+            return lambda s: builder(s, j)
+
+        return bind_once(
+            iv,
+            lambda v: F.array(
+                *[
+                    bind_once(F.slice(v, j * dsub + 1, dsub), for_j(j))
+                    for j in range(m)
+                ]
+            ),
+        )
+
     enc = corpus.select(
-        F.col(id_col).alias("cid"),
-        F.array(*[code_expr(iv, j) for j in range(m)]).alias("codes"),
+        F.col(id_col).alias("cid"), per_subspace(code_from_sub).alias("codes")
     )
     q = queries.select(
-        F.col(id_col).alias("qid"),
-        F.array(*[lut_expr(iv, j) for j in range(m)]).alias("lut"),
+        F.col(id_col).alias("qid"), per_subspace(lut_from_sub).alias("lut")
     )
     coarse = F.aggregate(
         F.zip_with(
