@@ -89,23 +89,41 @@ def register(spark):
     return spark
 
 
-def read_xlsx(spark, path, columns=None, **options):
+def read_xlsx(spark, path, columns=None, where=None, **options):
     """Read an XLSX through the sheetreader source, stating the projection
-    up front — the documented pattern for scans whose consumers know their
-    columns.
+    (and optionally the filter) up front — the documented pattern for
+    scans whose consumers know their shape.
 
     Spark 4.1 does not push required columns into Python data sources (the
     Project sits above the BatchScan, so a 2-column query over a 40-column
     sheet still decodes all 40; tests/test_xlsx_pruning.py carries the
     canary that flips when native pruning lands). ``columns`` wires the
     caller's projection into the reader's ``columns=`` option so pruned
-    columns are never parsed or decoded. Extra reader options pass through
-    (``skip_rows=2``, ``sheet_name="Data"``, ...).
+    columns are never parsed or decoded.
+
+    ``where`` (a SQL condition string or Column) enables filter pushdown
+    SAFELY-BY-CONSTRUCTION: the raw ``filter_pushdown=true`` option is
+    opt-in because Spark caches the planned scan per relation, so a
+    filter absorbed from one query would leak into later unfiltered reuse
+    of the same DataFrame (tests/test_xlsx_pushdown.py pins the hazard).
+    Here the filter is part of the scan's DEFINITION — every call builds
+    a fresh relation, the predicate is both offered to the source (rows
+    prune before the Python→JVM boundary) and re-applied Spark-side
+    (absorbed filters only drop rows the filter drops anyway, so the
+    frame always means exactly scan ∧ where, under any reuse).
+
+    Extra reader options pass through (``skip_rows=2``,
+    ``sheet_name="Data"``, ...).
     """
     register(spark)
     r = spark.read.format("sheetreader")
     if columns:
         r = r.option("columns", ",".join(columns))
+    if where is not None:
+        r = r.option("filter_pushdown", "true")
     for k, v in options.items():
         r = r.option(k, v)
-    return r.load(path)
+    df = r.load(path)
+    if where is not None:
+        df = df.filter(where)
+    return df

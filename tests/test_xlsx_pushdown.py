@@ -148,3 +148,25 @@ def test_relation_reuse_boundary_pins_the_optin_rationale(fixture_xlsx, spark):
     df_off = _load(spark, fixture_xlsx, pushdown=False)
     assert df_off.filter(F.col("qty") >= 95.0).count() == 5
     assert df_off.count() == N_ROWS + 1
+
+
+def test_read_xlsx_where_is_safe_by_construction(spark, fixture_xlsx):
+    """read_xlsx(where=...) binds the filter into the scan definition:
+    correct rows, no cross-contamination between two scans of the same
+    path with different predicates, and composable with columns=."""
+    from sheetreader_duckdb_spark import read_xlsx
+
+    hi = read_xlsx(spark, fixture_xlsx, where="qty > 95.0")
+    lo = read_xlsx(spark, fixture_xlsx, where="qty < 3.0")
+    assert sorted(r.name for r in hi.collect()) == [
+        f"item{i:03d}" for i in range(96, N_ROWS)
+    ]
+    assert sorted(r.name for r in lo.collect()) == ["item000", "item001", "item002"]
+    # the unfiltered scan of the same path remains complete (the reuse
+    # hazard the raw option has cannot occur through this API)
+    assert read_xlsx(spark, fixture_xlsx).count() == N_ROWS + 1
+    pruned = read_xlsx(
+        spark, fixture_xlsx, columns=["qty"], where="qty > 95.0"
+    )
+    assert pruned.columns == ["qty"]
+    assert pruned.count() == N_ROWS - 96
