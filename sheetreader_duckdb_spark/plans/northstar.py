@@ -2248,7 +2248,12 @@ def n20_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     "same-cell pairs only — candidate volume n²/K; precision exact and "
     "planted-duplicate recall ≥0.9 pinned in tests/test_semantic_dedup.py; "
     "the Lloyd centroid loop has no SQL equivalent, hence rows-only, with "
-    "the oracle-backed O(n²) twin n06 pinning pair semantics).",
+    "the oracle-backed O(n²) twin n06 pinning pair semantics); 'winnowp' "
+    "= MOSS-style winnowing-fingerprint overlap pairs on the xxhash64 "
+    "scale hash (operators/fingerprint.py winnow_pairs: postings-capped "
+    "fp equi-join; the md5 form is n10's hash-checked 'winnow' branch, "
+    "pair semantics brute-force-pinned for both hashes in "
+    "tests/test_fingerprint.py).",
 )
 def nx_scale_variants(spark: SparkSession, sf: str) -> DataFrame:
     def g(df, tag_col, k1=None, k2=None, n1=None, v1=None, s1=None):
@@ -2280,4 +2285,17 @@ def nx_scale_variants(spark: SparkSession, sf: str) -> DataFrame:
         "semdedup",
         k1="id_a", k2="id_b", n1="cell", v1="cosine",
     )
-    return hll.unionAll(mh).unionAll(sim).unionAll(ann).unionAll(sem)
+    # winnow_pairs on the scale hash (xxhash64 grams, no DuckDB twin —
+    # the md5 form is n10's hash-checked 'winnow' branch): MOSS-style
+    # overlap candidates over the documents corpus, postings-capped.
+    # Rows-only here; exact pair semantics are brute-force-pinned in
+    # tests/test_fingerprint.py for both hashes.
+    wp = g(
+        FP.winnow_pairs(
+            T(spark, sf, "documents"), "doc_id", "text",
+            min_shared=2, max_hash_freq=200, hash="xxhash64",
+        ),
+        "winnowp",
+        k1="id_a", k2="id_b", n1="shared_fps",
+    )
+    return hll.unionAll(mh).unionAll(sim).unionAll(ann).unionAll(sem).unionAll(wp)
