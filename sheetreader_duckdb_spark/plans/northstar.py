@@ -18,6 +18,7 @@ from sheetreader_duckdb_spark.operators import dedup as D
 from sheetreader_duckdb_spark.operators import fingerprint as FP
 from sheetreader_duckdb_spark.operators import quality_model as QM
 from sheetreader_duckdb_spark.operators import sampling as SM
+from sheetreader_duckdb_spark.operators import retrieval as RT
 from sheetreader_duckdb_spark.operators import similarity as S
 from sheetreader_duckdb_spark.operators import web as WB
 from sheetreader_duckdb_spark.operators import text as X
@@ -92,6 +93,10 @@ _INC_SPLIT = [("train", 0.8), ("test", 0.2)]
 # Deterministic train/val/test assignment shared by n07 (where the split
 # column is witnessed) and the decontamination branch here.
 _SPLIT_WEIGHTS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+# The n17 'bm25' query — four mid-frequency corpus terms; the tuple order
+# fixes the summation order on both engines (operators/retrieval.py).
+_BM25_TERMS = ("window", "stream", "hash", "spark")
 
 
 @query(
@@ -1752,6 +1757,11 @@ _N17_ORACLE = """
     SELECT * FROM tfidf_b
     UNION ALL SELECT * FROM lm_b
     UNION ALL SELECT * FROM dsir_b
+    UNION ALL
+    SELECT 'bm25', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           matched, dl, CAST(score_q AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM (SELECT doc_id, matched, dl, score_q
+          FROM {bm25} ORDER BY score_q DESC, doc_id LIMIT 30)
 """
 
 
@@ -1759,15 +1769,21 @@ _N17_ORACLE = """
     "n17_tf_idf",
     oracle=_N17_ORACLE.format(
         v1_case=SM.split_case_sql("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1"),
+        bm25=RT.bm25_sql("documents", "doc_id", "text", _BM25_TERMS),
     ),
-    doc="Data-valuation suite (N4), three tagged branches: 'tfidf' = "
+    doc="Data-valuation suite (N4), four tagged branches: 'tfidf' = "
     "count-based TF-IDF over unigrams (idf as the exact rational N/df, "
     "df≥50 keeps the declared result compact, df table broadcast at "
     "scale); 'lm' = bigram-LM scoring of the corpus-v1 val/test docs "
     "against count tables trained on the train split (operators/lm.py — "
     "exact integer witnesses: bigram mass, OOV occurrences, mean gram/"
     "context frequency as BIGINT/BIGINT rationals; the smoothed "
-    "log-likelihood form is lm_loglik, tolerance-tested); 'dsir' = top-40 "
+    "log-likelihood form is lm_loglik, tolerance-tested); 'bm25' = Okapi "
+    "BM25 top-30 for a fixed 4-term query (operators/retrieval.py: exact "
+    "BIGINT counts, dl/avgdl as the exact rational dl·N/total_dl, "
+    "fixed-order pivoted summation, floor-quantized integer witness "
+    "score_q at 1e-4 — Python-reference + DuckDB-parity tests in "
+    "tests/test_bm25.py); 'dsir' = top-40 "
     "docs by DSIR-style hashed-n-gram importance ratio vs the src0 target "
     "domain (4096-bucket md5 features, exact-rational score, "
     "TakeOrderedAndProject selection).",
@@ -1829,7 +1845,22 @@ def n17_tf_idf(spark: SparkSession, sf: str) -> DataFrame:
         nil_d.alias("v2"),
     )
 
-    return tfidf_b.unionAll(lm_b).unionAll(dsir_b)
+    # 'bm25' — Okapi BM25 relevance top-30 for the fixed 4-term query
+    # (operators/retrieval.py): every count exact BIGINT, per-term
+    # contributions summed in the literal term order through pivoted
+    # columns (never a float SUM aggregate), witness = floor-quantized
+    # integer score (the mlq pattern — ln may drift 1 ulp across libms).
+    bm25_b = RT.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=30).select(
+        F.lit("bm25").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        nil_s.alias("k2"),
+        F.col("matched").alias("n1"),
+        F.col("dl").alias("n2"),
+        F.col("score_q").cast("double").alias("v1"),
+        nil_d.alias("v2"),
+    )
+
+    return tfidf_b.unionAll(lm_b).unionAll(dsir_b).unionAll(bm25_b)
 
 
 # --------------------------------------------------------------------------
