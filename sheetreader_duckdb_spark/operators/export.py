@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_shard", "export_shards"]
+__all__ = ["with_shard", "export_shards", "export_webdataset"]
 
 SHARD_COL = "shard"
 
@@ -71,3 +71,95 @@ def export_shards(
         .drop("__ord")
     )
     out.write.mode(mode).partitionBy(SHARD_COL).format(format).save(path)
+
+
+def export_webdataset(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    path: str,
+    members: "list[tuple[str, str]]",
+    seed: str = "wds",
+    id_width: int = 12,
+) -> None:
+    """WebDataset-style tar shards — the multimodal training-data
+    interchange format (one tar per shard; each sample is a group of
+    same-stem entries like ``000000000042.txt`` + ``000000000042.bin``,
+    consumed sequentially by dataloaders).
+
+    ``members`` maps tar extensions to columns: ``[("txt", "text"),
+    ("bin", "payload")]`` emits two entries per row (a NULL cell skips
+    that entry). Everything is deterministic AND byte-stable: shard
+    membership and in-tar order reuse the export machinery's
+    hash-of-(seed:key) assignment/ordering, entry headers pin
+    mtime=0/uid=0/gid=0 (USTAR), so a re-export produces bit-identical
+    tars — resumable training sees identical sample order.
+
+    Scale shape: one shuffle (the shard repartition); each task streams
+    its sorted rows straight into tar archives via ``pyarrow.fs``
+    (local/HDFS/S3 by URI) with a write-to-temp-then-rename publish per
+    shard. A partition may carry several (complete) shards — hash
+    collisions of shard ids over tasks — never a partial one.
+    """
+    if not members:
+        raise ValueError("members must be non-empty")
+    k = F.col(key)
+    order = F.xxhash64(F.concat(F.lit(seed), F.lit(":"), k.cast("string")))
+    cols = [key] + [c for _, c in members]
+    tiebreak = [F.col(c) for c in df.columns]
+    out = (
+        with_shard(df, key, n_shards, seed)
+        .withColumn("__ord", order)
+        .repartition(n_shards, F.col(SHARD_COL))
+        .sortWithinPartitions(SHARD_COL, F.col("__ord"), k, *tiebreak)
+        .select(SHARD_COL, *cols)
+    )
+    exts = [e for e, _ in members]
+    n_cols = len(members)
+
+    def write_partition(rows):
+        import io
+        import posixpath
+        import tarfile
+        import uuid
+
+        from pyarrow import fs as pafs
+
+        filesystem, base = pafs.FileSystem.from_uri(path)
+        filesystem.create_dir(base, recursive=True)
+
+        cur_shard, tar, buf = None, None, None
+
+        def publish():
+            nonlocal tar, buf
+            if tar is None:
+                return
+            tar.close()
+            tmp = posixpath.join(base, f".tmp-{uuid.uuid4().hex}.tar")
+            final = posixpath.join(base, f"shard-{cur_shard:05d}.tar")
+            with filesystem.open_output_stream(tmp) as s:
+                s.write(buf.getvalue())
+            filesystem.move(tmp, final)
+            tar, buf = None, None
+
+        for row in rows:
+            if row[0] != cur_shard:
+                publish()
+                cur_shard = row[0]
+                buf = io.BytesIO()
+                tar = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+            stem = f"{row[1]:0{id_width}d}"
+            for i in range(n_cols):
+                val = row[2 + i]
+                if val is None:
+                    continue
+                data = val.encode("utf-8") if isinstance(val, str) else bytes(val)
+                info = tarfile.TarInfo(name=f"{stem}.{exts[i]}")
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tar.addfile(info, io.BytesIO(data))
+        publish()
+
+    out.foreachPartition(write_partition)

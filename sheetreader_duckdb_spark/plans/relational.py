@@ -505,6 +505,10 @@ def h09_grouping_ops(spark: SparkSession, sf: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
            (SELECT CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
                    AS DOUBLE) FROM documents)
+    UNION ALL
+    SELECT 'wds', 'docs',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           (SELECT CAST(SUM(octet_length(encode(text))) AS DOUBLE) FROM documents)
     """.format(
         money=sql_money_sum("o_totalprice"), money_o=sql_money_sum("o.o_totalprice")
     ),
@@ -539,7 +543,11 @@ def h09_grouping_ops(spark: SparkSession, sf: str) -> DataFrame:
     "'docs' proves no row lost or duplicated, 'textfp' an md5-prefix "
     "sum over the read-back text equal to the oracle's sum over the "
     "source table, proving every document survives JSON string "
-    "escaping byte-for-byte.",
+    "escaping byte-for-byte; 'wds' = WebDataset tar-shard export "
+    "(export_webdataset: byte-stable tars, deterministic membership "
+    "and in-tar order, temp-then-rename publish via pyarrow.fs) read "
+    "back through a real untar (binaryFile + tarfile mapInPandas) — "
+    "entry count and utf-8 byte totals must equal the source table's.",
 )
 def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
     import os
@@ -684,6 +692,44 @@ def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("__fp").cast("double"),
     )
 
+    # 'wds' — WebDataset tar-shard export (operators/export.py
+    # export_webdataset), read back through a REAL untar: binaryFile
+    # scan of the shard tars + a mapInPandas tarfile pass emitting one
+    # row per entry. Witness: entry count == documents count and the
+    # byte total == the oracle's sum of utf-8 text lengths — proving
+    # every document landed in exactly one tar with its exact bytes.
+    from sheetreader_duckdb_spark.operators.export import export_webdataset
+
+    export_webdataset(
+        T(spark, sf, "documents").select("doc_id", "text"),
+        "doc_id", 4, f"{base}/wds", [("txt", "text")], seed="wds",
+    )
+
+    def _untar(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            names, sizes = [], []
+            for blob in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as t:
+                    for m in t.getmembers():
+                        names.append(m.name)
+                        sizes.append(m.size)
+            yield pd.DataFrame({"name": names, "size": sizes})
+
+    entries = (
+        spark.read.format("binaryFile")
+        .load(f"{base}/wds/shard-*.tar")
+        .select("content")
+        .mapInPandas(_untar, "name string, size long")
+    )
+    wds_row = one_row(
+        entries, "wds", "docs", F.count(F.lit(1)), F.sum("size").cast("double")
+    )
+
     return (
         ctas.unionAll(export_rows)
         .unionAll(export_shards_row)
@@ -694,6 +740,7 @@ def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(merge_row)
         .unionAll(jsonl_docs)
         .unionAll(jsonl_fp)
+        .unionAll(wds_row)
     )
 
 

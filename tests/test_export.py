@@ -111,3 +111,61 @@ def test_jsonl_roundtrip_hostile_strings_and_byte_stability(spark, tmp_path):
         return out
 
     assert shard_bytes(p1) == shard_bytes(p2)
+
+
+def test_webdataset_shards_roundtrip_and_byte_stability(spark, tmp_path):
+    """Tar shards: sample grouping (same-stem entries adjacent), shard
+    membership matching with_shard, NULL member skipping, and re-export
+    byte-identity (fixed tar headers)."""
+    import tarfile
+
+    from sheetreader_duckdb_spark.operators.export import export_webdataset
+
+    rows = [
+        (i, f"text {i}", bytes([i % 256, 255 - i % 256]) if i % 3 else None)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, payload binary")
+    p1, p2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    members = [("txt", "text"), ("bin", "payload")]
+    export_webdataset(df, "doc_id", 3, p1, members, seed="w")
+    export_webdataset(df.repartition(7), "doc_id", 3, p2, members, seed="w")
+
+    want_shard = {
+        r.doc_id: r.shard
+        for r in with_shard(df, "doc_id", 3, seed="w").collect()
+    }
+    seen = {}
+    for s in range(3):
+        f1 = os.path.join(p1, f"shard-{s:05d}.tar")
+        with open(f1, "rb") as fh:
+            b1 = fh.read()
+        with open(os.path.join(p2, f"shard-{s:05d}.tar"), "rb") as fh:
+            assert fh.read() == b1  # byte-stable re-export
+        with tarfile.open(f1) as t:
+            names = t.getnames()
+            # same-stem entries adjacent, txt before bin
+            stems = [n.split(".")[0] for n in names]
+            for i, n in enumerate(names):
+                if n.endswith(".bin"):
+                    assert names[i - 1] == n[:-3] + "txt"
+            for n in names:
+                doc = int(n.split(".")[0])
+                assert want_shard[doc] == s
+                if n.endswith(".txt"):
+                    assert t.extractfile(n).read().decode() == f"text {doc}"
+                    seen[doc] = seen.get(doc, 0) + 1
+                else:
+                    assert t.extractfile(n).read() == bytes(
+                        [doc % 256, 255 - doc % 256]
+                    )
+            # entries are in the deterministic hash order (non-decreasing
+            # stems would be wrong to assert; instead: stable across the
+            # two exports, already proven byte-identical above)
+            assert len(set(stems)) == len([d for d in want_shard if want_shard[d] == s])
+    assert sorted(seen) == list(range(40))  # every doc's txt exactly once
+    # docs with doc_id % 3 == 0 have NULL payload -> no .bin entry
+    with tarfile.open(os.path.join(p1, "shard-00000.tar")) as t:
+        for n in t.getnames():
+            if n.endswith(".bin"):
+                assert int(n.split(".")[0]) % 3 != 0
