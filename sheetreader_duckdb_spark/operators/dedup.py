@@ -88,6 +88,7 @@ def contamination(
     text_col: str,
     k: int = 8,
     min_hits: int = 1,
+    broadcast_eval: bool = False,
 ) -> DataFrame:
     """Eval-set decontamination: eval documents sharing ≥ ``min_hits``
     word ``k``-grams with ANY training document.
@@ -104,9 +105,26 @@ def contamination(
     the string gram for ``xxhash64(sh)`` on BOTH sides before the join
     (integer shuffle keys, ~8 bytes/gram) — semantics identical modulo
     negligible 64-bit collisions.
+
+    ``broadcast_eval=True`` is the 100 TB path when the eval set is the
+    small side (benchmarks are thousands of docs, the corpus billions):
+    the train grams are semi-joined against the BROADCAST distinct eval
+    grams BEFORE their own distinct, so the corpus-wide gram shuffle —
+    the default form's dominant cost — collapses to a map-side broadcast
+    probe; only the matching residue (≤ the eval gram count) is
+    distinct'd and joined. The result is EXACTLY the default form's
+    (a semi join against the same membership set drops nothing the join
+    would keep). Requires the distinct eval grams to fit the broadcast
+    budget — the eval-benchmark regime this flag is named for.
     """
-    tr = word_shingles(train, id_col, text_col, k=k).select("sh").distinct()
     ev = word_shingles(eval_df, id_col, text_col, k=k)
+    tr_raw = word_shingles(train, id_col, text_col, k=k).select("sh")
+    if broadcast_eval:
+        tr = tr_raw.join(
+            F.broadcast(ev.select("sh").distinct()), "sh", "left_semi"
+        ).distinct()
+    else:
+        tr = tr_raw.distinct()
     sizes = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = ev.join(tr, "sh").groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
     return (

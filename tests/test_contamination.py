@@ -81,3 +81,37 @@ def test_no_cartesian_in_plan(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_broadcast_eval_is_result_identical(spark, sf_dir):
+    """The broadcast-eval path must return EXACTLY the default result
+    (the pre-distinct semi join drops only grams the exact join would
+    drop), with the broadcast probe visible in the executed plan and the
+    train-side distinct operating on the residue above it."""
+    from sheetreader_duckdb_spark.tables import T
+
+    d = T(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 3 != 0)
+    ev = d.filter(F.col("doc_id") % 3 == 0).limit(40)
+    plain = {
+        (r.id, r.n_hits, r.n_shingles)
+        for r in contamination(train, ev, "doc_id", "text", k=8).collect()
+    }
+    fast = contamination(
+        train, ev, "doc_id", "text", k=8, broadcast_eval=True
+    )
+    got = {(r.id, r.n_hits, r.n_shingles) for r in fast.collect()}
+    assert got == plain and plain  # non-trivial corpus overlap exists
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_broadcast_eval_empty_eval(spark, sf_dir):
+    from sheetreader_duckdb_spark.tables import T
+
+    d = T(spark, sf_dir, "documents")
+    empty = d.filter(F.lit(False))
+    assert (
+        contamination(d, empty, "doc_id", "text", broadcast_eval=True).count()
+        == 0
+    )
