@@ -260,6 +260,10 @@ def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "text",
         k=3,
+        # the scale form (pre-distinct broadcast semi join) — result-
+        # identical to the default by construction, so the oracle is
+        # unchanged and the driver witnesses the production path.
+        broadcast_eval=True,
     ).select(
         F.lit("contam").alias("tag"),
         F.lit(None).cast("string").alias("h"),
