@@ -69,6 +69,10 @@ _SLOW_TESTS = {
     "test_fingerprint.py::test_winnow_pairs_matches_bruteforce",
     "test_fingerprint.py::test_max_hash_freq_drops_boilerplate",
     "test_linededup.py::test_matches_bruteforce_random",
+    # full-pipeline composition drills (the stage/planted-row test stays
+    # in smoke as the composition's fast witness)
+    "test_pipeline.py::test_deterministic_under_partitioning",
+    "test_pipeline.py::test_composes_with_packing_and_export",
     # misc heavy integration
     "test_dupspan.py::test_shared_boilerplate_span",
     "test_dupspan.py::test_identical_docs_fully_covered",
