@@ -5,7 +5,7 @@
 # sessions are). Shard 1 carries the oracle differential + the XLSX
 # source/sink surface; shard 2 the operator library. Fails if either
 # shard fails. Serial fallback: `python -m pytest tests/ -q -m "not slow"`
-# (~8 min). Full suite: `python -m pytest tests/ -q` (~14 min).
+# (~8 min). Full suite: `python -m pytest tests/ -q` (~16 min).
 set -u
 cd "$(dirname "$0")/.."
 

@@ -13,7 +13,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 # ---------------------------------------------------------------------------
 # Slow-test policy, centralized: the suite has outgrown a single 10-minute
-# gate window (~14 min serial), so the long Spark-integration tests carry
+# gate window (~16 min serial), so the long Spark-integration tests carry
 # @slow and `pytest -m "not slow"` is the sub-5-minute smoke. Selection
 # principle: property sweeps / recall measurements / crash-recovery drills /
 # the two heaviest full-corpus oracle rows move out of the smoke; every
