@@ -20,8 +20,10 @@ the line that scales:
   a frozen merge list as a chain of built-in ``replace`` calls over a
   spaced-char representation (every char space-delimited, words
   separated by ≥2 spaces so merges can never cross a word boundary).
-  Left-to-right non-overlapping string replacement IS the BPE merge
-  step on that representation, so N merges compile to N nested
+  One left-to-right non-overlapping replace pass per merge is the
+  DEFINED encode semantics (see the block comment above
+  ``bpe_spaced_expr`` for the precise relationship to symbol-level
+  greedy BPE), so N merges compile to N nested
   ``StringReplace``s inside whole-stage codegen — no Python worker, and
   the identical chain is SQL-expressible for the DuckDB oracle
   (generated from the SAME merge list by ``bpe_encode_sql`` — the
@@ -134,19 +136,39 @@ def bpe_train(
 # --------------------------------------------------------------------------
 # Encoding with a frozen merge list — built-in expressions only.
 #
-# Representation: every character becomes " " + char, plus one trailing
-# space — so a word is " h u g " (single spaces INSIDE, and the original
-# inter-word space char itself expands to "  ", leaving >= 3 spaces
-# between words). A merge (a, b) is then the literal replacement
-# " a b " -> " ab ": left-to-right, non-overlapping, exactly BPE's greedy
-# within-word merge order, and structurally unable to fire across word
-# boundaries (no single-space path crosses one). After every replacement
-# the single-space invariant between adjacent symbols still holds, so the
-# next merge in the chain sees a well-formed sequence.
+# Representation: whitespace is first normalized to single spaces (the
+# same separator class word_counts tokenizes on — spelled as an explicit
+# character class because Java's \s and RE2's \s disagree on \x0B), then
+# every character becomes " " + char, plus one trailing space — so a
+# word is " h u g " (single spaces INSIDE, and the inter-word space
+# expands to "  ", leaving >= 3 spaces between words). The per-char
+# regex carries (?s) because Java's '.' skips line terminators
+# (CR, NEL U+0085, LS U+2028, PS U+2029) that RE2's '.' matches
+# -- without the flag the two engines space exotic separators
+# differently.
+#
+# A merge (a, b) is the literal replacement " a b " -> " ab ": ONE
+# left-to-right non-overlapping replace pass per merge, structurally
+# unable to fire across word boundaries (no single-space path crosses
+# one). DEFINED SEMANTICS, deterministic and identical on Spark, DuckDB,
+# and the Python reference (str.replace has the same pass semantics):
+# equal to the classic symbol-level greedy merge everywhere EXCEPT at
+# immediately-adjacent instances of the same pair, where the pass
+# consumes the shared delimiter and skips the next instance —
+# 'abab' under ('a','b') encodes [ab, a, b] (symbol-greedy: [ab, ab]),
+# 'aaaa' under ('a','a') encodes [aa, a, a] after any number of passes
+# of this chain. tests/test_bpe.py pins both the equality on ordinary
+# words and the divergence cases explicitly; the TRAINING loop
+# (bpe_train_reference) remains the canonical symbol-level algorithm.
 # --------------------------------------------------------------------------
+_WS_CLASS = "[ \\t\\n\\r\\x0B\\f]+"
+
+
 def bpe_spaced_expr(col: Column) -> Column:
-    """Lowercased text to the spaced-symbol representation."""
-    return F.concat(F.regexp_replace(F.lower(col), "(.)", " $1"), F.lit(" "))
+    """Lowercased, whitespace-normalized text to the spaced-symbol
+    representation."""
+    norm = F.regexp_replace(F.lower(col), _WS_CLASS, " ")
+    return F.concat(F.regexp_replace(norm, "(?s)(.)", " $1"), F.lit(" "))
 
 
 def bpe_encode_expr(col: Column, merges: list[tuple[str, str]]) -> Column:
@@ -177,7 +199,8 @@ def _sql_quote(s: str) -> str:
 def bpe_encode_sql(text_sql: str, merges: list[tuple[str, str]]) -> str:
     """DuckDB twin of ``bpe_encode_expr``, generated from the SAME merge
     list so Spark and oracle can never desync (scrub_pii pattern)."""
-    expr = f"regexp_replace(lower({text_sql}), '(.)', ' \\1', 'g') || ' '"
+    norm = f"regexp_replace(lower({text_sql}), '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')"
+    expr = f"regexp_replace({norm}, '(?s)(.)', ' \\1', 'g') || ' '"
     for a, b in merges:
         expr = f"replace({expr}, ' {_sql_quote(a)} {_sql_quote(b)} ', ' {_sql_quote(a + b)} ')"
     return expr

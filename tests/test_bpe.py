@@ -13,12 +13,27 @@ from sheetreader_duckdb_spark.tables import T
 
 
 def _encode_reference(text: str, merges: list[tuple[str, str]]) -> list[str]:
-    """Symbol-level reference encoder: per word, apply each merge in
-    order (all occurrences, greedy left-to-right)."""
+    """String-chain reference encoder — the OPERATOR'S defined semantics
+    (one left-to-right non-overlapping str.replace pass per merge over
+    the spaced representation; Python's str.replace shares the pass
+    semantics of Spark's replace and DuckDB's replace), so this parity
+    holds for EVERY input, not just corpora without adjacent same-pair
+    instances. The divergence from the classic symbol-level greedy merge
+    is pinned separately in test_chain_semantics_vs_symbol_greedy."""
+    import re
+
+    norm = re.sub(r"[ \t\n\r\x0b\f]+", " ", text.lower())
+    s = "".join(f" {c}" for c in norm) + " "
+    for a, b in merges:
+        s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    return [t for t in s.split(" ") if t]
+
+
+def _encode_symbol_greedy(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    """The classic symbol-level greedy encoder, kept to DOCUMENT where
+    the string chain diverges (adjacent instances of the same pair)."""
     out: list[str] = []
-    for word in text.lower().split(" "):
-        if not word:
-            continue
+    for word in text.lower().split():
         syms = tuple(word)
         for pair in merges:
             syms = B._merge_word(syms, pair)
@@ -156,3 +171,75 @@ def test_word_counts_partition_invariant(spark, sf_dir, n_parts):
         for r in B.word_counts(T(spark, sf_dir, "documents").limit(100)).collect()
     }
     assert wc == base
+
+
+def test_chain_semantics_vs_symbol_greedy(spark):
+    """Pin the DEFINED divergence: on immediately-adjacent instances of
+    the same pair the one-pass string chain under-merges relative to the
+    classic symbol-level greedy encoder; everywhere else they agree."""
+    cases = [
+        ("abab", [("a", "b")], ["ab", "a", "b"], ["ab", "ab"]),
+        ("aaaa", [("a", "a")], ["aa", "a", "a"], ["aa", "aa"]),
+        ("abcabc", [("a", "b"), ("ab", "c")], ["abc", "ab", "c"], ["abc", "abc"]),
+        ("hug pug", [("u", "g"), ("h", "ug")], ["hug", "p", "ug"], ["hug", "p", "ug"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, *_rest) in enumerate(cases)], "doc_id long, text string"
+    )
+    for i, (text, merges, want_chain, want_greedy) in enumerate(cases):
+        toks = df.filter(F.col("doc_id") == i).select(
+            B.bpe_tokens_expr(F.col("text"), merges).alias("t")
+        ).collect()[0]["t"]
+        assert toks == want_chain == _encode_reference(text, merges), text
+        assert _encode_symbol_greedy(text, merges) == want_greedy, text
+
+
+def test_hostile_whitespace_cross_engine(spark):
+    """CR/TAB/FF/VT/newline must encode identically on Spark, DuckDB,
+    and the Python reference (the carriage-return case diverged before
+    whitespace normalization + the (?s) flag)."""
+    import duckdb
+
+    texts = [
+        "a\rb", "a\nb", "a\tb", "a\x0bb", "a\fb", "a\r\n b", "ab", "a b",
+    ]
+    merges = [("a", "b")]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.e
+        for r in df.select(
+            "doc_id", B.bpe_encode_expr(F.col("text"), merges).alias("e")
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT id, {B.bpe_encode_sql('t', merges)} FROM "
+        "(SELECT unnest(range(?)) AS id, unnest(?) AS t)",
+        [len(texts), texts],
+    ).fetchall()
+    for i, e in duck:
+        assert e == got[i] == _strchain_encode(texts[i], merges), repr(texts[i])
+    # ASCII whitespace collapses to a word gap, matching word_counts'
+    # tokenization; "ab" merges, separated "a b" does not.
+    toks = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", B.bpe_tokens_expr(F.col("text"), merges).alias("t")
+        ).collect()
+    }
+    for i in (0, 1, 2, 3, 4, 5, 7):
+        assert toks[i] == ["a", "b"], repr(texts[i])
+    assert toks[6] == ["ab"]
+
+
+def _strchain_encode(text, merges):
+    """Raw encoded STRING via the reference chain (not just tokens)."""
+    import re
+
+    norm = re.sub(r"[ \t\n\r\x0b\f]+", " ", text.lower())
+    s = "".join(f" {c}" for c in norm) + " "
+    for a, b in merges:
+        s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    return s
