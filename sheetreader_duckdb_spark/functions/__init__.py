@@ -57,3 +57,19 @@ def sql_money_avg(col: str) -> str:
 def sql_round_fixed(expr: str, d: int) -> str:
     scale = 10**d
     return f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT) / {scale}.0"
+
+
+def md5_prefix_long(col: Column | str) -> Column:
+    """32-bit md5-prefix of a string column as BIGINT — the repo's
+    cross-engine content fingerprint (sums of ~500k of them stay inside
+    exact BIGINT range on both engines). DuckDB twin:
+    ``sql_md5_prefix_long``; the two are defined side by side so a
+    width change cannot desync the engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def sql_md5_prefix_long(expr: str) -> str:
+    """DuckDB twin of ``md5_prefix_long`` (DuckDB's md5 hashes the
+    VARCHAR's utf-8 bytes, matching Spark's binary cast)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"

@@ -81,6 +81,7 @@ def export_webdataset(
     members: "list[tuple[str, str]]",
     seed: str = "wds",
     id_width: int = 12,
+    mode: str = "overwrite",
 ) -> None:
     """WebDataset-style tar shards — the multimodal training-data
     interchange format (one tar per shard; each sample is a group of
@@ -95,6 +96,14 @@ def export_webdataset(
     mtime=0/uid=0/gid=0 (USTAR), so a re-export produces bit-identical
     tars — resumable training sees identical sample order.
 
+    ``mode='overwrite'`` (default) removes prior ``shard-*.tar`` and
+    stale ``.tmp-*.tar`` files before writing, so a re-export with a
+    smaller ``n_shards`` cannot leave old shards mixed into the layout;
+    ``mode='error'`` refuses to write into a directory that already
+    holds shards. Integer keys become zero-padded ``id_width`` stems;
+    string keys are used verbatim (they must not contain '/' — tar
+    entry names are flat).
+
     Scale shape: one shuffle (the shard repartition); each task streams
     its sorted rows straight into tar archives via ``pyarrow.fs``
     (local/HDFS/S3 by URI) with a write-to-temp-then-rename publish per
@@ -103,6 +112,32 @@ def export_webdataset(
     """
     if not members:
         raise ValueError("members must be non-empty")
+    if mode not in ("overwrite", "error"):
+        raise ValueError(f"mode must be 'overwrite' or 'error', got {mode!r}")
+    from pyarrow import fs as pafs
+
+    _fs, _base = pafs.FileSystem.from_uri(path)
+    _fs.create_dir(_base, recursive=True)
+    import posixpath as _pp
+
+    existing = [
+        info.path
+        for info in _fs.get_file_info(pafs.FileSelector(_base, recursive=False))
+        if info.is_file
+        and (
+            (_pp.basename(info.path).startswith("shard-")
+             and info.path.endswith(".tar"))
+            or (_pp.basename(info.path).startswith(".tmp-")
+                and info.path.endswith(".tar"))
+        )
+    ]
+    if existing and mode == "error":
+        raise FileExistsError(
+            f"export_webdataset: {len(existing)} shard/tmp tar(s) already "
+            f"under {path}; pass mode='overwrite' to replace them"
+        )
+    for f in existing:
+        _fs.delete_file(f)
     k = F.col(key)
     order = F.xxhash64(F.concat(F.lit(seed), F.lit(":"), k.cast("string")))
     cols = [key] + [c for _, c in members]
@@ -148,7 +183,15 @@ def export_webdataset(
                 cur_shard = row[0]
                 buf = io.BytesIO()
                 tar = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
-            stem = f"{row[1]:0{id_width}d}"
+            kv = row[1]
+            if isinstance(kv, int):
+                stem = f"{kv:0{id_width}d}"
+            else:
+                stem = str(kv)
+                if "/" in stem:
+                    raise ValueError(
+                        f"export_webdataset: key value {stem!r} contains '/'"
+                    )
             for i in range(n_cols):
                 val = row[2 + i]
                 if val is None:

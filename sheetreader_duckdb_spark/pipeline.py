@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sheetreader_duckdb_spark import session as SESS
 from sheetreader_duckdb_spark.operators import dedup as D
 from sheetreader_duckdb_spark.operators import sampling as SM
 from sheetreader_duckdb_spark.operators import text as X
@@ -69,7 +70,16 @@ def curate_corpus(
     report: list[tuple[str, int]] = []
 
     def note(stage: str, frame: DataFrame) -> DataFrame:
+        # Each report count is an action; without a persist it would
+        # re-execute the whole unpersisted upstream lineage, running the
+        # expensive near-dup stages O(stages²) times across the report.
+        # Persist every staged frame (the next stage AND its count read
+        # the cache) through the deferred-release registry; a standalone
+        # caller that wants the memory back immediately after
+        # materializing the result should call session.release_deferred()
+        # — the registry's documented contract.
         if collect_report:
+            frame = SESS.defer_unpersist(frame.persist())
             report.append((stage, frame.count()))
         return frame
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sheetreader_duckdb_spark import functions as FN
 from sheetreader_duckdb_spark.operators import dedup as D
 from sheetreader_duckdb_spark.operators import fingerprint as FP
 from sheetreader_duckdb_spark.operators import quality_model as QM
@@ -1405,9 +1406,7 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         d.select("doc_id", "source", "text"), "doc_id", "text", n=5, min_docs=2,
         spans=dspans,
     )
-    scrub_fp = F.conv(
-        F.substring(F.md5(F.col("scrub_text").cast("binary")), 1, 8), 16, 10
-    ).cast("long")
+    scrub_fp = FN.md5_prefix_long("scrub_text")
     dupspan_b = (
         dstats.join(
             dscrub.select("doc_id", "source", scrub_fp.alias("__fp")), "doc_id"
@@ -1506,13 +1505,7 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
     ud = d.select("doc_id", "source", udf_url.alias("url"))
     ucapped = WB.per_domain_cap(ud, "url", 10, "doc_id", keep_rank=True)
-    nurl_fp = F.conv(
-        F.substring(
-            F.md5(WB.normalize_url_expr(F.col("url")).cast("binary")), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    nurl_fp = FN.md5_prefix_long(WB.normalize_url_expr(F.col("url")))
     url_b = (
         ucapped.select("doc_id", "source", "domain", nurl_fp.alias("__fp"))
         .groupBy("source")
@@ -1560,9 +1553,7 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
     lstats = D.duplicate_line_stats(ld, "doc_id", "ltext", occurrences=locc)
     lscrub = D.remove_duplicate_lines(ld, "doc_id", "ltext", occurrences=locc)
-    lfp = F.conv(
-        F.substring(F.md5(F.col("line_scrub_text").cast("binary")), 1, 8), 16, 10
-    ).cast("long")
+    lfp = FN.md5_prefix_long("line_scrub_text")
     linededup_b = (
         lstats.join(
             lscrub.select("doc_id", "source", lfp.alias("__fp")), "doc_id"

@@ -678,9 +678,9 @@ def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
     jback = spark.read.schema("doc_id long, text string, n_chars long").json(
         f"{base}/jsonl"
     )
-    jfp = F.conv(
-        F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
-    ).cast("long")
+    from sheetreader_duckdb_spark.functions import md5_prefix_long
+
+    jfp = md5_prefix_long("text")
     jsonl_docs = one_row(
         jback, "jsonl", "docs", F.count(F.lit(1)), F.sum("n_chars").cast("double")
     )

@@ -169,3 +169,37 @@ def test_webdataset_shards_roundtrip_and_byte_stability(spark, tmp_path):
         for n in t.getnames():
             if n.endswith(".bin"):
                 assert int(n.split(".")[0]) % 3 != 0
+
+
+def test_webdataset_overwrite_and_string_keys(spark, tmp_path):
+    """mode='overwrite' removes stale shards from a wider prior layout;
+    mode='error' refuses a non-empty layout; string keys export verbatim."""
+    import tarfile
+
+    from sheetreader_duckdb_spark.operators.export import export_webdataset
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(12)], "doc_id long, text string"
+    )
+    p = str(tmp_path / "w")
+    export_webdataset(df, "doc_id", 6, p, [("txt", "text")], seed="o")
+    want6 = {
+        f"shard-{r.shard:05d}.tar"
+        for r in with_shard(df, "doc_id", 6, seed="o").select("shard").collect()
+    }  # empty shards produce no tar
+    assert {f for f in os.listdir(p) if f.startswith("shard-")} == want6
+    export_webdataset(df, "doc_id", 2, p, [("txt", "text")], seed="o")
+    shards = sorted(f for f in os.listdir(p) if f.startswith("shard-"))
+    assert shards == ["shard-00000.tar", "shard-00001.tar"]  # stale shards gone
+    import pytest as _pt
+
+    with _pt.raises(FileExistsError):
+        export_webdataset(df, "doc_id", 2, p, [("txt", "text")], mode="error")
+
+    sdf = spark.createDataFrame(
+        [("key-a", "x"), ("key-b", "y")], "k string, text string"
+    )
+    p2 = str(tmp_path / "s")
+    export_webdataset(sdf, "k", 1, p2, [("txt", "text")], seed="s")
+    with tarfile.open(os.path.join(p2, "shard-00000.tar")) as t:
+        assert sorted(t.getnames()) == ["key-a.txt", "key-b.txt"]
