@@ -329,10 +329,11 @@ def _recover_legacy_swap(
       double shingle/band rows and corrupt Jaccard verification).
     * tmp present, some NON-target aside still has a live counterpart →
       crash mid step 2 (the install cannot have started: step 3 runs
-      only after every aside rename finished). Every live dir is
-      complete, every live-missing aside is complete — classic
-      rollback: restore live-missing asides, drop survivors' partial
-      asides, drop the tmp.
+      only after every aside rename finished), which means step 1 HAD
+      finished and the tmp is a complete copy of the merged rows — roll
+      FORWARD from it (install + drop inputs/asides). Live dirs are NOT
+      trusted here: a crash in an aside rename's delete phase leaves a
+      partial live dir whose complete copies are the aside and the tmp.
     * tmp present otherwise → step-2-complete or step-3 crash: compare
       readable row counts of tmp vs live target and ROLL FORWARD from
       whichever is larger (ties: both complete, keep live) via a
@@ -359,13 +360,22 @@ def _recover_legacy_swap(
         i for i in old_ids if fsutil.exists(spark, f"{base}/batch={i}")
     }
     if survivors - {target}:
-        # Mid step 2: install never started, every live copy complete.
+        # Mid step 2: the install never started (step 3 only runs after
+        # every aside rename). Step 1 HAD completed before step 2 began,
+        # so the tmp holds the COMPLETE merged rows — roll FORWARD from
+        # it rather than trusting live dirs. (The previous rollback
+        # trusted 'a surviving live copy is complete', but under
+        # copy+delete rename semantics a crash in an aside rename's
+        # DELETE phase leaves a PARTIAL live dir while the complete
+        # copies are the aside and the tmp — that rule deleted both
+        # complete copies. Rolling forward from the tmp is correct at
+        # every step-2 crash point: merged = exact union of the inputs.)
+        spark.read.parquet(legacy_tmp).write.mode("overwrite").parquet(target_live)
         for old in olds:
             i = _batch_id(old)
-            if i in survivors:
-                fsutil.delete(spark, old)  # partial aside, live wins
-            else:
-                fsutil.rename(spark, old, f"{base}/batch={i}")
+            if i != target:
+                fsutil.delete(spark, f"{base}/batch={i}")
+            fsutil.delete(spark, old)
         fsutil.delete(spark, legacy_tmp)
         return
     tmp_rows = _count_or_none(spark, legacy_tmp)

@@ -427,3 +427,33 @@ def test_interval_join_feeds_corpus_builder_composition(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
     )
     assert got3 == ref
+
+
+def test_legacy_aside_delete_phase_crash_rolls_forward(spark, tmp_path):
+    """Legacy swap crashed in STEP 2's aside-rename DELETE phase under
+    copy+delete semantics: .batch=0.old is COMPLETE while live batch=0 is
+    a PARTIAL leftover of the interrupted delete. The old rollback kept
+    the partial live and deleted the complete aside AND the complete
+    merged tmp. Recovery must roll forward from the tmp."""
+    import shutil
+
+    corpus = str(tmp_path / "corpus_ladp")
+    for i, text in enumerate([NEAR_A, NEAR_B, NEAR_C]):
+        accept_batch(_docs(spark, [(i, text)]), i, corpus, "doc_id", "text")
+    base = f"{corpus}/digests"
+    spark.read.parquet(f"{base}/batch=0", f"{base}/batch=1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/.compact.tmp")
+    # Aside rename of batch=0: copy completed, delete interrupted — the
+    # live dir keeps only the _SUCCESS marker (a strict subset).
+    shutil.copytree(f"{base}/batch=0", f"{base}/.batch=0.old")
+    for f in os.listdir(f"{base}/batch=0"):
+        if f != "_SUCCESS":
+            os.remove(os.path.join(f"{base}/batch=0", f))
+    # batch=1's aside rename had not started yet.
+    shutil.copytree(f"{base}/batch=1", f"{base}/.batch=1.old")
+    shutil.rmtree(f"{base}/batch=1")
+    assert "digests" in recover_corpus_state(spark, corpus)
+    assert sorted(os.listdir(base)) == ["batch=1", "batch=2"]
+    # Both merged digests survived the partial-live trap.
+    assert spark.read.parquet(f"{base}/batch=1").count() == 2
