@@ -102,7 +102,10 @@ def export_webdataset(
     ``mode='error'`` refuses to write into a directory that already
     holds shards. Integer keys become zero-padded ``id_width`` stems;
     string keys are used verbatim (they must not contain '/' — tar
-    entry names are flat).
+    entry names are flat). Key values must be UNIQUE: WebDataset
+    loaders group entries by stem, so a repeated key would silently
+    merge two samples — the writer raises on a duplicate (equal keys
+    sort adjacent within a shard, so the check is streaming O(1)).
 
     Scale shape: one shuffle (the shard repartition); each task streams
     its sorted rows straight into tar archives via ``pyarrow.fs``
@@ -164,6 +167,7 @@ def export_webdataset(
         filesystem.create_dir(base, recursive=True)
 
         cur_shard, tar, buf = None, None, None
+        prev_stem = None
 
         def publish():
             nonlocal tar, buf
@@ -183,6 +187,7 @@ def export_webdataset(
                 cur_shard = row[0]
                 buf = io.BytesIO()
                 tar = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+                prev_stem = None
             kv = row[1]
             if isinstance(kv, int):
                 stem = f"{kv:0{id_width}d}"
@@ -192,6 +197,17 @@ def export_webdataset(
                     raise ValueError(
                         f"export_webdataset: key value {stem!r} contains '/'"
                     )
+            # Duplicate keys would produce two identical entry stems,
+            # which WebDataset loaders merge into one conflicting sample
+            # group. Equal keys hash to the same shard AND the same
+            # sort key (shard, xxhash64(key), key, ...), so duplicates
+            # arrive adjacent — an O(1) streaming check catches them all.
+            if stem == prev_stem:
+                raise ValueError(
+                    f"export_webdataset: duplicate key value {kv!r} "
+                    f"(entry stem {stem!r}) — sample keys must be unique"
+                )
+            prev_stem = stem
             for i in range(n_cols):
                 val = row[2 + i]
                 if val is None:

@@ -130,7 +130,20 @@ def winnow_encoded_expr(
     (2^31 - 1) — the scalar form the cross-engine witness sums. Distinct
     is applied AFTER encoding on both engines, so a (vanishingly rare)
     post-mod collision between different positions dedups identically
-    on both sides."""
+    on both sides.
+
+    md5-only by contract: the encoding's exact-BIGINT claim holds
+    because the 32-bit md5-prefix keeps p·1000003 + h below 2^63; a
+    full-signed-range xxhash64 value would wrap int64 (deterministic in
+    Spark but outside the witness contract, and the DuckDB twin is
+    md5-only regardless). The xxhash64 scale path keeps the struct form
+    (winnow_selected_expr / winnow_fingerprints), which never encodes."""
+    if hash != "md5":
+        raise ValueError(
+            "winnow_encoded_expr is md5-only (the exact-BIGINT encoding "
+            f"contract); got hash={hash!r} — use winnow_selected_expr / "
+            "winnow_fingerprints for the xxhash64 scale path"
+        )
     return F.array_distinct(
         F.transform(
             winnow_selected_expr(text, k, w, hash),

@@ -30,6 +30,16 @@ corpus-wide explode is filtered BEFORE the shuffle, so gram volume is
 per-term, not per-token), a per-doc length aggregate, three broadcast
 joins (stats row, df table ≤ |terms| rows), and a TakeOrderedAndProject
 top-k. No per-row Python anywhere.
+
+Tokenization contract: ``split(lower(text), ' ')`` — a SINGLE literal
+space, deliberately. BM25's dl/avgdl must count exactly what the tf
+explode emits, and the single-space split is the repo's canonical-space
+convention (dedup.word_shingles, duplicate_ngram_*, the n10 witnesses)
+— NOT bpe.word_counts' ``\\s+`` class. Consecutive spaces therefore
+yield empty tokens that count toward dl (consistently on both engines,
+and they can never match a query term, which is validated non-empty);
+text with tabs/newlines should be normalized upstream
+(text.normalized_text) if whitespace-class tokenization is wanted.
 """
 
 from __future__ import annotations
@@ -62,6 +72,8 @@ def bm25_scores(
         raise ValueError("query_terms must be non-empty")
     if len(set(terms)) != len(terms):
         raise ValueError("query_terms must be distinct")
+    if any(t == "" for t in terms):
+        raise ValueError("query_terms must be non-empty strings")
 
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
@@ -146,11 +158,15 @@ def bm25_sql(
     b: float = 0.75,
 ) -> str:
     """DuckDB twin of bm25_scores — generated from the same terms list,
-    constants, and summation order."""
+    constants, and summation order. Term literals are SQL-escaped (the
+    bpe._sql_quote pattern) so a term containing an apostrophe cannot
+    break or inject into the oracle query."""
+    from sheetreader_duckdb_spark.operators.bpe import _sql_quote
+
     terms = list(query_terms)
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    in_list = ", ".join(f"'{_sql_quote(t)}'" for t in terms)
     cases = ", ".join(
-        f"SUM(CASE WHEN tok = '{t}' THEN __c END) AS __c{i}"
+        f"SUM(CASE WHEN tok = '{_sql_quote(t)}' THEN __c END) AS __c{i}"
         for i, t in enumerate(terms)
     )
     score = "COALESCE(__c0, 0.0)"

@@ -117,3 +117,27 @@ def test_corpus_scale_smoke(spark, sf_dir):
     top = R.bm25_topk(d, "doc_id", "text", TERMS, k=10).collect()
     assert len(top) == 10
     assert all(r.matched >= 1 for r in top)
+
+
+def test_sql_twin_escapes_quoted_terms(spark):
+    # A term containing an apostrophe must neither break the generated
+    # oracle SQL nor desync the engines (ADVICE r5: reuse _sql_quote).
+    docs = DOCS + [(7, "o'brien wrote spark o'brien")]
+    terms = ["o'brien", "spark"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.matched, r.dl, r.score_q)
+        for r in R.bm25_scores(df, "doc_id", "text", terms).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", docs)
+    duck = {
+        r[0]: (r[1], r[2], r[4])
+        for r in con.execute(
+            "SELECT doc_id, matched, dl, score, score_q FROM "
+            + R.bm25_sql("docs", "doc_id", "text", terms)
+        ).fetchall()
+    }
+    assert duck == got
+    assert got[7][0] == 2  # both terms matched in the planted doc

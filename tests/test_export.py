@@ -203,3 +203,20 @@ def test_webdataset_overwrite_and_string_keys(spark, tmp_path):
     export_webdataset(sdf, "k", 1, p2, [("txt", "text")], seed="s")
     with tarfile.open(os.path.join(p2, "shard-00000.tar")) as t:
         assert sorted(t.getnames()) == ["key-a.txt", "key-b.txt"]
+
+
+def test_webdataset_rejects_duplicate_keys(spark, tmp_path):
+    """Two rows with the same key would collapse into one WebDataset
+    sample group; the writer must raise instead of silently merging.
+    Duplicates land adjacent in the shard sort, so the check also fires
+    when the dup pair is buried among many unique keys."""
+    import pytest as _pt
+
+    from sheetreader_duckdb_spark.operators.export import export_webdataset
+
+    rows = [(i, f"t{i}") for i in range(50)] + [(7, "dup")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with _pt.raises(Exception, match="duplicate key"):
+        export_webdataset(
+            df, "doc_id", 2, str(tmp_path / "dup"), [("txt", "text")], seed="d"
+        )

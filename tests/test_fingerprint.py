@@ -267,3 +267,11 @@ def test_density_bound(spark, w):
             assert r.n == 0
         else:
             assert 1 <= r.n <= max(1, m - w + 1)
+
+
+def test_encoded_form_is_md5_only(spark):
+    # The (p*1000003 + h) encoding is exact-BIGINT only for the 32-bit
+    # md5 prefix; a full-range xxhash64 would wrap int64. The encoded
+    # (witness) form must refuse the scale hash outright.
+    with pytest.raises(ValueError, match="md5-only"):
+        FP.winnow_encoded_expr(F.lit("abcdef"), K, W, hash="xxhash64")
