@@ -56,8 +56,11 @@ TRACKING_PARAMS = (
 
 # Two-level public suffixes for the registrable-domain heuristic.
 # Deliberately a small frozen list, NOT the full Public Suffix List —
-# documented approximation (the PSL is a data file a production deploy
-# would broadcast; the operator shape is identical).
+# documented approximation and the n10 oracle witness. A production
+# deploy passes the real PSL via the ``suffixes=`` parameter of
+# registrable_domain_expr / per_domain_cap (multi-label entries
+# supported, longest-match-wins); both engines' expressions are
+# generated from whichever table is in force.
 TWO_LEVEL_SUFFIXES = (
     "co.uk", "ac.uk", "gov.uk", "org.uk",
     "com.au", "net.au", "org.au",
@@ -128,22 +131,58 @@ def normalize_url_expr(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
 
 
-def registrable_domain_expr(host: Column) -> Column:
-    """Registrable domain of a lower-cased host: the last two labels,
-    or the last three when the final two form a TWO_LEVEL_SUFFIXES
-    entry (co.uk and friends). Single-label hosts pass through."""
+def _suffix_groups(suffixes) -> dict[int, list[str]]:
+    """Validate a public-suffix table and group it by label count
+    (longest first — PSL longest-match-wins)."""
+    groups: dict[int, list[str]] = {}
+    for s in suffixes:
+        if not s or s != s.lower() or s.startswith(".") or s.endswith("."):
+            raise ValueError(
+                f"public suffix {s!r} must be lower-case with no leading/"
+                "trailing dot (wildcard '*.' and exception '!' PSL rules "
+                "are not supported — pre-expand them)"
+            )
+        if "*" in s or "!" in s:
+            raise ValueError(
+                f"public suffix {s!r}: wildcard/exception PSL rules are "
+                "not supported — pre-expand them to literal suffixes"
+            )
+        groups.setdefault(s.count(".") + 1, []).append(s)
+    return groups
+
+
+def registrable_domain_expr(host: Column, suffixes=None) -> Column:
+    """Registrable domain of a lower-cased host: one label plus its
+    longest matching public suffix. The zero-dependency default suffix
+    table is the frozen two-level heuristic (TWO_LEVEL_SUFFIXES — the
+    n10 oracle witness); pass ``suffixes`` (any iterable of literal
+    suffix strings, e.g. parsed from the real Public Suffix List) for
+    production-grade grouping — multi-label entries like ``act.gov.au``
+    are matched longest-first, exactly the PSL rule. Single-label hosts
+    and hosts that ARE a bare suffix pass through unchanged.
+
+    The table becomes a frozen set-membership expression (Catalyst
+    compiles large ``isin`` lists to an O(1) InSet probe), so the plan
+    stays one scan-speed projection — no join, no shuffle — and the
+    DuckDB twin is generated from the SAME table
+    (``registrable_domain_sql``)."""
+    groups = _suffix_groups(
+        TWO_LEVEL_SUFFIXES if suffixes is None else suffixes
+    )
     labels = F.split(host, "\\.")
     n = F.size(labels)
-    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    last3 = F.concat_ws(
-        ".",
-        F.element_at(labels, -3),
-        F.element_at(labels, -2),
-        F.element_at(labels, -1),
-    )
-    return F.when(n <= 1, host).when(
-        (n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3
-    ).otherwise(last2)
+
+    def last_k(k: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.element_at(labels, -i) for i in range(k, 0, -1)]
+        )
+
+    expr = F.when(n <= 1, host)
+    for ln in sorted(groups, reverse=True):
+        expr = expr.when(
+            (n >= ln + 1) & last_k(ln).isin(*groups[ln]), last_k(ln + 1)
+        )
+    return expr.otherwise(last_k(2))
 
 
 def per_domain_cap(
@@ -152,17 +191,44 @@ def per_domain_cap(
     cap: int,
     id_col: str,
     keep_rank: bool = False,
+    suffixes=None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per registrable domain, selected by a
     deterministic content-independent hash rank (md5 of normalized URL
     and id) so reruns and engines agree and no crawl-order bias leaks
-    in. One domain-keyed shuffle; the window's per-partition state is
-    bounded by the cap's neighborhood, and output per domain is ≤ cap
-    no matter how skewed the crawl."""
+    in. One domain-keyed shuffle. ``suffixes`` (optional) is a
+    user-supplied public-suffix table for the domain grouping — see
+    ``registrable_domain_expr``.
+
+    Boundedness contract (the 100 TB story): Spark rewrites the
+    ``row_number() <= cap`` filter into a ``WindowGroupLimit`` —
+    per-key state is bounded at ``cap`` on BOTH the map side (partial
+    limit before the shuffle) and the reduce side, so a mega-domain
+    never materializes as one giant sorted partition. That rewrite
+    only fires while ``cap`` ≤
+    ``spark.sql.optimizer.windowGroupLimitThreshold`` (default 1000);
+    above it the plan silently degrades to a full per-domain sort on
+    one task — the classic skew killer — so this function raises
+    instead, and tests/test_web.py plan-asserts the WindowGroupLimit
+    node like the repo's other scale contracts."""
     from pyspark.sql.window import Window
 
+    threshold = int(
+        df.sparkSession.conf.get(
+            "spark.sql.optimizer.windowGroupLimitThreshold", "1000"
+        )
+    )
+    if cap > threshold:
+        raise ValueError(
+            f"per_domain_cap: cap={cap} exceeds "
+            f"spark.sql.optimizer.windowGroupLimitThreshold={threshold}; "
+            "the rank filter would degrade to an unbounded per-domain "
+            "sort on one task. Raise the threshold conf (it bounds "
+            "per-key window state) or lower the cap."
+        )
+
     norm = normalize_url_expr(F.col(url_col))
-    dom = registrable_domain_expr(url_host_expr(F.col(url_col)))
+    dom = registrable_domain_expr(url_host_expr(F.col(url_col)), suffixes)
     ranked = df.withColumn("__dom", dom).withColumn(
         "__rk",
         F.row_number().over(
@@ -227,15 +293,30 @@ def normalize_url_sql(url_sql: str) -> str:
     """
 
 
-def registrable_domain_sql(host_sql: str) -> str:
-    """DuckDB twin of registrable_domain_expr (same TWO_LEVEL_SUFFIXES)."""
-    suf = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+def registrable_domain_sql(host_sql: str, suffixes=None) -> str:
+    """DuckDB twin of registrable_domain_expr — generated from the SAME
+    suffix table (default TWO_LEVEL_SUFFIXES), longest-match-first."""
+    from sheetreader_duckdb_spark.operators.bpe import _sql_quote
+
+    groups = _suffix_groups(
+        TWO_LEVEL_SUFFIXES if suffixes is None else suffixes
+    )
+
+    def last_k(k: int) -> str:
+        return " || '.' || ".join(f"__rd_ls[-{i}]" for i in range(k, 0, -1))
+
+    branches = []
+    for ln in sorted(groups, reverse=True):
+        suf = ", ".join(f"'{_sql_quote(s)}'" for s in groups[ln])
+        branches.append(
+            f"WHEN len(__rd_ls) >= {ln + 1} AND ({last_k(ln)}) IN ({suf})"
+            f" THEN {last_k(ln + 1)}"
+        )
+    when_chain = "\n                 ".join(branches)
     return f"""
     (SELECT CASE WHEN len(__rd_ls) <= 1 THEN __rd_h
-                 WHEN len(__rd_ls) >= 3
-                      AND (__rd_ls[-2] || '.' || __rd_ls[-1]) IN ({suf})
-                   THEN __rd_ls[-3] || '.' || __rd_ls[-2] || '.' || __rd_ls[-1]
-                 ELSE __rd_ls[-2] || '.' || __rd_ls[-1] END
+                 {when_chain}
+                 ELSE {last_k(2)} END
      FROM (SELECT __rd_h, string_split(__rd_h, '.') AS __rd_ls
            FROM (SELECT {host_sql} AS __rd_h)))
     """

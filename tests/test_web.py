@@ -144,3 +144,97 @@ def test_per_domain_cap_bound_and_determinism(spark):
     )
     assert ids1 == ids2
     assert all(r.domain_rank <= 5 for r in capped.collect())
+
+
+def test_per_domain_cap_plan_has_window_group_limit(spark):
+    """The boundedness claim is a plan contract, not prose: Spark must
+    rewrite the rank filter into WindowGroupLimit (map-side partial +
+    reduce-side final), which bounds per-domain state at the cap. A
+    Spark upgrade that stops inferring it should fail here, not at
+    100 TB."""
+    df = spark.createDataFrame(
+        [(i, f"https://ex{i % 3}.com/p{i}") for i in range(30)],
+        "doc_id long, url string",
+    )
+    plan = (
+        W.per_domain_cap(df, "url", 5, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # partial (pre-shuffle) and final: both sides bounded
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_per_domain_cap_rejects_cap_above_threshold(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x")], "doc_id long, url string"
+    )
+    threshold = int(
+        spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold")
+    )
+    with pytest.raises(ValueError, match="windowGroupLimitThreshold"):
+        W.per_domain_cap(df, "url", threshold + 1, "doc_id")
+    # raising the conf re-admits the same cap
+    spark.conf.set(
+        "spark.sql.optimizer.windowGroupLimitThreshold", str(threshold + 10)
+    )
+    try:
+        W.per_domain_cap(df, "url", threshold + 1, "doc_id")
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.windowGroupLimitThreshold", str(threshold)
+        )
+
+
+PSL_FIXTURE = (
+    "com", "org", "uk", "co.uk", "gov.uk", "com.au", "gov.au",
+    "act.gov.au", "k12.va.us",
+)
+
+PSL_DOMAINS = [
+    ("www.example.com", "example.com"),
+    ("deep.www.shop.co.uk", "shop.co.uk"),
+    ("some.agency.act.gov.au", "agency.act.gov.au"),  # 3-label suffix wins
+    ("agency.gov.au", "agency.gov.au"),
+    ("school.k12.va.us", "school.k12.va.us"),  # host one label above suffix
+    ("x.school.k12.va.us", "school.k12.va.us"),
+    ("act.gov.au", "act.gov.au"),  # bare suffix passes through (last2 rule)
+    ("localhost", "localhost"),
+]
+
+
+def test_user_supplied_psl_table(spark):
+    """Longest-match-wins over a multi-label suffix table (the real PSL
+    shape), identical on both engines, and the default table's witness
+    behavior unchanged."""
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(PSL_DOMAINS)], "id int, host string"
+    )
+    got = {
+        r.id: r.d
+        for r in df.select(
+            "id",
+            W.registrable_domain_expr(F.col("host"), PSL_FIXTURE).alias("d"),
+        ).collect()
+    }
+    for i, (h, want) in enumerate(PSL_DOMAINS):
+        assert got[i] == want, h
+    hosts = [h for h, _ in PSL_DOMAINS]
+    duck = duckdb.connect().execute(
+        f"SELECT id, {W.registrable_domain_sql('h', PSL_FIXTURE)} FROM "
+        "(SELECT unnest(range(?)) AS id, unnest(?) AS h)",
+        [len(hosts), hosts],
+    ).fetchall()
+    for i, d in duck:
+        assert d == PSL_DOMAINS[i][1], PSL_DOMAINS[i][0]
+
+
+def test_psl_table_validation():
+    import pytest
+
+    for bad in ("Co.UK", ".co.uk", "co.uk.", "", "*.ck", "!www.ck"):
+        with pytest.raises(ValueError):
+            W._suffix_groups([bad])
