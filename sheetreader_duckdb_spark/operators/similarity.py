@@ -885,23 +885,33 @@ def pq_codebooks(
         [[float(r[0][j * dsub + p]) for p in range(dsub)] for r in seed_rows]
         for j in range(m)
     ]
+    from sheetreader_duckdb_spark.operators.exprutil import bind_once
+
     for _ in range(n_iters):
-        assigns = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    _pq_code_expr(F.col(vec_col), books[j], j * dsub, dsub).alias(
-                        "code"
-                    ),
+        # Per-iteration codebooks travel as a 1-row broadcast table, not
+        # literal expression trees (pq_books_df — plan size constant in
+        # n_codes·dim; the literal form cost seconds of py4j construct
+        # PER ITERATION at production book sizes). The assignment
+        # arithmetic is _pq_code_expr's exactly, so trained books are
+        # bit-identical to the literal path (pinned in tests/test_pq.py).
+        bdf = pq_books_df(corpus.sparkSession, books)
+        codes = _pq_codes_from_books(F.col(vec_col), F.col("bk"), m, dsub)
+        assigns = bind_once(
+            codes,
+            lambda cs: F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    F.element_at(cs, j + 1).alias("code"),
                     F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sub"),
-                )
-                for j in range(m)
-            ]
+                ),
+            ),
         )
         # Assignment projected below the explode (the explode-sibling
         # re-evaluation trap — see ivf_centroids).
         exploded = (
-            corpus.select(assigns.alias("__a"))
+            corpus.crossJoin(broadcast(bdf))
+            .select(assigns.alias("__a"))
             .select(F.explode("__a").alias("a"))
             .select("a.j", "a.code", F.posexplode(F.col("a.sub")).alias("pos", "v"))
         )
@@ -941,6 +951,117 @@ def _pq_code_expr(
         ),
     )
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+# --------------------------------------------------------------------------
+# Broadcast-table codebook carrier — the production form. A literal
+# expression tree (`F.array(*[F.lit(w) …])`) costs py4j round-trips and
+# plan bytes proportional to n_codes·dim: fine for the 16×8 oracle
+# witness, minutes of plan build and a megabyte plan at a 256-code ×
+# 768-dim production book. The ivf_assign_join precedent: ship the
+# values through a broadcast exchange (constant plan size), keep the
+# scoring arithmetic EXPRESSION-identical so results are bit-identical
+# to the literal form (pinned in tests/test_pq.py).
+# --------------------------------------------------------------------------
+def pq_books_df(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """1-row broadcastable codebook relation ``(bk, bn2)``:
+    ``bk[j][c]`` = codebook entry, ``bn2[j][c]`` = its squared L2 norm
+    (computed driver-side with the same float fold as the literal
+    ``pq_encode``, so ``pq_norm`` stays bit-identical)."""
+    bn2 = [[sum(x * x for x in c) for c in book] for book in codebooks]
+    return spark.createDataFrame(
+        [([[list(map(float, c)) for c in book] for book in codebooks], bn2)],
+        "bk array<array<array<double>>>, bn2 array<array<double>>",
+    )
+
+
+def _pq_codes_from_books(vec: Column, bk: Column, m: int, dsub: int) -> Column:
+    """``array<int>`` of per-subspace nearest-entry codes against a
+    JOINED codebook column — _pq_code_expr's arithmetic and
+    first-index-of-min tie-break verbatim, values read from ``bk``
+    instead of literals. Each sub-vector slice is lambda-bound so the
+    n_codes distance folds read ONE evaluated slice (the bind_once
+    inlining trap)."""
+    from sheetreader_duckdb_spark.operators.exprutil import bind_once
+
+    def code_for(j: Column) -> Column:
+        def from_sub(sub: Column) -> Column:
+            dists = F.transform(
+                F.element_at(bk, j + 1),
+                lambda cl: F.aggregate(
+                    F.zip_with(
+                        sub,
+                        cl,
+                        lambda v, w: (v.cast("double") - w) * (v.cast("double") - w),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            )
+            return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+        return bind_once(F.slice(vec, j * dsub + 1, dsub), from_sub)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+
+
+def _pq_lut_from_books(qv: Column, bk: Column, m: int, dsub: int) -> Column:
+    """Query-side ADC lookup table ``array<array<double>>`` (m × n_codes
+    dot products) from the joined codebook column — pq_topk's
+    ``lut_expr`` arithmetic verbatim."""
+    from sheetreader_duckdb_spark.operators.exprutil import bind_once
+
+    def lut_for(j: Column) -> Column:
+        def from_sub(sub: Column) -> Column:
+            return F.transform(
+                F.element_at(bk, j + 1),
+                lambda cl: F.aggregate(
+                    F.zip_with(sub, cl, lambda v, w: v.cast("double") * w),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            )
+
+        return bind_once(F.slice(qv, j * dsub + 1, dsub), from_sub)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), lut_for)
+
+
+def pq_encode_join(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    books: DataFrame | None = None,
+) -> DataFrame:
+    """``pq_encode`` with the codebooks shipped as a broadcast table
+    (``pq_books_df``) instead of literal trees — bit-identical output,
+    plan size constant in the book size. Pass a pre-built ``books``
+    frame to share one broadcast across encode + query LUT."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    bdf = books if books is not None else pq_books_df(df.sparkSession, codebooks)
+    return (
+        df.crossJoin(broadcast(bdf))
+        .withColumn(
+            code_col, _pq_codes_from_books(F.col(vec_col), F.col("bk"), m, dsub)
+        )
+        .withColumn(
+            "pq_norm",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(code_col),
+                        F.col("bn2"),
+                        lambda c, row: F.element_at(row, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        )
+        .drop("bk", "bn2")
+    )
 
 
 def pq_encode(
@@ -1042,6 +1163,58 @@ def pq_topk(
         codebooks,
         vec_col="cv",
     )
+    return _pq_adc_rank(corpus, q, enc, id_col, vec_col, k, refine)
+
+
+def pq_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 4,
+) -> DataFrame:
+    """``pq_topk`` with the codebooks shipped ONCE as a broadcast table
+    (shared by the corpus encode and the query LUT) instead of literal
+    expression trees — bit-identical results (pinned in tests/test_pq.py),
+    plan size and driver construct time constant in n_codes·dim. This is
+    the production entry point for real book sizes (256 codes × 768 dims
+    is ~200k doubles: minutes of plan build as literals, milliseconds as
+    a broadcast row); the literal ``pq_topk`` remains the declared
+    reference form."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    bdf = pq_books_df(corpus.sparkSession, codebooks)
+    q = queries.crossJoin(broadcast(bdf)).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        _pq_lut_from_books(F.col(vec_col), F.col("bk"), m, dsub).alias("lut"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    enc = pq_encode_join(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
+        codebooks,
+        vec_col="cv",
+        books=bdf,
+    )
+    return _pq_adc_rank(corpus, q, enc, id_col, vec_col, k, refine)
+
+
+def _pq_adc_rank(
+    corpus: DataFrame,
+    q: DataFrame,
+    enc: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    refine: int,
+) -> DataFrame:
+    """Shared ADC two-stage tail: coarse LUT-sum ranking over the m-code
+    relation, exact float rescore of the k·refine survivors. ``q`` is
+    (qid, qv, lut, qn), ``enc`` is (cid, pq_codes, pq_norm)."""
+    from pyspark.sql import Window
+
     approx_dot = F.aggregate(
         F.zip_with(
             F.col("pq_codes"), F.col("lut"),
@@ -1155,18 +1328,19 @@ def pq_adc_exact(
 
     from sheetreader_duckdb_spark.operators.exprutil import bind_once
 
-    def int_entries(j: int) -> Column:
-        return F.array(*[F.array(*[F.lit(w) for w in c]) for c in books[j]])
+    # The witness codebooks travel as a 1-row broadcast table of exact
+    # BIGINTs (the pq_books_df pattern): all coarse arithmetic is integer,
+    # so the broadcast carrier is bit-identical to the former literal
+    # trees by construction — and n05's plan-build time stops growing
+    # with m·n_codes·dsub. The DuckDB oracle rebuilds the same books
+    # relationally (_sql_pq_adc), unchanged.
+    ibdf = corpus.sparkSession.createDataFrame(
+        [(books,)], "ibk array<array<array<bigint>>>"
+    )
 
-    # The quantized vector and each subspace slice are lambda-bound
-    # (exprutil.bind_once): unbound, `sub` re-ran the full 64-element
-    # quantize transform inside every one of the m×n_codes codebook
-    # lambdas — m·n_codes·dim work per row for what is one projection
-    # (the winnowing inlining trap; measured 6.6→1.1 s on n05's exec).
-
-    def code_from_sub(sub: Column, j: int) -> Column:
+    def code_from_sub(sub: Column, j: Column) -> Column:
         dists = F.transform(
-            int_entries(j),
+            F.element_at(F.col("ibk"), j + 1),
             lambda cl: F.aggregate(
                 F.zip_with(sub, cl, lambda v, w: (v - w) * (v - w)),
                 F.lit(0).cast("long"),
@@ -1175,9 +1349,9 @@ def pq_adc_exact(
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    def lut_from_sub(sub: Column, j: int) -> Column:
+    def lut_from_sub(sub: Column, j: Column) -> Column:
         return F.transform(
-            int_entries(j),
+            F.element_at(F.col("ibk"), j + 1),
             lambda cl: F.aggregate(
                 F.zip_with(sub, cl, lambda v, w: v * w),
                 F.lit(0).cast("long"),
@@ -1185,26 +1359,26 @@ def pq_adc_exact(
             ),
         )
 
+    # The quantized vector and each subspace slice are lambda-bound
+    # (exprutil.bind_once): unbound, `sub` re-ran the full 64-element
+    # quantize transform inside every one of the m×n_codes codebook
+    # lambdas — m·n_codes·dim work per row for what is one projection
+    # (the winnowing inlining trap; measured 6.6→1.1 s on n05's exec).
     def per_subspace(builder) -> Column:
-        def for_j(j: int):
-            # single-arg lambda on purpose: a 2-arg lambda would be
-            # called by transform() as (element, index)
-            return lambda s: builder(s, j)
-
         return bind_once(
             iv,
-            lambda v: F.array(
-                *[
-                    bind_once(F.slice(v, j * dsub + 1, dsub), for_j(j))
-                    for j in range(m)
-                ]
+            lambda v: F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: bind_once(
+                    F.slice(v, j * dsub + 1, dsub), lambda s: builder(s, j)
+                ),
             ),
         )
 
-    enc = corpus.select(
+    enc = corpus.crossJoin(broadcast(ibdf)).select(
         F.col(id_col).alias("cid"), per_subspace(code_from_sub).alias("codes")
     )
-    q = queries.select(
+    q = queries.crossJoin(broadcast(ibdf)).select(
         F.col(id_col).alias("qid"), per_subspace(lut_from_sub).alias("lut")
     )
     coarse = F.aggregate(

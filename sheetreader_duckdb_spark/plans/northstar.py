@@ -496,7 +496,9 @@ def n05b_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("q8").alias("tag"), "qid", "cid", "cosine", "rn"
     )
     books = S.pq_codebooks(e, dim=64, m=16, n_codes=16, n_iters=2)
-    pq_b = S.pq_topk(e, q, books, k=5, refine=16).select(
+    # broadcast-table form (pq_topk_join): bit-identical to pq_topk
+    # (test-pinned) with plan size constant in the book size
+    pq_b = S.pq_topk_join(e, q, books, k=5, refine=16).select(
         F.lit("pq").alias("tag"), "qid", "cid", "cosine", "rn"
     )
     return lsh_b.unionAll(ivf_b).unionAll(q8_b).unionAll(pq_b)

@@ -51,19 +51,22 @@ def test_no_unintended_nested_loop_join(name, plans):
     plan = plans[name]
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     if name == "nx_scale_variants":
-        # Three tiny-broadcast-side BNL operators are intended: the q8 and
-        # pq coarse scans inside the n05b ANN family (each streams the
-        # corpus against a broadcast 10-row query table — live in the
-        # plan), and the K-row centroid table of semdedup's
-        # ivf_assign_join (constant-plan large-K assignment) — the latter
+        # The tiny-broadcast-side BNL operators that are intended: the q8
+        # and pq coarse scans inside the n05b ANN family (each streams
+        # the corpus against a broadcast 10-row query table — live in the
+        # plan), plus THREE 1-row broadcast codebook carriers from the
+        # constant-plan PQ form (pq_topk_join: the query-LUT crossJoin,
+        # the corpus-encode crossJoin, and the coarse join that reads
+        # both — codebooks travel as broadcast data instead of literal
+        # trees, so the crossJoin against the 1-row books frame IS the
+        # design). The K-row centroid table of semdedup's ivf_assign_join
         # sits INSIDE the persisted assignment subtree, which the
-        # self-join prints once per cache scan, so only the two coarse
-        # scans appear outside an InMemoryRelation block. More live BNLs
-        # would mean the lsh/ivf candidate branches regressed from
-        # equi-joins. Cached-ness is decided by walking the plan tree's
-        # ancestors via indentation (the InMemoryRelation node printing
-        # the subtree is strictly shallower), not by a fixed-line
-        # lookback.
+        # self-join prints once per cache scan, so it never appears
+        # outside an InMemoryRelation block. More live BNLs would mean
+        # the lsh/ivf candidate branches regressed from equi-joins.
+        # Cached-ness is decided by walking the plan tree's ancestors via
+        # indentation (the InMemoryRelation node printing the subtree is
+        # strictly shallower), not by a fixed-line lookback.
         lines = plan.splitlines()
 
         def _depth(line: str) -> int:
@@ -86,8 +89,8 @@ def test_no_unintended_nested_loop_join(name, plans):
             for i, l in enumerate(lines)
             if "BroadcastNestedLoopJoin" in l and not _under_cache(i)
         )
-        assert live_bnl == 2, f"{name}: live BNL count {live_bnl}"
-        assert plan.count("BroadcastNestedLoopJoin") <= 4, f"{name}: BNL count"
+        assert live_bnl == 5, f"{name}: live BNL count {live_bnl}"
+        assert plan.count("BroadcastNestedLoopJoin") <= 8, f"{name}: BNL count"
     elif name not in BNL_OK:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNL join"
 

@@ -134,3 +134,61 @@ def test_pq_adc_exact_coarse_is_integer(emb):
     for r in rows:
         per.setdefault(r["qid"], []).append(r["rn"])
     assert all(sorted(v) == list(range(1, 11)) for v in per.values())
+
+
+def test_join_form_bit_identical_to_literal(spark, emb, books):
+    """The broadcast-table carrier (pq_books_df / pq_encode_join /
+    pq_topk_join) must reproduce the literal-tree forms bit for bit:
+    same codes, same pq_norm, same ranked output — only the plan-size
+    scaling differs."""
+    from sheetreader_duckdb_spark.operators.similarity import (
+        pq_encode_join,
+        pq_topk_join,
+    )
+
+    sample = emb.filter(F.col("vec_id") < 100)
+    lit_rows = {
+        r["vec_id"]: (list(r["pq_codes"]), r["pq_norm"])
+        for r in pq_encode(sample, books).collect()
+    }
+    join_rows = {
+        r["vec_id"]: (list(r["pq_codes"]), r["pq_norm"])
+        for r in pq_encode_join(sample, books).collect()
+    }
+    assert join_rows == lit_rows  # floats compared exactly on purpose
+
+    q = emb.filter(F.col("vec_id") < 8)
+    lit_top = [tuple(r) for r in pq_topk(emb, q, books, k=5, refine=8)
+               .orderBy("qid", "rn").collect()]
+    join_top = [tuple(r) for r in pq_topk_join(emb, q, books, k=5, refine=8)
+                .orderBy("qid", "rn").collect()]
+    assert join_top == lit_top
+
+
+def test_join_form_plan_constant_in_book_size(spark):
+    """A production-sized book (256 codes x 768 dims = ~200k doubles)
+    must construct in seconds and produce a plan whose size does not
+    carry the book: the values travel through a broadcast exchange, not
+    the expression tree. (The literal form at this size would build a
+    megabyte plan over minutes — that's the regression this pins.)"""
+    import time
+
+    from sheetreader_duckdb_spark.operators.similarity import pq_encode_join
+
+    m, n_codes, dsub = 96, 256, 8  # dim = 768
+    big_books = [
+        [[float((j * 131 + c * 17 + p) % 97) / 97.0 for p in range(dsub)]
+         for c in range(n_codes)]
+        for j in range(m)
+    ]
+    df = spark.createDataFrame(
+        [(0, [0.5] * (m * dsub))], "vec_id long, embedding array<float>"
+    )
+    t0 = time.perf_counter()
+    enc = pq_encode_join(df, big_books)
+    built = time.perf_counter() - t0
+    plan = enc._jdf.queryExecution().analyzed().toString()
+    assert built < 20.0, f"construct took {built:.1f}s"  # measured ~1s
+    assert len(plan) < 200_000, f"plan carries the book ({len(plan)} chars)"
+    row = enc.collect()[0]
+    assert len(row["pq_codes"]) == m
