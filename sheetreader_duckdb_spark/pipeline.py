@@ -1,9 +1,12 @@
 """One-call training-corpus curation — the operator library composed in
-the canonical order a production pipeline runs it:
+the canonical order a production web-corpus pipeline runs it (the
+FineWeb / RefinedWeb stage sequence, each stage opt-in):
 
-    quality filter → exact dedup → near-dup cluster dedup →
-    eval-set decontamination → sqrt-temperature source mixing →
-    per-source token budget → sequence packing → sharded export
+    per-domain URL cap → quality filter → exact dedup →
+    line-level cross-doc dedup → near-dup cluster dedup →
+    cross-doc n-gram span scrub → eval-set decontamination →
+    PII scrub → sqrt-temperature source mixing →
+    per-source token budget → (sequence packing → sharded export)
 
 Every stage is one of the individually-oracle-witnessed operators; this
 module adds only the composition and a per-stage row-count report.
@@ -11,11 +14,15 @@ Determinism is inherited: every keep/assign decision downstream of the
 scan is a pure function of (seed, key), so the curated corpus — and the
 exported shard bytes — are invariant to partitioning and cluster size.
 
-Stage order rationale (the 100 TB budget): the scan-speed quality filter
-runs FIRST so every shuffle downstream sees only surviving rows; exact
-dedup (one digest shuffle) precedes near-dup so the LSH stages never
-hash byte-identical copies; decontamination uses the benchmark-regime
-join direction (the eval grams are the small distinct side); mixing and
+Stage order rationale (the 100 TB budget): the per-domain cap and the
+scan-speed quality filter run FIRST so every shuffle downstream sees
+only surviving rows; exact dedup (one digest shuffle) precedes the
+line/near-dup stages so they never hash byte-identical copies; line
+dedup precedes near-dup so boilerplate lines don't glue unrelated
+documents into LSH buckets (the RefinedWeb ordering); the span scrub
+runs on the deduplicated residue; decontamination uses the
+benchmark-regime join direction (the eval grams are the small distinct
+side, broadcast); PII masking is a scan-speed rewrite; mixing and
 budgeting are scan-speed predicates plus one bounded window.
 """
 
@@ -40,10 +47,21 @@ def curate_corpus(
     *,
     eval_df: DataFrame | None = None,
     quality_rules: dict | None = None,
+    url_col: str | None = None,
+    domain_cap: int | None = None,
+    suffixes=None,
     shingle_k: int = 3,
     n_hashes: int = 64,
     band_size: int = 8,
     jaccard_threshold: float = 0.8,
+    minhash: str = "xxhash",
+    line_dedup: bool = False,
+    line_min_docs: int = 2,
+    line_min_chars: int = 1,
+    dupspan: bool = False,
+    dupspan_n: int = 5,
+    dupspan_min_docs: int = 2,
+    pii: bool = False,
     contamination_k: int = 8,
     contamination_min_hits: int = 1,
     temperature: bool = True,
@@ -56,17 +74,47 @@ def curate_corpus(
     ``collect_report=False`` — each report entry is one count job, which
     a fire-and-forget production run may not want to pay).
 
+    Opt-in hygiene stages (all default off, so existing callers see the
+    identical pipeline):
+
+    - ``url_col`` + ``domain_cap``: keep at most ``domain_cap`` rows per
+      registrable domain of the URL column (operators/web.py
+      per_domain_cap — deterministic md5 rank, WindowGroupLimit-bounded
+      state; ``suffixes`` optionally supplies a real public-suffix
+      table). Runs first: crawl-frequency bias never reaches a shuffle.
+    - ``line_dedup``: remove lines whose trimmed form occurs in ≥
+      ``line_min_docs`` documents (operators/dedup.py
+      remove_duplicate_lines — the RefinedWeb/FineWeb boilerplate
+      scrub); documents scrubbed to '' are dropped. Replaces
+      ``text_col`` in place (losslessly for unaffected docs).
+    - ``dupspan``: cut cross-document repeated word ``dupspan_n``-gram
+      spans (operators/dedup.py remove_duplicate_ngrams, Lee et al.
+      2022); documents scrubbed to '' are dropped. NOTE: the rewrite is
+      the operator's documented canonical-space form — the surviving
+      text is lower-cased, single-space token-joined.
+    - ``pii``: mask URL/email/phone spans with placeholder tokens
+      (operators/text.py scrub_pii) — scan-speed rewrite, count
+      unchanged (the report row is still emitted so stage presence is
+      auditable).
+
+    ``minhash`` selects the near-dup signature family: ``"xxhash"``
+    (default — 64-bit JVM hashing, the scale path) or ``"md5"`` (the
+    oracle-witnessable flavor, identical topology; used by the declared
+    n01 'cur_*' witness so the COMPOSED pipeline hash-matches DuckDB).
+
     ``eval_df`` (same schema) enables decontamination: corpus documents
     sharing ≥ ``contamination_min_hits`` word ``contamination_k``-grams
     with ANY eval document are dropped (the reverse join direction of
     ``operators.dedup.contamination``'s eval-flagging form — here the
-    eval grams are the small distinct side, so the big side never
-    builds a corpus-wide distinct).
+    eval grams are the small distinct side, broadcast, so the big side
+    never builds a corpus-wide distinct).
 
     ``budget_tokens`` caps each source's whitespace-token mass, walking
     docs in deterministic hash order (no quality bias — a quality-ranked
     budget is one ``operators.sampling.budget_select`` call away).
     """
+    if minhash not in ("xxhash", "md5"):
+        raise ValueError(f"minhash must be 'xxhash' or 'md5', got {minhash!r}")
     report: list[tuple[str, int]] = []
 
     def note(stage: str, frame: DataFrame) -> DataFrame:
@@ -85,25 +133,65 @@ def curate_corpus(
 
     cur = note("input", df)
 
-    # 1. quality filter — scan speed, before anything shuffles.
+    # 1. per-domain cap — crawl-frequency debias before any text work.
+    if url_col is not None and domain_cap is not None:
+        from sheetreader_duckdb_spark.operators import web as WB
+
+        cur = note(
+            "url_cap",
+            WB.per_domain_cap(cur, url_col, domain_cap, id_col, suffixes=suffixes),
+        )
+
+    # 2. quality filter — scan speed, before anything shuffles.
     cur = note(
         "quality", cur.filter(X.quality_keep(F.col(text_col), quality_rules))
     )
 
-    # 2. exact dedup — one digest shuffle.
+    # 3. exact dedup — one digest shuffle.
     cur = note("exact_dedup", D.exact_dedup(cur, id_col, text_col))
 
-    # 3. near-dup cluster dedup: shingles → MinHash → banded LSH →
+    # 4. line-level cross-doc dedup — boilerplate lines out BEFORE the
+    #    shingle stages see them (RefinedWeb order: line-wise correction
+    #    precedes fuzzy dedup).
+    if line_dedup:
+        scrubbed = D.remove_duplicate_lines(
+            cur, id_col, text_col,
+            min_docs=line_min_docs, min_chars=line_min_chars,
+        )
+        cur = note(
+            "line_dedup",
+            scrubbed.withColumn(text_col, F.col("line_scrub_text"))
+            .drop("line_scrub_text")
+            .filter(F.length(text_col) > 0),
+        )
+
+    # 5. near-dup cluster dedup: shingles → MinHash → banded LSH →
     #    capped candidate pairs → exact Jaccard verify → one
     #    representative per connected cluster.
     sh = D.word_shingles(cur, id_col, text_col, k=shingle_k)
-    sigs = D.minhash_signatures_xxhash(sh, id_col, n_hashes=n_hashes)
+    if minhash == "md5":
+        sigs = D.minhash_signatures_md5(sh, id_col, n_hashes=n_hashes)
+    else:
+        sigs = D.minhash_signatures_xxhash(sh, id_col, n_hashes=n_hashes)
     bands = D.lsh_bands(sigs, id_col, n_hashes, band_size)
     cand = D.lsh_candidate_pairs(bands, id_col, max_bucket_size=1000)
     pairs = D.jaccard_verify(sh, cand, id_col, threshold=jaccard_threshold)
     cur = note("near_dedup", D.cluster_dedup_keep(cur, pairs, id_col))
 
-    # 4. decontamination — drop corpus docs overlapping the eval set.
+    # 6. cross-doc n-gram span scrub — exact substring dedup over the
+    #    deduplicated residue (RefinedWeb order: after fuzzy dedup).
+    if dupspan:
+        scrubbed = D.remove_duplicate_ngrams(
+            cur, id_col, text_col, n=dupspan_n, min_docs=dupspan_min_docs
+        )
+        cur = note(
+            "dupspan",
+            scrubbed.withColumn(text_col, F.col("scrub_text"))
+            .drop("scrub_text")
+            .filter(F.length(text_col) > 0),
+        )
+
+    # 7. decontamination — drop corpus docs overlapping the eval set.
     if eval_df is not None:
         flagged = D.contamination(
             eval_df,
@@ -112,17 +200,25 @@ def curate_corpus(
             text_col,
             k=contamination_k,
             min_hits=contamination_min_hits,
+            # benchmark-regime scale path: the distinct eval grams are the
+            # broadcast probe side — result-identical to the default form
+            # (proven by the n01 'contam' witness), no corpus-wide distinct.
+            broadcast_eval=True,
         ).select(F.col("id").alias(id_col))
         cur = note("decontaminate", cur.join(flagged, id_col, "left_anti"))
 
-    # 5. sqrt-temperature source mixing — integer-exact keep decision.
+    # 8. PII scrub — placeholder masking, count-preserving.
+    if pii:
+        cur = note("pii", cur.withColumn(text_col, X.scrub_pii(F.col(text_col))))
+
+    # 9. sqrt-temperature source mixing — integer-exact keep decision.
     if temperature:
         cur = note(
             "temperature_mix",
             SM.sqrt_temperature_sample(cur, source_col, id_col, seed=f"{seed}:t"),
         )
 
-    # 6. per-source token budget — deterministic hash walk order.
+    # 10. per-source token budget — deterministic hash walk order.
     if budget_tokens is not None:
         cur = cur.withColumn("__nws", X.n_tokens(F.col(text_col)))
         cur = note(

@@ -74,6 +74,16 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
     return D.lsh_candidate_pairs(bands, "doc_id")
 
 
+def _sql_scrub_expr(text_sql: str = "text") -> str:
+    """DuckDB chained regexp_replace mirroring scrub_pii — generated from the
+    SAME SCRUB_PATTERNS list so Spark and oracle can never desync."""
+    expr = text_sql
+    for _name, pattern, token in X.SCRUB_PATTERNS:
+        pat = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
+
 # --------------------------------------------------------------------------
 # N1 (+N2) — exact dedup groups AND the end-to-end dedup pipeline keep-set,
 # plus the two corpus-lifecycle variants every production pipeline runs:
@@ -99,11 +109,20 @@ _SPLIT_WEIGHTS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
 # fixes the summation order on both engines (operators/retrieval.py).
 _BM25_TERMS = ("window", "stream", "hash", "spark")
 
+# --- the composed-curation witness ('cur_*' tags, pipeline.curate_corpus) --
+# Parameters shared by the Spark branch and the oracle twin: a 90/10
+# corpus/eval hash split, a per-domain cap of 10, relaxed quality bounds
+# (the synthetic texts carry few stopwords, so the stop_ratio rule is
+# witnessed by n07 instead), the md5 MinHash flavor (8 hashes × 4 bands of
+# 2, Jaccard ≥ 0.5 — n01's own dedup configuration), line + span scrubs,
+# 8-gram decontamination, PII masking, sqrt-temperature, 500-token budget.
+_CUR_SPLIT = [("corpus", 0.9), ("eval", 0.1)]
+_CUR_RULES = {"n_ws_tokens": (30, 100_000), "mean_word_len": (2.0, 20.0)}
+_CUR_DOMAIN_CAP = 10
+_CUR_BUDGET = 500
 
-@query(
-    "n01_dedup_exact_pipeline",
-    oracle=f"""
-    WITH survivors AS (
+_N01_ORACLE = f"""
+    WITH RECURSIVE survivors AS (
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
     ),
     docs2 AS (
@@ -128,7 +147,7 @@ _BM25_TERMS = ("window", "stream", "hash", "spark")
     ),
     inc_tagged AS (
         SELECT doc_id, text,
-               {{inc_case}} AS split
+               {SM.split_case_sql("doc_id", _INC_SPLIT, seed="inc")} AS split
         FROM documents
     ),
     inc_corpus AS (SELECT doc_id, text FROM inc_tagged WHERE split = 'train'),
@@ -142,7 +161,7 @@ _BM25_TERMS = ("window", "stream", "hash", "spark")
     inc_keep AS (SELECT MIN(doc_id) AS doc_id FROM inc_novel GROUP BY md5(text)),
     cv_tagged AS (
         SELECT doc_id, text,
-               {{v1_case}} AS split
+               {SM.split_case_sql("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1")} AS split
         FROM documents
     ),
     ctr_sh AS (
@@ -736,16 +755,6 @@ def _sql_lang_score(lang: str) -> str:
         for m in X.LANG_MARKERS[lang]
     ]
     return "(" + " + ".join(parts) + ")"
-
-
-def _sql_scrub_expr(text_sql: str = "text") -> str:
-    """DuckDB chained regexp_replace mirroring scrub_pii — generated from the
-    SAME SCRUB_PATTERNS list so Spark and oracle can never desync."""
-    expr = text_sql
-    for _name, pattern, token in X.SCRUB_PATTERNS:
-        pat = pattern.replace("'", "''")
-        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
-    return expr
 
 
 # Frozen linear quality model (operators/quality_model.py) for the n07
