@@ -89,6 +89,7 @@ def contamination(
     k: int = 8,
     min_hits: int = 1,
     broadcast_eval: bool = False,
+    broadcast_train: bool = False,
 ) -> DataFrame:
     """Eval-set decontamination: eval documents sharing ≥ ``min_hits``
     word ``k``-grams with ANY training document.
@@ -116,7 +117,22 @@ def contamination(
     (a semi join against the same membership set drops nothing the join
     would keep). Requires the distinct eval grams to fit the broadcast
     budget — the eval-benchmark regime this flag is named for.
+
+    ``broadcast_train=True`` is the scale path for the REVERSED calling
+    direction (decontaminating the corpus against a small benchmark:
+    ``train`` = the eval set, ``eval_df`` = the corpus, as
+    ``pipeline.curate_corpus`` does): the distinct TRAIN grams — here
+    the small membership set — are broadcast into the hit join, so the
+    corpus side's grams are probed map-side and never shuffle. Mutually
+    exclusive with ``broadcast_eval`` (each names the regime where the
+    OTHER side is the big one; enabling both would broadcast a
+    corpus-sized set — the exact failure each flag exists to avoid).
     """
+    if broadcast_eval and broadcast_train:
+        raise ValueError(
+            "broadcast_eval and broadcast_train are mutually exclusive: "
+            "each assumes the opposite side is the small one"
+        )
     ev = word_shingles(eval_df, id_col, text_col, k=k)
     tr_raw = word_shingles(train, id_col, text_col, k=k).select("sh")
     if broadcast_eval:
@@ -125,6 +141,8 @@ def contamination(
         ).distinct()
     else:
         tr = tr_raw.distinct()
+    if broadcast_train:
+        tr = F.broadcast(tr)
     sizes = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = ev.join(tr, "sh").groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
     return (

@@ -200,10 +200,13 @@ def curate_corpus(
             text_col,
             k=contamination_k,
             min_hits=contamination_min_hits,
-            # benchmark-regime scale path: the distinct eval grams are the
-            # broadcast probe side — result-identical to the default form
-            # (proven by the n01 'contam' witness), no corpus-wide distinct.
-            broadcast_eval=True,
+            # REVERSED direction: train=eval_df (small benchmark),
+            # eval_df=cur (the corpus). broadcast_train broadcasts the
+            # distinct BENCHMARK grams into the hit join so the corpus
+            # grams are probed map-side and never shuffle; broadcast_eval
+            # here would broadcast a corpus-wide distinct — the exact
+            # anti-pattern this stage must avoid at 100 TB.
+            broadcast_train=True,
         ).select(F.col("id").alias(id_col))
         cur = note("decontaminate", cur.join(flagged, id_col, "left_anti"))
 

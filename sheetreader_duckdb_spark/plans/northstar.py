@@ -198,10 +198,12 @@ _N01_ORACLE = f"""
     SELECT 'contam' AS tag, CAST(NULL AS VARCHAR) AS h, doc_id AS id,
            n_hits AS n
     FROM contam_hits
-    """.format(
-        inc_case=SM.split_case_sql("doc_id", _INC_SPLIT, seed="inc"),
-        v1_case=SM.split_case_sql("doc_id", _SPLIT_WEIGHTS, seed="corpus-v1"),
-    ),
+    """
+
+
+@query(
+    "n01_dedup_exact_pipeline",
+    oracle=_N01_ORACLE,
     doc="Exact content dedup groups ('groups': digest, keep id, dupe count — "
     "one hash-aggregate shuffle with map-side partials, N1) plus the "
     "end-to-end pipeline keep-set ('kept': exact dedup keeps the min doc "
