@@ -118,20 +118,29 @@ def curate_corpus(
     report: list[tuple[str, int]] = []
 
     def note(stage: str, frame: DataFrame) -> DataFrame:
-        # Each report count is an action; without a persist it would
-        # re-execute the whole unpersisted upstream lineage, running the
-        # expensive near-dup stages O(stages²) times across the report.
-        # Persist every staged frame (the next stage AND its count read
-        # the cache) through the deferred-release registry; a standalone
-        # caller that wants the memory back immediately after
-        # materializing the result should call session.release_deferred()
-        # — the registry's documented contract.
+        # Lineage barrier at EVERY stage boundary, report or not. Each
+        # stage references its input several times (occurrence mining +
+        # rebuild + replacement joins), and Spark's self-join
+        # deduplication deep-copies the shared subtree at every
+        # reference — chained across ten stages the analyzed plan grows
+        # EXPONENTIALLY (observed: driver OOM in plan canonicalization
+        # at toy scale with no barriers). A lazy localCheckpoint pins
+        # each stage to a materialized boundary: plan size stays linear
+        # in stages, the cached partitions feed both the next stage and
+        # (when collect_report=True) its count, and the blocks are
+        # freed when the deferred-release registry drops the reference
+        # (session.release_deferred — the registry's documented
+        # contract; the context cleaner reclaims the checkpoint RDD).
+        frame = SESS.defer_unpersist(frame.localCheckpoint(eager=False))
         if collect_report:
-            frame = SESS.defer_unpersist(frame.persist())
             report.append((stage, frame.count()))
         return frame
 
-    cur = note("input", df)
+    # The input is left un-barriered: it is a scan leaf with a small plan,
+    # and checkpointing it would materialize the raw corpus for nothing.
+    cur = df
+    if collect_report:
+        report.append(("input", df.count()))
 
     # 1. per-domain cap — crawl-frequency debias before any text work.
     if url_col is not None and domain_cap is not None:

@@ -181,6 +181,203 @@ _N01_ORACLE = f"""
     contam_hits AS (
         SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
         FROM cev_sh e JOIN ctr_sh t USING (sh) GROUP BY e.doc_id
+    ),
+    -- ---- 'cur_kept': the COMPOSED curation pipeline (pipeline.curate_corpus,
+    -- md5 flavor) — every stage's individually-witnessed SQL twin chained in
+    -- the FineWeb/RefinedWeb order over a derived corpus (per-source header +
+    -- inline email + shared footer decoration, synthesized per-source domains,
+    -- 5 planted exact duplicates, 90/10 corpus/eval hash split).
+    cur_dec AS (
+        SELECT doc_id, source,
+               '== ' || source || ' ==' || chr(10) || text || ' mail admin@'
+               || source || '.com' || chr(10) || 'shared footer boilerplate' AS text
+        FROM documents
+    ),
+    cur_corpus AS MATERIALIZED (
+        SELECT doc_id, source, text FROM cur_dec
+        WHERE ({SM.split_case_sql("doc_id", _CUR_SPLIT, seed="cur")}) = 'corpus'
+    ),
+    cur_eval AS MATERIALIZED (
+        SELECT doc_id, text FROM cur_dec
+        WHERE ({SM.split_case_sql("doc_id", _CUR_SPLIT, seed="cur")}) = 'eval'
+    ),
+    cur_in AS MATERIALIZED (
+        SELECT doc_id, source, text,
+               'https://WWW.' || source || '.COM/d/' || doc_id
+               || '?utm_source=t&x=1' AS url
+        FROM (SELECT doc_id, source, text FROM cur_corpus
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id, source, text FROM
+                  (SELECT doc_id, source, text FROM cur_corpus
+                   ORDER BY doc_id LIMIT 5))
+    ),
+    cur_s1 AS MATERIALIZED (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   row_number() OVER (
+                       PARTITION BY {WB.registrable_domain_sql(WB.url_host_sql('url'))}
+                       ORDER BY md5(({WB.normalize_url_sql('url')})
+                                    || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM cur_in)
+        WHERE rk <= {_CUR_DOMAIN_CAP}
+    ),
+    cur_s2 AS MATERIALIZED (SELECT * FROM cur_s1 WHERE {X.quality_keep_sql('text', _CUR_RULES)}),
+    cur_s3 AS MATERIALIZED (
+        SELECT s.* FROM cur_s2 s
+        JOIN (SELECT MIN(doc_id) AS doc_id FROM cur_s2 GROUP BY md5(text)) k
+        USING (doc_id)
+    ),
+    cur_ll AS MATERIALIZED (
+        SELECT doc_id, i AS ln, ls[i + 1] AS line
+        FROM (SELECT doc_id, ls, unnest(range(len(ls))) AS i
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM cur_s3))
+    ),
+    cur_ldup AS MATERIALIZED (
+        SELECT trim(line) AS t FROM cur_ll WHERE len(trim(line)) >= 1
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cur_s4 AS MATERIALIZED (
+        SELECT s.doc_id, s.source, COALESCE(r.t2, '') AS text
+        FROM cur_s3 s
+        LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS t2
+                   FROM cur_ll
+                   WHERE NOT (len(trim(line)) >= 1
+                              AND trim(line) IN (SELECT t FROM cur_ldup))
+                   GROUP BY doc_id) r USING (doc_id)
+        WHERE len(COALESCE(r.t2, '')) > 0
+    ),
+    cur_w AS MATERIALIZED (SELECT doc_id, string_split(lower(text), ' ') AS w FROM cur_s4),
+    cur_sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS sh
+        FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i
+              FROM cur_w WHERE len(w) >= 3)
+    ),
+    cur_mh AS MATERIALIZED (
+        SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS mh
+        FROM cur_sh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    cur_bands AS MATERIALIZED (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+        FROM cur_mh GROUP BY doc_id, seed // 2
+    ),
+    cur_cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM cur_bands a JOIN cur_bands b USING (band, band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    cur_sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM cur_sh GROUP BY doc_id),
+    cur_inter AS MATERIALIZED (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        FROM cur_cand p
+        JOIN cur_sh sa ON sa.doc_id = p.id_a
+        JOIN cur_sh sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+        GROUP BY p.id_a, p.id_b
+    ),
+    cur_ver AS MATERIALIZED (
+        SELECT i.id_a, i.id_b
+        FROM cur_inter i
+        JOIN cur_sizes za ON za.doc_id = i.id_a
+        JOIN cur_sizes zb ON zb.doc_id = i.id_b
+        WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.5
+    ),
+    cur_edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM cur_ver
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM cur_ver
+    ),
+    cur_nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM cur_edges),
+    cur_reach(node, r) AS (
+        SELECT node, node FROM cur_nodes
+        UNION
+        SELECT cur_reach.node, e.dst
+        FROM cur_reach JOIN cur_edges e ON e.src = cur_reach.r
+    ),
+    cur_cc AS MATERIALIZED (SELECT node, MIN(r) AS label FROM cur_reach GROUP BY node),
+    cur_s5 AS MATERIALIZED (
+        SELECT * FROM cur_s4
+        WHERE doc_id NOT IN (SELECT node FROM cur_cc WHERE node <> label)
+    ),
+    cur_dw AS MATERIALIZED (SELECT doc_id, string_split(lower(text), ' ') AS w FROM cur_s5),
+    cur_dg AS MATERIALIZED (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(w, i + 1, i + 5), ' ') AS g
+        FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i
+              FROM cur_dw WHERE len(w) >= 5)
+    ),
+    cur_docc AS MATERIALIZED (
+        SELECT doc_id, pos FROM cur_dg
+        WHERE g IN (SELECT g FROM cur_dg GROUP BY g
+                    HAVING COUNT(DISTINCT doc_id) >= 2)
+    ),
+    cur_disl AS MATERIALIZED (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM (SELECT doc_id, pos,
+                     MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_end
+              FROM cur_docc)
+    ),
+    cur_dspan AS MATERIALIZED (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 5 AS e
+        FROM cur_disl GROUP BY doc_id, island
+    ),
+    cur_dtok AS MATERIALIZED (
+        SELECT doc_id, i AS idx, w[i + 1] AS tok
+        FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM cur_dw)
+    ),
+    cur_s6 AS MATERIALIZED (
+        SELECT s.doc_id, s.source, COALESCE(r.t2, '') AS text
+        FROM cur_s5 s
+        LEFT JOIN (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.idx) AS t2
+                   FROM cur_dtok t
+                   WHERE NOT EXISTS (SELECT 1 FROM cur_dspan sp
+                                     WHERE sp.doc_id = t.doc_id
+                                       AND t.idx >= sp.s AND t.idx < sp.e)
+                   GROUP BY t.doc_id) r USING (doc_id)
+        WHERE len(COALESCE(r.t2, '')) > 0
+    ),
+    cur_ev8 AS MATERIALIZED (
+        SELECT DISTINCT array_to_string(list_slice(w, i + 1, i + 8), ' ') AS sh
+        FROM (SELECT w, unnest(range(len(w) - 7)) AS i
+              FROM (SELECT string_split(lower(text), ' ') AS w FROM cur_eval)
+              WHERE len(w) >= 8)
+    ),
+    cur_s7 AS MATERIALIZED (
+        SELECT * FROM cur_s6 WHERE doc_id NOT IN (
+            SELECT DISTINCT c.doc_id FROM (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(w, i + 1, i + 8), ' ') AS sh
+                FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i
+                      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                            FROM cur_s6)
+                      WHERE len(w) >= 8)
+            ) c JOIN cur_ev8 USING (sh))
+    ),
+    cur_s8 AS MATERIALIZED (
+        SELECT doc_id, source, {_sql_scrub_expr('text')} AS text FROM cur_s7
+    ),
+    cur_tc AS MATERIALIZED (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS tn FROM cur_s8 GROUP BY source
+    ),
+    cur_s9 AS MATERIALIZED (
+        SELECT s.doc_id, s.source, s.text
+        FROM cur_s8 s JOIN cur_tc c USING (source)
+        WHERE {SM.temperature_predicate_sql('s.doc_id', 'c.tn', '(SELECT MIN(tn) FROM cur_tc)', seed='cur:t')}
+    ),
+    cur_s10 AS MATERIALIZED (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+                       PARTITION BY source
+                       ORDER BY md5('cur:b:' || CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM cur_s9)
+        WHERE cum <= {_CUR_BUDGET}
     )
     SELECT 'groups' AS tag, md5(text) AS h, MIN(doc_id) AS id,
            CAST(COUNT(*) AS BIGINT) AS n
@@ -198,6 +395,10 @@ _N01_ORACLE = f"""
     SELECT 'contam' AS tag, CAST(NULL AS VARCHAR) AS h, doc_id AS id,
            n_hits AS n
     FROM contam_hits
+    UNION ALL
+    SELECT 'cur_kept' AS tag, md5(text) AS h, doc_id AS id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    FROM cur_s10
     """
 
 
@@ -215,7 +416,19 @@ _N01_ORACLE = f"""
     "stored digest table (batch-proportional work — the corpus is never "
     "re-read), and 'contam' = eval-set decontamination (eval docs sharing "
     "word 3-grams with the train split; distinct-gram build side, one "
-    "uniform shingle-join shuffle).",
+    "uniform shingle-join shuffle); plus 'cur_kept' = the COMPOSED one-call "
+    "curation pipeline (pipeline.curate_corpus, md5 MinHash flavor) run "
+    "end-to-end over a derived corpus (per-source header + inline email + "
+    "shared footer decoration, synthesized per-source domains, 5 planted "
+    "exact duplicates, 90/10 corpus/eval hash split): per-domain cap 10 → "
+    "Gopher quality bounds → exact dedup → line-level cross-doc dedup → "
+    "MinHash/LSH cluster dedup (8×md5, 4 bands of 2, Jaccard ≥0.5) → "
+    "repeated-5-gram span scrub → 8-gram eval decontamination "
+    "(broadcast_train direction) → PII masking → sqrt-temperature mixing → "
+    "500-token per-source budget. h = md5 of each surviving document's "
+    "final text and n its token count, so membership, every stage's "
+    "rewrite, and the budget walk are all pinned byte-for-byte against "
+    "the DuckDB twin of the same ten-stage composition.",
 )
 def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     docs = T(spark, sf, "documents")
@@ -292,7 +505,78 @@ def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id"),
         F.col("n_hits").alias("n"),
     )
-    return groups.unionAll(kept).unionAll(incr).unionAll(contam)
+    # 'cur_kept' — the composed curation pipeline, end-to-end: the exact
+    # curate_corpus call a production run makes (md5 MinHash flavor so the
+    # DuckDB twin hash-matches), over a derived corpus that makes every
+    # stage non-trivial: header/footer decoration feeds line dedup, an
+    # inline per-source email feeds the PII scrub, per-source domains make
+    # the cap-10 bind, 5 planted copies exercise exact dedup, and the
+    # held-out 'eval' hash split drives decontamination.
+    from sheetreader_duckdb_spark import pipeline as PIPE
+
+    decorated = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("== "),
+            F.col("source"),
+            F.lit(" ==\n"),
+            F.col("text"),
+            F.lit(" mail admin@"),
+            F.col("source"),
+            F.lit(".com\nshared footer boilerplate"),
+        ).alias("text"),
+    ).withColumn("split", SM.hash_split("doc_id", _CUR_SPLIT, seed="cur"))
+    cur_corpus = decorated.filter(F.col("split") == "corpus").select(
+        "doc_id", "source", "text"
+    )
+    cur_eval = decorated.filter(F.col("split") == "eval").select("doc_id", "text")
+    planted = (
+        cur_corpus.orderBy("doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "source", "text")
+    )
+    cur_in = cur_corpus.unionAll(planted).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://WWW."),
+            F.col("source"),
+            F.lit(".COM/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=t&x=1"),
+        ),
+    )
+    curated, _ = PIPE.curate_corpus(
+        cur_in,
+        "doc_id",
+        "text",
+        "source",
+        eval_df=cur_eval,
+        quality_rules=_CUR_RULES,
+        url_col="url",
+        domain_cap=_CUR_DOMAIN_CAP,
+        shingle_k=3,
+        n_hashes=8,
+        band_size=2,
+        jaccard_threshold=0.5,
+        minhash="md5",
+        line_dedup=True,
+        dupspan=True,
+        pii=True,
+        contamination_k=8,
+        budget_tokens=_CUR_BUDGET,
+        seed="cur",
+        collect_report=False,
+    )
+    cur_kept = curated.select(
+        F.lit("cur_kept").alias("tag"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.col("doc_id").alias("id"),
+        X.n_tokens(F.col("text")).alias("n"),
+    )
+    return (
+        groups.unionAll(kept).unionAll(incr).unionAll(contam).unionAll(cur_kept)
+    )
 
 
 # --------------------------------------------------------------------------

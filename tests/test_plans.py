@@ -15,6 +15,46 @@ from sheetreader_duckdb_spark.plans import all_queries
 
 QUERIES = all_queries()
 
+# Frozen declared-corpus shape. The driver's per-query CORRECTNESS checks
+# can't flag a row that never existed — a dropped @query decorator silently
+# shrinks the corpus (it happened: round 6 lost n01 and with it every
+# signal). Any add/remove/rename must edit this list consciously.
+DECLARED_NAMES = [
+    "h01_scan_filter_project", "h02b_ctas_sink", "h03_joins",
+    "h05_semi_anti_join", "h07_range_join", "h08_agg_tpch_q1",
+    "h08b_tpch_q3", "h08c_tpch_q5", "h09_grouping_ops", "h10_stats_agg",
+    "h12_window_functions", "h12c_global_ntile", "h13_sort_topk",
+    "h15_set_ops", "h16_scalar_functions", "h17_date_functions",
+    "h19_array_functions", "h19b_array_explode", "h20_json_extract",
+    "h21_conditional", "h22_cte_subquery", "h23_pandas_udf",
+    "n01_dedup_exact_pipeline", "n02_dedup_minhash_lsh",
+    "n03_dedup_jaccard_verify", "n04_dedup_simhash",
+    "n05_ann_bruteforce_topk", "n06_embedding_neardup",
+    "n06b_embedding_neardup_srp", "n07_text_signals", "n10_token_stats",
+    "n11_multimodal_metadata", "n11b_multimodal_features",
+    "n12_session_windows", "n13_tumbling_windows", "n14_stream_tumbling",
+    "n14b_stream_sliding", "n15_stream_session",
+    "n16_stream_stateful_totals", "n17_tf_idf", "n19_asof_join",
+    "n20_dedup_clusters", "nx_scale_variants", "s01_xlsx_roundtrip",
+    "s02_xlsx_stream_ingest", "s03_xlsx_option_semantics",
+    "s04_xlsx_type_overrides", "s05_xlsx_sheet_selection",
+    "t01_tpch_agg_suite", "t03_tpch_subquery_suite",
+]
+
+# Declared-by-design rows-only checks (no SQL-expressible oracle).
+NO_ORACLE = {"nx_scale_variants"}
+
+
+def test_registry_shape_frozen():
+    assert sorted(QUERIES) == DECLARED_NAMES, (
+        "declared query corpus changed — if intentional, update "
+        "DECLARED_NAMES; if not, a @query registration was lost"
+    )
+    missing_oracle = {n for n, q in QUERIES.items() if q.oracle is None}
+    assert missing_oracle == NO_ORACLE, (
+        f"oracle coverage changed: rows-only queries now {sorted(missing_oracle)}"
+    )
+
 # BroadcastNestedLoopJoin is legitimate when one side is a tiny broadcast
 # (a 1-row total, a generated band table) or the query is the declared
 # O(n²) exact cross-check.
@@ -28,6 +68,9 @@ BNL_OK = {
     "t03_tpch_subquery_suite",
     # n10's hh branch crossJoins its 1-row broadcast total.
     "n10_token_stats",
+    # n01's cur_kept branch (curate_corpus): sqrt_temperature_sample
+    # crossJoins the 1-row broadcast min-source-count carrier.
+    "n01_dedup_exact_pipeline",
 }
 
 # Queries that are not plain batch plans (streaming execution) or that read
