@@ -41,6 +41,149 @@ def test_stages_monotone_and_planted_rows_removed(spark, sf_dir):
     assert stages["decontaminate"] < stages["near_dedup"]
 
 
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_hygiene_stage_order_and_monotone(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".com/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    ev = d.limit(3).select((F.col("doc_id") + 800000).alias("doc_id"), "text")
+    cur, report = curate_corpus(
+        d,
+        eval_df=ev,
+        url_col="url",
+        domain_cap=5,
+        line_dedup=True,
+        dupspan=True,
+        pii=True,
+        budget_tokens=2000,
+        seed="t",
+    )
+    order = [s for s, _ in report]
+    assert order == [
+        "input", "url_cap", "quality", "exact_dedup", "line_dedup",
+        "near_dedup", "dupspan", "decontaminate", "pii", "temperature_mix",
+        "budget",
+    ]
+    counts = [n for _, n in report]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    stages = dict(report)
+    # pii masks in place — count-preserving by contract
+    assert stages["pii"] == stages["decontaminate"]
+    # the per-source domains (cap 5, ≥20 sources) actually bind
+    assert stages["url_cap"] <= 5 * 25 and stages["url_cap"] < stages["input"]
+
+
+def test_url_cap_stage_planted(spark):
+    rows = [
+        (i, f"unique body number {i} alpha beta gamma", "s", f"https://hot.com/{i}")
+        for i in range(10)
+    ] + [
+        (100 + i, f"other body number {i} delta epsilon zeta", "s", f"https://cold.com/{i}")
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, url string"
+    )
+    cur, report = curate_corpus(
+        df, quality_rules={}, url_col="url", domain_cap=3, temperature=False
+    )
+    ids = {r.doc_id for r in cur.collect()}
+    assert len([i for i in ids if i < 100]) == 3  # hot.com capped at 3
+    assert len([i for i in ids if i >= 100]) == 2  # cold.com untouched
+    assert dict(report)["url_cap"] == 5
+
+
+def test_line_dedup_stage_planted(spark):
+    boiler = "subscribe to our newsletter today"
+    df = _docs(
+        spark,
+        [
+            (1, f"alpha one unique words here\n{boiler}", "s"),
+            (2, f"beta two different tokens now\n{boiler}", "s"),
+            (3, boiler, "s"),  # nothing but boilerplate -> dropped
+            (4, "gamma three standalone body line", "s"),
+        ],
+    )
+    cur, _ = curate_corpus(df, quality_rules={}, line_dedup=True, temperature=False)
+    out = {r.doc_id: r.text for r in cur.collect()}
+    assert 3 not in out
+    assert out[1] == "alpha one unique words here"
+    assert out[2] == "beta two different tokens now"
+    assert out[4] == "gamma three standalone body line"
+
+
+def test_dupspan_stage_planted(spark):
+    span = "the quick brown fox jumps over the lazy dog"
+    df = _docs(
+        spark,
+        [
+            (1, f"alpha bravo charlie delta echo {span}", "s"),
+            (2, f"{span} foxtrot golf hotel india juliet", "s"),
+            (3, "kilo lima mike november oscar papa", "s"),
+        ],
+    )
+    cur, _ = curate_corpus(df, quality_rules={}, dupspan=True, temperature=False)
+    out = {r.doc_id: r.text for r in cur.collect()}
+    # the shared 9-token span is cut from both carriers; the rewrite is the
+    # operator's documented canonical space (lossless here — already lower,
+    # single-space)
+    assert out[1] == "alpha bravo charlie delta echo"
+    assert out[2] == "foxtrot golf hotel india juliet"
+    assert out[3] == "kilo lima mike november oscar papa"
+
+
+def test_pii_stage_masks_in_place(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "contact me at john.doe@example.com for details", "s"),
+            (2, "no personal info in this text at all", "s"),
+        ],
+    )
+    cur, report = curate_corpus(df, quality_rules={}, pii=True, temperature=False)
+    out = {r.doc_id: r.text for r in cur.collect()}
+    assert out[1] == "contact me at [EMAIL] for details"
+    assert out[2] == "no personal info in this text at all"
+    stages = dict(report)
+    assert stages["pii"] == stages["near_dedup"]
+
+
+def test_minhash_flavor_identity(spark):
+    # md5 (oracle flavor) and xxhash (scale flavor) share the topology;
+    # on data where the near-dup decision is unambiguous (Jaccard 0.92
+    # vs ≤0.1 against threshold 0.5) the keep-sets must be identical.
+    base = "zero one two three four five six seven eight nine ten eleven twelve"
+    df = _docs(
+        spark,
+        [
+            (1, base, "s"),
+            (2, base + " thirteen", "s"),
+            (3, "completely different words in this document body here", "s"),
+            (4, "another unrelated sentence with its own tokens", "s"),
+        ],
+    )
+    kept = {}
+    for flavor in ("md5", "xxhash"):
+        cur, _ = curate_corpus(
+            df,
+            quality_rules={},
+            n_hashes=16,
+            band_size=2,
+            jaccard_threshold=0.5,
+            minhash=flavor,
+            temperature=False,
+        )
+        kept[flavor] = sorted(r.doc_id for r in cur.collect())
+    assert kept["md5"] == kept["xxhash"] == [1, 3, 4]
+
+
 def test_deterministic_under_partitioning(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     a, _ = curate_corpus(d, budget_tokens=1500, collect_report=False)
