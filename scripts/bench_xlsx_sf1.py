@@ -51,6 +51,14 @@ def build_sf1_xlsx() -> str:
     return path
 
 
+def _source_rows() -> int:
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -87,7 +95,7 @@ def main() -> None:
     out = {
         "metric": "xlsx_sf1_load",
         "file_mb": size_mb,
-        "rows": 600572 * REPLICAS if "0.1" in SF_DIR else None,
+        "rows": _source_rows() * REPLICAS,
         "threads_1": timed(threads=1),
         "threads_4": timed(threads=4),
         "auto": timed(),

@@ -721,6 +721,7 @@ class SheetReaderReader(DataSourceReader):
             date_styles = wb.date_styles
             is_date_style: dict[bytes, bool] = {b"": False}
             colmap: dict[bytes, int] = {}
+            dense = None  # (compiled row regex, out slots) once chunk 0 seen
 
             def finalize(raw_cols: list[list]):
                 """Raw bytes-or-None columns → typed Arrow RecordBatch."""
@@ -825,6 +826,36 @@ class SheetReaderReader(DataSourceReader):
                         work, buf = buf, b""
 
                     assigned = (chunk_idx % n_shards) == shard
+                    # Dense-row fast path (parser.build_dense_row_re): one
+                    # findall per chunk, tuples already in column order —
+                    # no per-row regex, no per-cell Python. Only when the
+                    # chunk's match count equals its row count (so any row
+                    # deviating from the template shape falls back to the
+                    # generic scan below, which produces identical cells).
+                    if assigned and dense and chunk_idx > 0 and rows_seen >= skip_n:
+                        n_rows_chunk = P.count_row_starts(work)
+                        dm = dense[0].findall(work)
+                        if len(dm) == n_rows_chunk:
+                            chunk_idx += 1
+                            rows_seen += n_rows_chunk
+                            if len(dense[1]) == 1:
+                                cols = [dm]
+                            else:
+                                cols = list(zip(*dm)) if dm else [
+                                    [] for _ in dense[1]
+                                ]
+                            for j, out in enumerate(dense[1]):
+                                raw_cols[out].extend(cols[j])
+                            batch_rows += len(dm)
+                            while batch_rows >= opts.batch_size:
+                                take = opts.batch_size
+                                head = [c[:take] for c in raw_cols]
+                                raw_cols = [c[take:] for c in raw_cols]
+                                batch_rows -= take
+                                yield finalize(head)
+                            if not data:
+                                break
+                            continue
                     if assigned or chunk_idx == 0:
                         # Chunk 0 is checked by EVERY shard so the whole-file
                         # fallback decision is consistent across shards.
@@ -833,8 +864,18 @@ class SheetReaderReader(DataSourceReader):
                         if len(row_matches) != n_rows_chunk and chunk_idx == 0:
                             raise P._FastPathUnsupported
                         chunk_regular = len(row_matches) == n_rows_chunk
+                        if chunk_idx == 0 and chunk_regular:
+                            # Template = chunk 0's last non-empty row (every
+                            # shard sees chunk 0, so the decision — and the
+                            # compiled pattern — is identical across shards).
+                            tmpl = next(
+                                (b for b in reversed(row_matches) if b), b""
+                            )
+                            dense = P.build_dense_row_re(
+                                tmpl, keep, exp_codes, date_styles
+                            )
                     else:
-                        n_rows_chunk = len(P._ROW_COUNT_RE.findall(work))
+                        n_rows_chunk = P.count_row_starts(work)
                         row_matches = []
                         chunk_regular = True
                     chunk_idx += 1

@@ -465,6 +465,81 @@ _CELL_RE = re.compile(
 )
 
 
+def count_row_starts(work: bytes) -> int:
+    """Row-start count via memchr-speed bytes.count — equivalent to
+    ``len(_ROW_COUNT_RE.findall(work))`` without building a list of
+    millions of match objects."""
+    return work.count(b"<row ") + work.count(b"<row/") + work.count(b"<row>")
+
+
+def build_dense_row_re(
+    body: bytes,
+    keep: list,
+    exp_codes: list[int],
+    date_styles: frozenset[int],
+):
+    """Compile an exact whole-row pattern from a template row body, for the
+    DENSE common case: every column present, in order, with the template's
+    exact (s, t) attributes and a non-empty ``<v>``. Returns
+    ``(regex, out_slots)`` — ``out_slots[j]`` is the output column of the
+    j-th capture group — or ``None`` when the template row can't promise
+    the schema's cell semantics (absent cells, unexpected types, inline
+    strings).
+
+    Why: the generic scan pays three Python passes per chunk (row findall,
+    per-row cell findall, per-cell type dispatch). This profile-driven
+    single-thread hot path (BENCHNOTES round-7 breakdown: regex scanning
+    was 16.7 s of a 28.9 s sf1 single-shard parse) replaces them with ONE
+    findall per chunk whose tuples are already the row's kept values in
+    column order — ``zip(*matches)`` then hands whole columns to the Arrow
+    casts. Rows that deviate from the template (styles, absent cells,
+    empty rows) make the chunk's match count disagree with its row count,
+    and the caller falls back to the generic scan for that chunk — the
+    fast path can never change results, only skip work.
+    """
+    ms = _CELL_RE.findall(body)
+    if not ms or len(ms) != len(_CELL_COUNT_RE.findall(body)):
+        return None
+    if len(ms) != len(keep):
+        return None
+    # Cells map to file columns by their r= letters (the template could
+    # order them arbitrarily); every file column must appear exactly once.
+    fcols = [column_index(m[0].decode()) for m in ms]
+    if sorted(fcols) != list(range(len(keep))):
+        return None
+    parts = [rb"<row[^>]*>"]
+    out_slots: list[int] = []
+    for (letters, s_attr, t_attr, v), fcol in zip(ms, fcols):
+        if not v:
+            return None  # template must be fully dense
+        if not t_attr or t_attr == b"n":
+            implied = 3 if (s_attr and int(s_attr) in date_styles) else 1
+        elif t_attr == b"s":
+            implied = 0
+        elif t_attr == b"b":
+            implied = 2
+        else:
+            return None  # error / inline-string template: generic path
+        out = keep[fcol]
+        if out is not None and exp_codes[out] != implied:
+            return None  # schema disagrees (force_types): generic semantics
+        cell = rb'<c r="' + letters + rb'\d*"'
+        if s_attr:
+            cell += rb' s="' + s_attr + rb'"'
+        if t_attr:
+            cell += rb' t="' + t_attr + rb'"'
+        if out is None:
+            cell += rb"><v>(?:[^<]+)</v></c>"  # pruned: matched, not captured
+        else:
+            cell += rb"><v>([^<]+)</v></c>"
+            out_slots.append(out)
+        parts.append(cell)
+    parts.append(rb"</row>")
+    if not out_slots:
+        return None
+    return re.compile(b"".join(parts)), out_slots
+
+
 def _unescape(raw: bytes) -> str:
     """Decode a raw ``<v>`` text span: XML predefined + numeric entities
     (html.unescape is a superset that matches what expat produces)."""

@@ -1,0 +1,149 @@
+"""Dense-row fast path (parser.build_dense_row_re + datasource wiring).
+
+The dense path only engages from the second 4 MB chunk of a file, so these
+tests build a workbook big enough to span several chunks, plant rows that
+deviate from the template shape (absent cells, empty rows) in later chunks,
+and pin that (a) results are byte-identical to the row-path implementation
+(a fully independent scan: iter_rows + per-cell dispatch), and (b) the
+planted irregular rows keep exact NULL semantics. No SparkSession needed —
+the reader API is driven directly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from sheetreader_duckdb_spark.sources.xlsx import datasource as DS
+from sheetreader_duckdb_spark.sources.xlsx import parser as P
+from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
+
+N_ROWS = 60_000  # ~7 MB of sheet XML -> 2-3 chunks at the 4 MB chunk size
+IRREGULAR = {20_000: "absent_b", 40_000: "empty_row"}  # planted, chunk 2+
+
+
+@pytest.fixture(scope="module")
+def big_xlsx(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dense") / "big.xlsx")
+    w = IncrementalXlsxWriter(path, "Sheet1")
+    w.write_row(["name", "qty", "price"])
+    for i in range(N_ROWS):
+        kind = IRREGULAR.get(i)
+        if kind == "absent_b":
+            w.write_row([f"r{i}", None, float(i) + 0.25])
+        elif kind == "empty_row":
+            w.write_row([None, None, None])
+        else:
+            w.write_row([f"r{i}", float(i % 50), float(i) + 0.25])
+    w.close()
+    return path
+
+
+SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("qty", DoubleType()),
+        StructField("price", DoubleType()),
+    ]
+)
+
+
+def _collect(options):
+    reader = DS.SheetReaderReader(options, SCHEMA)
+    rows: list[tuple] = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            cols = [c.to_pylist() for c in batch.columns]
+            rows.extend(zip(*cols))
+    return rows
+
+
+def test_dense_engages_on_this_shape(big_xlsx):
+    # Guard: the fixture's template row must actually compile a dense
+    # pattern — otherwise every assertion below silently tests only the
+    # generic path.
+    built = P.build_dense_row_re(
+        b'<c r="A2" t="s"><v>3</v></c><c r="B2"><v>1.0</v></c>'
+        b'<c r="C2"><v>2.0</v></c>',
+        [0, 1, 2],
+        [0, 1, 1],
+        frozenset(),
+    )
+    assert built is not None
+    regex, out_slots = built
+    assert out_slots == [0, 1, 2]
+    assert regex.findall(
+        b'<row r="9"><c r="A9" t="s"><v>7</v></c><c r="B9"><v>8.5</v></c>'
+        b'<c r="C9"><v>9.5</v></c></row>'
+    ) == [(b"7", b"8.5", b"9.5")]
+
+
+def test_dense_matches_row_path_and_null_semantics(big_xlsx):
+    dense = _collect({"path": big_xlsx, "threads": "1"})
+    # inline_strings routes through _read_rows (iter_rows + per-cell
+    # dispatch) — an independent implementation of the same semantics.
+    rowpath = _collect({"path": big_xlsx, "threads": "1", "inline_strings": "true"})
+    assert len(dense) == N_ROWS
+    assert dense == rowpath
+    assert dense[20_000] == ("r20000", None, 20000.25)
+    assert dense[40_000] == (None, None, None)
+    assert dense[0] == ("r0", 0.0, 0.25)
+    assert dense[N_ROWS - 1] == (f"r{N_ROWS - 1}", (N_ROWS - 1) % 50, N_ROWS - 1 + 0.25)
+
+
+def test_dense_sharded_equals_single(big_xlsx):
+    single = _collect({"path": big_xlsx, "threads": "1"})
+    sharded = _collect({"path": big_xlsx, "threads": "4"})
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    assert sorted(single, key=key) == sorted(sharded, key=key)
+
+
+def test_dense_pruned_read(big_xlsx):
+    reader = DS.SheetReaderReader(
+        {"path": big_xlsx, "threads": "1", "columns": "price,name"},
+        StructType(
+            [StructField("name", StringType()), StructField("price", DoubleType())]
+        ),
+    )
+    rows = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
+    assert len(rows) == N_ROWS
+    assert rows[123] == ("r123", 123.25)
+    assert rows[40_000] == (None, None)
+
+
+def test_template_rejects_type_disagreement():
+    # force_types semantics: if the schema expects DOUBLE where the
+    # template carries a shared string, dense must refuse (the generic
+    # path yields NULL for the mismatch — dense would yield bytes).
+    assert (
+        P.build_dense_row_re(
+            b'<c r="A2" t="s"><v>3</v></c><c r="B2"><v>1.0</v></c>',
+            [0, 1],
+            [1, 1],  # schema says DOUBLE for the t="s" column
+            frozenset(),
+        )
+        is None
+    )
+
+
+def test_template_rejects_absent_and_unordered():
+    assert (
+        P.build_dense_row_re(
+            b'<c r="A2" t="s"><v>3</v></c><c r="B2"/>', [0, 1], [0, 1], frozenset()
+        )
+        is None
+    )
+    # duplicate column letters can't cover the schema
+    assert (
+        P.build_dense_row_re(
+            b'<c r="A2"><v>1</v></c><c r="A2"><v>2</v></c>',
+            [0, 1],
+            [1, 1],
+            frozenset(),
+        )
+        is None
+    )
