@@ -100,7 +100,8 @@ def curate_corpus(
     ``minhash`` selects the near-dup signature family: ``"xxhash"``
     (default — 64-bit JVM hashing, the scale path) or ``"md5"`` (the
     oracle-witnessable flavor, identical topology; used by the declared
-    n01 'cur_*' witness so the COMPOSED pipeline hash-matches DuckDB).
+    n01 'cur_kept' witness, which runs THIS composed pipeline end-to-end
+    and hash-matches every surviving document's final text vs DuckDB).
 
     ``eval_df`` (same schema) enables decontamination: corpus documents
     sharing ≥ ``contamination_min_hits`` word ``contamination_k``-grams
