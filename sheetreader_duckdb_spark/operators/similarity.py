@@ -1201,20 +1201,122 @@ def pq_topk_join(
     return _pq_adc_rank(corpus, q, enc, id_col, vec_col, k, refine)
 
 
-def _pq_adc_rank(
+def ivfpq_topk(
     corpus: DataFrame,
-    q: DataFrame,
-    enc: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int,
-    refine: int,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    m: int = 16,
+    n_codes: int = 16,
+    pq_iters: int = 2,
+    refine: int = 4,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
-    """Shared ADC two-stage tail: coarse LUT-sum ranking over the m-code
-    relation, exact float rescore of the k·refine survivors. ``q`` is
-    (qid, qv, lut, qn), ``enc`` is (cid, pq_codes, pq_norm)."""
+    """IVF coarse pruning composed with PQ/ADC compressed scoring — the
+    IVFADC architecture (Jégou, Douze, Schmid 2011 §V: an inverted file
+    restricts the search to the queried cells, ADC scores only their
+    entries; here in the shared-codebook, non-residual configuration, so
+    the cell id and the PQ codes are independent and both reuse their
+    tested single-stage forms verbatim).
+
+    This is the genuine 100 TB serving shape, combining the two scale
+    levers the single-stage variants each pull alone:
+
+    * ``ivf_topk`` prunes candidates to ``n_probe/n_cells`` of the corpus
+      but still reads float vectors in the probed cells;
+    * ``pq_topk_join`` scores 32×-smaller codes but scans ALL of them per
+      query.
+
+    Composed, the coarse pass touches ``n_probe/n_cells`` of an already
+    m-byte-per-vector relation: at n_cells=4096, n_probe=16, m=16 over
+    768-dim float32 that is ~1/200000 of the raw corpus bytes per query.
+
+    Plan shape: the index relation is (cid, cell, pq_codes, pq_norm) —
+    built once from ``ivf_assign_join`` (broadcast K-row centroid table,
+    one id-keyed argmax shuffle) + ``pq_encode_join`` (broadcast 1-row
+    codebook table), and at real scale persisted rather than re-derived
+    (``build_ivf_index`` is the persisted form for the float variant).
+    Queries rank probe cells against the same broadcast centroid table
+    and carry their ADC LUT; the candidate pass is an equi-join on the
+    cell id (never a cross product), the ranking window shuffles only
+    (qid, cid, coarse) triples, and the float vectors of the k·refine
+    survivors come back through the shared ``_pq_float_rescore`` tail.
+
+    Equivalence pin (tests/test_pq.py): with ``n_probe == n_cells`` the
+    probed set covers every cell, so the candidate set and all arithmetic
+    match ``pq_topk_join`` exactly — result equality is asserted, which
+    pins the composition plumbing to the tested single-stage forms.
+    Recall vs exact brute force at defaults is pinned there too.
+    """
     from pyspark.sql import Window
 
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters)
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, n_iters=pq_iters
+        )
+    mm = len(codebooks)
+    dsub = len(codebooks[0][0])
+    bdf = pq_books_df(corpus.sparkSession, codebooks)
+
+    # The index relation: cell + m codes + reconstruction norm. No floats.
+    cells = ivf_assign_join(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), "cell"
+    )
+    enc = pq_encode_join(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
+        codebooks,
+        vec_col="cv",
+        books=bdf,
+    ).select("cid", "pq_codes", "pq_norm")
+    index = enc.join(cells, "cid")
+
+    # Query side: ADC lookup table + the n_probe closest cells, both from
+    # the same broadcast tables the corpus side used.
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    q_lut = q.crossJoin(broadcast(bdf)).select(
+        "qid",
+        "qv",
+        _pq_lut_from_books(F.col("qv"), F.col("bk"), mm, dsub).alias("lut"),
+        l2_norm(F.col("qv")).alias("qn"),
+    )
+    cdf = _centroid_table(corpus.sparkSession, centroids)
+    qscore = dot(F.col("qv"), F.col("cvec")) / (l2_norm(F.col("qv")) * F.col("cnorm"))
+    pw = Window.partitionBy("qid").orderBy(F.col("__s").desc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(broadcast(cdf))
+        .select("qid", "cell", qscore.alias("__s"))
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("qid", "cell")
+    )
+    qp = q_lut.join(probes, "qid").select("qid", "lut", "qn", "cell")
+
+    # Coarse ADC restricted to probed cells: equi-join on the cell id.
+    w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
+    cand_ids = (
+        index.join(broadcast(qp), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", _adc_coarse_col().alias("coarse"))
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= k * refine)
+        .select("qid", "cid")
+    )
+    return _pq_float_rescore(corpus, cand_ids, q_lut, id_col, vec_col, k)
+
+
+def _adc_coarse_col() -> Column:
+    """The ADC coarse-cosine expression over columns ``pq_codes``, ``lut``,
+    ``qn``, ``pq_norm``: approx dot = Σ_j LUT_j[code_j], normalized by the
+    query norm and the (guarded) reconstruction norm. One definition shared
+    by every ADC entry point so all forms stay bit-identical."""
     approx_dot = F.aggregate(
         F.zip_with(
             F.col("pq_codes"), F.col("lut"),
@@ -1223,22 +1325,24 @@ def _pq_adc_rank(
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    coarse = approx_dot / (
+    return approx_dot / (
         F.col("qn") * F.when(F.col("pq_norm") > 0, F.col("pq_norm")).otherwise(F.lit(1.0))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
-    # Coarse pass carries ONLY (qid, cid, coarse) through the ranking
-    # window — the float vectors PQ exists to avoid never enter a shuffle.
-    cand_ids = (
-        enc.select("cid", "pq_codes", "pq_norm")
-        .join(broadcast(q.select("qid", "lut", "qn")), F.col("qid") != F.col("cid"))
-        .select("qid", "cid", coarse.alias("coarse"))
-        .withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") <= k * refine)
-        .select("qid", "cid")
-    )
-    # Residue-sized float fetch: k·refine·|Q| survivor ids broadcast
-    # against the corpus (map-side), query vectors broadcast by qid.
+
+
+def _pq_float_rescore(
+    corpus: DataFrame,
+    cand_ids: DataFrame,
+    q: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact float rescore of the coarse survivors — the shared ADC tail.
+    Residue-sized float fetch: k·refine·|Q| survivor ids broadcast against
+    the corpus (map-side), query vectors broadcast by qid."""
+    from pyspark.sql import Window
+
     cvecs = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
     rescored = (
         cvecs.join(broadcast(cand_ids), "cid")
@@ -1257,6 +1361,34 @@ def _pq_adc_rank(
         .filter(F.col("rn") <= k)
         .select("qid", "cid", "cosine", "rn")
     )
+
+
+def _pq_adc_rank(
+    corpus: DataFrame,
+    q: DataFrame,
+    enc: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    refine: int,
+) -> DataFrame:
+    """Shared ADC two-stage tail: coarse LUT-sum ranking over the m-code
+    relation, exact float rescore of the k·refine survivors. ``q`` is
+    (qid, qv, lut, qn), ``enc`` is (cid, pq_codes, pq_norm)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
+    # Coarse pass carries ONLY (qid, cid, coarse) through the ranking
+    # window — the float vectors PQ exists to avoid never enter a shuffle.
+    cand_ids = (
+        enc.select("cid", "pq_codes", "pq_norm")
+        .join(broadcast(q.select("qid", "lut", "qn")), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", _adc_coarse_col().alias("coarse"))
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= k * refine)
+        .select("qid", "cid")
+    )
+    return _pq_float_rescore(corpus, cand_ids, q, id_col, vec_col, k)
 
 
 def pq_int_quantize(vec: Column, scale: int = 128) -> Column:

@@ -779,12 +779,18 @@ _N05B_DOC = ("Approximate-NN family (scale paths for N3), four tagged branches "
     "(Jégou et al. 2011 — 16 per-subspace codebooks trained in one "
     "aggregate per Lloyd iteration, corpus stored as 16 small code ids = "
     "16x compression, query-side lookup-table scoring, exact float "
-    "rescoring). Rows-only check (approximate candidate sets are not "
-    "SQL-reproducible; n06b carries the SRP-bucket oracle); "
-    "tests/test_similarity.py + tests/test_pq.py pin recall vs the exact "
-    "n05 result for all four (lsh >= 0.9 measured 0.96; ivf and q8 >= "
-    "0.9; pq >= 0.9 measured 1.0 at m=16, refine=16 on the PQ-worst-case "
-    "Gaussian testdata)."
+    "rescoring); 'ivfpq' = the two composed — IVFADC (Jégou et al. 2011 "
+    "§V, shared-codebook non-residual form): the index relation is "
+    "(cell, 16 code ids), the coarse ADC pass touches only the n_probe=8 "
+    "of 16 probed cells via a cell equi-join, exact float rescore of the "
+    "survivors — the genuine 100 TB serving shape (candidate bytes ~ "
+    "n_probe/n_cells x m/dim/4 of the raw corpus). Rows-only check "
+    "(approximate candidate sets are not SQL-reproducible; n06b carries "
+    "the SRP-bucket oracle); tests/test_similarity.py + tests/test_pq.py "
+    "pin recall vs the exact n05 result for all five (lsh >= 0.9 measured "
+    "0.96; ivf and q8 >= 0.9; pq >= 0.9 measured 1.0 at m=16, refine=16; "
+    "ivfpq >= 0.7 at half-probe on the worst-case Gaussian testdata, plus "
+    "a full-probe bit-identity pin to the 'pq' branch)."
 )
 
 
@@ -806,7 +812,13 @@ def n05b_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     pq_b = S.pq_topk_join(e, q, books, k=5, refine=16).select(
         F.lit("pq").alias("tag"), "qid", "cid", "cosine", "rn"
     )
-    return lsh_b.unionAll(ivf_b).unionAll(q8_b).unionAll(pq_b)
+    # composed IVF+PQ (IVFADC): coarse cell pruning over the m-code
+    # relation, half-probe config — the branch that exercises BOTH scale
+    # levers at once (codebooks shared with the 'pq' branch).
+    ivfpq_b = S.ivfpq_topk(
+        e, q, k=5, n_cells=16, n_probe=8, refine=16, codebooks=books
+    ).select(F.lit("ivfpq").alias("tag"), "qid", "cid", "cosine", "rn")
+    return lsh_b.unionAll(ivf_b).unionAll(q8_b).unionAll(pq_b).unionAll(ivfpq_b)
 
 
 # --------------------------------------------------------------------------
@@ -2563,8 +2575,9 @@ def n20_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     "'mh128' = 128-seed xxhash64 MinHash + 16x8 LSH candidate pairs with "
     "the 1000-cap bucket guard (N2 scale path; see _N02B_DOC); 'sim64' = "
     "64-bit xxhash64 SimHash signatures (see _N04B_DOC); "
-    "'lsh'/'ivf'/'q8'/'pq' = the approximate-NN family with recall pins "
-    "(see _N05B_DOC); "
+    "'lsh'/'ivf'/'q8'/'pq'/'ivfpq' = the approximate-NN family with "
+    "recall pins (see _N05B_DOC; 'ivfpq' is the composed IVFADC serving "
+    "shape); "
     "'semdedup' = SemDeDup semantic near-dup pairs (Abbas et al. 2023, "
     "operators/similarity.py semantic_dedup_pairs: k-means cell bucketing "
     "via the constant-plan broadcast assignment, exact cosine verify on "

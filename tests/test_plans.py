@@ -127,13 +127,23 @@ def test_no_unintended_nested_loop_join(name, plans):
                         break
             return False
 
-        live_bnl = sum(
-            1
+        live = [
+            l
             for i, l in enumerate(lines)
             if "BroadcastNestedLoopJoin" in l and not _under_cache(i)
-        )
-        assert live_bnl == 5, f"{name}: live BNL count {live_bnl}"
-        assert plan.count("BroadcastNestedLoopJoin") <= 8, f"{name}: BNL count"
+        ]
+        # Shape-pinned, not just count-pinned: the only non-Cross live
+        # BNLs allowed are the two NOT(qid=cid) coarse scans (q8 + pq,
+        # each streaming the corpus against the broadcast 10-row query
+        # table); every other live BNL must be a BuildRight Cross — the
+        # tiny-broadcast carriers (1-row PQ books ×3 across pq/ivfpq,
+        # 16-row centroid tables for ivfpq's assign + probe ranking).
+        non_cross = [l for l in live if "Cross" not in l]
+        cross = [l for l in live if "Cross" in l]
+        assert len(non_cross) == 2, f"{name}: non-cross live BNLs {non_cross}"
+        assert all("BuildRight" in l for l in live), f"{name}: BNL build side"
+        assert len(cross) == 8, f"{name}: live Cross-carrier count {len(cross)}"
+        assert plan.count("BroadcastNestedLoopJoin") <= 13, f"{name}: BNL count"
     elif name not in BNL_OK:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNL join"
 

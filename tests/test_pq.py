@@ -192,3 +192,115 @@ def test_join_form_plan_constant_in_book_size(spark):
     assert len(plan) < 200_000, f"plan carries the book ({len(plan)} chars)"
     row = enc.collect()[0]
     assert len(row["pq_codes"]) == m
+
+
+def test_ivfpq_full_probe_equals_pq_topk_join(emb, books):
+    """The composition pin: with n_probe == n_cells every cell is probed,
+    so ivfpq_topk's candidate set and all arithmetic reduce to
+    pq_topk_join's — the result must match bit for bit. This ties the
+    IVFADC plumbing (cell assignment, probe ranking, cell equi-join) to
+    the already-pinned single-stage forms."""
+    from sheetreader_duckdb_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk_join,
+    )
+
+    q = emb.filter(F.col("vec_id") < 8)
+    composed = [
+        tuple(r)
+        for r in ivfpq_topk(
+            emb, q, k=5, n_cells=16, n_probe=16, refine=8, codebooks=books
+        ).orderBy("qid", "rn").collect()
+    ]
+    flat = [
+        tuple(r)
+        for r in pq_topk_join(emb, q, books, k=5, refine=8)
+        .orderBy("qid", "rn").collect()
+    ]
+    assert composed == flat
+
+
+def test_ivfpq_recall_vs_bruteforce(emb, books):
+    """Recall at half-probe (n_probe=8 of 16 cells) — the same probe ratio
+    the pure-IVF pin uses. Gaussian testdata is the worst case for BOTH
+    stages (no cluster structure for IVF, bunched neighbor scores for PQ);
+    measured 0.76 at this config, pinned at the ivf_topk floor."""
+    from sheetreader_duckdb_spark.operators.similarity import ivfpq_topk
+
+    q = emb.filter(F.col("vec_id") < 20)
+    truth: dict[int, set] = {}
+    for r in brute_force_topk(emb, q, k=5).collect():
+        truth.setdefault(r["qid"], set()).add(r["cid"])
+    got: dict[int, set] = {}
+    out = ivfpq_topk(emb, q, k=5, n_cells=16, n_probe=8, refine=16, codebooks=books)
+    for r in out.collect():
+        got.setdefault(r["qid"], set()).add(r["cid"])
+    hits = sum(len(truth[qid] & got.get(qid, set())) for qid in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.7, f"IVFPQ recall@5 {recall}"
+
+
+def test_ivfpq_rescored_cosines_are_exact(emb, books):
+    """Stage-3 scores are true float cosines (the shared rescore tail):
+    any returned pair also present in the exact top-k carries the
+    identical cosine."""
+    from sheetreader_duckdb_spark.operators.similarity import ivfpq_topk
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["qid"], r["cid"]): r["cosine"]
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    out = ivfpq_topk(emb, q, k=5, n_cells=16, n_probe=16, refine=16, codebooks=books)
+    for r in out.collect():
+        key = (r["qid"], r["cid"])
+        if key in exact:
+            assert abs(r["cosine"] - exact[key]) < 1e-12
+
+
+def test_ivfpq_candidates_respect_probed_cells(emb, books):
+    """Structural pruning proof at n_probe=1: every returned neighbor's
+    cell must be the query's single probed (top-scoring) cell."""
+    from sheetreader_duckdb_spark.operators.similarity import (
+        _centroid_table,
+        ivf_assign_join,
+        ivf_centroids,
+        ivfpq_topk,
+    )
+    from sheetreader_duckdb_spark.operators.similarity import dot, l2_norm
+
+    centroids = ivf_centroids(emb, n_cells=16, n_iters=2)
+    assign = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_join(emb, centroids).collect()
+    }
+    q = emb.filter(F.col("vec_id") < 10)
+    cdf = _centroid_table(emb.sparkSession, centroids)
+    qscore = dot(F.col("embedding"), F.col("cvec")) / (
+        l2_norm(F.col("embedding")) * F.col("cnorm")
+    )
+    top_cell = {
+        r["vec_id"]: r["cell"]
+        for r in q.crossJoin(cdf)
+        .select("vec_id", "cell", qscore.alias("s"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cell"),
+                F.struct(F.col("s").alias("s"), (-F.col("cell")).alias("nc")),
+            ).alias("cell")
+        )
+        .collect()
+    }
+    out = ivfpq_topk(
+        emb, q, k=5, n_cells=16, n_probe=1, refine=16,
+        centroids=centroids, codebooks=books,
+    )
+    rows = out.collect()
+    assert rows, "n_probe=1 must still return neighbors"
+    for r in rows:
+        assert assign[r["cid"]] == top_cell[r["qid"]], (
+            f"cid {r['cid']} (cell {assign[r['cid']]}) outside query "
+            f"{r['qid']}'s probed cell {top_cell[r['qid']]}"
+        )
