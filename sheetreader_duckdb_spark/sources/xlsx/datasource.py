@@ -204,7 +204,15 @@ class _Options:
         path = options.get("path")
         if not path:
             raise ValueError("sheetreader: 'path' is required")
-        paths = sorted(_glob.glob(path)) if _glob.has_magic(path) else [path]
+        if _glob.has_magic(path):
+            paths = sorted(_glob.glob(path))
+        elif os.path.isdir(path):
+            # A directory reads every workbook in it — the symmetric
+            # inverse of the sink (one .xlsx per partition under `save(dir)`),
+            # matching the streaming source's directory semantics above.
+            paths = sorted(_glob.glob(os.path.join(path, "*.xlsx")))
+        else:
+            paths = [path]
         if not paths:
             raise ValueError("No files found in path")  # reference :648-649
         for p in paths:

@@ -35,6 +35,25 @@ def test_sink_roundtrip_documents(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_sink_roundtrip_via_directory_path(spark, sf_dir, tmp_path):
+    """load(dir) is the symmetric inverse of save(dir): a directory path
+    reads every workbook in it, same as the streaming source's directory
+    semantics — no *.xlsx glob required."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars").limit(20)
+    out = str(tmp_path / "dirload")
+    d.repartition(3).write.format("sheetreader").mode("overwrite").save(out)
+    back = spark.read.format("sheetreader").load(out)
+    got = {(int(r[0]), int(r[1])) for r in back.collect()}
+    assert got == {tuple(r) for r in d.collect()}
+
+
+def test_empty_directory_read_raises(spark, tmp_path):
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    with pytest.raises(Exception, match="No files found"):
+        spark.read.format("sheetreader").load(str(empty)).schema
+
+
 def test_sink_overwrite_replaces_previous_files(spark, sf_dir, tmp_path):
     d = T(spark, sf_dir, "documents").select("doc_id", "source")
     out = str(tmp_path / "ow")
