@@ -1694,3 +1694,182 @@ def ivf_index_upsert(
         .parquet(f"{path}/assignments")
     )
     return cells
+
+
+# --------------------------------------------------------------------------
+# Persistent IVFADC index — build_ivf_index's layout with the PQ code
+# relation instead of float vectors: the index stores (id, 16 code ids,
+# reconstructed norm) cell-partitioned on parquet, ~dim·4/m smaller than
+# the float assignments (32× at m=16 over 64-dim float64). Queries DPP-
+# prune to probed cells and ADC-score the codes; the optional exact
+# rescore reads the float vectors from the CALLER's corpus table (the
+# index itself never stores floats — that is the point of PQ).
+# --------------------------------------------------------------------------
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 2,
+    dim: int = 64,
+    m: int = 16,
+    n_codes: int = 16,
+    pq_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """Materialize an IVFADC index: ``{path}/centroids`` (K-row coarse
+    quantizer), ``{path}/books`` (the 1-row PQ codebook relation of
+    ``pq_books_df``), and ``{path}/codes`` — (id, pq_codes, pq_norm)
+    parquet-PARTITIONED BY cell. Training, assignment, and encoding run
+    ONCE; doubles roundtrip parquet exactly, so indexed search is
+    bit-identical to the in-memory ``ivfpq_topk`` on the same trained
+    parameters (pinned in tests/test_ivfpq_index.py). Rebuilds are
+    explicit, like ``build_ivf_index``."""
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters)
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, n_iters=pq_iters
+        )
+    _centroid_table(spark, centroids).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    bdf = pq_books_df(spark, codebooks)
+    bdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    cells = ivf_assign_join(corpus, centroids, id_col, vec_col)
+    enc = pq_encode_join(
+        corpus.select(id_col, vec_col), codebooks, vec_col=vec_col, books=bdf
+    ).select(id_col, "pq_codes", "pq_norm")
+    (
+        enc.join(cells, id_col)
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        # Static overwrite for the same reason as build_ivf_index: a
+        # rebuild must replace ALL cells, not just those it repopulates.
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def _load_books(spark, path: str):
+    """Read back ``{path}/books``: (books_df, codebooks_as_lists, m, dsub).
+    The 1-row collect is driver-cheap (m·n_codes·dsub doubles) and gives
+    the Python ints the LUT/encode expression builders need."""
+    bdf = spark.read.parquet(f"{path}/books")
+    row = bdf.first()
+    books = [[list(c) for c in book] for book in row["bk"]]
+    return bdf, books, len(books), len(books[0][0])
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 4,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k against a persisted IVFADC index (``build_ivfpq_index``).
+
+    With ``corpus`` given: (qid, cid, cosine, rn) — exact float rescore of
+    the k·refine coarse survivors through the shared ``_pq_float_rescore``
+    tail, bit-identical to ``ivfpq_topk`` on the same trained parameters.
+    With ``corpus=None``: (qid, cid, adc, rn) — the ADC approximation is
+    the final score (honestly named ``adc``, not ``cosine``), and NO float
+    vector is touched anywhere: the query reads codes only, which is the
+    pure-index serving mode for when the float corpus is cold storage.
+
+    Plan shape: probe ranking against the broadcast K-row centroid table;
+    the candidate pass equi-joins the broadcast (qid, lut, qn, cell) probe
+    relation against the codes table ON ITS PARTITION COLUMN, so Dynamic
+    Partition Pruning restricts the scan to probed cells' files
+    (plan-asserted in tests/test_ivfpq_index.py) — n_probe/n_cells of an
+    already m-byte-per-vector relation read off storage per query batch.
+    """
+    from pyspark.sql import Window
+
+    cdf = spark.read.parquet(f"{path}/centroids")
+    bdf, _books, mm, dsub = _load_books(spark, path)
+    index = spark.read.parquet(f"{path}/codes")
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    q_lut = q.crossJoin(broadcast(bdf)).select(
+        "qid",
+        "qv",
+        _pq_lut_from_books(F.col("qv"), F.col("bk"), mm, dsub).alias("lut"),
+        l2_norm(F.col("qv")).alias("qn"),
+    )
+    qscore = dot(F.col("qv"), F.col("cvec")) / (l2_norm(F.col("qv")) * F.col("cnorm"))
+    pw = Window.partitionBy("qid").orderBy(F.col("__s").desc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(broadcast(cdf))
+        .select("qid", "cell", qscore.alias("__s"))
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("qid", "cell")
+    )
+    qp = q_lut.join(probes, "qid").select("qid", "lut", "qn", "cell")
+    w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
+    cand = (
+        index.select(F.col(id_col).alias("cid"), "pq_codes", "pq_norm", "cell")
+        .join(broadcast(qp), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", _adc_coarse_col().alias("coarse"))
+        .withColumn("crn", F.row_number().over(w))
+    )
+    if corpus is None:
+        return cand.filter(F.col("crn") <= k).select(
+            "qid", "cid", F.col("coarse").alias("adc"), F.col("crn").cast("long").alias("rn")
+        )
+    cand_ids = cand.filter(F.col("crn") <= k * refine).select("qid", "cid")
+    return _pq_float_rescore(corpus, cand_ids, q_lut, id_col, vec_col, k)
+
+
+def ivfpq_index_upsert(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append a batch to a persisted IVFADC index: assign against the
+    STORED centroids, encode against the STORED codebooks (neither
+    retrains — rebuild explicitly after drift, as with any ANN index),
+    and append to the cell partitions of the codes table. Work and bytes
+    written are batch-proportional; existing files keep their exact
+    bytes. The caller owns key uniqueness (append, not replace). Returns
+    the (id, cell) assignment of the batch."""
+    cdf = spark.read.parquet(f"{path}/centroids")
+    bdf, books, _mm, _dsub = _load_books(spark, path)
+    score = dot(F.col(vec_col), F.col("cvec")) / (
+        l2_norm(F.col(vec_col)) * F.col("cnorm")
+    )
+    cells = (
+        new_vectors.select(id_col, vec_col)
+        .crossJoin(broadcast(cdf))
+        .select(id_col, F.col("cell"), score.alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("cell"),
+                F.struct(F.col("__s").alias("s"), (-F.col("cell")).alias("nc")),
+            ).alias("cell")
+        )
+    )
+    enc = pq_encode_join(
+        new_vectors.select(id_col, vec_col), books, vec_col=vec_col, books=bdf
+    ).select(id_col, "pq_codes", "pq_norm")
+    (
+        enc.join(cells, id_col)
+        .repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    return cells

