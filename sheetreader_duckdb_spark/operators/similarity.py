@@ -551,6 +551,154 @@ def _centroid_table(spark, centroids: list[list[float]]) -> DataFrame:
     return spark.createDataFrame(rows, "cell int, cvec array<double>, cnorm double")
 
 
+def centroid_carrier_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """1-row broadcastable centroid carrier ``(cents, cnorms)`` — the
+    ``pq_books_df`` trick applied to the coarse quantizer: all K centroids
+    as one array-of-arrays column, norms precomputed driver-side with the
+    exact ``_centroid_scores`` guard (zero-norm → 1.0)."""
+    import math
+
+    cnorms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids]
+    return spark.createDataFrame(
+        [([[float(x) for x in c] for c in centroids], cnorms)],
+        "cents array<array<double>>, cnorms array<double>",
+    )
+
+
+def _centroid_scores_from_carrier(
+    vec_col: Column, cents: Column, cnorms: Column
+) -> Column:
+    """``_centroid_scores``'s fold arithmetic verbatim, values read from the
+    joined carrier columns instead of literals — bit-identical scores."""
+    vn = l2_norm(vec_col)
+    return F.zip_with(
+        cents,
+        cnorms,
+        lambda cl, cn: F.aggregate(
+            F.zip_with(vec_col, cl, lambda v, w: v.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (vn * cn),
+    )
+
+
+def ivf_assign_carrier(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carrier: DataFrame | None = None,
+) -> DataFrame:
+    """Cell assignment via the 1-row broadcast carrier: each row computes
+    its K-score array and takes the first-index-of-max — map-side, with NO
+    row amplification and NO shuffle, plan size constant in K. Returns
+    (id_col, cell).
+
+    This dominates both earlier forms at scale: the literal ``_argmax_cell``
+    is map-side but its plan embeds K·dim doubles (analysis cost grows with
+    K); ``ivf_assign_join`` keeps the plan constant but materializes K rows
+    per vector through a crossJoin and buys the argmax with a max_by
+    SHUFFLE of n·K rows (measured: the assignment pass dominated index
+    builds at 200k×128 — BENCHNOTES round 7). The carrier form is
+    constant-plan AND amplification-free; scores and the first-index-of-max
+    tie-break are bit-identical to both (pinned in tests/test_similarity.py).
+    """
+    from sheetreader_duckdb_spark.operators.exprutil import bind_once
+
+    cdf = (
+        carrier
+        if carrier is not None
+        else centroid_carrier_df(corpus.sparkSession, centroids)
+    )
+    scores = _centroid_scores_from_carrier(
+        F.col(vec_col), F.col("cents"), F.col("cnorms")
+    )
+    # bind_once: array_position + array_max each reference the score
+    # array; unbound, the K-fold producer is inlined (and evaluated) at
+    # both sites — 2× the dominant per-row cost of the whole build.
+    cell = bind_once(
+        scores, lambda s: (F.array_position(s, F.array_max(s)) - 1).cast("int")
+    )
+    return (
+        corpus.select(id_col, vec_col)
+        .crossJoin(broadcast(cdf))
+        .select(id_col, cell.alias("cell"))
+    )
+
+
+def ivf_assign_vectorized(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized cell assignment: one numpy GEMM per record batch.
+    Returns (id_col, cell).
+
+    The expression forms (literal/carrier/join) all evaluate K·dim
+    interpreted lambda steps PER ROW inside Catalyst's higher-order
+    functions — measured 182 s for 200k rows at K=128, dim=64, which made
+    the assignment pass ~85% of an index build's wall-clock (BENCHNOTES
+    round 7). The identical mathematics as a batched
+    ``(n×dim) @ (dim×K)`` matmul is milliseconds. This is the sanctioned
+    Pandas-UDF case: the built-in operators express the semantics but not
+    the arithmetic intensity. Centroids travel as a SparkContext broadcast
+    (same bytes a carrier row would ship).
+
+    Equivalence: BIT-IDENTICAL to the expression forms, by construction —
+    the dot and norm folds are replayed as one vectorized numpy op PER
+    DIMENSION (dim chunky ops instead of n·K·dim interpreted lambda
+    steps), so every IEEE operation and its order match ``dot``/
+    ``l2_norm``'s left-to-right fold exactly; ties take the first index
+    of the max in both (np.argmax / array_position-of-array_max, NaN
+    greatest in both). Pinned in tests/test_similarity.py. Use for
+    BUILDS at scale (``assign='vectorized'`` on the build functions);
+    query-time paths keep the expression forms."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    # Driver-side norms with _centroid_scores' exact arithmetic (python
+    # sum is the same left-to-right fold) and zero-norm → 1.0 guard.
+    cn = np.asarray([math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids])
+    bc = corpus.sparkSession.sparkContext.broadcast((C, cn))
+
+    def _cell(v):
+        Cb, cnb = bc.value
+        dim = Cb.shape[1]
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        # Sequential accumulation per dimension replays the fold's exact
+        # IEEE sequence: acc + (v_d · w_d), d = 0..dim-1, acc0 = 0.0.
+        dots = np.zeros((M.shape[0], Cb.shape[0]))
+        vn2 = np.zeros(M.shape[0])
+        for d in range(dim):
+            dots += M[:, d, None] * Cb[None, :, d]
+            vn2 += M[:, d] * M[:, d]
+        # Zero vector → 0/0 = NaN scores; np.argmax of an all-NaN row is 0,
+        # matching array_position(scores, array_max)=1 under NaN-greatest.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = dots / (np.sqrt(vn2)[:, None] * cnb[None, :])
+        return pd.Series(np.argmax(s, axis=1).astype("int32"))
+
+    # Explicit pandas Series→Series hints (module-level `from __future__
+    # import annotations` would stringify inline hints past the resolver).
+    _cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    cell_udf = pandas_udf(_cell, "int")
+    return corpus.select(id_col, cell_udf(F.col(vec_col)).alias("cell"))
+
+
+def _assign_fn(assign: str):
+    if assign == "carrier":
+        return ivf_assign_carrier
+    if assign == "vectorized":
+        return ivf_assign_vectorized
+    raise ValueError(f"assign must be 'carrier' or 'vectorized', got {assign!r}")
+
+
 def ivf_assign_join(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -559,6 +707,10 @@ def ivf_assign_join(
 ) -> DataFrame:
     """Cell assignment as a broadcast join against a K-row centroid table —
     the large-K form of ``_argmax_cell``. Returns (id_col, cell).
+    (``ivf_assign_carrier`` supersedes this for the index-build hot path:
+    same constant plan size without the K× row amplification; this form
+    remains for the cached/self-join call sites pinned at the current
+    plan shape.)
 
     The literal-embedded expression is the right call at small K (constant-
     folded, map-side, zero extra rows), but its plan embeds K·dim literal
@@ -1064,6 +1216,68 @@ def pq_encode_join(
     )
 
 
+def pq_encode_vectorized(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Arrow-vectorized PQ encode — ``pq_encode_join``'s output
+    (id, pq_codes, pq_norm) computed batch-wise in numpy, BIT-IDENTICAL by
+    construction: per-subspace distances accumulate one vectorized op per
+    sub-dimension (the fold's exact IEEE sequence: acc + (v_d − w_d)², in
+    order, from 0.0), codes take the first index of the min in both
+    (np.argmin / array_position-of-array_min), and the reconstructed norm
+    accumulates the driver-side bn2 entries sequentially over subspaces —
+    the same addends in the same order as the expression fold. Pinned in
+    tests/test_pq.py.
+
+    The expression form pays m·n_codes·(dim/m) interpreted lambda steps
+    per row (≈ dim·n_codes = 1024 at 64-dim × 16 codes); at index-build
+    scale that dominates wall-clock the same way assignment did
+    (BENCHNOTES round 7). Caveat: NaN components poison np.argmin toward
+    the first NaN distance, where the expression form ranks NaN distances
+    last — feed NaN-free embeddings (the expression forms remain for
+    NaN-tolerant paths)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    B = np.asarray(codebooks, dtype=np.float64)  # m × n_codes × dsub
+    # bn2 with pq_books_df's exact driver-side arithmetic.
+    BN2 = np.asarray(
+        [[sum(x * x for x in c) for c in book] for book in codebooks]
+    )
+    bc = df.sparkSession.sparkContext.broadcast((B, BN2))
+
+    def _enc(v):
+        Bb, bn2 = bc.value
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        n = M.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        norm2 = np.zeros(n)
+        for j in range(m):
+            dist = np.zeros((n, Bb.shape[1]))
+            for d in range(dsub):
+                diff = M[:, j * dsub + d, None] - Bb[j, None, :, d]
+                dist += diff * diff
+            cj = np.argmin(dist, axis=1)
+            codes[:, j] = cj
+            norm2 += bn2[j][cj]
+        return pd.DataFrame(
+            {"pq_codes": list(codes), "pq_norm": np.sqrt(norm2)}
+        )
+
+    _enc.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
+    enc_udf = pandas_udf(_enc, f"{code_col} array<int>, pq_norm double")
+    return df.select(id_col, enc_udf(F.col(vec_col)).alias("__e")).select(
+        id_col, f"__e.{code_col}", "__e.pq_norm"
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -1267,7 +1481,8 @@ def ivfpq_topk(
     bdf = pq_books_df(corpus.sparkSession, codebooks)
 
     # The index relation: cell + m codes + reconstruction norm. No floats.
-    cells = ivf_assign_join(corpus, centroids, id_col, vec_col).select(
+    # Carrier-form assignment: map-side argmax, no K× row amplification.
+    cells = ivf_assign_carrier(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("cid"), "cell"
     )
     enc = pq_encode_join(
@@ -1562,6 +1777,28 @@ def pq_adc_exact(
 # --------------------------------------------------------------------------
 # Persistent IVF index: build once, search many times
 # --------------------------------------------------------------------------
+def _train_slice(
+    corpus: DataFrame, id_col: str, fraction: float | None, tag: str
+) -> DataFrame:
+    """Deterministic hash-sample for trainer input: keep rows whose
+    xxhash64(tag, id) lands in the lowest ``fraction`` of the hash space.
+    A pure function of the id set (same slice every build — no rand()),
+    so sampled training stays reproducible. Lloyd's cost is linear in its
+    input, so training on a 1-5% slice cuts index-build time ~20-100×
+    while the assignment/encode passes still cover the FULL corpus —
+    the standard IVF recipe (Jégou et al. 2011 train quantizers on a
+    learning subset, not the indexed set). Measured in BENCHNOTES.md:
+    at 200k vectors×K=128, full-corpus training was ~60-67% of index-build
+    wall-clock; a 5% slice cut builds 2.5-3×."""
+    if fraction is None or fraction >= 1.0:
+        return corpus
+    if fraction <= 0.0:
+        raise ValueError(f"train_fraction must be in (0, 1], got {fraction}")
+    h = F.xxhash64(F.concat(F.lit(tag), F.col(id_col).cast("string")))
+    u = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    return corpus.filter(u < F.lit(float(fraction)))
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -1569,6 +1806,8 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_iters: int = 2,
+    train_fraction: float | None = None,
+    assign: str = "carrier",
 ) -> None:
     """Materialize an IVF index on storage: ``{path}/centroids`` (the K-row
     (cell, cvec, cnorm) table) and ``{path}/assignments`` (corpus vectors
@@ -1581,13 +1820,28 @@ def build_ivf_index(
     equi-join into a Dynamic Partition Pruning scan, so a 4-of-1024-cell
     probe reads ~0.4% of the corpus bytes off storage. Rebuilds are
     explicit (re-run after enough drift), exactly like any ANN index.
+
+    ``train_fraction``: train the coarse quantizer on a deterministic
+    hash-sample of the corpus (see ``_train_slice``); assignment still
+    covers every row. Raises if the slice seeds fewer than n_cells cells.
     """
-    centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters)
+    train = _train_slice(corpus, id_col, train_fraction, "ivf-train:")
+    if train_fraction is not None and train.count() < n_cells:
+        raise ValueError(
+            f"training slice has fewer than n_cells={n_cells} rows"
+            f" — raise train_fraction (got {train_fraction})"
+        )
+    centroids = ivf_centroids(train, id_col, vec_col, n_cells, n_iters)
+    if len(centroids) < n_cells:
+        raise ValueError(
+            f"training slice seeded only {len(centroids)} of {n_cells} cells"
+            f" — raise train_fraction (got {train_fraction})"
+        )
     spark = corpus.sparkSession
     _centroid_table(spark, centroids).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
-    cells = ivf_assign_join(corpus, centroids, id_col, vec_col)
+    cells = _assign_fn(assign)(corpus, centroids, id_col, vec_col)
     (
         corpus.select(id_col, vec_col)
         .join(cells, id_col)
@@ -1718,6 +1972,9 @@ def build_ivfpq_index(
     pq_iters: int = 2,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    train_fraction: float | None = None,
+    assign: str = "carrier",
+    encode: str = "join",
 ) -> None:
     """Materialize an IVFADC index: ``{path}/centroids`` (K-row coarse
     quantizer), ``{path}/books`` (the 1-row PQ codebook relation of
@@ -1726,23 +1983,56 @@ def build_ivfpq_index(
     ONCE; doubles roundtrip parquet exactly, so indexed search is
     bit-identical to the in-memory ``ivfpq_topk`` on the same trained
     parameters (pinned in tests/test_ivfpq_index.py). Rebuilds are
-    explicit, like ``build_ivf_index``."""
+    explicit, like ``build_ivf_index``.
+
+    ``train_fraction``: train BOTH quantizers on a deterministic
+    hash-sample (see ``_train_slice``); assignment and encoding still
+    cover every row. Ignored for a quantizer whose trained parameters
+    are passed in explicitly."""
     spark = corpus.sparkSession
+    train = _train_slice(corpus, id_col, train_fraction, "ivfpq-train:")
+    if (
+        train_fraction is not None
+        and (centroids is None or codebooks is None)
+        and train.count() < max(n_cells, n_codes)
+    ):
+        raise ValueError(
+            f"training slice has fewer than max(n_cells={n_cells},"
+            f" n_codes={n_codes}) rows — raise train_fraction"
+            f" (got {train_fraction})"
+        )
     if centroids is None:
-        centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters)
+        centroids = ivf_centroids(train, id_col, vec_col, n_cells, n_iters)
+        if len(centroids) < n_cells:
+            raise ValueError(
+                f"training slice seeded only {len(centroids)} of {n_cells}"
+                f" cells — raise train_fraction (got {train_fraction})"
+            )
     if codebooks is None:
         codebooks = pq_codebooks(
-            corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, n_iters=pq_iters
+            train, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, n_iters=pq_iters
         )
+        if len(codebooks[0]) < n_codes:
+            raise ValueError(
+                f"training slice seeded only {len(codebooks[0])} of {n_codes}"
+                f" codes — raise train_fraction (got {train_fraction})"
+            )
     _centroid_table(spark, centroids).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
     bdf = pq_books_df(spark, codebooks)
     bdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
-    cells = ivf_assign_join(corpus, centroids, id_col, vec_col)
-    enc = pq_encode_join(
-        corpus.select(id_col, vec_col), codebooks, vec_col=vec_col, books=bdf
-    ).select(id_col, "pq_codes", "pq_norm")
+    cells = _assign_fn(assign)(corpus, centroids, id_col, vec_col)
+    if encode == "vectorized":
+        enc = pq_encode_vectorized(
+            corpus.select(id_col, vec_col), codebooks, id_col=id_col, vec_col=vec_col
+        )
+    elif encode == "join":
+        enc = pq_encode_join(
+            corpus.select(id_col, vec_col), codebooks, vec_col=vec_col, books=bdf
+        ).select(id_col, "pq_codes", "pq_norm")
+    else:
+        raise ValueError(f"encode must be 'join' or 'vectorized', got {encode!r}")
     (
         enc.join(cells, id_col)
         .repartition(F.col("cell"))

@@ -9,6 +9,7 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from sheetreader_duckdb_spark.operators.similarity import (
@@ -120,3 +121,49 @@ def test_upsert_is_batch_proportional_and_searchable(spark, sf_dir, tmp_path):
     q = batch.filter(F.col("vec_id") < 3)
     got = ivfpq_topk_indexed(spark, path, q, k=5, n_probe=16, refine=8, corpus=e)
     assert got.count() == 3 * 5
+
+
+def test_sampled_training_builds_working_deterministic_index(spark, sf_dir, tmp_path):
+    """train_fraction trains the quantizers on a hash-slice but indexes
+    every row: full row coverage, k results per query, and two builds at
+    the same fraction produce byte-identical centroids/books (the slice
+    is a pure function of the id set, not rand())."""
+    e = T(spark, sf_dir, "embeddings")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    build_ivfpq_index(e, p1, n_cells=8, train_fraction=0.5)
+    build_ivfpq_index(e, p2, n_cells=8, train_fraction=0.5)
+    assert spark.read.parquet(f"{p1}/codes").count() == e.count()
+    c1 = sorted(map(tuple, spark.read.parquet(f"{p1}/centroids").collect()))
+    c2 = sorted(map(tuple, spark.read.parquet(f"{p2}/centroids").collect()))
+    assert c1 == c2
+    b1 = spark.read.parquet(f"{p1}/books").first()["bk"]
+    b2 = spark.read.parquet(f"{p2}/books").first()["bk"]
+    assert b1 == b2
+    q = e.filter(F.col("vec_id") < 5)
+    out = ivfpq_topk_indexed(spark, p1, q, k=5, n_probe=8, corpus=e)
+    assert out.count() == 5 * 5
+
+
+def test_undersized_training_slice_raises(spark, sf_dir, tmp_path):
+    e = T(spark, sf_dir, "embeddings").limit(40)
+    with pytest.raises(ValueError, match="train_fraction"):
+        # ~2 rows sampled for 16 cells: must refuse, not silently build a
+        # 2-cell index labeled 16.
+        build_ivfpq_index(e, str(tmp_path / "tiny"), n_cells=16,
+                          train_fraction=0.05)
+
+
+def test_vectorized_build_is_searchable_and_complete(spark, sf_dir, tmp_path):
+    """assign='vectorized' + encode='vectorized' (the Arrow build path —
+    both stages bit-identical to the expression forms) indexes every row
+    and serves queries; cell ids stay within [0, n_cells)."""
+    e = T(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "vecb")
+    build_ivfpq_index(e, path, n_cells=8, assign="vectorized", encode="vectorized")
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == e.count()
+    cells = {r["cell"] for r in codes.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
+    q = e.filter(F.col("vec_id") < 4)
+    out = ivfpq_topk_indexed(spark, path, q, k=5, n_probe=8, corpus=e)
+    assert out.count() == 4 * 5

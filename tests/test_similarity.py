@@ -308,3 +308,63 @@ def test_quantized_topk_at_sf01(spark):
     approx = _pairs(S.quantized_topk(e, q, k=5, refine=4))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"quantized recall@5 at sf0.1 = {recall:.3f}"
+
+
+def test_ivf_assign_carrier_matches_both_forms(spark, sf_dir):
+    """The 1-row-carrier assignment (constant plan AND amplification-free —
+    the index-build hot path) must be bit-identical to the literal argmax
+    and the K-row join form on Lloyd-refined centroids, and its plan must
+    contain no shuffle (the whole point vs ivf_assign_join's max_by)."""
+    e = T(spark, sf_dir, "embeddings")
+    centroids = S.ivf_centroids(e, n_cells=16, n_iters=2)
+    via_literal = {
+        (r["vec_id"], r["cell"])
+        for r in e.select(
+            "vec_id", S._argmax_cell(F.col("embedding"), centroids).alias("cell")
+        ).collect()
+    }
+    carrier_df = S.ivf_assign_carrier(e, centroids)
+    via_carrier = {(r["vec_id"], r["cell"]) for r in carrier_df.collect()}
+    via_join = {
+        (r["vec_id"], r["cell"]) for r in S.ivf_assign_join(e, centroids).collect()
+    }
+    assert via_carrier == via_literal == via_join
+    plan = carrier_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "HashAggregate" not in plan, plan[:1500]
+
+
+def test_ivf_assign_carrier_tie_break(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = [[3.0, 0.5], [3.0, 0.5], [0.5, 3.0]]  # cells 0 and 1 identical
+    got = {(r["vec_id"], r["cell"]) for r in S.ivf_assign_carrier(df, cents).collect()}
+    assert got == {(0, 0), (1, 2)}
+
+
+def test_ivf_assign_vectorized_matches_carrier(spark, sf_dir):
+    """The Arrow assignment (the scale build path) is BIT-IDENTICAL to the
+    carrier expression form: its per-dimension sequential accumulation
+    replays the fold's exact IEEE sequence, so assignments must match on
+    any input, and duplicate-centroid ties resolve to the lowest cell in
+    both."""
+    e = T(spark, sf_dir, "embeddings")
+    centroids = S.ivf_centroids(e, n_cells=16, n_iters=2)
+    via_carrier = {
+        (r["vec_id"], r["cell"]) for r in S.ivf_assign_carrier(e, centroids).collect()
+    }
+    via_vec = {
+        (r["vec_id"], r["cell"])
+        for r in S.ivf_assign_vectorized(e, centroids).collect()
+    }
+    assert via_vec == via_carrier
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = [[3.0, 0.5], [3.0, 0.5], [0.5, 3.0]]
+    got = {
+        (r["vec_id"], r["cell"]) for r in S.ivf_assign_vectorized(df, cents).collect()
+    }
+    assert got == {(0, 0), (1, 2)}
