@@ -772,12 +772,13 @@ def ivf_topk(
       array expression embedded in the plan. Right at small K: map-side,
       zero extra shuffles, but the plan carries K·dim literal doubles.
     * ``"join"`` — the large-K form (K ~ thousands at 100 TB: cell
-      occupancy n/K): BOTH the corpus assignment (``ivf_assign_join``)
-      and the query probe-cell ranking go through a broadcast join
-      against the K-row centroid table, so plan size is CONSTANT in K;
-      the corpus pays one id-keyed shuffle for the argmax aggregation
-      plus the assignment join-back (at real scale assignments are
-      computed once and persisted, not re-derived per query).
+      occupancy n/K): plan size is CONSTANT in K on both sides — the
+      corpus assignment goes through the 1-row broadcast centroid
+      carrier (map-side argmax, no shuffle; bit-identical to
+      ``ivf_assign_join``, test-pinned) and the query probe-cell
+      ranking through a broadcast join against the K-row centroid
+      table (at real scale assignments are computed once and
+      persisted, not re-derived per query).
     """
     from pyspark.sql import Window
 
@@ -785,11 +786,23 @@ def ivf_topk(
         raise ValueError(f"assign must be 'literal' or 'join', got {assign!r}")
     centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters)
     if assign == "join":
-        cells = ivf_assign_join(corpus, centroids, id_col, vec_col)
+        from sheetreader_duckdb_spark.operators.exprutil import bind_once
+
+        # Corpus side: inline carrier assignment (bit-identical to
+        # ivf_assign_join, test-pinned) — cell computed map-side in the
+        # same select as the vector, so the large-K mode no longer pays
+        # the n·K argmax shuffle + id join-back before the cell join.
+        ccar = centroid_carrier_df(corpus.sparkSession, centroids)
+        ccell = bind_once(
+            _centroid_scores_from_carrier(
+                F.col("cv"), F.col("cents"), F.col("cnorms")
+            ),
+            lambda s: (F.array_position(s, F.array_max(s)) - 1).cast("int"),
+        )
         c = (
-            corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
-            .join(cells, id_col)
-            .select(F.col(id_col).alias("cid"), "cv", "cell")
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .crossJoin(broadcast(ccar))
+            .select("cid", "cv", ccell.alias("cell"))
         )
         cdf = _centroid_table(corpus.sparkSession, centroids)
         qscore = dot(F.col("qv"), F.col("cvec")) / (
@@ -902,10 +915,15 @@ def semantic_dedup_pairs(
     """Same-cell embedding pairs with cosine ≥ threshold:
     ``(id_a < id_b, cell, cosine)``.
 
-    Assignment uses ``ivf_assign_join`` (broadcast centroid table — plan
-    size constant in K), so the corpus shuffles once on the cell id and
-    pair generation is an equi-join within cells; with balanced cells the
-    candidate volume is n²/K instead of n². Precision is exact (every
+    Assignment uses the inline carrier form (``ivf_assign_carrier``'s
+    expression over the 1-row broadcast centroid carrier — plan size
+    constant in K, bit-identical scores/tie-break to the join form,
+    test-pinned): the cell id is computed map-side IN the same select as
+    the vector and its norm, so the only shuffle before pair generation
+    is the cell equi-join itself (the previous ``ivf_assign_join`` path
+    paid an n·K-row argmax shuffle plus an id-keyed join-back first).
+    With balanced cells the candidate volume is n²/K instead of n².
+    Precision is exact (every
     emitted pair is cosine-verified); recall misses only near-dup pairs
     whose members land in DIFFERENT cells — rare at the high thresholds
     SemDeDup targets (≈ identical vectors almost always share a nearest
@@ -921,10 +939,18 @@ def semantic_dedup_pairs(
 
     if centroids is None:
         centroids = ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells)
-    assigned = ivf_assign_join(corpus, centroids, id_col, vec_col)
+    from sheetreader_duckdb_spark.operators.exprutil import bind_once
+
+    cdf = centroid_carrier_df(corpus.sparkSession, centroids)
+    scores = _centroid_scores_from_carrier(
+        F.col("__v"), F.col("cents"), F.col("cnorms")
+    )
+    cell = bind_once(
+        scores, lambda s: (F.array_position(s, F.array_max(s)) - 1).cast("int")
+    )
     # Persisted (deferred-release registry): both sides of the in-cell
     # self-join read the SAME materialized assignment instead of executing
-    # the broadcast-assignment lineage twice. At production scale this is
+    # the map-side assignment lineage twice. At production scale this is
     # the persisted IVF index (build_ivf_index) — pass its centroids in and
     # the cache is the per-run equivalent of the stored assignment table.
     sided = defer_unpersist(
@@ -932,7 +958,8 @@ def semantic_dedup_pairs(
             F.col(id_col), F.col(vec_col).alias("__v"),
             l2_norm(F.col(vec_col)).alias("__n"),
         )
-        .join(assigned, id_col)
+        .crossJoin(broadcast(cdf))
+        .select(id_col, "__v", "__n", cell.alias("cell"))
         .persist()
     )
     a = sided.select(
@@ -1913,31 +1940,27 @@ def ivf_index_upsert(
 ) -> DataFrame:
     """Add a batch of vectors to a persisted IVF index without touching the
     existing corpus: assign each new vector against the STORED centroids
-    (broadcast join — centroids do not retrain on upsert, as in any ANN
-    index; rebuild explicitly after enough drift) and append to the cell
-    partitions. Work is batch-proportional: only the new rows are scored
-    and written; existing assignment files keep their exact bytes. The
-    caller owns key uniqueness (ids already in the index are NOT replaced
-    — this is an append, mirroring vector-database add()).
+    (centroids do not retrain on upsert, as in any ANN index; rebuild
+    explicitly after enough drift) and append to the cell partitions.
+    Work is batch-proportional: only the new rows are scored and written;
+    existing assignment files keep their exact bytes. The caller owns key
+    uniqueness (ids already in the index are NOT replaced — this is an
+    append, mirroring vector-database add()).
+
+    Assignment uses the carrier form (``ivf_assign_carrier``): map-side
+    argmax over the stored centroids, no K× row amplification and no
+    shuffle per batch; scores and the highest-score-lowest-cell tie-break
+    match the previous max_by-join form bit for bit (the K stored rows
+    collect to the driver once per upsert — K is the quantizer size,
+    never corpus-sized).
 
     Returns the (id, cell) assignment of the batch (small; also useful for
     routing audits).
     """
-    cdf = spark.read.parquet(f"{path}/centroids")
-    score = dot(F.col(vec_col), F.col("cvec")) / (
-        l2_norm(F.col(vec_col)) * F.col("cnorm")
-    )
-    cells = (
-        new_vectors.select(id_col, vec_col)
-        .crossJoin(broadcast(cdf))
-        .select(id_col, F.col("cell"), score.alias("__s"))
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.col("cell"),
-                F.struct(F.col("__s").alias("s"), (-F.col("cell")).alias("nc")),
-            ).alias("cell")
-        )
+    stored = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = [list(r["cvec"]) for r in stored]
+    cells = ivf_assign_carrier(
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col
     )
     (
         new_vectors.select(id_col, vec_col)
@@ -2134,23 +2157,19 @@ def ivfpq_index_upsert(
     and append to the cell partitions of the codes table. Work and bytes
     written are batch-proportional; existing files keep their exact
     bytes. The caller owns key uniqueness (append, not replace). Returns
-    the (id, cell) assignment of the batch."""
-    cdf = spark.read.parquet(f"{path}/centroids")
+    the (id, cell) assignment of the batch.
+
+    Assignment uses the carrier form (``ivf_assign_carrier``) over the
+    stored centroids — map-side argmax, no K× row amplification, no
+    shuffle per batch. Scores and the highest-score-lowest-cell tie-break
+    are identical to the previous max_by-join form; the K stored rows
+    collect to the driver once per upsert (K is the coarse-quantizer
+    size, never corpus-sized)."""
+    stored = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = [list(r["cvec"]) for r in stored]
     bdf, books, _mm, _dsub = _load_books(spark, path)
-    score = dot(F.col(vec_col), F.col("cvec")) / (
-        l2_norm(F.col(vec_col)) * F.col("cnorm")
-    )
-    cells = (
-        new_vectors.select(id_col, vec_col)
-        .crossJoin(broadcast(cdf))
-        .select(id_col, F.col("cell"), score.alias("__s"))
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.col("cell"),
-                F.struct(F.col("__s").alias("s"), (-F.col("cell")).alias("nc")),
-            ).alias("cell")
-        )
+    cells = ivf_assign_carrier(
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col
     )
     enc = pq_encode_join(
         new_vectors.select(id_col, vec_col), books, vec_col=vec_col, books=bdf

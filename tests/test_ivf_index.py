@@ -84,3 +84,29 @@ def test_upsert_is_batch_proportional_and_searchable(spark, sf_dir, tmp_path):
     q = e.filter(F.col("vec_id") < 3)
     got = ivf_topk_indexed(spark, path, q, k=5, n_probe=8)
     assert got.filter(F.col("cid") >= 1_000_000).count() > 0
+
+
+def test_upsert_assignment_matches_build_assignment(spark, sf_dir, tmp_path):
+    """Upsert assigns with the carrier form over the STORED centroids —
+    a re-upserted copy of an indexed vector (same embedding, new id) must
+    land in exactly the cell the build assigned the original, for every
+    vector. Pins the stored-parquet → collected-carrier path bit for bit
+    (norms recompute from cvec with _centroid_table's arithmetic; doubles
+    roundtrip parquet exactly)."""
+    from sheetreader_duckdb_spark.operators.similarity import ivf_index_upsert
+
+    e = T(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf5")
+    build_ivf_index(e, path, n_cells=16, n_iters=2)
+    built = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(f"{path}/assignments")
+        .select("vec_id", "cell")
+        .collect()
+    }
+    clones = e.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    got = {
+        r["vec_id"] - 1_000_000: r["cell"]
+        for r in ivf_index_upsert(spark, path, clones).collect()
+    }
+    assert got == built

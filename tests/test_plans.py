@@ -102,9 +102,9 @@ def test_no_unintended_nested_loop_join(name, plans):
         # the corpus-encode crossJoin, and the coarse join that reads
         # both — codebooks travel as broadcast data instead of literal
         # trees, so the crossJoin against the 1-row books frame IS the
-        # design). The K-row centroid table of semdedup's ivf_assign_join
-        # sits INSIDE the persisted assignment subtree, which the
-        # self-join prints once per cache scan, so it never appears
+        # design). Semdedup's 1-row centroid carrier (inline map-side
+        # assignment) sits INSIDE the persisted assignment subtree, which
+        # the self-join prints once per cache scan, so it never appears
         # outside an InMemoryRelation block. More live BNLs would mean
         # the lsh/ivf candidate branches regressed from equi-joins.
         # Cached-ness is decided by walking the plan tree's ancestors via

@@ -265,7 +265,9 @@ def test_ivf_join_form_at_large_k_sf01(spark):
     * plan size stays FLAT in K — the physical plan carries no K·dim
       centroid literals (the literal form at K=256 embeds 16k doubles;
       the join form's plan must be ~the K=16 plan's size), assignment
-      travels as a broadcast relation + max_by aggregation;
+      travels as a broadcast relation: the corpus side reads the 1-row
+      centroid carrier map-side (no max_by aggregation — the argmax no
+      longer costs an n·K shuffle), the query probe side the K-row table;
     * recall holds — probing 96/256 cells recovers ≥ 0.9 of the exact
       brute-force top-5;
     * the join-form result is identical to the literal form at the same
@@ -278,7 +280,9 @@ def test_ivf_join_form_at_large_k_sf01(spark):
     big = S.ivf_topk(e, q, k=5, n_cells=256, n_probe=96, assign="join")
     plan_big = big._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan_big
-    assert "max_by" in plan_big
+    # Corpus assignment is map-side over the 1-row carrier: no argmax
+    # aggregation anywhere in the plan.
+    assert "max_by" not in plan_big
     small = S.ivf_topk(e, q, k=5, n_cells=16, n_probe=4, assign="join")
     plan_small = small._jdf.queryExecution().executedPlan().toString()
     # 16x the centroids must not grow the plan materially (literals would
