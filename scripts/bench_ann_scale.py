@@ -96,6 +96,7 @@ def main() -> int:
 
     from sheetreader_duckdb_spark.operators.similarity import (
         brute_force_topk,
+        brute_force_topk_blocked,
         build_ivf_index,
         build_ivfpq_index,
         ivf_topk_indexed,
@@ -149,6 +150,9 @@ def main() -> int:
         "train_fraction": TRAIN_FRACTION,
         "assign": ASSIGN,
         "brute_force": timed(lambda: noop(brute_force_topk(corpus, q, k=K))),
+        "brute_force_blocked": timed(
+            lambda: noop(brute_force_topk_blocked(corpus, q, k=K))
+        ),
         "ivf_indexed": timed(
             lambda: noop(ivf_topk_indexed(spark, ivf_path, q, k=K, n_probe=N_PROBE))
         ),

@@ -82,6 +82,110 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """``brute_force_topk``'s exact result via Arrow-blocked scoring —
+    same (qid, cid, cosine, rn) rows, BIT-IDENTICAL cosines (the dot and
+    norm folds replay as one vectorized numpy op per dimension, the
+    proven ``ivf_assign_vectorized`` recipe), for query batches small
+    enough to collect (the same ≪-corpus assumption the broadcast form
+    makes).
+
+    Why: the expression form pays q·dim interpreted lambda steps per
+    corpus ROW and shuffles all n·q scored pairs into the top-k window —
+    measured 100 s for 100 queries × 200k vectors (BENCHNOTES round 7).
+    Here each Arrow batch scores against the whole query matrix and
+    emits only its LOCAL top-k per query under the exact global order
+    (cosine desc, cid asc — a total order, cid unique, so a row outside
+    a batch's top-k is dominated by k batch-mates globally too); the
+    final window then ranks q·k·n_batches rows instead of n·q. Exact,
+    not approximate — candidate pruning by total-order dominance, the
+    classic distributed exact-knn merge.
+
+    Caveat (same as ``pq_encode_vectorized``): NaN cosines (zero-norm
+    vectors) rank last in the local numpy sort where Spark's window
+    ranks NaN greatest — feed NaN-free embeddings, or use the
+    expression form."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[id_col] for r in qrows]
+    Q = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]
+    ) if qrows else np.zeros((0, 1))
+    # Query norms with l2_norm's exact fold (python sum is left-to-right
+    # from 0, matching F.aggregate's acc + x*x sequence).
+    import math
+
+    qn = np.asarray(
+        [math.sqrt(sum(float(x) * float(x) for x in r[vec_col])) for r in qrows]
+    )
+    bc = spark.sparkContext.broadcast((qids, Q, qn))
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"qid {id_t}, cid {id_t}, cosine double"
+
+    def _score(batches):
+        bqids, bQ, bqn = bc.value
+        nq = len(bqids)
+        if nq == 0:
+            return
+        qid_arr = np.asarray(bqids)
+        dim = bQ.shape[1]
+        for pdf in batches:
+            cids = pdf["cid"].to_numpy()
+            M = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["cv"]]
+            )
+            # Sequential per-dimension accumulation: the fold's exact
+            # IEEE op sequence for both the pair dots and the corpus
+            # norms (acc + v_d·w_d from 0.0, in order).
+            dots = np.zeros((M.shape[0], nq))
+            cn2 = np.zeros(M.shape[0])
+            for d in range(dim):
+                dots += M[:, d, None] * bQ[None, :, d]
+                cn2 += M[:, d] * M[:, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = dots / (bqn[None, :] * np.sqrt(cn2)[:, None])
+            kk = min(k, M.shape[0])
+            out_q, out_c, out_s = [], [], []
+            for j in range(nq):
+                sj = s[:, j]
+                # Exact global order locally: score desc, cid asc
+                # (lexsort: last key is primary).
+                order = np.lexsort((cids, -sj))
+                taken = 0
+                for i in order:
+                    if taken >= kk:
+                        break
+                    if cids[i] == bqids[j]:
+                        continue  # the qid != cid exclusion
+                    out_q.append(bqids[j])
+                    out_c.append(cids[i])
+                    out_s.append(sj[i])
+                    taken += 1
+            yield pd.DataFrame({"qid": out_q, "cid": out_c, "cosine": out_s})
+
+    from pyspark.sql import Window
+
+    local = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).mapInPandas(_score, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        local.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cosine", "rn")
+    )
+
+
 # -- int8 quantization: the storage/bandwidth scale path --------------------
 #
 # At 100 TB of float32 embeddings, the scan is bandwidth-bound; symmetric

@@ -372,3 +372,47 @@ def test_ivf_assign_vectorized_matches_carrier(spark, sf_dir):
         (r["vec_id"], r["cell"]) for r in S.ivf_assign_vectorized(df, cents).collect()
     }
     assert got == {(0, 0), (1, 2)}
+
+
+def test_blocked_bruteforce_bit_identical(spark, sf_dir):
+    """brute_force_topk_blocked must reproduce brute_force_topk exactly —
+    qid/cid/rn AND the cosine doubles bit for bit (the blocked scorer
+    replays the fold's IEEE sequence per dimension) — across a
+    multi-partition corpus where per-batch local top-k plus the global
+    merge does the selection."""
+    e = T(spark, sf_dir, "embeddings").repartition(7)
+    q = e.filter(F.col("vec_id") < 10)
+    want = {
+        (r["qid"], r["cid"], r["rn"], r["cosine"])
+        for r in S.brute_force_topk(e, q, k=5).collect()
+    }
+    got = {
+        (r["qid"], r["cid"], r["rn"], r["cosine"])
+        for r in S.brute_force_topk_blocked(e, q, k=5).collect()
+    }
+    assert got == want
+
+
+def test_blocked_bruteforce_ties_and_small_batches(spark):
+    """Duplicate corpus vectors tie on cosine — both forms must break the
+    tie by ascending cid; batches smaller than k must still surface every
+    candidate; the query's own row is excluded."""
+    rows = [(i, [1.0, float(i % 2)]) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(5)  # batches of ~1 row << k
+    q = df.filter(F.col("vec_id") == 0)
+    want = [
+        (r["qid"], r["cid"], r["rn"], r["cosine"])
+        for r in S.brute_force_topk(df, q, k=4)
+        .orderBy("qid", "rn")
+        .collect()
+    ]
+    got = [
+        (r["qid"], r["cid"], r["rn"], r["cosine"])
+        for r in S.brute_force_topk_blocked(df, q, k=4)
+        .orderBy("qid", "rn")
+        .collect()
+    ]
+    assert got == want
+    assert all(c != 0 for (_, c, _, _) in got)  # self excluded
