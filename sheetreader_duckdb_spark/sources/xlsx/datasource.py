@@ -73,7 +73,12 @@ _SPARK_TO_SQL = {
     "date": "DATE",
 }
 
-DEFAULT_BATCH_SIZE = 8192
+# 64k rows/batch: the dense fast path appends ~54k rows per 4 MB chunk,
+# so at 8k the rolling raw_cols tail was re-sliced ~7× per chunk (an
+# O(rows·batches-per-chunk) list copy) and every batch paid pa.array/cast
+# fixed overhead 8× more often. 64k keeps batches a few MB (3-col sf1:
+# ~5 MB of raw bytes) — still far under Arrow/Spark batch comfort.
+DEFAULT_BATCH_SIZE = 65536
 
 
 def _filter_mask_builder(filters, schema: StructType):
@@ -276,6 +281,67 @@ def _infer_for_file(path: str, opts: _Options) -> SheetSchema:
         )
 
 
+# The two-row probe's insufficiency errors (reference parity: ConvertCellTypes
+# :560-599 default branch; probe :796-829). ONLY these fall back to the
+# declared schema — validation errors (bad user types, non-string header under
+# has_header, …) must still surface.
+_PROBE_INSUFFICIENT = (
+    "Unknown cell type in column",
+    "Need minimum of two rows",
+    "Sheet appears to be empty",
+)
+
+
+def _infer_or_declared(
+    path: str, opts: _Options, names: list[str], types: list[str]
+) -> SheetSchema:
+    """Per-file inference with a declared-schema fallback — a documented
+    extension BEYOND reference parity (like multi-file globs): the
+    reference errors when the two-row probe can't type a file (an absent
+    cell in the first two data rows, a header-only workbook from an empty
+    sink partition, fewer than two rows). In a directory/multi-file read
+    the relation already HAS a schema — from the first file or the user —
+    and the sink's contract is one layout for every file, so a file whose
+    own probe is insufficient is read with the declared (names, types);
+    its header row is detected by exact string-equality with the declared
+    names. Single-file reads without a user schema are unaffected: their
+    planning-time probe is the same call that raises here."""
+    try:
+        return _infer_for_file(path, opts)
+    except ValueError as err:
+        if not any(s in str(err) for s in _PROBE_INSUFFICIENT):
+            raise
+        with P.XlsxWorkbook(path, allow_inline=opts.inline_strings) as wb:
+            sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
+            first = next(
+                iter(
+                    wb.iter_rows(
+                        sheet, skip_rows=opts.skip_rows, chunk_bytes=256 << 10
+                    )
+                ),
+                [],
+            )
+            decoded: list | None = []
+            for col, ctype, val in first:
+                if ctype == P.T_STRING_REF:
+                    decoded.append((col, wb.shared_strings[val]))
+                elif ctype == P.T_STRING_LIT:
+                    decoded.append((col, val))
+                else:
+                    decoded = None
+                    break
+            header = decoded is not None and [
+                v for _, v in sorted(decoded)
+            ] == list(names)
+        return SheetSchema(
+            names=list(names),
+            types=list(types),
+            skip_rows=opts.skip_rows + (1 if header else 0),
+            n_detected_columns=len(names),
+            header_detected=header,
+        )
+
+
 class SheetReaderDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -283,7 +349,25 @@ class SheetReaderDataSource(DataSource):
 
     def schema(self):
         opts = _Options.from_options(self.options)
-        inferred = _infer_for_file(opts.paths[0], opts)
+        # Multi-file reads probe files IN ORDER until one has two typeable
+        # rows — any member can carry the relation's schema (all share one
+        # layout by the sink's contract), and the files it skips are read
+        # under the declared-schema fallback (_infer_or_declared). A
+        # single-file read keeps the reference-parity error as-is.
+        inferred = None
+        first_err: ValueError | None = None
+        for p in opts.paths:
+            try:
+                inferred = _infer_for_file(p, opts)
+                break
+            except ValueError as err:
+                if len(opts.paths) == 1 or not any(
+                    s in str(err) for s in _PROBE_INSUFFICIENT
+                ):
+                    raise
+                first_err = first_err or err
+        if inferred is None:
+            raise first_err  # every member failed its probe
         fields = {
             n: StructField(n, _SQL_TO_SPARK[t], nullable=True)
             for n, t in zip(inferred.names, inferred.types)
@@ -578,8 +662,12 @@ class SheetReaderReader(DataSourceReader):
         opts = self.opts
         n_cols = len(self.col_types)
         # Per-file probe: header detection / skip accounting is per file; the
-        # global schema (names/types) comes from the first file.
-        file_schema = _infer_for_file(partition.path, opts)
+        # global schema (names/types) comes from the first file (or the
+        # user), and is the fallback when this file's probe is insufficient.
+        file_schema = _infer_or_declared(
+            partition.path, opts, [f.name for f in self.schema.fields],
+            self.col_types,
+        )
         if opts.columns is None:
             if file_schema.n_detected_columns > n_cols:
                 raise ValueError(
@@ -841,8 +929,20 @@ class SheetReaderReader(DataSourceReader):
                     # deviating from the template shape falls back to the
                     # generic scan below, which produces identical cells).
                     if assigned and dense and chunk_idx > 0 and rows_seen >= skip_n:
-                        n_rows_chunk = P.count_row_starts(work)
+                        # One memchr pass in the steady case: every dense
+                        # match starts "<row " / "<row>", which cannot
+                        # match "<rowBreaks", so matches ≤ true rows ≤ the
+                        # raw "<row" prefix count — equality with the raw
+                        # count proves no rowBreaks AND all rows matched.
+                        # Only on mismatch pay the second pass to subtract
+                        # rowBreaks before deciding fallback.
+                        n_raw = work.count(b"<row")
                         dm = dense[0].findall(work)
+                        n_rows_chunk = (
+                            n_raw
+                            if len(dm) == n_raw
+                            else n_raw - work.count(b"<rowB")
+                        )
                         if len(dm) == n_rows_chunk:
                             chunk_idx += 1
                             rows_seen += n_rows_chunk
@@ -882,6 +982,44 @@ class SheetReaderReader(DataSourceReader):
                             dense = P.build_dense_row_re(
                                 tmpl, keep, exp_codes, date_styles
                             )
+                            # Dense-extract chunk 0 itself (only the owning
+                            # shard emits it): findall from the first kept
+                            # row's byte offset, so the ~chunk-size head of
+                            # the file skips the per-row cell regex too.
+                            # Guard and fallback are the same as any other
+                            # chunk — a non-matching row (e.g. a mid-chunk
+                            # irregular one) drops to the per-row loop
+                            # below, which produces identical cells.
+                            if assigned and dense and skip_n < n_rows_chunk:
+                                if skip_n:
+                                    it = P._ROW_COUNT_RE.finditer(work)
+                                    for _ in range(skip_n):
+                                        next(it)
+                                    off = next(it).start()
+                                else:
+                                    off = 0
+                                dm = dense[0].findall(work, off)
+                                if len(dm) == n_rows_chunk - skip_n:
+                                    chunk_idx += 1
+                                    rows_seen += n_rows_chunk
+                                    if len(dense[1]) == 1:
+                                        cols = [dm]
+                                    else:
+                                        cols = list(zip(*dm)) if dm else [
+                                            [] for _ in dense[1]
+                                        ]
+                                    for j, out in enumerate(dense[1]):
+                                        raw_cols[out].extend(cols[j])
+                                    batch_rows += len(dm)
+                                    while batch_rows >= opts.batch_size:
+                                        take = opts.batch_size
+                                        head = [c[:take] for c in raw_cols]
+                                        raw_cols = [c[take:] for c in raw_cols]
+                                        batch_rows -= take
+                                        yield finalize(head)
+                                    if not data:
+                                        break
+                                    continue
                     else:
                         n_rows_chunk = P.count_row_starts(work)
                         row_matches = []
@@ -1024,7 +1162,9 @@ class SheetReaderStreamReader(SimpleDataSourceStreamReader):
         for path in paths:
             opts_dict["path"] = path
             opts = _Options.from_options(opts_dict)
-            file_schema = _infer_for_file(path, opts)
+            file_schema = _infer_or_declared(
+                path, opts, [f.name for f in self.schema.fields], col_types
+            )
             with P.XlsxWorkbook(path, allow_inline=opts.inline_strings) as wb:
                 sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
                 shared = wb.shared_strings

@@ -93,8 +93,12 @@ def infer_schema(
 ) -> SheetSchema:
     # Lazy probe: read only the first two data rows (vs the reference's eager
     # full parse — architectural decision recorded in SURVEY.md §7).
+    # Small probe chunk: iter_rows row-parses its whole first chunk before
+    # yielding, so the default 4 MB chunk per-row-parsed ~36k rows (~0.4 s
+    # on sf1 lineitem) to answer a 2-row question. 256 KB still spans
+    # thousands of typical rows; oversized rows just pull more chunks.
     probe_rows: list[list[tuple[int, int, object]]] = []
-    for cells in wb.iter_rows(sheet, skip_rows=skip_rows):
+    for cells in wb.iter_rows(sheet, skip_rows=skip_rows, chunk_bytes=256 << 10):
         probe_rows.append(cells)
         if len(probe_rows) >= 2:
             break

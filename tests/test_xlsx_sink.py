@@ -170,3 +170,65 @@ def test_sink_commit_leaves_no_staged_files(spark, tmp_path):
     names = os.listdir(out)
     assert sorted(n for n in names if n.endswith(".xlsx")) == ["part-00000-000.xlsx"]
     assert [n for n in names if n.startswith((".tmp-", ".staging-")) or ".xlsxspool-" in n] == []
+
+
+def test_roundtrip_null_in_probe_rows_multi_file(spark, tmp_path, _register):
+    """A NULL landing in a partition file's first two data rows used to
+    kill the whole directory read: xlsx has no NULL cell (absent = NULL),
+    so that file's two-row probe hit the reference-parity 'Unknown cell
+    type' error. Directory reads now fall back to the DECLARED schema for
+    files whose own probe is insufficient (header matched by
+    string-equality with the declared names) — the sink→source roundtrip
+    holds wherever the NULL lands."""
+    out = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None)], "id int, name string, x double"
+    ).repartition(2)
+    df.write.format("sheetreader").mode("overwrite").save(out)
+    assert len(glob.glob(os.path.join(out, "*.xlsx"))) == 2
+    back = spark.read.format("sheetreader").load(out)
+    got = sorted((r["id"], r["name"], r["x"]) for r in back.collect())
+    assert got == [(1.0, "a", 2.5), (2.0, "b", None)]
+
+
+def test_header_only_workbook_in_directory_reads_zero_rows(spark, tmp_path, _register):
+    """A header-only workbook (e.g. hand-made, or another writer's empty
+    output) inside a directory read contributes zero rows under the
+    declared-schema fallback instead of failing the 'two rows' probe."""
+    from sheetreader_duckdb_spark.sources.xlsx.writer import (
+        IncrementalXlsxWriter,
+    )
+
+    out = tmp_path / "mixed"
+    out.mkdir()
+    w = IncrementalXlsxWriter(str(out / "part-full.xlsx"), "Sheet1")
+    w.write_row(["id", "v"])
+    w.write_row([1.0, "a"])
+    w.write_row([2.0, "b"])
+    w.close()
+    w = IncrementalXlsxWriter(str(out / "part-headeronly.xlsx"), "Sheet1")
+    w.write_row(["id", "v"])
+    w.close()
+    back = spark.read.format("sheetreader").load(str(out))
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [
+        (1.0, "a"),
+        (2.0, "b"),
+    ]
+
+
+def test_single_file_insufficient_probe_still_errors(spark, tmp_path, _register):
+    """Reference parity is untouched where no declared schema exists:
+    a schema-less single-file read whose probe can't type a column still
+    raises at planning (the fallback never applies — planning IS the
+    probe)."""
+    from sheetreader_duckdb_spark.sources.xlsx.writer import (
+        IncrementalXlsxWriter,
+    )
+
+    p = str(tmp_path / "lone.xlsx")
+    w = IncrementalXlsxWriter(p, "Sheet1")
+    w.write_row(["id", "x"])
+    w.write_row([1.0, None])
+    w.close()
+    with pytest.raises(Exception, match="Unknown cell type"):
+        spark.read.format("sheetreader").load(p).collect()
