@@ -27,22 +27,44 @@ REPLICAS = int(os.environ.get("XLSX_BENCH_REPLICAS", "10"))
 CACHE = "/tmp/sheetreader_xlsx_fixture_cache"
 
 
+# Table workloads matching the reference chart rows (BASELINE.md):
+# lineitem = the headline 3-column numeric scan; orders = the 6-column
+# date+string-heavy profile (shared strings + date-style decode), at SF1
+# row parity with the chart (sf0.1 orders x10 = 1.5M rows).
+TABLE = os.environ.get("XLSX_BENCH_TABLE", "lineitem")
+_WORKLOADS = {
+    "lineitem": {
+        "cols": ["l_returnflag", "l_quantity", "l_extendedprice"],
+        "baseline_1t": 13.6,
+        "baseline_4t": 7.1,
+    },
+    "orders": {
+        "cols": [
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],  # the driver testdata's orders columns (6 of TPC-H's 9)
+        "baseline_1t": 8.9,
+        "baseline_4t": 5.4,
+    },
+}
+
+
 def build_sf1_xlsx() -> str:
     os.makedirs(CACHE, exist_ok=True)
-    path = f"{CACHE}/lineitem_sf1_{REPLICAS}x.xlsx"
+    path = f"{CACHE}/{TABLE}_sf1_{REPLICAS}x.xlsx"
     if os.path.exists(path):
         return path
     import duckdb
 
     from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
 
+    cols = _WORKLOADS[TABLE]["cols"]
     rows = duckdb.sql(
-        f"SELECT l_returnflag, l_quantity, l_extendedprice "
-        f"FROM '{SF_DIR}/lineitem.parquet'"
+        f"SELECT {', '.join(cols)} FROM '{SF_DIR}/{TABLE}.parquet'"
     ).fetchall()
     tmp = path + ".tmp"
     w = IncrementalXlsxWriter(tmp, "Sheet1")
-    w.write_row(["l_returnflag", "l_quantity", "l_extendedprice"])
+    w.write_row(cols)
     for _ in range(REPLICAS):
         for r in rows:
             w.write_row(list(r))
@@ -55,7 +77,7 @@ def _source_rows() -> int:
     import duckdb
 
     return duckdb.sql(
-        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+        f"SELECT COUNT(*) FROM '{SF_DIR}/{TABLE}.parquet'"
     ).fetchone()[0]
 
 
@@ -94,13 +116,14 @@ def main() -> None:
 
     out = {
         "metric": "xlsx_sf1_load",
+        "table": TABLE,
         "file_mb": size_mb,
         "rows": _source_rows() * REPLICAS,
         "threads_1": timed(threads=1),
         "threads_4": timed(threads=4),
         "auto": timed(),
-        "baseline_1t": 13.6,
-        "baseline_4t": 7.1,
+        "baseline_1t": _WORKLOADS[TABLE]["baseline_1t"],
+        "baseline_4t": _WORKLOADS[TABLE]["baseline_4t"],
     }
     spark.stop()
     print(json.dumps(out))
