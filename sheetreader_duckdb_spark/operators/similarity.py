@@ -552,8 +552,16 @@ def ivf_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_iters: int = 2,
+    assign: str = "literal",
 ) -> list[list[float]]:
     """K coarse centroids via mini Lloyd iterations.
+
+    ``assign='vectorized'`` runs each iteration's cell assignment through
+    the GEMM pandas_udf instead of the literal expression — bit-identical
+    assignments (pinned), so the trained centroids are byte-equal; the
+    literal form's K·dim interpreted lambda steps per row make it the
+    training bottleneck at large K (measured: K=2000 training on a 10k
+    slice ≈ 5.5 min expression vs seconds GEMM — BENCHNOTES round 7).
 
     Seeds = one vector per hash stratum: rows are bucketed by
     ``pmod(xxhash64(id), n_cells)`` and the min-hash row of each stratum
@@ -579,9 +587,18 @@ def ivf_centroids(
         .select(vec_col)
         .collect()
     )
+    if assign not in ("literal", "vectorized"):
+        raise ValueError(
+            f"assign must be 'literal' or 'vectorized', got {assign!r}"
+        )
     centroids = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(n_iters):
-        cell = _argmax_cell(F.col(vec_col), centroids)
+        if assign == "vectorized":
+            cell = _vectorized_cell_udf(corpus.sparkSession, centroids)(
+                F.col(vec_col)
+            )
+        else:
+            cell = _argmax_cell(F.col(vec_col), centroids)
         # Two-step select: the cell assignment MUST be projected below the
         # explode. In `select(cell, posexplode(vec))` the analyzer puts the
         # cell projection ABOVE the Generate, so the K-fold scoring
@@ -731,6 +748,38 @@ def ivf_assign_carrier(
     )
 
 
+def _vectorized_cell_udf(spark, centroids: list[list[float]]):
+    """The GEMM cell-assignment as a reusable pandas_udf column function —
+    see ``ivf_assign_vectorized`` for the bit-identity argument. Shared by
+    the corpus assignment, the Lloyd training loop (``ivf_centroids``
+    ``assign='vectorized'``), and SemDeDup's vectorized path."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.asarray([math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids])
+    bc = spark.sparkContext.broadcast((C, cn))
+
+    def _cell(v):
+        Cb, cnb = bc.value
+        dim = Cb.shape[1]
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        dots = np.zeros((M.shape[0], Cb.shape[0]))
+        vn2 = np.zeros(M.shape[0])
+        for d in range(dim):
+            dots += M[:, d, None] * Cb[None, :, d]
+            vn2 += M[:, d] * M[:, d]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = dots / (np.sqrt(vn2)[:, None] * cnb[None, :])
+        return pd.Series(np.argmax(s, axis=1).astype("int32"))
+
+    _cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_cell, "int")
+
+
 def ivf_assign_vectorized(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -756,42 +805,15 @@ def ivf_assign_vectorized(
     steps), so every IEEE operation and its order match ``dot``/
     ``l2_norm``'s left-to-right fold exactly; ties take the first index
     of the max in both (np.argmax / array_position-of-array_max, NaN
-    greatest in both). Pinned in tests/test_similarity.py. Use for
-    BUILDS at scale (``assign='vectorized'`` on the build functions);
-    query-time paths keep the expression forms."""
-    import math
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    C = np.asarray(centroids, dtype=np.float64)
-    # Driver-side norms with _centroid_scores' exact arithmetic (python
-    # sum is the same left-to-right fold) and zero-norm → 1.0 guard.
-    cn = np.asarray([math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids])
-    bc = corpus.sparkSession.sparkContext.broadcast((C, cn))
-
-    def _cell(v):
-        Cb, cnb = bc.value
-        dim = Cb.shape[1]
-        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        # Sequential accumulation per dimension replays the fold's exact
-        # IEEE sequence: acc + (v_d · w_d), d = 0..dim-1, acc0 = 0.0.
-        dots = np.zeros((M.shape[0], Cb.shape[0]))
-        vn2 = np.zeros(M.shape[0])
-        for d in range(dim):
-            dots += M[:, d, None] * Cb[None, :, d]
-            vn2 += M[:, d] * M[:, d]
-        # Zero vector → 0/0 = NaN scores; np.argmax of an all-NaN row is 0,
-        # matching array_position(scores, array_max)=1 under NaN-greatest.
-        with np.errstate(divide="ignore", invalid="ignore"):
-            s = dots / (np.sqrt(vn2)[:, None] * cnb[None, :])
-        return pd.Series(np.argmax(s, axis=1).astype("int32"))
-
-    # Explicit pandas Series→Series hints (module-level `from __future__
-    # import annotations` would stringify inline hints past the resolver).
-    _cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    cell_udf = pandas_udf(_cell, "int")
+    greatest in both; sequential per-dimension accumulation replays the
+    fold's exact IEEE sequence, and driver-side norms use python sum's
+    identical left-to-right fold with the zero-norm → 1.0 guard; zero
+    vectors give all-NaN score rows whose np.argmax is 0, matching
+    array_position-of-array_max under NaN-greatest). Pinned in
+    tests/test_similarity.py. Use for BUILDS at scale
+    (``assign='vectorized'`` on the build functions); query-time paths
+    keep the expression forms."""
+    cell_udf = _vectorized_cell_udf(corpus.sparkSession, centroids)
     return corpus.select(id_col, cell_udf(F.col(vec_col)).alias("cell"))
 
 
@@ -1015,9 +1037,22 @@ def semantic_dedup_pairs(
     n_cells: int = 16,
     threshold: float = 0.95,
     centroids: list[list[float]] | None = None,
+    score: str = "expr",
 ) -> DataFrame:
     """Same-cell embedding pairs with cosine ≥ threshold:
     ``(id_a < id_b, cell, cosine)``.
+
+    ``score='vectorized'`` replaces the within-cell self-join + per-pair
+    expression fold with ONE ``applyInPandas`` over the same cell
+    shuffle: each cell's occupancy×occupancy cosine block computes as
+    sequential per-dimension numpy ops (the fold's exact IEEE sequence —
+    bit-identical pairs AND cosines, test-pinned), so the n²/K candidate
+    volume pays GEMM rates instead of dim interpreted lambda steps per
+    pair, and the corpus shuffles ONCE (the join form shuffles both join
+    sides). Memory per task is one cell's vectors plus its pair block —
+    bounded by cell occupancy, same as the join form's task inputs.
+    The expression form remains the default (the nx witness's declared
+    plan shape).
 
     Assignment uses the inline carrier form (``ivf_assign_carrier``'s
     expression over the 1-row broadcast centroid carrier — plan size
@@ -1042,7 +1077,65 @@ def semantic_dedup_pairs(
     from sheetreader_duckdb_spark.session import defer_unpersist
 
     if centroids is None:
-        centroids = ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells)
+        centroids = ivf_centroids(
+            corpus, id_col, vec_col, n_cells=n_cells,
+            assign="vectorized" if score == "vectorized" else "literal",
+        )
+    if score == "vectorized":
+        import numpy as np
+        import pandas as pd
+
+        thr = float(threshold)
+        id_t = corpus.schema[id_col].dataType.simpleString()
+
+        def _cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [], "cell": [], "cosine": []}
+                )
+            ids = pdf["__id"].to_numpy()
+            M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+            dots = np.zeros((n, n))
+            n2 = np.zeros(n)
+            for d in range(M.shape[1]):
+                dots += M[:, d, None] * M[None, :, d]
+                n2 += M[:, d] * M[:, d]
+            nm = np.sqrt(n2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = dots / (nm[:, None] * nm[None, :])
+            ia, ib = np.triu_indices(n, k=1)
+            # id_a < id_b like the join form (row order within a cell is
+            # arbitrary, so order each pair by id, not by position).
+            a, b = ids[ia], ids[ib]
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            keepm = s[ia, ib] >= thr
+            return pd.DataFrame(
+                {
+                    "id_a": a2[keepm],
+                    "id_b": b2[keepm],
+                    "cell": np.full(int(keepm.sum()), int(pdf["cell"].iloc[0])),
+                    "cosine": s[ia, ib][keepm],
+                }
+            )
+
+        # Assignment rides the GEMM udf too (bit-identical to the carrier
+        # expression, pinned): at large K the expression's K·dim lambda
+        # steps per row dominate the whole job.
+        cell_udf = _vectorized_cell_udf(corpus.sparkSession, centroids)
+        assigned = corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            cell_udf(F.col(vec_col)).alias("cell"),
+        )
+        return assigned.groupBy("cell").applyInPandas(
+            _cell_pairs,
+            f"id_a {id_t}, id_b {id_t}, cell int, cosine double",
+        )
+    if score != "expr":
+        raise ValueError(f"score must be 'expr' or 'vectorized', got {score!r}")
     from sheetreader_duckdb_spark.operators.exprutil import bind_once
 
     cdf = centroid_carrier_df(corpus.sparkSession, centroids)
@@ -1094,6 +1187,7 @@ def semantic_dedup_keep(
     n_cells: int = 16,
     threshold: float = 0.95,
     centroids: list[list[float]] | None = None,
+    score: str = "expr",
 ) -> DataFrame:
     """SemDeDup keep-set: one representative (min id) per connected
     semantic-duplicate cluster, everything unpaired kept. Transitive
@@ -1104,7 +1198,7 @@ def semantic_dedup_keep(
 
     pairs = semantic_dedup_pairs(
         corpus, id_col, vec_col, n_cells=n_cells, threshold=threshold,
-        centroids=centroids,
+        centroids=centroids, score=score,
     ).select("id_a", "id_b")
     return cluster_dedup_keep(corpus, pairs, id_col)
 
@@ -1962,7 +2056,10 @@ def build_ivf_index(
             f"training slice has fewer than n_cells={n_cells} rows"
             f" — raise train_fraction (got {train_fraction})"
         )
-    centroids = ivf_centroids(train, id_col, vec_col, n_cells, n_iters)
+    centroids = ivf_centroids(
+        train, id_col, vec_col, n_cells, n_iters,
+        assign="vectorized" if assign == "vectorized" else "literal",
+    )
     if len(centroids) < n_cells:
         raise ValueError(
             f"training slice seeded only {len(centroids)} of {n_cells} cells"
@@ -2129,7 +2226,10 @@ def build_ivfpq_index(
             f" (got {train_fraction})"
         )
     if centroids is None:
-        centroids = ivf_centroids(train, id_col, vec_col, n_cells, n_iters)
+        centroids = ivf_centroids(
+            train, id_col, vec_col, n_cells, n_iters,
+            assign="vectorized" if assign == "vectorized" else "literal",
+        )
         if len(centroids) < n_cells:
             raise ValueError(
                 f"training slice seeded only {len(centroids)} of {n_cells}"

@@ -107,3 +107,49 @@ def test_precomputed_centroids_skip_lloyd(spark):
     b = semantic_dedup_pairs(df, n_cells=8).collect()
     key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_vectorized_score_bit_identical_to_expr(spark):
+    """score='vectorized' (per-cell GEMM block via applyInPandas) must
+    reproduce the expression form exactly — same pairs, same cells, and
+    the cosine doubles bit for bit (sequential per-dimension accumulation
+    replays the fold's IEEE sequence; dot and na·nb are commutative in
+    IEEE, so the positional pair orientation cannot matter)."""
+    df, _, _ = _planted_corpus(spark)
+    for thr in (0.5, 0.95):
+        want = {
+            (r["id_a"], r["id_b"], r["cell"], r["cosine"])
+            for r in semantic_dedup_pairs(df, n_cells=8, threshold=thr).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["cell"], r["cosine"])
+            for r in semantic_dedup_pairs(
+                df, n_cells=8, threshold=thr, score="vectorized"
+            ).collect()
+        }
+        assert got == want
+        assert want  # non-vacuous at 0.5
+
+
+def test_vectorized_keep_set_matches_expr(spark):
+    df, _, groups = _planted_corpus(spark)
+    want = {r["vec_id"] for r in semantic_dedup_keep(df, n_cells=8).collect()}
+    got = {
+        r["vec_id"]
+        for r in semantic_dedup_keep(df, n_cells=8, score="vectorized").collect()
+    }
+    assert got == want
+
+
+def test_vectorized_single_shuffle_plan(spark):
+    """The vectorized form's whole pre-pair pipeline is map-side: exactly
+    ONE exchange (the cell shuffle feeding applyInPandas) — the join form
+    shuffles both self-join sides."""
+    df, _, _ = _planted_corpus(spark)
+    plan = (
+        semantic_dedup_pairs(df, n_cells=8, score="vectorized")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]

@@ -416,3 +416,13 @@ def test_blocked_bruteforce_ties_and_small_batches(spark):
     ]
     assert got == want
     assert all(c != 0 for (_, c, _, _) in got)  # self excluded
+
+
+def test_vectorized_training_bit_identical_centroids(spark, sf_dir):
+    """ivf_centroids(assign='vectorized') must train byte-equal centroids
+    to the literal form: the per-iteration assignment is bit-identical, so
+    every Lloyd average sees the same members."""
+    e = T(spark, sf_dir, "embeddings")
+    lit = S.ivf_centroids(e, n_cells=16, n_iters=2)
+    vec = S.ivf_centroids(e, n_cells=16, n_iters=2, assign="vectorized")
+    assert vec == lit
