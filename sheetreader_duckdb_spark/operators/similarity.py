@@ -1216,6 +1216,39 @@ def semantic_dedup_keep(
 # top-(k·refine) survivors recovers recall, same two-stage shape as
 # quantized_topk.
 # --------------------------------------------------------------------------
+def _vectorized_codes_udf(spark, codebooks: list[list[list[float]]]):
+    """PQ code assignment as a pandas_udf returning the m-code array —
+    ``pq_encode_vectorized``'s distance arithmetic (sequential
+    per-sub-dimension accumulation, first-index-of-min), codes only.
+    Used by the Lloyd training loop at large n_codes, where the
+    expression form's m·n_codes·dsub = dim·n_codes interpreted lambda
+    steps per row dominate the iteration."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    B = np.asarray(codebooks, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(B)
+
+    def _codes(v):
+        Bb = bc.value
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        n = M.shape[0]
+        out = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            dist = np.zeros((n, Bb.shape[1]))
+            for d in range(dsub):
+                diff = M[:, j * dsub + d, None] - Bb[j, None, :, d]
+                dist += diff * diff
+            out[:, j] = np.argmin(dist, axis=1)
+        return pd.Series(list(out))
+
+    _codes.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_codes, "array<int>")
+
+
 def pq_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1224,6 +1257,7 @@ def pq_codebooks(
     m: int = 8,
     n_codes: int = 16,
     n_iters: int = 2,
+    assign: str = "expr",
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks ``[m][n_codes][dim/m]`` via Lloyd iterations
     trained on ALL subspaces at once — one assignment+aggregate job per
@@ -1264,6 +1298,8 @@ def pq_codebooks(
     ]
     from sheetreader_duckdb_spark.operators.exprutil import bind_once
 
+    if assign not in ("expr", "vectorized"):
+        raise ValueError(f"assign must be 'expr' or 'vectorized', got {assign!r}")
     for _ in range(n_iters):
         # Per-iteration codebooks travel as a 1-row broadcast table, not
         # literal expression trees (pq_books_df — plan size constant in
@@ -1271,24 +1307,37 @@ def pq_codebooks(
         # PER ITERATION at production book sizes). The assignment
         # arithmetic is _pq_code_expr's exactly, so trained books are
         # bit-identical to the literal path (pinned in tests/test_pq.py).
-        bdf = pq_books_df(corpus.sparkSession, books)
-        codes = _pq_codes_from_books(F.col(vec_col), F.col("bk"), m, dsub)
-        assigns = bind_once(
-            codes,
-            lambda cs: F.transform(
+        # assign='vectorized' computes the same codes via the GEMM udf
+        # (bit-identical, pinned) — the expression's dim·n_codes lambda
+        # steps per row dominate training at production book sizes.
+        def _assign_struct(cs):
+            return F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda j: F.struct(
                     j.alias("j"),
                     F.element_at(cs, j + 1).alias("code"),
                     F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sub"),
                 ),
-            ),
-        )
+            )
+
+        if assign == "vectorized":
+            codes_udf = _vectorized_codes_udf(corpus.sparkSession, books)
+            # The UDF evaluates once in its own ArrowEvalPython operator;
+            # the m element_at references read the materialized column.
+            staged = corpus.select(
+                F.col(vec_col), codes_udf(F.col(vec_col)).alias("__cs")
+            ).select(_assign_struct(F.col("__cs")).alias("__a"))
+        else:
+            bdf = pq_books_df(corpus.sparkSession, books)
+            codes = _pq_codes_from_books(F.col(vec_col), F.col("bk"), m, dsub)
+            staged = (
+                corpus.crossJoin(broadcast(bdf))
+                .select(bind_once(codes, _assign_struct).alias("__a"))
+            )
         # Assignment projected below the explode (the explode-sibling
         # re-evaluation trap — see ivf_centroids).
         exploded = (
-            corpus.crossJoin(broadcast(bdf))
-            .select(assigns.alias("__a"))
+            staged
             .select(F.explode("__a").alias("a"))
             .select("a.j", "a.code", F.posexplode(F.col("a.sub")).alias("pos", "v"))
         )
@@ -2237,7 +2286,9 @@ def build_ivfpq_index(
             )
     if codebooks is None:
         codebooks = pq_codebooks(
-            train, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, n_iters=pq_iters
+            train, id_col, vec_col, dim=dim, m=m, n_codes=n_codes,
+            n_iters=pq_iters,
+            assign="vectorized" if encode == "vectorized" else "expr",
         )
         if len(codebooks[0]) < n_codes:
             raise ValueError(

@@ -327,3 +327,15 @@ def test_vectorized_encode_bit_identical_to_join_form(emb, books):
         for r in pq_encode_vectorized(emb, books).collect()
     }
     assert got == want
+
+
+def test_vectorized_codebook_training_bit_identical(emb):
+    """pq_codebooks(assign='vectorized') must train byte-equal books to
+    the expression form: per-iteration code assignment is bit-identical
+    (same diff² accumulation sequence, first-index-of-min), so every
+    Lloyd average sees the same members."""
+    from sheetreader_duckdb_spark.operators.similarity import pq_codebooks
+
+    expr = pq_codebooks(emb, dim=64, m=8, n_codes=8, n_iters=2)
+    vec = pq_codebooks(emb, dim=64, m=8, n_codes=8, n_iters=2, assign="vectorized")
+    assert vec == expr
