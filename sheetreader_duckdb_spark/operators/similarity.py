@@ -233,6 +233,7 @@ def quantized_topk(
     vec_col: str = "embedding",
     k: int = 5,
     refine: int = 4,
+    score: str = "expr",
 ) -> DataFrame:
     """Two-stage ANN: coarse top-(k·refine) by int8 quantized cosine, exact
     float rescoring of the survivors. Same output schema as brute_force_topk.
@@ -243,7 +244,17 @@ def quantized_topk(
     cosine ≈ int_dot(qa,qb)·(sa·sb) / norms — monotone in the true cosine
     up to quantization error, so refine≥2 recovers near-perfect recall
     (pinned ≥0.9 recall@5 in tests/test_similarity.py).
-    """
+
+    ``score='vectorized'``: the coarse pass runs as one integer GEMM per
+    Arrow batch with batch-local top-(k·refine) under the exact global
+    order, so the merge window ranks q·k·refine·n_batches rows instead of
+    all n·q scored pairs (``brute_force_topk_blocked``'s recipe). Coarse
+    scores are BIT-identical without sequential tricks: the integer dot is
+    associative-exact (|dot| ≤ dim·127² ≪ 2⁵³), so any summation order
+    yields the same integer, hence the same double after the identical
+    cast-divide. Same NaN caveat as the blocked brute force (zero vectors
+    quantize to int_dot=0 → 0/0 coarse scores rank last locally where
+    Spark's window ranks NaN first — feed NaN-free, or use 'expr')."""
     from pyspark.sql import Window
 
     # Per-vector quantized norms are precomputed per SIDE (O(n+q) folds),
@@ -253,28 +264,94 @@ def quantized_topk(
         F.col(vec_col).alias("qv"),
         quantize_int8(F.col(vec_col)).alias("qq"),
     ).withColumn("qqn", F.sqrt(int_dot(F.col("qq.q"), F.col("qq.q")).cast("double")))
-    c = corpus.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cv"),
-        quantize_int8(F.col(vec_col)).alias("cq"),
-    ).withColumn("cqn", F.sqrt(int_dot(F.col("cq.q"), F.col("cq.q")).cast("double")))
-    # Per-vector scales cancel in the cosine: the coarse score is the pure
-    # integer form int_dot(a,b) / (√int_dot(a,a)·√int_dot(b,b)).
-    coarse_score = int_dot(F.col("cq.q"), F.col("qq.q")).cast("double") / (
-        F.col("cqn") * F.col("qqn")
-    )
     w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
-    # The ranking window shuffles only (qid, cid, coarse) — float vectors
-    # never enter a shuffle (same discipline as pq_topk).
-    cand_ids = (
-        c.drop("cv").join(
-            broadcast(q.select("qid", "qq", "qqn")), F.col("qid") != F.col("cid")
+    if score == "vectorized":
+        import numpy as np
+        import pandas as pd
+
+        qrows = q.select("qid", "qq", "qqn").collect()
+        qids = [r["qid"] for r in qrows]
+        Qm = (
+            np.stack([np.asarray(r["qq"]["q"], dtype=np.int64) for r in qrows])
+            if qrows
+            else np.zeros((0, 1), dtype=np.int64)
         )
-        .select("qid", "cid", coarse_score.alias("coarse"))
-        .withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") <= k * refine)
-        .select("qid", "cid")
-    )
+        qqn = np.asarray([r["qqn"] for r in qrows])
+        bcq = corpus.sparkSession.sparkContext.broadcast((qids, Qm, qqn))
+        kk = k * refine
+        id_t = corpus.schema[id_col].dataType.simpleString()
+
+        def _coarse(batches):
+            bqids, bQ, bqn = bcq.value
+            nq = len(bqids)
+            if nq == 0:
+                return
+            for pdf in batches:
+                cids = pdf["cid"].to_numpy()
+                M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["cv"]])
+                # quantize_int8's exact arithmetic, batch-wise: max|x| is an
+                # order-independent fold, and q_i = floor(x·scale + 0.5)
+                # is per-element — identical IEEE ops, identical ints.
+                mx = np.abs(M).max(axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scale = np.where(mx > 0, 127.0 / mx, 0.0)
+                Qc = np.floor(M * scale[:, None] + 0.5).astype(np.int64)
+                cqn = np.sqrt((Qc * Qc).sum(axis=1).astype(np.float64))
+                dots = (Qc @ bQ.T).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = dots / (cqn[:, None] * bqn[None, :])
+                take = min(kk, M.shape[0])
+                out_q, out_c, out_s = [], [], []
+                for j in range(nq):
+                    sj = s[:, j]
+                    order = np.lexsort((cids, -sj))
+                    taken = 0
+                    for i in order:
+                        if taken >= take:
+                            break
+                        if cids[i] == bqids[j]:
+                            continue
+                        out_q.append(bqids[j])
+                        out_c.append(cids[i])
+                        out_s.append(sj[i])
+                        taken += 1
+                yield pd.DataFrame(
+                    {"qid": out_q, "cid": out_c, "coarse": out_s}
+                )
+
+        cand_ids = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .mapInPandas(_coarse, f"qid {id_t}, cid {id_t}, coarse double")
+            .withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") <= kk)
+            .select("qid", "cid")
+        )
+    elif score == "expr":
+        c = corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            quantize_int8(F.col(vec_col)).alias("cq"),
+        ).withColumn(
+            "cqn", F.sqrt(int_dot(F.col("cq.q"), F.col("cq.q")).cast("double"))
+        )
+        # Per-vector scales cancel in the cosine: the coarse score is the
+        # pure integer form int_dot(a,b) / (√int_dot(a,a)·√int_dot(b,b)).
+        coarse_score = int_dot(F.col("cq.q"), F.col("qq.q")).cast("double") / (
+            F.col("cqn") * F.col("qqn")
+        )
+        # The ranking window shuffles only (qid, cid, coarse) — float
+        # vectors never enter a shuffle (same discipline as pq_topk).
+        cand_ids = (
+            c.drop("cv").join(
+                broadcast(q.select("qid", "qq", "qqn")), F.col("qid") != F.col("cid")
+            )
+            .select("qid", "cid", coarse_score.alias("coarse"))
+            .withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") <= k * refine)
+            .select("qid", "cid")
+        )
+    else:
+        raise ValueError(f"score must be 'expr' or 'vectorized', got {score!r}")
     # Residue-sized float fetch: survivor ids broadcast against the corpus.
     cvecs = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
     rescored = (

@@ -426,3 +426,22 @@ def test_vectorized_training_bit_identical_centroids(spark, sf_dir):
     lit = S.ivf_centroids(e, n_cells=16, n_iters=2)
     vec = S.ivf_centroids(e, n_cells=16, n_iters=2, assign="vectorized")
     assert vec == lit
+
+
+def test_quantized_vectorized_bit_identical(spark, sf_dir):
+    """quantized_topk(score='vectorized') must reproduce the expression
+    form exactly — integer coarse dots are associative-exact, so the GEMM
+    coarse pass plus batch-local top-(k·refine) yields the same candidate
+    set, and the shared rescore the same (qid, cid, rn, cosine) rows bit
+    for bit — across a multi-partition corpus."""
+    e = T(spark, sf_dir, "embeddings").repartition(7)
+    q = e.filter(F.col("vec_id") < 10)
+    want = {
+        (r["qid"], r["cid"], r["rn"], r["cosine"])
+        for r in S.quantized_topk(e, q, k=5, refine=4).collect()
+    }
+    got = {
+        (r["qid"], r["cid"], r["rn"], r["cosine"])
+        for r in S.quantized_topk(e, q, k=5, refine=4, score="vectorized").collect()
+    }
+    assert got == want
