@@ -46,6 +46,25 @@ _WORKLOADS = {
         "baseline_1t": 8.9,
         "baseline_4t": 5.4,
     },
+    # part / customer: the chart's two small tables, at SF1 row parity
+    # (sf0.1 x10 = 200k / 150k rows; 6 of 9 and 5 of 8 TPC-H columns —
+    # the driver testdata's subsets, same caveat as orders).
+    "part": {
+        "cols": [
+            "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+            "p_retailprice",
+        ],
+        "baseline_1t": 1.9,
+        "baseline_4t": 0.9,
+    },
+    "customer": {
+        "cols": [
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment",
+        ],
+        "baseline_1t": 2.0,
+        "baseline_4t": 1.1,
+    },
 }
 
 
