@@ -62,6 +62,12 @@ def curate_corpus(
     dupspan_n: int = 5,
     dupspan_min_docs: int = 2,
     pii: bool = False,
+    embeddings_df: "DataFrame | None" = None,
+    embedding_id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    semantic_threshold: float = 0.95,
+    semantic_cells: int | None = None,
+    semantic_score: str = "expr",
     contamination_k: int = 8,
     contamination_min_hits: int = 1,
     temperature: bool = True,
@@ -92,6 +98,17 @@ def curate_corpus(
       2022); documents scrubbed to '' are dropped. NOTE: the rewrite is
       the operator's documented canonical-space form — the surviving
       text is lower-cased, single-space token-joined.
+    - ``embeddings_df``: SemDeDup semantic dedup (Abbas et al. 2023) over
+      an embedding table ``(embedding_id_col, embedding_col)`` keyed by
+      the corpus ids — runs AFTER the fuzzy text dedup (stage 5b), drops
+      every same-cell cosine-≥``semantic_threshold`` duplicate except one
+      representative per connected cluster
+      (operators/similarity.py semantic_dedup_keep). Documents WITHOUT
+      an embedding row are kept (no evidence → no drop).
+      ``semantic_cells=None`` derives the cell count from the embedded
+      corpus size (auto_ivf_cells); ``semantic_score='vectorized'``
+      selects the Arrow per-cell GEMM scoring (bit-identical,
+      BENCHNOTES round 7) for production cell counts.
     - ``pii``: mask URL/email/phone spans with placeholder tokens
       (operators/text.py scrub_pii) — scan-speed rewrite, count
       unchanged (the report row is still emitted so stage presence is
@@ -187,6 +204,41 @@ def curate_corpus(
     cand = D.lsh_candidate_pairs(bands, id_col, max_bucket_size=1000)
     pairs = D.jaccard_verify(sh, cand, id_col, threshold=jaccard_threshold)
     cur = note("near_dedup", D.cluster_dedup_keep(cur, pairs, id_col))
+
+    # 5b. SemDeDup — semantic near-dup dedup over the embedding table,
+    #     after the fuzzy text dedup (the SemDeDup recipe: embeddings
+    #     catch paraphrase-level duplicates the shingles miss). Only
+    #     docs WITH embeddings can be dropped; the keep-set is one
+    #     representative per connected cosine-cluster.
+    if embeddings_df is not None:
+        from sheetreader_duckdb_spark.operators import similarity as SIM
+
+        emb = SESS.defer_unpersist(
+            embeddings_df.select(
+                F.col(embedding_id_col).alias(id_col),
+                F.col(embedding_col).alias("__emb"),
+            )
+            .join(cur.select(id_col), id_col)
+            .persist()
+        )
+        n_emb = emb.count()
+        if n_emb < 2:
+            # Nothing can pair — and the Lloyd seeding of an empty/1-row
+            # set would train no centroids. The stage is an auditable
+            # no-op, not a skip: the report row still appears.
+            cur = note("semantic_dedup", cur)
+        else:
+            n_cells = (
+                semantic_cells
+                if semantic_cells is not None
+                else SIM.auto_ivf_cells(n_emb)
+            )
+            keep = SIM.semantic_dedup_keep(
+                emb, id_col, "__emb", n_cells=min(n_cells, n_emb),
+                threshold=semantic_threshold, score=semantic_score,
+            ).select(id_col)
+            drop = emb.select(id_col).join(keep, id_col, "left_anti")
+            cur = note("semantic_dedup", cur.join(drop, id_col, "left_anti"))
 
     # 6. cross-doc n-gram span scrub — exact substring dedup over the
     #    deduplicated residue (RefinedWeb order: after fuzzy dedup).

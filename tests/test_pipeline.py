@@ -209,3 +209,62 @@ def test_composes_with_packing_and_export(spark, sf_dir, tmp_path):
     )
     back = spark.read.schema("doc_id long, text string").json(out)
     assert back.count() == cur.count()
+
+
+def test_semantic_dedup_stage_planted(spark):
+    """SemDeDup stage (5b): docs with near-identical embeddings collapse
+    to one representative (min id), docs WITHOUT embeddings are kept, the
+    stage slots between near_dedup and dupspan in the report, and
+    score='vectorized' drops the identical set."""
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon unique zero", "s"),
+            (1, "one two three four five six seven eight", "s"),
+            (2, "nine ten eleven twelve thirteen fourteen", "s"),
+            (3, "totally different text with no embedding row", "s"),
+        ],
+    )
+    # 0 and 1 share a near-identical embedding direction; 2 is far; 3 absent.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.001, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for score in ("expr", "vectorized"):
+        cur, report = curate_corpus(
+            docs, quality_rules={}, eval_df=None, embeddings_df=emb,
+            semantic_cells=2, semantic_threshold=0.95, semantic_score=score,
+            temperature=False, dupspan=True, seed="t",
+        )
+        order = [s for s, _ in report]
+        assert order == [
+            "input", "quality", "exact_dedup", "near_dedup",
+            "semantic_dedup", "dupspan",
+        ]
+        ids = {r.doc_id for r in cur.collect()}
+        assert 1 not in ids      # semantic dup of 0, higher id loses
+        assert {0, 2, 3} <= ids  # representative, far doc, no-embedding doc
+
+
+def test_semantic_stage_off_by_default(spark):
+    docs = _docs(spark, [(0, "alpha beta gamma", "s"), (1, "delta eps zeta", "s")])
+    _, report = curate_corpus(docs, quality_rules={}, temperature=False, seed="t")
+    assert "semantic_dedup" not in {s for s, _ in report}
+
+
+def test_semantic_stage_noop_when_no_embeddings_match(spark):
+    """An embedding table disjoint from the corpus ids is an auditable
+    no-op: the report row appears, nothing is dropped."""
+    docs = _docs(spark, [(0, "alpha beta gamma", "s"), (1, "delta eps zeta", "s")])
+    emb = spark.createDataFrame(
+        [(900, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cur, report = curate_corpus(
+        docs, quality_rules={}, embeddings_df=emb, temperature=False, seed="t"
+    )
+    assert dict(report)["semantic_dedup"] == 2
+    assert cur.count() == 2
