@@ -75,6 +75,7 @@ HEADLINE = [
     "h22_cte_subquery",
     "h02b_ctas_sink",
     "n01_dedup_exact_pipeline",
+    "n01_cur_kept",
     "n02_dedup_minhash_lsh",
     "n05_ann_bruteforce_topk",
     "n06b_embedding_neardup_srp",
@@ -257,6 +258,20 @@ def main() -> None:
     for tname in ("t06_forecast_revenue", "t18_large_orders", "t21_waiting_suppliers"):
         corpus[tname] = _BranchSpec(TPCH_BRANCHES[tname][0])
 
+    # n01 is declared as a five-branch union (50-row CORRECTNESS cap) but
+    # its composed-curation witness carries a fixed construct cost that
+    # swamped the dedup core's number (r7: 11.14 s, ~7.5 s of it cur_kept
+    # construct). Bench the dedup core and the curation witness as their
+    # own lines so each stays comparable across rounds; the DECLARED query
+    # (what the correctness driver runs) keeps the full union.
+    from sheetreader_duckdb_spark.plans.northstar import (
+        n01_cur_kept_branch,
+        n01_dedup_core,
+    )
+
+    corpus["n01_dedup_exact_pipeline"] = _BranchSpec(n01_dedup_core)
+    corpus["n01_cur_kept"] = _BranchSpec(n01_cur_kept_branch)
+
     # Prep outside timing: warm the JVM/codegen path and materialize the
     # cached lineitem XLSX (s01's input) so its one-time write cost is not
     # attributed to the load measurement.
@@ -328,8 +343,11 @@ def main() -> None:
     splits["export_documents"] = {"construct": 0.0, "exec": round(min(ee), 3)}
 
     # The one-call curation pipeline, end-to-end at the PRODUCTION settings
-    # (xxhash MinHash 128×8, every hygiene stage on): the closest thing to
-    # the product's headline workload. construct carries most of the work
+    # (xxhash MinHash 128×8, every hygiene stage on — including SemDeDup
+    # over the embeddings table on the 'auto' scoring path, so the
+    # advertised full pipeline finally has a wall-clock number with its
+    # heaviest stage on; VERDICT r7 task 3): the closest thing to the
+    # product's headline workload. construct carries most of the work
     # by design — the stage lineage barriers and the connected-components
     # keep-set materialize during fn construction; exec is the final noop
     # write of the curated frame. Reported as one splits entry like every
@@ -338,6 +356,8 @@ def main() -> None:
 
     from sheetreader_duckdb_spark.pipeline import curate_corpus
     from sheetreader_duckdb_spark.operators.sampling import hash_split
+
+    emb = T(spark, SF_DIR, "embeddings")
 
     def _curated():
         d = (
@@ -365,6 +385,7 @@ def main() -> None:
             line_dedup=True,
             dupspan=True,
             pii=True,
+            embeddings_df=emb,
             budget_tokens=50_000,
             seed="bench",
             collect_report=False,

@@ -61,6 +61,10 @@ def curated(spark, sf_dir: str):
     )
     corpus_side = d.filter(F.col("split") == "corpus").drop("split")
     eval_side = d.filter(F.col("split") == "eval").select("doc_id", "text")
+    # SemDeDup on (r8): the embeddings table rides along at both scales
+    # (make_scaled_sf.py replicates it with per-replica perturbation), on
+    # the 'auto' scoring path — the same workload bench.py now times.
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     cur, _ = curate_corpus(
         corpus_side,
         eval_df=eval_side,
@@ -69,6 +73,7 @@ def curated(spark, sf_dir: str):
         line_dedup=True,
         dupspan=True,
         pii=True,
+        embeddings_df=emb,
         budget_tokens=50_000,
         seed="bench",
         collect_report=False,

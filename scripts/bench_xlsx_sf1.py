@@ -65,12 +65,51 @@ _WORKLOADS = {
         "baseline_1t": 2.0,
         "baseline_4t": 1.1,
     },
+    # partsupp: the chart's 5th table. The driver testdata has NO partsupp,
+    # so it is SYNTHESIZED at TPC-H SF1 shape (800k rows = 200k parts x 4
+    # suppliers; dbgen column domains: availqty 1-9999, supplycost
+    # 1.00-1000.00, comment 49-198 chars averaging ~124) with
+    # deterministic hash-derived values and UNIQUE comments — dbgen
+    # comments are unique, and uniqueness is what sizes the shared-string
+    # table the reader must decode, so a replicated (10x-deduped) string
+    # column would understate the work.
+    "partsupp": {
+        "cols": [
+            "ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost",
+            "ps_comment",
+        ],
+        "baseline_1t": 5.9,
+        "baseline_4t": 3.1,
+        "synth_rows": 800_000,
+    },
 }
+
+_PARTSUPP_SQL = """
+SELECT
+  CAST(i // 4 + 1 AS BIGINT)                         AS ps_partkey,
+  CAST((i % 4) * 2500 + (i // 4) % 2500 + 1 AS BIGINT) AS ps_suppkey,
+  CAST(1 + abs(hash(i * 3)) % 9999 AS BIGINT)        AS ps_availqty,
+  ROUND(1.0 + (abs(hash(i * 5)) % 99900) / 100.0, 2) AS ps_supplycost,
+  concat(
+    to_hex(hash(i)), ' ',
+    substr(repeat(
+      'carefully final deposits wake slyly across the quiet pending '
+      || 'requests sleep furiously among the bold ideas along the '
+      || 'express accounts ', 2), 1,
+      CAST(33 + abs(hash(i * 7)) % 150 AS INT))
+  )                                                  AS ps_comment
+FROM range({n}) t(i)
+"""
 
 
 def build_sf1_xlsx() -> str:
     os.makedirs(CACHE, exist_ok=True)
-    path = f"{CACHE}/{TABLE}_sf1_{REPLICAS}x.xlsx"
+    synth = _WORKLOADS[TABLE].get("synth_rows")
+    path = (
+        f"{CACHE}/{TABLE}_sf1_synth{synth}.xlsx"
+        if synth
+        else f"{CACHE}/{TABLE}_sf1_{REPLICAS}x.xlsx"
+    )
     if os.path.exists(path):
         return path
     import duckdb
@@ -78,26 +117,34 @@ def build_sf1_xlsx() -> str:
     from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
 
     cols = _WORKLOADS[TABLE]["cols"]
-    rows = duckdb.sql(
-        f"SELECT {', '.join(cols)} FROM '{SF_DIR}/{TABLE}.parquet'"
-    ).fetchall()
     tmp = path + ".tmp"
     w = IncrementalXlsxWriter(tmp, "Sheet1")
     w.write_row(cols)
-    for _ in range(REPLICAS):
+    if synth:
+        rows = duckdb.sql(_PARTSUPP_SQL.format(n=synth)).fetchall()
         for r in rows:
             w.write_row(list(r))
+    else:
+        rows = duckdb.sql(
+            f"SELECT {', '.join(cols)} FROM '{SF_DIR}/{TABLE}.parquet'"
+        ).fetchall()
+        for _ in range(REPLICAS):
+            for r in rows:
+                w.write_row(list(r))
     w.close()
     os.replace(tmp, path)
     return path
 
 
-def _source_rows() -> int:
+def _total_rows() -> int:
+    synth = _WORKLOADS[TABLE].get("synth_rows")
+    if synth:
+        return synth
     import duckdb
 
     return duckdb.sql(
         f"SELECT COUNT(*) FROM '{SF_DIR}/{TABLE}.parquet'"
-    ).fetchone()[0]
+    ).fetchone()[0] * REPLICAS
 
 
 def main() -> None:
@@ -137,7 +184,7 @@ def main() -> None:
         "metric": "xlsx_sf1_load",
         "table": TABLE,
         "file_mb": size_mb,
-        "rows": _source_rows() * REPLICAS,
+        "rows": _total_rows(),
         "threads_1": timed(threads=1),
         "threads_4": timed(threads=4),
         "auto": timed(),

@@ -464,10 +464,17 @@ def connected_components(
     - Each iteration is two node-keyed shuffles (neighbor min + label
       indirection), both uniform by construction; the driver sees only a
       converged/not-converged count.
-    - Labels are localCheckpoint()ed per iteration to cut lineage growth —
-      iterative algorithms otherwise re-execute the whole chain each action.
+    - Labels are lazily localCheckpoint()ed per iteration to cut lineage
+      growth — iterative algorithms otherwise re-execute the whole chain
+      each action — and the convergence count runs every SECOND
+      iteration (plus the last): one Spark job materializes two chained
+      iteration checkpoints, halving the fixed per-round job overhead
+      that dominated the composed pipeline's construct cost (VERDICT r7
+      task 5). Checking only the latest iteration's delta is sound —
+      label propagation is monotone, so an iteration that changes
+      nothing is the fixpoint regardless of what earlier rounds did.
     - Near-dup graphs have tiny diameters (duplicate clusters are dense),
-      so the loop exits after 2-3 iterations in practice; ``max_iters``
+      so the loop exits after 2-4 iterations in practice; ``max_iters``
       bounds the pathological case, and hitting the bound raises rather
       than silently mislabeling.
 
@@ -484,9 +491,9 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -516,13 +523,21 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
         labels = new_labels.select("node", "label")
-        if changed == 0:
-            edges.unpersist()
-            return labels
+        # Convergence check every second iteration (and on the last):
+        # the count is the action that materializes the lazy checkpoints
+        # of BOTH rounds since the previous check — half the driver-side
+        # job round-trips for the common fast-converging graphs, same
+        # fixpoint (a changed==0 round is the fixpoint no matter how
+        # many rounds preceded it; at worst one extra residue-sized
+        # iteration runs past it).
+        if it % 2 == 1 or it == max_iters - 1:
+            changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+            if changed == 0:
+                edges.unpersist()
+                return labels
     edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} iterations; "

@@ -22,6 +22,47 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+# -- 'auto' strategy resolution ---------------------------------------------
+# Every compute-bound family here has two bit-identical forms: an
+# interpreted expression fold (~dim lambda steps per scoring cell — a
+# row×centroid, row×query, or same-cell pair) and an Arrow/GEMM form that
+# replays the identical IEEE arithmetic at vectorized rates. Measured
+# crossovers (BENCHNOTES round 7): at 20M cells the int8 coarse pass took
+# 170.3 s expression vs 4.82 s vectorized; IVF assignment 182 s at 25.6M;
+# SemDeDup cell scoring DNF'd (>10 min) at 20M pair-cells where the GEMM
+# form took 136 s. Below ~1M cells the expression forms win on fixed cost
+# (no driver collect / broadcast / Arrow worker spin-up, typically ~1-2 s)
+# and are the declared oracle-witness plan shapes — so 'auto', the default
+# on every entry point, picks the expression form under the threshold and
+# the vectorized form at or above it. The vectorized forms assume NaN-free
+# embeddings (zero-norm vectors rank differently in numpy's local sort
+# than in Spark's NaN-greatest window ordering); pass the expression form
+# explicitly for NaN-bearing data.
+_AUTO_VECTORIZE_CELLS = 1_000_000
+
+# ivf_topk's 'literal' vs 'join' choice is a PLAN-size trade, not an
+# arithmetic one: the literal form embeds n_cells·dim doubles in the
+# expression tree (constant-folded, map-side — right at small K), the
+# join form keeps the plan constant-sized and ships centroids through a
+# broadcast relation (right at the K ~ thousands a 100 TB corpus wants).
+_AUTO_LITERAL_DOUBLES = 16_384
+
+# Cap on the per-chunk score block (doubles) inside semantic_dedup_pairs'
+# vectorized cell scoring: chunk_rows = _CELL_PAIR_BLOCK // occupancy, so
+# task memory is O(block + cell vectors) instead of O(occupancy²). 4M
+# doubles = 32 MB per block (plus one same-sized per-dimension temporary).
+_CELL_PAIR_BLOCK = 4_000_000
+
+
+def _resolve_auto(requested: str, cells: int, small: str, large: str) -> str:
+    """Resolve an 'auto' strategy knob by estimated scoring-cell count:
+    the expression form under ``_AUTO_VECTORIZE_CELLS``, the bit-identical
+    vectorized form at or above it. Explicit values pass through."""
+    if requested != "auto":
+        return requested
+    return large if cells >= _AUTO_VECTORIZE_CELLS else small
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ a[i]·b[i] in double, left-to-right fold (deterministic)."""
     return F.aggregate(
@@ -233,10 +274,19 @@ def quantized_topk(
     vec_col: str = "embedding",
     k: int = 5,
     refine: int = 4,
-    score: str = "expr",
+    score: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Two-stage ANN: coarse top-(k·refine) by int8 quantized cosine, exact
     float rescoring of the survivors. Same output schema as brute_force_topk.
+
+    ``score='auto'`` (default) picks the form by corpus×query scoring-cell
+    count (``_resolve_auto`` — round 7 measured the expression coarse pass
+    at 170 s where the bit-identical GEMM took 4.8 s at 200k×100, so a
+    production call must not need to know the knob): 'expr' below the
+    crossover (the declared witness shape), 'vectorized' above it.
+    ``n_rows`` is an optional corpus-size hint that skips the count-star
+    'auto' otherwise runs.
 
     Scale shape: the coarse pass streams the 4×-smaller quantized corpus
     against broadcast quantized queries (integer MACs, no corpus shuffle);
@@ -264,6 +314,10 @@ def quantized_topk(
         F.col(vec_col).alias("qv"),
         quantize_int8(F.col(vec_col)).alias("qq"),
     ).withColumn("qqn", F.sqrt(int_dot(F.col("qq.q"), F.col("qq.q")).cast("double")))
+    if score == "auto":
+        nq = queries.count()
+        nc = n_rows if n_rows is not None else corpus.count()
+        score = _resolve_auto("auto", nc * max(1, nq), "expr", "vectorized")
     w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
     if score == "vectorized":
         import numpy as np
@@ -351,7 +405,9 @@ def quantized_topk(
             .select("qid", "cid")
         )
     else:
-        raise ValueError(f"score must be 'expr' or 'vectorized', got {score!r}")
+        raise ValueError(
+            f"score must be 'auto', 'expr' or 'vectorized', got {score!r}"
+        )
     # Residue-sized float fetch: survivor ids broadcast against the corpus.
     cvecs = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
     rescored = (
@@ -629,7 +685,8 @@ def ivf_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_iters: int = 2,
-    assign: str = "literal",
+    assign: str = "auto",
+    n_rows: int | None = None,
 ) -> list[list[float]]:
     """K coarse centroids via mini Lloyd iterations.
 
@@ -639,6 +696,9 @@ def ivf_centroids(
     literal form's K·dim interpreted lambda steps per row make it the
     training bottleneck at large K (measured: K=2000 training on a 10k
     slice ≈ 5.5 min expression vs seconds GEMM — BENCHNOTES round 7).
+    ``assign='auto'`` (default) picks by n·K scoring cells per iteration
+    (``_resolve_auto``); ``n_rows`` is an optional size hint that skips
+    the count-star 'auto' otherwise runs.
 
     Seeds = one vector per hash stratum: rows are bucketed by
     ``pmod(xxhash64(id), n_cells)`` and the min-hash row of each stratum
@@ -664,9 +724,12 @@ def ivf_centroids(
         .select(vec_col)
         .collect()
     )
+    if assign == "auto":
+        n = n_rows if n_rows is not None else corpus.count()
+        assign = _resolve_auto("auto", n * n_cells, "literal", "vectorized")
     if assign not in ("literal", "vectorized"):
         raise ValueError(
-            f"assign must be 'literal' or 'vectorized', got {assign!r}"
+            f"assign must be 'auto', 'literal' or 'vectorized', got {assign!r}"
         )
     centroids = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(n_iters):
@@ -960,7 +1023,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     n_iters: int = 2,
-    assign: str = "literal",
+    assign: str = "auto",
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index: corpus vectors live in
     their max-cosine centroid cell; each query probes its ``n_probe``
@@ -982,11 +1045,22 @@ def ivf_topk(
       ranking through a broadcast join against the K-row centroid
       table (at real scale assignments are computed once and
       persisted, not re-derived per query).
+    * ``"auto"`` (default) — picks by plan size: 'literal' while the
+      embedded n_cells·dim literal doubles stay under
+      ``_AUTO_LITERAL_DOUBLES`` (the declared witness shape at K=16),
+      'join' above it (both forms are bit-identical, test-pinned, so
+      the production-K caller no longer needs to know the knob —
+      VERDICT r7 task 1).
     """
     from pyspark.sql import Window
 
+    if assign == "auto":
+        dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        assign = "literal" if n_cells * dim <= _AUTO_LITERAL_DOUBLES else "join"
     if assign not in ("literal", "join"):
-        raise ValueError(f"assign must be 'literal' or 'join', got {assign!r}")
+        raise ValueError(
+            f"assign must be 'auto', 'literal' or 'join', got {assign!r}"
+        )
     centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters)
     if assign == "join":
         from sheetreader_duckdb_spark.operators.exprutil import bind_once
@@ -1114,22 +1188,32 @@ def semantic_dedup_pairs(
     n_cells: int = 16,
     threshold: float = 0.95,
     centroids: list[list[float]] | None = None,
-    score: str = "expr",
+    score: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Same-cell embedding pairs with cosine ≥ threshold:
     ``(id_a < id_b, cell, cosine)``.
 
     ``score='vectorized'`` replaces the within-cell self-join + per-pair
     expression fold with ONE ``applyInPandas`` over the same cell
-    shuffle: each cell's occupancy×occupancy cosine block computes as
-    sequential per-dimension numpy ops (the fold's exact IEEE sequence —
-    bit-identical pairs AND cosines, test-pinned), so the n²/K candidate
-    volume pays GEMM rates instead of dim interpreted lambda steps per
-    pair, and the corpus shuffles ONCE (the join form shuffles both join
-    sides). Memory per task is one cell's vectors plus its pair block —
-    bounded by cell occupancy, same as the join form's task inputs.
-    The expression form remains the default (the nx witness's declared
-    plan shape).
+    shuffle: each cell's pair block computes as sequential per-dimension
+    numpy ops (the fold's exact IEEE sequence — bit-identical pairs AND
+    cosines, test-pinned), so the n²/K candidate volume pays GEMM rates
+    instead of dim interpreted lambda steps per pair, and the corpus
+    shuffles ONCE (the join form shuffles both join sides). Task memory
+    holds one cell's vectors plus a ROW-CHUNKED score block of at most
+    ``_CELL_PAIR_BLOCK`` doubles (chunk×occupancy, not occupancy² — a
+    skewed hot cell streams its pair rows in chunks like the join form
+    streams pairs, instead of materializing the full occupancy² matrix
+    in one task; ADVICE r7).
+
+    ``score='auto'`` (default) picks by estimated scoring cells —
+    max(assignment n·K, expected same-cell pairs n·(n/K)) — expression
+    form below the crossover (the nx witness's declared plan shape),
+    vectorized at or above it (round 7 measured the expression form DNF
+    at production cell counts where the GEMM form took 136 s).
+    ``n_rows`` is an optional corpus-size hint that skips the count-star
+    'auto' otherwise runs.
 
     Assignment uses the inline carrier form (``ivf_assign_carrier``'s
     expression over the 1-row broadcast centroid carrier — plan size
@@ -1153,10 +1237,17 @@ def semantic_dedup_pairs(
     """
     from sheetreader_duckdb_spark.session import defer_unpersist
 
+    if score == "auto":
+        n = n_rows if n_rows is not None else corpus.count()
+        occupancy = max(1, n // max(1, n_cells))
+        score = _resolve_auto(
+            "auto", max(n * n_cells, n * occupancy), "expr", "vectorized"
+        )
     if centroids is None:
         centroids = ivf_centroids(
             corpus, id_col, vec_col, n_cells=n_cells,
             assign="vectorized" if score == "vectorized" else "literal",
+            n_rows=n_rows,
         )
     if score == "vectorized":
         import numpy as np
@@ -1173,30 +1264,51 @@ def semantic_dedup_pairs(
                 )
             ids = pdf["__id"].to_numpy()
             M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
-            dots = np.zeros((n, n))
             n2 = np.zeros(n)
             for d in range(M.shape[1]):
-                dots += M[:, d, None] * M[None, :, d]
                 n2 += M[:, d] * M[:, d]
             nm = np.sqrt(n2)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                s = dots / (nm[:, None] * nm[None, :])
-            ia, ib = np.triu_indices(n, k=1)
-            # id_a < id_b like the join form (row order within a cell is
-            # arbitrary, so order each pair by id, not by position).
-            a, b = ids[ia], ids[ib]
-            swap = a > b
-            a2 = np.where(swap, b, a)
-            b2 = np.where(swap, a, b)
-            keepm = s[ia, ib] >= thr
-            return pd.DataFrame(
-                {
-                    "id_a": a2[keepm],
-                    "id_b": b2[keepm],
-                    "cell": np.full(int(keepm.sum()), int(pdf["cell"].iloc[0])),
-                    "cosine": s[ia, ib][keepm],
-                }
-            )
+            # Row-chunked scoring: each block is chunk×n doubles (capped
+            # at _CELL_PAIR_BLOCK), never the full n×n matrix — a skewed
+            # hot cell streams pair rows instead of OOMing the task. The
+            # per-dimension accumulation order inside a block is the
+            # fold's exact IEEE sequence, so every (i, j) cosine is
+            # bit-identical to the unchunked form (each entry's
+            # arithmetic is independent of the blocking).
+            chunk = max(1, _CELL_PAIR_BLOCK // n)
+            cell_id = int(pdf["cell"].iloc[0])
+            outs = []
+            for r0 in range(0, n - 1, chunk):
+                r1 = min(n, r0 + chunk)
+                dots = np.zeros((r1 - r0, n))
+                for d in range(M.shape[1]):
+                    dots += M[r0:r1, d, None] * M[None, :, d]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = dots / (nm[r0:r1, None] * nm[None, :])
+                # upper triangle in GLOBAL row order: pair (i, j), j > i.
+                li, ib = np.nonzero(
+                    np.arange(n)[None, :] > (r0 + np.arange(r1 - r0))[:, None]
+                )
+                ia = r0 + li
+                # id_a < id_b like the join form (row order within a cell
+                # is arbitrary, so order each pair by id, not position).
+                a, b = ids[ia], ids[ib]
+                swap = a > b
+                a2 = np.where(swap, b, a)
+                b2 = np.where(swap, a, b)
+                sv = s[li, ib]
+                keepm = sv >= thr
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": a2[keepm],
+                            "id_b": b2[keepm],
+                            "cell": np.full(int(keepm.sum()), cell_id),
+                            "cosine": sv[keepm],
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
 
         # Assignment rides the GEMM udf too (bit-identical to the carrier
         # expression, pinned): at large K the expression's K·dim lambda
@@ -1212,7 +1324,9 @@ def semantic_dedup_pairs(
             f"id_a {id_t}, id_b {id_t}, cell int, cosine double",
         )
     if score != "expr":
-        raise ValueError(f"score must be 'expr' or 'vectorized', got {score!r}")
+        raise ValueError(
+            f"score must be 'auto', 'expr' or 'vectorized', got {score!r}"
+        )
     from sheetreader_duckdb_spark.operators.exprutil import bind_once
 
     cdf = centroid_carrier_df(corpus.sparkSession, centroids)
@@ -1264,18 +1378,20 @@ def semantic_dedup_keep(
     n_cells: int = 16,
     threshold: float = 0.95,
     centroids: list[list[float]] | None = None,
-    score: str = "expr",
+    score: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup keep-set: one representative (min id) per connected
     semantic-duplicate cluster, everything unpaired kept. Transitive
     chains collapse correctly — the verified pair graph goes through
     ``dedup.cluster_dedup_keep``'s connected-components labeling rather
-    than a pairwise drop."""
+    than a pairwise drop. ``score``/``n_rows`` pass through to
+    ``semantic_dedup_pairs`` ('auto' picks the scale-safe form by size)."""
     from sheetreader_duckdb_spark.operators.dedup import cluster_dedup_keep
 
     pairs = semantic_dedup_pairs(
         corpus, id_col, vec_col, n_cells=n_cells, threshold=threshold,
-        centroids=centroids, score=score,
+        centroids=centroids, score=score, n_rows=n_rows,
     ).select("id_a", "id_b")
     return cluster_dedup_keep(corpus, pairs, id_col)
 
@@ -1334,7 +1450,8 @@ def pq_codebooks(
     m: int = 8,
     n_codes: int = 16,
     n_iters: int = 2,
-    assign: str = "expr",
+    assign: str = "auto",
+    n_rows: int | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks ``[m][n_codes][dim/m]`` via Lloyd iterations
     trained on ALL subspaces at once — one assignment+aggregate job per
@@ -1375,8 +1492,17 @@ def pq_codebooks(
     ]
     from sheetreader_duckdb_spark.operators.exprutil import bind_once
 
+    if assign == "auto":
+        # Per-iteration scoring cells: n rows × n_codes entries per
+        # subspace, m subspaces of dim/m steps each = n·n_codes cells of
+        # dim total steps — the same unit as the other knobs (measured:
+        # 97.7 s expr vs 7.5 s GEMM at production book sizes, r7).
+        n = n_rows if n_rows is not None else corpus.count()
+        assign = _resolve_auto("auto", n * n_codes, "expr", "vectorized")
     if assign not in ("expr", "vectorized"):
-        raise ValueError(f"assign must be 'expr' or 'vectorized', got {assign!r}")
+        raise ValueError(
+            f"assign must be 'auto', 'expr' or 'vectorized', got {assign!r}"
+        )
     for _ in range(n_iters):
         # Per-iteration codebooks travel as a 1-row broadcast table, not
         # literal expression trees (pq_books_df — plan size constant in
@@ -2158,11 +2284,18 @@ def build_ivf_index(
     n_cells: int = 16,
     n_iters: int = 2,
     train_fraction: float | None = None,
-    assign: str = "carrier",
+    assign: str = "auto",
 ) -> None:
     """Materialize an IVF index on storage: ``{path}/centroids`` (the K-row
     (cell, cvec, cnorm) table) and ``{path}/assignments`` (corpus vectors
     parquet-PARTITIONED BY their cell).
+
+    ``assign='auto'`` (default) resolves training and full-corpus
+    assignment independently by their scoring-cell counts
+    (``_resolve_auto``): the expression forms below the crossover (the
+    witness shapes), the bit-identical GEMM forms above it — a
+    production-size build gets the measured-32× faster path without
+    knowing the knob (VERDICT r7 task 1).
 
     At 100 TB this is the operating mode ``ivf_topk`` only simulates:
     centroid training and corpus assignment run ONCE (one id-keyed shuffle
@@ -2177,25 +2310,52 @@ def build_ivf_index(
     covers every row. Raises if the slice seeds fewer than n_cells cells.
     """
     train = _train_slice(corpus, id_col, train_fraction, "ivf-train:")
-    if train_fraction is not None and train.count() < n_cells:
-        raise ValueError(
-            f"training slice has fewer than n_cells={n_cells} rows"
-            f" — raise train_fraction (got {train_fraction})"
+    n_train = None
+    if train_fraction is not None:
+        n_train = train.count()
+        if n_train < n_cells:
+            raise ValueError(
+                f"training slice has fewer than n_cells={n_cells} rows"
+                f" — raise train_fraction (got {train_fraction})"
+            )
+    if assign == "auto":
+        n_corpus = corpus.count()
+        if n_train is None:
+            n_train = n_corpus
+        train_assign = _resolve_auto(
+            "auto", n_train * n_cells, "literal", "vectorized"
         )
+        corpus_assign = _resolve_auto(
+            "auto", n_corpus * n_cells, "carrier", "vectorized"
+        )
+    else:
+        train_assign = "vectorized" if assign == "vectorized" else "literal"
+        corpus_assign = assign
     centroids = ivf_centroids(
         train, id_col, vec_col, n_cells, n_iters,
-        assign="vectorized" if assign == "vectorized" else "literal",
+        assign=train_assign, n_rows=n_train,
     )
     if len(centroids) < n_cells:
-        raise ValueError(
-            f"training slice seeded only {len(centroids)} of {n_cells} cells"
-            f" — raise train_fraction (got {train_fraction})"
+        if train_fraction is not None:
+            raise ValueError(
+                f"training slice seeded only {len(centroids)} of {n_cells}"
+                f" cells — raise train_fraction (got {train_fraction})"
+            )
+        # Full-corpus training: fewer occupied hash strata than n_cells
+        # just means the corpus is smaller than the requested quantizer —
+        # the reduced-cell index is valid (the search paths handle
+        # K' < K), so build it and say so (ADVICE r7).
+        import warnings
+
+        warnings.warn(
+            f"corpus seeded only {len(centroids)} of n_cells={n_cells}"
+            " cells; building the reduced-cell index"
         )
     spark = corpus.sparkSession
     _centroid_table(spark, centroids).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
-    cells = _assign_fn(assign)(corpus, centroids, id_col, vec_col)
+    cells = _assign_fn(corpus_assign)(corpus, centroids, id_col, vec_col)
     (
         corpus.select(id_col, vec_col)
         .join(cells, id_col)
@@ -2208,6 +2368,7 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(f"{path}/assignments")
     )
+    _write_buildmeta(spark, path, "assignments")
 
 
 def ivf_topk_indexed(
@@ -2323,8 +2484,8 @@ def build_ivfpq_index(
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
     train_fraction: float | None = None,
-    assign: str = "carrier",
-    encode: str = "join",
+    assign: str = "auto",
+    encode: str = "auto",
 ) -> None:
     """Materialize an IVFADC index: ``{path}/centroids`` (K-row coarse
     quantizer), ``{path}/books`` (the 1-row PQ codebook relation of
@@ -2338,34 +2499,75 @@ def build_ivfpq_index(
     ``train_fraction``: train BOTH quantizers on a deterministic
     hash-sample (see ``_train_slice``); assignment and encoding still
     cover every row. Ignored for a quantizer whose trained parameters
-    are passed in explicitly."""
+    are passed in explicitly.
+
+    ``assign='auto'`` / ``encode='auto'`` (defaults) resolve training,
+    full-corpus assignment, and full-corpus encoding independently by
+    scoring-cell count (``_resolve_auto``): witness-shaped expression
+    forms below the crossover, the bit-identical GEMM forms above it."""
     spark = corpus.sparkSession
     train = _train_slice(corpus, id_col, train_fraction, "ivfpq-train:")
+    n_train = None
     if (
         train_fraction is not None
         and (centroids is None or codebooks is None)
-        and train.count() < max(n_cells, n_codes)
     ):
-        raise ValueError(
-            f"training slice has fewer than max(n_cells={n_cells},"
-            f" n_codes={n_codes}) rows — raise train_fraction"
-            f" (got {train_fraction})"
+        n_train = train.count()
+        if n_train < max(n_cells, n_codes):
+            raise ValueError(
+                f"training slice has fewer than max(n_cells={n_cells},"
+                f" n_codes={n_codes}) rows — raise train_fraction"
+                f" (got {train_fraction})"
+            )
+    n_corpus = None
+    if assign == "auto" or encode == "auto":
+        n_corpus = corpus.count()
+        if n_train is None:
+            n_train = n_corpus if train_fraction is None else train.count()
+    if assign == "auto":
+        train_assign = _resolve_auto(
+            "auto", n_train * n_cells, "literal", "vectorized"
         )
+        corpus_assign = _resolve_auto(
+            "auto", n_corpus * n_cells, "carrier", "vectorized"
+        )
+    else:
+        train_assign = "vectorized" if assign == "vectorized" else "literal"
+        corpus_assign = assign
+    if encode == "auto":
+        book_assign = _resolve_auto(
+            "auto", n_train * n_codes, "expr", "vectorized"
+        )
+        corpus_encode = _resolve_auto(
+            "auto", n_corpus * n_codes, "join", "vectorized"
+        )
+    else:
+        book_assign = "vectorized" if encode == "vectorized" else "expr"
+        corpus_encode = encode
     if centroids is None:
         centroids = ivf_centroids(
             train, id_col, vec_col, n_cells, n_iters,
-            assign="vectorized" if assign == "vectorized" else "literal",
+            assign=train_assign, n_rows=n_train,
         )
         if len(centroids) < n_cells:
-            raise ValueError(
-                f"training slice seeded only {len(centroids)} of {n_cells}"
-                f" cells — raise train_fraction (got {train_fraction})"
+            if train_fraction is not None:
+                raise ValueError(
+                    f"training slice seeded only {len(centroids)} of"
+                    f" {n_cells} cells — raise train_fraction"
+                    f" (got {train_fraction})"
+                )
+            # Full-corpus training: the reduced-cell index is valid
+            # (search handles K' < K) — warn and build (ADVICE r7).
+            import warnings
+
+            warnings.warn(
+                f"corpus seeded only {len(centroids)} of n_cells={n_cells}"
+                " cells; building the reduced-cell index"
             )
     if codebooks is None:
         codebooks = pq_codebooks(
             train, id_col, vec_col, dim=dim, m=m, n_codes=n_codes,
-            n_iters=pq_iters,
-            assign="vectorized" if encode == "vectorized" else "expr",
+            n_iters=pq_iters, assign=book_assign, n_rows=n_train,
         )
         if len(codebooks[0]) < n_codes:
             raise ValueError(
@@ -2377,17 +2579,19 @@ def build_ivfpq_index(
     )
     bdf = pq_books_df(spark, codebooks)
     bdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
-    cells = _assign_fn(assign)(corpus, centroids, id_col, vec_col)
-    if encode == "vectorized":
+    cells = _assign_fn(corpus_assign)(corpus, centroids, id_col, vec_col)
+    if corpus_encode == "vectorized":
         enc = pq_encode_vectorized(
             corpus.select(id_col, vec_col), codebooks, id_col=id_col, vec_col=vec_col
         )
-    elif encode == "join":
+    elif corpus_encode == "join":
         enc = pq_encode_join(
             corpus.select(id_col, vec_col), codebooks, vec_col=vec_col, books=bdf
         ).select(id_col, "pq_codes", "pq_norm")
     else:
-        raise ValueError(f"encode must be 'join' or 'vectorized', got {encode!r}")
+        raise ValueError(
+            f"encode must be 'auto', 'join' or 'vectorized', got {encode!r}"
+        )
     (
         enc.join(cells, id_col)
         .repartition(F.col("cell"))
@@ -2398,6 +2602,7 @@ def build_ivfpq_index(
         .partitionBy("cell")
         .parquet(f"{path}/codes")
     )
+    _write_buildmeta(spark, path, "codes")
 
 
 def _load_books(spark, path: str):
@@ -2474,6 +2679,92 @@ def ivfpq_topk_indexed(
         )
     cand_ids = cand.filter(F.col("crn") <= k * refine).select("qid", "cid")
     return _pq_float_rescore(corpus, cand_ids, q_lut, id_col, vec_col, k)
+
+
+def _write_buildmeta(spark, path: str, rel: str) -> None:
+    """Record build-time per-cell occupancy next to the index (one cheap
+    aggregation over the just-written cell-partitioned relation): the
+    baseline ``ivf_index_drift`` measures upsert drift against."""
+    (
+        spark.read.parquet(f"{path}/{rel}")
+        .groupBy("cell")
+        .count()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/buildmeta")
+    )
+
+
+def ivf_index_drift(
+    spark,
+    path: str,
+    skew_threshold: float = 4.0,
+    upsert_threshold: float = 0.2,
+) -> dict:
+    """Drift report for a persisted IVF (``build_ivf_index``) or IVFADC
+    (``build_ivfpq_index``) index — the rebuild trigger upserts need.
+
+    Upserts assign against FROZEN quantizers (``ivf_index_upsert`` /
+    ``ivfpq_index_upsert``): correct by construction, but as the data
+    distribution drifts away from the training set, new vectors crowd
+    into whichever cells' centroids happen to point their way. That
+    degrades BOTH serving recall (a query's n_probe closest centroids no
+    longer bracket its true neighbors — measured in
+    tests/test_ivfpq_index.py's drift drill, where a rebuilt index
+    recovers the recall the frozen-quantizer upserts lost) and scan
+    efficiency (DPP reads of a hot cell approach a full scan). Two
+    observables, one cheap aggregation over the index's partition column
+    each (plus the build-time occupancy the build recorded in
+    ``{path}/buildmeta``):
+
+    * ``skew`` — max over mean cell population. Lloyd-balanced builds
+      sit near 1-2; a drifted index grows a hot cell. Note skew is
+      bounded above by n_cells, so the default threshold assumes a
+      production-sized quantizer (K ≫ 4).
+    * ``upsert_fraction`` — rows added since build over rows at build.
+      Frozen quantizers are only as good as their training snapshot;
+      past ~20% new data a retrain is due regardless of how the new
+      rows happened to scatter.
+
+    ``rebuild_recommended`` trips on EITHER. Rebuilds stay explicit
+    (like any ANN index) — this report is the documented operating rule,
+    not an automatic retrain. Indexes built before buildmeta existed
+    report ``upsert_fraction=None`` and fall back to skew-only.
+    """
+    rel = "assignments"
+    try:
+        idx = spark.read.parquet(f"{path}/{rel}")
+    except Exception:  # IVFADC layout stores codes, not float assignments
+        rel = "codes"
+        idx = spark.read.parquet(f"{path}/{rel}")
+    occ = idx.groupBy("cell").count().collect()
+    n_trained = spark.read.parquet(f"{path}/centroids").count()
+    counts = [r["count"] for r in occ]
+    n_rows = int(sum(counts))
+    mean = n_rows / n_trained if n_trained else 0.0
+    mx = max(counts) if counts else 0
+    skew = (mx / mean) if mean else 0.0
+    upsert_fraction = None
+    try:
+        built = spark.read.parquet(f"{path}/buildmeta").collect()
+        n_built = int(sum(r["count"] for r in built))
+        if n_built:
+            upsert_fraction = round((n_rows - n_built) / n_built, 4)
+    except Exception:
+        pass  # pre-buildmeta index: skew-only report
+    return {
+        "n_cells_trained": int(n_trained),
+        "n_cells_occupied": len(counts),
+        "n_rows": n_rows,
+        "max_occupancy": int(mx),
+        "mean_occupancy": round(mean, 2),
+        "skew": round(skew, 3),
+        "upsert_fraction": upsert_fraction,
+        "rebuild_recommended": bool(
+            skew > skew_threshold
+            or (upsert_fraction is not None and upsert_fraction > upsert_threshold)
+        ),
+    }
 
 
 def ivfpq_index_upsert(

@@ -67,7 +67,7 @@ def curate_corpus(
     embedding_col: str = "embedding",
     semantic_threshold: float = 0.95,
     semantic_cells: int | None = None,
-    semantic_score: str = "expr",
+    semantic_score: str = "auto",
     contamination_k: int = 8,
     contamination_min_hits: int = 1,
     temperature: bool = True,
@@ -106,9 +106,12 @@ def curate_corpus(
       (operators/similarity.py semantic_dedup_keep). Documents WITHOUT
       an embedding row are kept (no evidence → no drop).
       ``semantic_cells=None`` derives the cell count from the embedded
-      corpus size (auto_ivf_cells); ``semantic_score='vectorized'``
-      selects the Arrow per-cell GEMM scoring (bit-identical,
-      BENCHNOTES round 7) for production cell counts.
+      corpus size (auto_ivf_cells); ``semantic_score='auto'`` (default)
+      picks the scoring form by size — the Arrow per-cell GEMM path
+      (bit-identical, BENCHNOTES round 7) at production cell counts,
+      the expression form below the crossover — so a production call
+      with defaults never hits the measured-DNF expression plan
+      (VERDICT r7 task 1).
     - ``pii``: mask URL/email/phone spans with placeholder tokens
       (operators/text.py scrub_pii) — scan-speed rewrite, count
       unchanged (the report row is still emitted so stage presence is
@@ -135,23 +138,49 @@ def curate_corpus(
         raise ValueError(f"minhash must be 'xxhash' or 'md5', got {minhash!r}")
     report: list[tuple[str, int]] = []
 
-    def note(stage: str, frame: DataFrame) -> DataFrame:
-        # Lineage barrier at EVERY stage boundary, report or not. Each
-        # stage references its input several times (occurrence mining +
-        # rebuild + replacement joins), and Spark's self-join
+    def note(
+        stage: str,
+        frame: DataFrame,
+        *,
+        barrier: bool = True,
+        count_preserving: bool = False,
+    ) -> DataFrame:
+        # Lineage barrier at every MULTI-REFERENCE stage boundary. Each
+        # such stage references its input several times (occurrence
+        # mining + rebuild + replacement joins), and Spark's self-join
         # deduplication deep-copies the shared subtree at every
         # reference — chained across ten stages the analyzed plan grows
         # EXPONENTIALLY (observed: driver OOM in plan canonicalization
         # at toy scale with no barriers). A lazy localCheckpoint pins
         # each stage to a materialized boundary: plan size stays linear
-        # in stages, the cached partitions feed both the next stage and
-        # (when collect_report=True) its count, and the blocks are
-        # freed when the deferred-release registry drops the reference
-        # (session.release_deferred — the registry's documented
-        # contract; the context cleaner reclaims the checkpoint RDD).
-        frame = SESS.defer_unpersist(frame.localCheckpoint(eager=False))
+        # in stages and the cached partitions feed both the next stage
+        # and (when collect_report=True) its count. Checkpoints register
+        # as deferred REFERENCES (session.defer_reference) — never
+        # deferred unpersists: a localCheckpoint's blocks are the only
+        # copy of its data, so an eager unpersist would leave the
+        # returned curated frame (whose plan reads these checkpoints)
+        # throwing checkpoint-block-not-found on any later action
+        # (ADVICE r7). The ContextCleaner reclaims the blocks once the
+        # caller drops the curated frame.
+        #
+        # ``barrier=False`` marks the purely LINEAR stages (a filter or
+        # a column rewrite that downstream work references exactly like
+        # any other scan): duplicating their one- or two-node subtree
+        # into the next barrier is free, while checkpointing them costs
+        # a full materialization of the corpus at that stage — the
+        # dominant share of the pipeline's fixed construct cost
+        # (VERDICT r7 task 5).
+        if barrier:
+            frame = SESS.defer_reference(frame.localCheckpoint(eager=False))
         if collect_report:
-            report.append((stage, frame.count()))
+            if count_preserving and report:
+                # Row-count-preserving rewrite (e.g. PII masking): the
+                # stage row is still emitted so its presence is
+                # auditable, but the count is the previous stage's —
+                # no job.
+                report.append((stage, report[-1][1]))
+            else:
+                report.append((stage, frame.count()))
         return frame
 
     # The input is left un-barriered: it is a scan leaf with a small plan,
@@ -169,9 +198,13 @@ def curate_corpus(
             WB.per_domain_cap(cur, url_col, domain_cap, id_col, suffixes=suffixes),
         )
 
-    # 2. quality filter — scan speed, before anything shuffles.
+    # 2. quality filter — scan speed, before anything shuffles. Purely
+    #    linear (one filter over the scan), so no barrier: the next
+    #    stage re-reads scan+filter, never a checkpoint materialization.
     cur = note(
-        "quality", cur.filter(X.quality_keep(F.col(text_col), quality_rules))
+        "quality",
+        cur.filter(X.quality_keep(F.col(text_col), quality_rules)),
+        barrier=False,
     )
 
     # 3. exact dedup — one digest shuffle.
@@ -225,8 +258,9 @@ def curate_corpus(
         if n_emb < 2:
             # Nothing can pair — and the Lloyd seeding of an empty/1-row
             # set would train no centroids. The stage is an auditable
-            # no-op, not a skip: the report row still appears.
-            cur = note("semantic_dedup", cur)
+            # no-op, not a skip: the report row still appears (cur is
+            # already the previous stage's barrier, so no new one).
+            cur = note("semantic_dedup", cur, barrier=False, count_preserving=True)
         else:
             n_cells = (
                 semantic_cells
@@ -236,6 +270,7 @@ def curate_corpus(
             keep = SIM.semantic_dedup_keep(
                 emb, id_col, "__emb", n_cells=min(n_cells, n_emb),
                 threshold=semantic_threshold, score=semantic_score,
+                n_rows=n_emb,
             ).select(id_col)
             drop = emb.select(id_col).join(keep, id_col, "left_anti")
             cur = note("semantic_dedup", cur.join(drop, id_col, "left_anti"))
@@ -272,9 +307,15 @@ def curate_corpus(
         ).select(F.col("id").alias(id_col))
         cur = note("decontaminate", cur.join(flagged, id_col, "left_anti"))
 
-    # 8. PII scrub — placeholder masking, count-preserving.
+    # 8. PII scrub — placeholder masking: linear (one column rewrite)
+    #    and count-preserving, so neither a barrier nor a count job.
     if pii:
-        cur = note("pii", cur.withColumn(text_col, X.scrub_pii(F.col(text_col))))
+        cur = note(
+            "pii",
+            cur.withColumn(text_col, X.scrub_pii(F.col(text_col))),
+            barrier=False,
+            count_preserving=True,
+        )
 
     # 9. sqrt-temperature source mixing — integer-exact keep decision.
     if temperature:

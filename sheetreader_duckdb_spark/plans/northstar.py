@@ -431,6 +431,14 @@ _N01_ORACLE = f"""
     "the DuckDB twin of the same ten-stage composition.",
 )
 def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    return n01_dedup_core(spark, sf).unionAll(n01_cur_kept_branch(spark, sf))
+
+
+def n01_dedup_core(spark: SparkSession, sf: str) -> DataFrame:
+    # The dedup-lifecycle branches (groups/kept/incr/contam) WITHOUT the
+    # composed-curation witness — standalone so bench.py can time the
+    # dedup core comparably across rounds while the declared query keeps
+    # the full five-branch union (VERDICT r7 task 4).
     docs = T(spark, sf, "documents")
     groups = D.exact_dedup_groups(docs, "doc_id", "text").select(
         F.lit("groups").alias("tag"),
@@ -505,6 +513,10 @@ def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id"),
         F.col("n_hits").alias("n"),
     )
+    return groups.unionAll(kept).unionAll(incr).unionAll(contam)
+
+
+def n01_cur_kept_branch(spark: SparkSession, sf: str) -> DataFrame:
     # 'cur_kept' — the composed curation pipeline, end-to-end: the exact
     # curate_corpus call a production run makes (md5 MinHash flavor so the
     # DuckDB twin hash-matches), over a derived corpus that makes every
@@ -512,8 +524,15 @@ def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # inline per-source email feeds the PII scrub, per-source domains make
     # the cap-10 bind, 5 planted copies exercise exact dedup, and the
     # held-out 'eval' hash split drives decontamination.
+    #
+    # A standalone callable (not just an n01 branch) so bench.py can time
+    # the curation witness separately from n01's dedup core — the 50-row
+    # CORRECTNESS cap forces the declared union, but attributing the
+    # composed pipeline's fixed construct cost to the dedup query made
+    # n01's number incomparable across rounds (VERDICT r7 task 4).
     from sheetreader_duckdb_spark import pipeline as PIPE
 
+    docs = T(spark, sf, "documents")
     decorated = docs.select(
         "doc_id",
         "source",
@@ -568,14 +587,11 @@ def n01_dedup_exact_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         seed="cur",
         collect_report=False,
     )
-    cur_kept = curated.select(
+    return curated.select(
         F.lit("cur_kept").alias("tag"),
         F.md5(F.col("text").cast("binary")).alias("h"),
         F.col("doc_id").alias("id"),
         X.n_tokens(F.col("text")).alias("n"),
-    )
-    return (
-        groups.unionAll(kept).unionAll(incr).unionAll(contam).unionAll(cur_kept)
     )
 
 
@@ -2613,10 +2629,11 @@ def nx_scale_variants(spark: SparkSession, sf: str) -> DataFrame:
     # quadratically with corpus growth (candidate volume n·(n/K) — the
     # auto_srp_planes lesson applied to the k-means bucketing).
     emb = T(spark, sf, "embeddings")
+    n_emb = emb.count()
     sem = g(
         S.semantic_dedup_pairs(
-            emb, n_cells=S.auto_ivf_cells(emb.count(), target_cell=100),
-            threshold=0.4,
+            emb, n_cells=S.auto_ivf_cells(n_emb, target_cell=100),
+            threshold=0.4, n_rows=n_emb,
         ),
         "semdedup",
         k1="id_a", k2="id_b", n1="cell", v1="cosine",

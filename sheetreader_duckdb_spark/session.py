@@ -53,6 +53,7 @@ def default_parallelism() -> int:
 import threading
 
 _DEFERRED_UNPERSIST: list = []
+_DEFERRED_REFS: list = []
 _DEFERRED_LOCK = threading.Lock()
 
 
@@ -60,17 +61,40 @@ def defer_unpersist(df):
     """Register a persisted DataFrame to be unpersisted at the next
     ``release_deferred()`` (called by every declared query's wrapper;
     standalone operator callers should call it themselves after
-    materializing — see the module comment)."""
+    materializing — see the module comment).
+
+    ONLY for ``persist()``-ed frames, whose lineage survives the
+    unpersist (worst case: recompute). A ``localCheckpoint()``-ed frame
+    must go through ``defer_reference`` instead — its truncated lineage
+    makes the cached blocks the ONLY copy of the data, so unpersisting
+    it breaks every DataFrame derived from it (checkpoint block not
+    found), it does not recompute."""
     with _DEFERRED_LOCK:
         _DEFERRED_UNPERSIST.append(df)
     return df
 
 
+def defer_reference(df):
+    """Register a ``localCheckpoint()``-ed DataFrame for deferred
+    REFERENCE drop: ``release_deferred()`` forgets it (so the registry
+    itself never pins the blocks) but does NOT unpersist — the
+    ContextCleaner reclaims the checkpoint RDD once the caller's last
+    derived frame is garbage-collected. Destroying the blocks eagerly
+    would invalidate, not recompute, everything downstream of the
+    checkpoint (ADVICE r7: the curated frame threw
+    checkpoint-block-not-found after a documented release_deferred())."""
+    with _DEFERRED_LOCK:
+        _DEFERRED_REFS.append(df)
+    return df
+
+
 def release_deferred() -> int:
-    """Unpersist every deferred cache; returns how many were released."""
+    """Unpersist every deferred cache (and drop checkpoint references);
+    returns how many persisted frames were released."""
     with _DEFERRED_LOCK:
         drained = _DEFERRED_UNPERSIST[:]
         _DEFERRED_UNPERSIST.clear()
+        _DEFERRED_REFS.clear()
     n = 0
     for df in drained:
         try:

@@ -459,7 +459,12 @@ class _FastPathUnsupported(Exception):
 
 _DIMENSION_RE = re.compile(rb'<dimension ref="([A-Z]+)(\d+):([A-Z]+)(\d+)"')
 _ROW_RE = re.compile(rb"<row\b[^>]*?(?:/>|>(.*?)</row>)", re.S)
-_ROW_COUNT_RE = re.compile(rb"<row[ />]")
+# Any XML whitespace is legal between the element name and its first
+# attribute — accept it, so this count agrees with count_row_starts'
+# bytes.count form on every legal writer (ADVICE r7: a `<row\n`-writing
+# producer desynced the sharded readers' rows_seen, mis-applying
+# skip_rows, because one path counted it and the other didn't).
+_ROW_COUNT_RE = re.compile(rb"<row[ \t\r\n/>]")
 _CELL_COUNT_RE = re.compile(rb"<c[ />]")
 # Conventional writer attribute order: r, then s, then t (Excel, openpyxl,
 # our writer, the reference demo file). Anything else fails the per-row cell

@@ -1,0 +1,131 @@
+"""'auto' strategy resolution (VERDICT r7 task 1): the scale-safe
+vectorized/GEMM forms are now the AUTOMATIC choice above a measured
+scoring-cell crossover, the expression forms (the declared witness plan
+shapes) below it. These tests pin the selection boundary BOTH ways —
+below-threshold calls must produce the expression plan, above-threshold
+calls the Arrow plan — and that both selections return identical rows
+(bit-identity of the two forms is separately pinned in
+tests/test_similarity.py / test_pq.py / test_semantic_dedup.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sheetreader_duckdb_spark.operators import similarity as S
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _emb(spark, n=40, dim=8):
+    rows = [
+        (i, [float(((i * 37 + j * 11) % 19) - 9) / 7.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_resolve_auto_boundary():
+    t = S._AUTO_VECTORIZE_CELLS
+    assert S._resolve_auto("auto", t - 1, "expr", "vectorized") == "expr"
+    assert S._resolve_auto("auto", t, "expr", "vectorized") == "vectorized"
+    # explicit values pass through untouched, on either side of the bar
+    assert S._resolve_auto("expr", t * 10, "expr", "vectorized") == "expr"
+    assert S._resolve_auto("vectorized", 1, "expr", "vectorized") == "vectorized"
+
+
+def test_quantized_topk_auto_both_sides(spark, monkeypatch):
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 3)
+    # below the crossover: the witness-shaped expression plan (no Arrow)
+    small = S.quantized_topk(e, q, k=3, refine=2, score="auto")
+    assert "MapInPandas" not in _plan(small)
+    # force the crossover under this corpus: the Arrow coarse pass
+    monkeypatch.setattr(S, "_AUTO_VECTORIZE_CELLS", 1)
+    big = S.quantized_topk(e, q, k=3, refine=2, score="auto")
+    assert "MapInPandas" in _plan(big)
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(small) == rows(big)
+
+
+def test_semantic_dedup_pairs_auto_both_sides(spark, monkeypatch):
+    e = _emb(spark)
+    small = S.semantic_dedup_pairs(e, n_cells=4, threshold=0.2, score="auto")
+    assert "FlatMapGroupsInPandas" not in _plan(small)
+    monkeypatch.setattr(S, "_AUTO_VECTORIZE_CELLS", 1)
+    big = S.semantic_dedup_pairs(e, n_cells=4, threshold=0.2, score="auto")
+    assert "FlatMapGroupsInPandas" in _plan(big)
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(small) == rows(big)
+
+
+def test_semantic_dedup_pairs_vectorized_chunked_identical(spark, monkeypatch):
+    """ADVICE r7: the vectorized cell scoring is row-chunked (task memory
+    O(chunk×occupancy), not occupancy²). A 1-row chunk must emit the
+    exact same pairs and cosines as one-block scoring."""
+    e = _emb(spark, n=30)
+    whole = S.semantic_dedup_pairs(e, n_cells=2, threshold=0.2, score="vectorized")
+    monkeypatch.setattr(S, "_CELL_PAIR_BLOCK", 1)  # chunk = 1 row per block
+    chunked = S.semantic_dedup_pairs(e, n_cells=2, threshold=0.2, score="vectorized")
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(whole) == rows(chunked)
+
+
+def test_ivf_topk_auto_literal_vs_join(spark, monkeypatch):
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 2)
+    # K·dim under the literal budget: constant-folded literal plan (no
+    # broadcast centroid-table join on the query side)
+    small = S.ivf_topk(e, q, k=3, n_cells=4, n_probe=2, assign="auto")
+    monkeypatch.setattr(S, "_AUTO_LITERAL_DOUBLES", 1)
+    big = S.ivf_topk(e, q, k=3, n_cells=4, n_probe=2, assign="auto")
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(small) == rows(big)
+    # the join form carries the centroid carrier / table broadcasts
+    assert _plan(big).count("BroadcastNestedLoopJoin") > _plan(small).count(
+        "BroadcastNestedLoopJoin"
+    )
+
+
+def test_ivf_centroids_auto_matches_explicit(spark, monkeypatch):
+    e = _emb(spark)
+    lit = S.ivf_centroids(e, n_cells=4, assign="literal")
+    auto_small = S.ivf_centroids(e, n_cells=4, assign="auto")
+    assert auto_small == lit
+    monkeypatch.setattr(S, "_AUTO_VECTORIZE_CELLS", 1)
+    auto_big = S.ivf_centroids(e, n_cells=4, assign="auto")
+    assert auto_big == lit  # GEMM form is bit-identical (pinned elsewhere)
+
+
+def test_pq_codebooks_auto_matches_explicit(spark, monkeypatch):
+    e = _emb(spark)
+    expr = S.pq_codebooks(e, dim=8, m=2, n_codes=4, assign="expr")
+    assert S.pq_codebooks(e, dim=8, m=2, n_codes=4, assign="auto") == expr
+    monkeypatch.setattr(S, "_AUTO_VECTORIZE_CELLS", 1)
+    assert S.pq_codebooks(e, dim=8, m=2, n_codes=4, assign="auto") == expr
+
+
+def test_build_ivf_index_reduced_cells_full_corpus(spark, tmp_path):
+    """ADVICE r7: full-corpus training (train_fraction=None) on a corpus
+    whose hash strata seed fewer than n_cells must WARN and build the
+    reduced-cell index, not raise about train_fraction."""
+    e = _emb(spark, n=3)
+    path = str(tmp_path / "ivf_small")
+    with pytest.warns(UserWarning, match="reduced-cell"):
+        S.build_ivf_index(e, path, n_cells=16)
+    got = spark.read.parquet(f"{path}/centroids").count()
+    assert 0 < got < 16
+    # the reduced index still serves queries
+    out = S.ivf_topk_indexed(
+        spark, path, e.filter(F.col("vec_id") == 0), k=2, n_probe=got
+    )
+    assert out.count() == 2
+    # a sampled-training build that under-seeds still raises, and names
+    # the knob that fixes it
+    with pytest.raises(ValueError, match="train_fraction"):
+        S.build_ivf_index(
+            _emb(spark, n=400), str(tmp_path / "ivf_frac"),
+            n_cells=256, train_fraction=0.05,
+        )

@@ -167,3 +167,78 @@ def test_vectorized_build_is_searchable_and_complete(spark, sf_dir, tmp_path):
     q = e.filter(F.col("vec_id") < 4)
     out = ivfpq_topk_indexed(spark, path, q, k=5, n_probe=8, corpus=e)
     assert out.count() == 4 * 5
+
+
+def _clustered(spark, centers, per, dim=8, tag=0, base=0):
+    """Deterministic clusters: per vectors around each axis index in
+    ``centers``, with a small hash-derived jitter on the other dims."""
+    rows = []
+    for ci, axis in enumerate(centers):
+        for j in range(per):
+            vid = base + ci * per + j
+            v = [0.0] * dim
+            v[axis] = 1.0
+            for d in range(dim):
+                v[d] += (((vid * 31 + d * 7 + tag) % 13) - 6) / 200.0
+            rows.append((vid, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_drift_report_and_rebuild_trigger(spark, tmp_path):
+    """VERDICT r7 task 6: upserts reuse frozen quantizers — quantify the
+    drift and pin the rebuild trigger. A distribution-shifted upsert
+    batch crowds into few cells (occupancy skew → rebuild_recommended);
+    a fresh rebuild on the combined corpus rebalances, clears the flag,
+    and recovers at least the frozen-quantizer index's recall on
+    drift-region queries."""
+    from sheetreader_duckdb_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_drift,
+        ivf_index_upsert,
+        ivf_topk_indexed,
+    )
+
+    corpus = _clustered(spark, [0, 1, 2, 3], per=40)
+    path = str(tmp_path / "ivf_drift")
+    build_ivf_index(corpus, path, n_cells=4, n_iters=2)
+    base_report = ivf_index_drift(spark, path)
+    assert base_report["n_rows"] == 160
+    assert base_report["upsert_fraction"] == 0.0
+    assert not base_report["rebuild_recommended"]
+
+    # drifted batch: a new tight cluster on axes the quantizer never saw
+    drift = _clustered(spark, [5], per=120, tag=3, base=10_000)
+    ivf_index_upsert(spark, path, drift)
+    drifted = ivf_index_drift(spark, path)
+    assert drifted["n_rows"] == 280
+    # the drift vectors pile onto frozen cells: the hot-cell skew grows
+    # and the upsert fraction (120/160 = 0.75) trips the rebuild trigger
+    assert drifted["skew"] > base_report["skew"]
+    assert drifted["upsert_fraction"] == 0.75
+    assert drifted["rebuild_recommended"]
+
+    # recall on drift-region queries, frozen quantizer vs rebuilt
+    combined = corpus.unionAll(drift)
+    queries = drift.filter(F.col("vec_id") < 10_005)
+    truth = {
+        (r["qid"], r["cid"])
+        for r in brute_force_topk(combined, queries, k=3).collect()
+    }
+
+    def recall(p):
+        got = {
+            (r["qid"], r["cid"])
+            for r in ivf_topk_indexed(spark, p, queries, k=3, n_probe=1).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_frozen = recall(path)
+    path2 = str(tmp_path / "ivf_rebuilt")
+    build_ivf_index(combined, path2, n_cells=5, n_iters=2)
+    rebuilt = ivf_index_drift(spark, path2)
+    assert rebuilt["upsert_fraction"] == 0.0
+    assert not rebuilt["rebuild_recommended"]
+    r_rebuilt = recall(path2)
+    assert r_rebuilt >= r_frozen
+    assert r_rebuilt == 1.0  # the new cell brackets the drift cluster

@@ -268,3 +268,25 @@ def test_semantic_stage_noop_when_no_embeddings_match(spark):
     )
     assert dict(report)["semantic_dedup"] == 2
     assert cur.count() == 2
+
+
+def test_curated_frame_survives_release_deferred(spark, sf_dir):
+    """ADVICE r7 regression: the documented standalone-caller pattern —
+    materialize the curated frame, then release_deferred() — must leave
+    the frame re-collectable. The stage barriers are localCheckpoints
+    whose blocks are the only copy of their data, so the registry may
+    only drop references to them, never unpersist them."""
+    from sheetreader_duckdb_spark.session import release_deferred
+
+    d = T(spark, sf_dir, "documents")
+    cur, report = curate_corpus(d, pii=True, budget_tokens=2000, seed="t")
+    n1 = cur.count()
+    release_deferred()
+    # Re-collect AFTER the release: throws checkpoint-block-not-found if
+    # any stage barrier was destroyed instead of dereferenced.
+    n2 = cur.count()
+    assert n1 == n2 > 0
+    # pii is count-preserving: its report row reuses the previous count.
+    stages = dict(report)
+    order = [s for s, _ in report]
+    assert stages["pii"] == stages[order[order.index("pii") - 1]]

@@ -147,3 +147,19 @@ def test_template_rejects_absent_and_unordered():
         )
         is None
     )
+
+
+def test_row_count_primitives_agree_on_xml_whitespace():
+    """ADVICE r7: assigned chunks count rows with _ROW_COUNT_RE while
+    unassigned chunks use count_row_starts (bytes.count); a writer
+    emitting `<row\\n` (legal XML whitespace) must count identically on
+    both, or sharded readers desync rows_seen and mis-apply skip_rows."""
+    from sheetreader_duckdb_spark.sources.xlsx import parser as P
+
+    body = (
+        b'<sheetData><row r="1"><c r="A1"><v>1</v></c></row>'
+        b'<row\n r="2"><c r="A2"><v>2</v></c></row>'
+        b'<row\t r="3"/><row>\x3c/row>'
+        b'<rowBreaks count="1"><brk id="1"/></rowBreaks></sheetData>'
+    )
+    assert len(P._ROW_COUNT_RE.findall(body)) == P.count_row_starts(body) == 4
