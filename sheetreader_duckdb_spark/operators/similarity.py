@@ -2379,11 +2379,19 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k search against a persisted IVF index (``build_ivf_index``):
     (qid, cid, cosine, rn) — same output contract as ``ivf_topk``, and
     bit-identical to its 'join' form on the same corpus (the index stores
     the same centroids and assignments; pinned in tests/test_ivf_index.py).
+
+    ``exclude_self=True`` (default, the self-search contract all the
+    in-memory forms share) drops candidates with ``cid == qid`` — which
+    assumes query and corpus ids share a NAMESPACE. For external queries
+    whose ids are unrelated to the indexed ids, pass
+    ``exclude_self=False`` or a numerically colliding external query id
+    would silently lose its best neighbor (VERDICT r7).
 
     Plan shape: the query side ranks probe cells against the broadcast
     K-row centroid table; the candidate join is an equi-join on the
@@ -2409,9 +2417,11 @@ def ivf_topk_indexed(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), "cell"
     )
     rw = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    joined = cand.join(broadcast(probes), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("qid") != F.col("cid"))
     return (
-        cand.join(broadcast(probes), "cell")
-        .filter(F.col("qid") != F.col("cid"))
+        joined
         .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
         .withColumn("rn", F.row_number().over(rw).cast("long"))
         .filter(F.col("rn") <= k)
@@ -2625,8 +2635,14 @@ def ivfpq_topk_indexed(
     n_probe: int = 4,
     refine: int = 4,
     corpus: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k against a persisted IVFADC index (``build_ivfpq_index``).
+
+    ``exclude_self``: as in ``ivf_topk_indexed`` — the default drops
+    ``cid == qid`` candidates (the self-search contract), which assumes
+    query and corpus ids share a namespace; external queries with
+    unrelated ids should pass ``exclude_self=False``.
 
     With ``corpus`` given: (qid, cid, cosine, rn) — exact float rescore of
     the k·refine coarse survivors through the shared ``_pq_float_rescore``
@@ -2666,13 +2682,14 @@ def ivfpq_topk_indexed(
     )
     qp = q_lut.join(probes, "qid").select("qid", "lut", "qn", "cell")
     w = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("cid"))
-    cand = (
-        index.select(F.col(id_col).alias("cid"), "pq_codes", "pq_norm", "cell")
-        .join(broadcast(qp), "cell")
-        .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", _adc_coarse_col().alias("coarse"))
-        .withColumn("crn", F.row_number().over(w))
-    )
+    cand = index.select(
+        F.col(id_col).alias("cid"), "pq_codes", "pq_norm", "cell"
+    ).join(broadcast(qp), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("cid"))
+    cand = cand.select(
+        "qid", "cid", _adc_coarse_col().alias("coarse")
+    ).withColumn("crn", F.row_number().over(w))
     if corpus is None:
         return cand.filter(F.col("crn") <= k).select(
             "qid", "cid", F.col("coarse").alias("adc"), F.col("crn").cast("long").alias("rn")

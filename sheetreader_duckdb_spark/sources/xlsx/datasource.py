@@ -324,7 +324,7 @@ def _infer_or_declared(
             decoded: list | None = []
             for col, ctype, val in first:
                 if ctype == P.T_STRING_REF:
-                    decoded.append((col, wb.shared_strings[val]))
+                    decoded.append((col, wb.shared_strings_lazy()[val]))
                 elif ctype == P.T_STRING_LIT:
                     decoded.append((col, val))
                 else:
@@ -813,7 +813,14 @@ class SheetReaderReader(DataSourceReader):
 
         with P.XlsxWorkbook(path) as wb:
             sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
-            heap = pa.array(wb.shared_strings, type=pa.string())
+            # LAZY heap: a shard decodes only the string entries its own
+            # rows reference (offset index up front, per-batch selective
+            # decode in finalize) — the eager full-heap materialization
+            # made every shard pay O(heap) CPU + allocations, which under
+            # 32 concurrent workers saturated memory bandwidth and made
+            # auto-sharding SLOWER than one thread on string-heavy sheets
+            # (the partsupp witness; BENCHNOTES round 8).
+            heap = wb.shared_strings_lazy()
             date_styles = wb.date_styles
             is_date_style: dict[bytes, bool] = {b"": False}
             colmap: dict[bytes, int] = {}
@@ -825,7 +832,20 @@ class SheetReaderReader(DataSourceReader):
                 for i, code in enumerate(exp_codes):
                     s = pa.array(raw_cols[i], type=pa.binary()).cast(pa.string())
                     if code == 0:  # VARCHAR ← shared-string index
-                        arrays.append(pc.take(heap, s.cast(pa.int32())))
+                        # Selective decode: unique refs in THIS batch →
+                        # small local heap → vectorized index_in + take
+                        # (null refs map to null positions → null takes,
+                        # the same NULL semantics as the full-heap take).
+                        idx = s.cast(pa.int32())
+                        uniq = pc.unique(idx.drop_null())
+                        small = pa.array(
+                            heap.decode_many(uniq.to_pylist())
+                            if hasattr(heap, "decode_many")
+                            else [heap[j] for j in uniq.to_pylist()],
+                            type=pa.string(),
+                        )
+                        pos = pc.index_in(idx, value_set=uniq)
+                        arrays.append(pc.take(small, pos))
                     elif code == 1:  # DOUBLE
                         arrays.append(s.cast(pa.float64()))
                     elif code == 2:  # BOOLEAN (b-cell payload: 1/0/true/false)

@@ -128,7 +128,7 @@ def infer_schema(
         names = []
         for ctype, val in first:
             if ctype == P.T_STRING_REF:
-                names.append(wb.shared_strings[val])
+                names.append(wb.shared_strings_lazy()[val])
             elif ctype == P.T_STRING_LIT:
                 names.append(val)
             else:

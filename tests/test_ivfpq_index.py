@@ -242,3 +242,31 @@ def test_drift_report_and_rebuild_trigger(spark, tmp_path):
     r_rebuilt = recall(path2)
     assert r_rebuilt >= r_frozen
     assert r_rebuilt == 1.0  # the new cell brackets the drift cluster
+
+
+def test_external_query_ids_keep_colliding_neighbor(spark, tmp_path):
+    """exclude_self=False: an EXTERNAL query whose id numerically collides
+    with an indexed id must still retrieve that vector (the default
+    self-search contract would silently drop it)."""
+    from sheetreader_duckdb_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    corpus = _clustered(spark, [0, 1], per=10)
+    path = str(tmp_path / "ivf_ext")
+    build_ivf_index(corpus, path, n_cells=2, n_iters=1)
+    # external query: id 0 collides with indexed id 0, vector ≈ indexed 0
+    q = corpus.filter(F.col("vec_id") == 0)
+    with_self = {
+        r["cid"]
+        for r in ivf_topk_indexed(
+            spark, path, q, k=1, n_probe=2, exclude_self=False
+        ).collect()
+    }
+    assert with_self == {0}  # its own (colliding) best match retrieved
+    default = {
+        r["cid"]
+        for r in ivf_topk_indexed(spark, path, q, k=1, n_probe=2).collect()
+    }
+    assert 0 not in default  # self-search contract unchanged

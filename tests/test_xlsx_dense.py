@@ -163,3 +163,49 @@ def test_row_count_primitives_agree_on_xml_whitespace():
         b'<rowBreaks count="1"><brk id="1"/></rowBreaks></sheetData>'
     )
     assert len(P._ROW_COUNT_RE.findall(body)) == P.count_row_starts(body) == 4
+
+
+def test_shared_string_heap_lazy_matches_expat():
+    """SharedStringHeap (the sharded-read lazy heap) decodes every entry
+    identically to the expat walk: entities, xml:space, empty forms,
+    ST_Xstring; rich-text runs fall back to the full parse."""
+    from sheetreader_duckdb_spark.sources.xlsx import parser as P
+
+    doc = (
+        b'<?xml version="1.0"?><sst xmlns="x" count="7" uniqueCount="7">'
+        b'<si><t>a &amp; b &lt;c&gt; &#233;</t></si>'
+        b'<si><t xml:space="preserve"> lead </t></si>'
+        b'<si/><si><t/></si><si><t>_x000D_ cr</t></si>'
+        b'<si><t></t></si><si><t>tail</t></si></sst>'
+    )
+    heap = P.SharedStringHeap(doc)
+    want = P._parse_sst_expat(doc)
+    assert len(heap) == len(want) == 7
+    assert [heap[i] for i in range(len(heap))] == want
+    assert heap.decode_many([6, 0, 3]) == [want[6], want[0], want[3]]
+    # rich-text entry: per-entry regex can't match -> one full-parse
+    # fallback, identical results
+    rich = b'<sst><si><r><t>a</t></r><r><t>b</t></r></si><si><t>c</t></si></sst>'
+    lazy = P.SharedStringHeap(rich)
+    assert [lazy[0], lazy[1]] == P._parse_sst_expat(rich) == ["ab", "c"]
+
+
+def test_string_heavy_sharded_read_equals_single_thread(spark, tmp_path):
+    """Auto-sharded read of a unique-string-heavy sheet (the partsupp
+    shape, where each shard lazily decodes only its own referenced heap
+    entries) returns exactly the single-thread rows."""
+    from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    path = str(tmp_path / "strings.xlsx")
+    w = IncrementalXlsxWriter(path, "Sheet1")
+    w.write_row(["k", "comment"])
+    for i in range(5000):
+        w.write_row([float(i), f"unique comment {i} " + "x" * (i % 37)])
+    w.close()
+    one = spark.read.format("sheetreader").option("threads", 1).load(path)
+    many = spark.read.format("sheetreader").option("threads", 8).load(path)
+    r1 = sorted(map(tuple, one.collect()))
+    r8 = sorted(map(tuple, many.collect()))
+    assert r1 == r8 and len(r1) == 5000
