@@ -163,13 +163,13 @@ def curate_corpus(
         # (ADVICE r7). The ContextCleaner reclaims the blocks once the
         # caller drops the curated frame.
         #
-        # ``barrier=False`` marks the purely LINEAR stages (a filter or
-        # a column rewrite that downstream work references exactly like
-        # any other scan): duplicating their one- or two-node subtree
-        # into the next barrier is free, while checkpointing them costs
-        # a full materialization of the corpus at that stage — the
-        # dominant share of the pipeline's fixed construct cost
-        # (VERDICT r7 task 5).
+        # ``barrier=False`` is for frames that are ALREADY a barrier
+        # (e.g. the semantic no-op stage re-noting the previous stage's
+        # checkpoint) — checkpointing a checkpoint is pure overhead.
+        # Do NOT use it to "optimize away" linear stages: the lazy
+        # checkpoint is free at construct, and removing it lets every
+        # downstream self-join deep-copy the stage's subtree (measured
+        # +0.9 s of plan-analysis time on the composed pipeline, r8).
         if barrier:
             frame = SESS.defer_reference(frame.localCheckpoint(eager=False))
         if collect_report:
@@ -198,13 +198,15 @@ def curate_corpus(
             WB.per_domain_cap(cur, url_col, domain_cap, id_col, suffixes=suffixes),
         )
 
-    # 2. quality filter — scan speed, before anything shuffles. Purely
-    #    linear (one filter over the scan), so no barrier: the next
-    #    stage re-reads scan+filter, never a checkpoint materialization.
+    # 2. quality filter — scan speed, before anything shuffles. The
+    #    barrier stays even though the stage is linear: a lazy
+    #    localCheckpoint costs nothing at construct (it materializes
+    #    only when an action needs it) while KEEPING the analyzed plan
+    #    small — dropping it let every downstream self-join reference
+    #    deep-copy the scan+filter subtree, measured +0.9 s of analysis
+    #    time on the composed pipeline (tried and reverted, r8).
     cur = note(
-        "quality",
-        cur.filter(X.quality_keep(F.col(text_col), quality_rules)),
-        barrier=False,
+        "quality", cur.filter(X.quality_keep(F.col(text_col), quality_rules))
     )
 
     # 3. exact dedup — one digest shuffle.
@@ -307,13 +309,15 @@ def curate_corpus(
         ).select(F.col("id").alias(id_col))
         cur = note("decontaminate", cur.join(flagged, id_col, "left_anti"))
 
-    # 8. PII scrub — placeholder masking: linear (one column rewrite)
-    #    and count-preserving, so neither a barrier nor a count job.
+    # 8. PII scrub — placeholder masking. Barrier kept (lazy — free at
+    #    construct, keeps the analyzed plan small; see stage 2); the
+    #    COUNT is skipped: the stage is row-preserving, so its report
+    #    row reuses the previous stage's count — one fewer job per
+    #    reported run.
     if pii:
         cur = note(
             "pii",
             cur.withColumn(text_col, X.scrub_pii(F.col(text_col))),
-            barrier=False,
             count_preserving=True,
         )
 
