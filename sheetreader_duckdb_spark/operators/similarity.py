@@ -53,6 +53,15 @@ _AUTO_LITERAL_DOUBLES = 16_384
 # doubles = 32 MB per block (plus one same-sized per-dimension temporary).
 _CELL_PAIR_BLOCK = 4_000_000
 
+# Training-slice cap for semantic_dedup's 'auto' train_fraction: Lloyd's
+# per-iteration cost is n_train·K — at production K (auto_ivf_cells gives
+# n/100) full-corpus training is the dominant term (measured 346 s
+# end-to-end at 200k×K=2000 full-train vs seconds on a capped slice,
+# BENCHNOTES r8). 50k training rows ≈ 25 rows per cell at the K that cap
+# implies — the standard coarse-quantizer training budget (FAISS trains
+# IVF on a learning subset for the same reason).
+_SEMDEDUP_TRAIN_CAP = 50_000
+
 
 def _resolve_auto(requested: str, cells: int, small: str, large: str) -> str:
     """Resolve an 'auto' strategy knob by estimated scoring-cell count:
@@ -1190,9 +1199,21 @@ def semantic_dedup_pairs(
     centroids: list[list[float]] | None = None,
     score: str = "auto",
     n_rows: int | None = None,
+    train_fraction: "float | str | None" = "auto",
 ) -> DataFrame:
     """Same-cell embedding pairs with cosine ≥ threshold:
     ``(id_a < id_b, cell, cosine)``.
+
+    ``train_fraction`` (when ``centroids`` is None): the deterministic
+    hash-slice the cell quantizer trains on (``_train_slice``) —
+    ``"auto"`` (default) caps training at ``_SEMDEDUP_TRAIN_CAP`` rows
+    (full corpus below the cap, so the small declared witnesses train
+    exactly as before), ``None``/1.0 trains on everything, a float
+    picks the slice explicitly. Training on a slice changes WHICH
+    centroids come out (cell shapes, hence candidate recall at the
+    margin) but never precision — every emitted pair stays
+    cosine-verified; assignment and pair scoring always cover the full
+    corpus.
 
     ``score='vectorized'`` replaces the within-cell self-join + per-pair
     expression fold with ONE ``applyInPandas`` over the same cell
@@ -1237,17 +1258,31 @@ def semantic_dedup_pairs(
     """
     from sheetreader_duckdb_spark.session import defer_unpersist
 
-    if score == "auto":
+    need_n = score == "auto" or (
+        centroids is None and train_fraction == "auto"
+    )
+    n = None
+    if need_n:
         n = n_rows if n_rows is not None else corpus.count()
+    if score == "auto":
         occupancy = max(1, n // max(1, n_cells))
         score = _resolve_auto(
             "auto", max(n * n_cells, n * occupancy), "expr", "vectorized"
         )
     if centroids is None:
+        if train_fraction == "auto":
+            train_fraction = min(1.0, _SEMDEDUP_TRAIN_CAP / max(1, n))
+        if train_fraction is not None and train_fraction < 1.0:
+            train = _train_slice(
+                corpus, id_col, train_fraction, "semdedup-train:"
+            )
+            n_train = None  # slice size unknown without a count
+        else:
+            train, n_train = corpus, n
         centroids = ivf_centroids(
-            corpus, id_col, vec_col, n_cells=n_cells,
+            train, id_col, vec_col, n_cells=n_cells,
             assign="vectorized" if score == "vectorized" else "literal",
-            n_rows=n_rows,
+            n_rows=n_train,
         )
     if score == "vectorized":
         import numpy as np
@@ -1380,18 +1415,21 @@ def semantic_dedup_keep(
     centroids: list[list[float]] | None = None,
     score: str = "auto",
     n_rows: int | None = None,
+    train_fraction: "float | str | None" = "auto",
 ) -> DataFrame:
     """SemDeDup keep-set: one representative (min id) per connected
     semantic-duplicate cluster, everything unpaired kept. Transitive
     chains collapse correctly — the verified pair graph goes through
     ``dedup.cluster_dedup_keep``'s connected-components labeling rather
-    than a pairwise drop. ``score``/``n_rows`` pass through to
-    ``semantic_dedup_pairs`` ('auto' picks the scale-safe form by size)."""
+    than a pairwise drop. ``score``/``n_rows``/``train_fraction`` pass
+    through to ``semantic_dedup_pairs`` ('auto' picks the scale-safe
+    scoring form and caps quantizer training by corpus size)."""
     from sheetreader_duckdb_spark.operators.dedup import cluster_dedup_keep
 
     pairs = semantic_dedup_pairs(
         corpus, id_col, vec_col, n_cells=n_cells, threshold=threshold,
         centroids=centroids, score=score, n_rows=n_rows,
+        train_fraction=train_fraction,
     ).select("id_a", "id_b")
     return cluster_dedup_keep(corpus, pairs, id_col)
 

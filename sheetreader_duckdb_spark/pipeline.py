@@ -68,6 +68,7 @@ def curate_corpus(
     semantic_threshold: float = 0.95,
     semantic_cells: int | None = None,
     semantic_score: str = "auto",
+    semantic_train_fraction: "float | str | None" = "auto",
     contamination_k: int = 8,
     contamination_min_hits: int = 1,
     temperature: bool = True,
@@ -272,7 +273,7 @@ def curate_corpus(
             keep = SIM.semantic_dedup_keep(
                 emb, id_col, "__emb", n_cells=min(n_cells, n_emb),
                 threshold=semantic_threshold, score=semantic_score,
-                n_rows=n_emb,
+                n_rows=n_emb, train_fraction=semantic_train_fraction,
             ).select(id_col)
             drop = emb.select(id_col).join(keep, id_col, "left_anti")
             cur = note("semantic_dedup", cur.join(drop, id_col, "left_anti"))

@@ -129,3 +129,21 @@ def test_build_ivf_index_reduced_cells_full_corpus(spark, tmp_path):
             _emb(spark, n=400), str(tmp_path / "ivf_frac"),
             n_cells=256, train_fraction=0.05,
         )
+
+
+def test_semantic_dedup_auto_train_cap(spark, monkeypatch):
+    """'auto' train_fraction trains the cell quantizer on everything
+    below _SEMDEDUP_TRAIN_CAP (the declared witnesses' behavior,
+    unchanged) and on a deterministic hash-slice above it — sliced
+    training changes which centroids come out, never pair precision
+    (every emitted pair is cosine-verified)."""
+    e = _emb(spark, n=40)
+    full = S.semantic_dedup_pairs(e, n_cells=4, threshold=0.2)
+    explicit = S.semantic_dedup_pairs(e, n_cells=4, threshold=0.2,
+                                      train_fraction=None)
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(full) == rows(explicit)  # below the cap: identical
+    monkeypatch.setattr(S, "_SEMDEDUP_TRAIN_CAP", 20)
+    sliced = S.semantic_dedup_pairs(e, n_cells=4, threshold=0.2)
+    thr_ok = all(r["cosine"] >= 0.2 for r in sliced.collect())
+    assert thr_ok  # precision holds under sliced training
