@@ -2321,12 +2321,20 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_iters: int = 2,
-    train_fraction: float | None = None,
+    train_fraction: "float | str | None" = "auto",
     assign: str = "auto",
 ) -> None:
     """Materialize an IVF index on storage: ``{path}/centroids`` (the K-row
     (cell, cvec, cnorm) table) and ``{path}/assignments`` (corpus vectors
     parquet-PARTITIONED BY their cell).
+
+    ``train_fraction="auto"`` (default) caps quantizer training at
+    ``_SEMDEDUP_TRAIN_CAP`` rows — full-corpus training below the cap
+    (every existing small-corpus build is byte-unchanged), a
+    deterministic hash-slice above it (full-corpus Lloyd was measured at
+    60-67%% of build wall-clock at 200k vectors, BENCHNOTES r7; the
+    learning-subset recipe every production IVF uses). ``None``/1.0
+    forces full-corpus training; a float picks the slice explicitly.
 
     ``assign='auto'`` (default) resolves training and full-corpus
     assignment independently by their scoring-cell counts
@@ -2347,6 +2355,13 @@ def build_ivf_index(
     hash-sample of the corpus (see ``_train_slice``); assignment still
     covers every row. Raises if the slice seeds fewer than n_cells cells.
     """
+    n_corpus = None
+    if train_fraction == "auto" or assign == "auto":
+        n_corpus = corpus.count()
+    if train_fraction == "auto":
+        train_fraction = min(1.0, _SEMDEDUP_TRAIN_CAP / max(1, n_corpus))
+        if train_fraction >= 1.0:
+            train_fraction = None  # below the cap: full-corpus training
     train = _train_slice(corpus, id_col, train_fraction, "ivf-train:")
     n_train = None
     if train_fraction is not None:
@@ -2357,7 +2372,6 @@ def build_ivf_index(
                 f" — raise train_fraction (got {train_fraction})"
             )
     if assign == "auto":
-        n_corpus = corpus.count()
         if n_train is None:
             n_train = n_corpus
         train_assign = _resolve_auto(
@@ -2531,7 +2545,7 @@ def build_ivfpq_index(
     pq_iters: int = 2,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
-    train_fraction: float | None = None,
+    train_fraction: "float | str | None" = "auto",
     assign: str = "auto",
     encode: str = "auto",
 ) -> None:
@@ -2546,14 +2560,23 @@ def build_ivfpq_index(
 
     ``train_fraction``: train BOTH quantizers on a deterministic
     hash-sample (see ``_train_slice``); assignment and encoding still
-    cover every row. Ignored for a quantizer whose trained parameters
-    are passed in explicitly.
+    cover every row. ``"auto"`` (default) caps training at
+    ``_SEMDEDUP_TRAIN_CAP`` rows — full corpus below the cap, so small
+    builds are byte-unchanged. Ignored for a quantizer whose trained
+    parameters are passed in explicitly.
 
     ``assign='auto'`` / ``encode='auto'`` (defaults) resolve training,
     full-corpus assignment, and full-corpus encoding independently by
     scoring-cell count (``_resolve_auto``): witness-shaped expression
     forms below the crossover, the bit-identical GEMM forms above it."""
     spark = corpus.sparkSession
+    n_corpus = None
+    if train_fraction == "auto" or assign == "auto" or encode == "auto":
+        n_corpus = corpus.count()
+    if train_fraction == "auto":
+        train_fraction = min(1.0, _SEMDEDUP_TRAIN_CAP / max(1, n_corpus))
+        if train_fraction >= 1.0:
+            train_fraction = None  # below the cap: full-corpus training
     train = _train_slice(corpus, id_col, train_fraction, "ivfpq-train:")
     n_train = None
     if (
@@ -2567,11 +2590,8 @@ def build_ivfpq_index(
                 f" n_codes={n_codes}) rows — raise train_fraction"
                 f" (got {train_fraction})"
             )
-    n_corpus = None
-    if assign == "auto" or encode == "auto":
-        n_corpus = corpus.count()
-        if n_train is None:
-            n_train = n_corpus if train_fraction is None else train.count()
+    if (assign == "auto" or encode == "auto") and n_train is None:
+        n_train = n_corpus
     if assign == "auto":
         train_assign = _resolve_auto(
             "auto", n_train * n_cells, "literal", "vectorized"

@@ -147,3 +147,27 @@ def test_semantic_dedup_auto_train_cap(spark, monkeypatch):
     sliced = S.semantic_dedup_pairs(e, n_cells=4, threshold=0.2)
     thr_ok = all(r["cosine"] >= 0.2 for r in sliced.collect())
     assert thr_ok  # precision holds under sliced training
+
+
+def test_index_builds_auto_train_cap(spark, tmp_path, monkeypatch):
+    """Index builders' train_fraction='auto': full-corpus training below
+    _SEMDEDUP_TRAIN_CAP (byte-identical to train_fraction=None — the
+    pre-r8 default), a deterministic hash-slice above it (still a
+    complete, serving index over EVERY row)."""
+    e = _emb(spark, n=60)
+    p_auto, p_none = str(tmp_path / "a"), str(tmp_path / "n")
+    S.build_ivf_index(e, p_auto, n_cells=4)
+    S.build_ivf_index(e, p_none, n_cells=4, train_fraction=None)
+    cs = lambda p: sorted(  # noqa: E731
+        map(tuple, spark.read.parquet(f"{p}/centroids").collect())
+    )
+    assert cs(p_auto) == cs(p_none)
+    monkeypatch.setattr(S, "_SEMDEDUP_TRAIN_CAP", 30)
+    p_cap = str(tmp_path / "c")
+    S.build_ivf_index(e, p_cap, n_cells=4)
+    idx = spark.read.parquet(f"{p_cap}/assignments")
+    assert idx.count() == 60  # every row indexed despite sliced training
+    out = S.ivf_topk_indexed(
+        spark, p_cap, e.filter(F.col("vec_id") < 2), k=3, n_probe=4
+    )
+    assert out.count() == 6
