@@ -38,7 +38,15 @@ from pyspark.sql.functions import broadcast
 # embeddings (zero-norm vectors rank differently in numpy's local sort
 # than in Spark's NaN-greatest window ordering); pass the expression form
 # explicitly for NaN-bearing data.
-_AUTO_VECTORIZE_CELLS = 1_000_000
+#
+# Iterative trainers (Lloyd loops) pass cells×n_iters — the expression
+# cost repeats per iteration, and an 800k-cells-per-iteration PQ training
+# that slipped under a per-pass bar cost +35 s against the GEMM form
+# (measured, r8). 500k: expr ≈ 4 s there (~8.5 µs/cell at dim 64, the r7
+# int8 measurement) vs ~1-2 s of Arrow fixed cost — comfortably past the
+# true crossover while the largest declared witness (sf0.1 SemDeDup,
+# 200k pair-cells) stays on its expression plan shape.
+_AUTO_VECTORIZE_CELLS = 500_000
 
 # ivf_topk's 'literal' vs 'join' choice is a PLAN-size trade, not an
 # arithmetic one: the literal form embeds n_cells·dim doubles in the
@@ -735,7 +743,10 @@ def ivf_centroids(
     )
     if assign == "auto":
         n = n_rows if n_rows is not None else corpus.count()
-        assign = _resolve_auto("auto", n * n_cells, "literal", "vectorized")
+        # ×n_iters: the assignment cost repeats every Lloyd iteration
+        assign = _resolve_auto(
+            "auto", n * n_cells * max(1, n_iters), "literal", "vectorized"
+        )
     if assign not in ("literal", "vectorized"):
         raise ValueError(
             f"assign must be 'auto', 'literal' or 'vectorized', got {assign!r}"
@@ -1536,7 +1547,9 @@ def pq_codebooks(
         # dim total steps — the same unit as the other knobs (measured:
         # 97.7 s expr vs 7.5 s GEMM at production book sizes, r7).
         n = n_rows if n_rows is not None else corpus.count()
-        assign = _resolve_auto("auto", n * n_codes, "expr", "vectorized")
+        assign = _resolve_auto(
+            "auto", n * n_codes * max(1, n_iters), "expr", "vectorized"
+        )
     if assign not in ("expr", "vectorized"):
         raise ValueError(
             f"assign must be 'auto', 'expr' or 'vectorized', got {assign!r}"
@@ -2375,7 +2388,7 @@ def build_ivf_index(
         if n_train is None:
             n_train = n_corpus
         train_assign = _resolve_auto(
-            "auto", n_train * n_cells, "literal", "vectorized"
+            "auto", n_train * n_cells * max(1, n_iters), "literal", "vectorized"
         )
         corpus_assign = _resolve_auto(
             "auto", n_corpus * n_cells, "carrier", "vectorized"
@@ -2594,7 +2607,7 @@ def build_ivfpq_index(
         n_train = n_corpus
     if assign == "auto":
         train_assign = _resolve_auto(
-            "auto", n_train * n_cells, "literal", "vectorized"
+            "auto", n_train * n_cells * max(1, n_iters), "literal", "vectorized"
         )
         corpus_assign = _resolve_auto(
             "auto", n_corpus * n_cells, "carrier", "vectorized"
@@ -2604,7 +2617,7 @@ def build_ivfpq_index(
         corpus_assign = assign
     if encode == "auto":
         book_assign = _resolve_auto(
-            "auto", n_train * n_codes, "expr", "vectorized"
+            "auto", n_train * n_codes * max(1, pq_iters), "expr", "vectorized"
         )
         corpus_encode = _resolve_auto(
             "auto", n_corpus * n_codes, "join", "vectorized"
