@@ -43,7 +43,9 @@ TRAIN_FRACTION = (
     if os.environ.get("ANN_TRAIN_FRACTION")
     else None
 )
-# 'carrier' (expression form) or 'vectorized' (Arrow GEMM) assignment.
+# 'carrier' (expression form), 'vectorized' (Arrow GEMM), or 'auto'
+# (r8 production defaults: size-resolved strategies + capped training —
+# build_* called with NO knobs beyond n_cells).
 ASSIGN = os.environ.get("ANN_ASSIGN", "carrier")
 
 
@@ -123,17 +125,24 @@ def main() -> int:
     ivf_path = os.path.join(WORK, f"ivf_{REPLICAS}x{tf_tag}")
     ivfpq_path = os.path.join(WORK, f"ivfpq_{REPLICAS}x{tf_tag}")
     t0 = time.perf_counter()
-    build_ivf_index(
-        corpus, ivf_path, n_cells=N_CELLS, n_iters=2,
-        train_fraction=TRAIN_FRACTION, assign=ASSIGN,
-    )
+    if ASSIGN == "auto":
+        # Pure production defaults: auto strategies + auto-capped training.
+        build_ivf_index(corpus, ivf_path, n_cells=N_CELLS, n_iters=2)
+    else:
+        build_ivf_index(
+            corpus, ivf_path, n_cells=N_CELLS, n_iters=2,
+            train_fraction=TRAIN_FRACTION, assign=ASSIGN,
+        )
     ivf_build = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    build_ivfpq_index(
-        corpus, ivfpq_path, n_cells=N_CELLS, n_iters=2,
-        train_fraction=TRAIN_FRACTION, assign=ASSIGN,
-        encode="vectorized" if ASSIGN == "vectorized" else "join",
-    )
+    if ASSIGN == "auto":
+        build_ivfpq_index(corpus, ivfpq_path, n_cells=N_CELLS, n_iters=2)
+    else:
+        build_ivfpq_index(
+            corpus, ivfpq_path, n_cells=N_CELLS, n_iters=2,
+            train_fraction=TRAIN_FRACTION, assign=ASSIGN,
+            encode="vectorized" if ASSIGN == "vectorized" else "join",
+        )
     ivfpq_build = round(time.perf_counter() - t0, 3)
 
     def noop(df):
