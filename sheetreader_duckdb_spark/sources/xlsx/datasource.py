@@ -639,6 +639,36 @@ class SheetReaderReader(DataSourceReader):
                 # big file can feed every core of a local[32] executor (and
                 # 32 tasks of a cluster stage).
                 n = max(1, min(32, size_mb))
+                # String-heavy refinement: every shard pays an O(sst) fixed
+                # cost (decompress + offset-index the shared-string heap),
+                # while the row scan divides by n — so when the heap rivals
+                # the sheet in bytes, more shards just multiply overhead.
+                # Cap n at ~8 shards per sheet/sst byte ratio (zip central
+                # directory read only — no decompression at planning).
+                # Measured on the 800k-unique-string partsupp witness
+                # (sheet 139 MB, sst 123 MB → cap 9): 6-10 shards 4.7 s,
+                # 16 → 8.0 s, 24 → 9.2 s. Numeric/deduped sheets have
+                # tiny heaps and keep the size-based count.
+                try:
+                    import zipfile as _zf
+
+                    with _zf.ZipFile(p) as z:
+                        info = {
+                            i.filename: i.file_size for i in z.infolist()
+                        }
+                    sst_u = info.get("xl/sharedStrings.xml", 0)
+                    sheet_u = max(
+                        (
+                            v
+                            for k, v in info.items()
+                            if k.startswith("xl/worksheets/")
+                        ),
+                        default=0,
+                    )
+                    if sst_u > 0 and sheet_u > 0:
+                        n = max(1, min(n, round(8 * sheet_u / sst_u)))
+                except Exception:
+                    pass  # unreadable zip fails later with a real error
             parts.extend(
                 _SheetPartition(p, shard=i, n_shards=n, filters=self._staged_filters)
                 for i in range(n)
