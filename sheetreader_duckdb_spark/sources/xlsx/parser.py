@@ -138,6 +138,11 @@ def _parse_sst_fast(data: bytes) -> list[str] | None:
     """Regex-scan the sharedStrings heap (one pass over the raw bytes,
     measured ~2.5x faster than the expat walk on an 800k-entry heap);
     returns None when the document shape defeats the pattern."""
+    if b"<!--" in data or b"<![CDATA[" in data:
+        # A commented-out <si> would BOTH count and match (a phantom
+        # entry the count check cannot catch); CDATA text would decode
+        # wrong. Legal but writer-exotic — expat owns these documents.
+        return None
     n_si = data.count(b"<si>") + data.count(b"<si/>")
     matches = _SI_FAST_RE.findall(data)
     if len(matches) != n_si:
@@ -173,6 +178,17 @@ class SharedStringHeap:
 
     def __init__(self, data: bytes):
         self._data = data
+        self._full: list[str] | None = None
+        if b"<!--" in data or b"<![CDATA[" in data:
+            # A commented-out <si> would land in the offset index and
+            # SHIFT every later entry to the wrong slice (each slice can
+            # still match the per-entry regex, so the per-entry fallback
+            # cannot catch the skew). Same guard as _parse_sst_fast:
+            # expat owns comment/CDATA-bearing documents, eagerly.
+            self._full = _parse_sst_expat(data)
+            self._offs = list(range(len(self._full)))
+            self._end = len(data)
+            return
         end = data.rfind(b"</sst")
         self._end = end if end != -1 else len(data)
         offs: list[int] = []
@@ -183,7 +199,6 @@ class SharedStringHeap:
                 offs.append(pos)
             pos = data.find(b"<si", pos + 3)
         self._offs = offs
-        self._full: list[str] | None = None
 
     def __len__(self) -> int:
         return len(self._offs)

@@ -209,3 +209,23 @@ def test_string_heavy_sharded_read_equals_single_thread(spark, tmp_path):
     r1 = sorted(map(tuple, one.collect()))
     r8 = sorted(map(tuple, many.collect()))
     assert r1 == r8 and len(r1) == 5000
+
+
+def test_sst_comment_and_cdata_fall_back_to_expat():
+    """An XML comment containing a well-formed <si> would BOTH count and
+    regex-match (a phantom heap entry no count check catches), and it
+    would shift every later lazy-heap offset — both paths must hand such
+    documents to expat."""
+    from sheetreader_duckdb_spark.sources.xlsx import parser as P
+
+    doc = (
+        b'<sst count="2" uniqueCount="2">'
+        b'<!-- <si><t>phantom</t></si> -->'
+        b'<si><t>real one</t></si><si><t>real two</t></si></sst>'
+    )
+    want = ["real one", "real two"]
+    assert P._parse_sst_fast(doc) is None
+    assert P._parse_sst_expat(doc) == want
+    heap = P.SharedStringHeap(doc)
+    assert [heap[0], heap[1]] == want and len(heap) == 2
+    assert heap.decode_many([1, 0]) == ["real two", "real one"]
