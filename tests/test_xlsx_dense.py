@@ -229,3 +229,53 @@ def test_sst_comment_and_cdata_fall_back_to_expat():
     heap = P.SharedStringHeap(doc)
     assert [heap[0], heap[1]] == want and len(heap) == 2
     assert heap.decode_many([1, 0]) == ["real two", "real one"]
+
+
+def test_sst_fast_paths_roundtrip_hostile_strings():
+    """Property sweep (hypothesis): arbitrary text through the writer's
+    exact sst emission (ST_Xstring control-char escapes, XML entity
+    escaping, xml:space) must decode identically via the regex fast
+    parse, the expat walk, and the lazy SharedStringHeap."""
+    from hypothesis import given, settings, strategies as st
+
+    from sheetreader_duckdb_spark.sources.xlsx import parser as P
+    from sheetreader_duckdb_spark.sources.xlsx.writer import _xstring as wx
+    from xml.sax.saxutils import escape
+
+    def sst_xml(strings):
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+            f'<sst xmlns="x" count="{len(strings)}" uniqueCount="{len(strings)}">'
+            + "".join(
+                f"<si><t xml:space=\"preserve\">{escape(wx(s))}</t></si>"
+                for s in strings
+            )
+            + "</sst>"
+        ).encode("utf-8")
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\r"
+            ),
+            max_size=40,
+        ),
+        min_size=0,
+        max_size=12,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts)
+    def check(strings):
+        # XML normalizes bare \r away; the writer escapes it to _x000D_
+        # and the parser restores it — include some explicitly.
+        strings = strings + ["a_x0041_b", "tab\ttab", "cr\rcr", ""]
+        data = sst_xml(strings)
+        want = P._parse_sst_expat(data)
+        assert want == strings  # writer→expat roundtrip is the contract
+        fast = P._parse_sst_fast(data)
+        assert fast == strings
+        heap = P.SharedStringHeap(data)
+        assert [heap[i] for i in range(len(heap))] == strings
+
+    check()
