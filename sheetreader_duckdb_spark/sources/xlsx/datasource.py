@@ -648,7 +648,19 @@ class SheetReaderReader(DataSourceReader):
                 # Measured on the 800k-unique-string partsupp witness
                 # (sheet 139 MB, sst 123 MB → cap 9): 6-10 shards 4.7 s,
                 # 16 → 8.0 s, 24 → 9.2 s. Numeric/deduped sheets have
-                # tiny heaps and keep the size-based count.
+                # tiny heaps and keep the size-based count. Probed only
+                # when sharding would actually happen (n > 4): a
+                # many-small-file directory read never pays per-file zip
+                # metadata reads at planning.
+                if n <= 4:
+                    parts.extend(
+                        _SheetPartition(
+                            p, shard=i, n_shards=n,
+                            filters=self._staged_filters,
+                        )
+                        for i in range(n)
+                    )
+                    continue
                 try:
                     import zipfile as _zf
 
