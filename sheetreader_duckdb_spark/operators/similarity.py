@@ -70,6 +70,13 @@ _CELL_PAIR_BLOCK = 4_000_000
 # IVF on a learning subset for the same reason).
 _SEMDEDUP_TRAIN_CAP = 50_000
 
+# The index builders scale the auto training cap with the quantizer size
+# (max(_SEMDEDUP_TRAIN_CAP, _TRAIN_CAP_PER_CELL * n_cells)): a fixed 50k
+# slice can never seed n_cells > 50k, and large quantizers want more
+# training rows per cell anyway (ADVICE r8). ~25 rows/cell is FAISS's
+# documented minimum training-points-per-centroid guidance.
+_TRAIN_CAP_PER_CELL = 25
+
 
 def _resolve_auto(requested: str, cells: int, small: str, large: str) -> str:
     """Resolve an 'auto' strategy knob by estimated scoring-cell count:
@@ -752,6 +759,11 @@ def ivf_centroids(
             f"assign must be 'auto', 'literal' or 'vectorized', got {assign!r}"
         )
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    if not centroids:
+        # Empty corpus: no cells to train. Returning [] lets callers
+        # degrade to an empty result instead of building a zero-length
+        # literal zip_with the analyzer rejects (ADVICE r9).
+        return []
     for _ in range(n_iters):
         if assign == "vectorized":
             cell = _vectorized_cell_udf(corpus.sparkSession, centroids)(
@@ -1074,14 +1086,22 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    if assign == "auto":
-        dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-        assign = "literal" if n_cells * dim <= _AUTO_LITERAL_DOUBLES else "join"
-    if assign not in ("literal", "join"):
+    if assign not in ("auto", "literal", "join"):
         raise ValueError(
             f"assign must be 'auto', 'literal' or 'join', got {assign!r}"
         )
     centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters)
+    if assign == "auto":
+        # Resolve from the trained centroids' own dim — no extra Spark
+        # job, and an empty corpus (no centroids) degrades to the
+        # constant-plan 'join' form instead of a first()=None TypeError
+        # (ADVICE r8).
+        dim = len(centroids[0]) if centroids else 0
+        assign = (
+            "literal"
+            if centroids and n_cells * dim <= _AUTO_LITERAL_DOUBLES
+            else "join"
+        )
     if assign == "join":
         from sheetreader_duckdb_spark.operators.exprutil import bind_once
 
@@ -2371,15 +2391,22 @@ def build_ivf_index(
     n_corpus = None
     if train_fraction == "auto" or assign == "auto":
         n_corpus = corpus.count()
-    if train_fraction == "auto":
-        train_fraction = min(1.0, _SEMDEDUP_TRAIN_CAP / max(1, n_corpus))
+    auto_fraction = train_fraction == "auto"
+    if auto_fraction:
+        # Scale the auto cap with n_cells: a fixed 50k slice can never
+        # seed n_cells > 50k, and even n_cells=4096 has ~2% expected
+        # empty hash strata — large-quantizer builds that succeeded with
+        # full-corpus training must not start failing because a default
+        # they never set capped the slice (ADVICE r8).
+        cap = max(_SEMDEDUP_TRAIN_CAP, _TRAIN_CAP_PER_CELL * n_cells)
+        train_fraction = min(1.0, cap / max(1, n_corpus))
         if train_fraction >= 1.0:
             train_fraction = None  # below the cap: full-corpus training
     train = _train_slice(corpus, id_col, train_fraction, "ivf-train:")
     n_train = None
     if train_fraction is not None:
         n_train = train.count()
-        if n_train < n_cells:
+        if n_train < n_cells and not auto_fraction:
             raise ValueError(
                 f"training slice has fewer than n_cells={n_cells} rows"
                 f" — raise train_fraction (got {train_fraction})"
@@ -2401,13 +2428,14 @@ def build_ivf_index(
         assign=train_assign, n_rows=n_train,
     )
     if len(centroids) < n_cells:
-        if train_fraction is not None:
+        if train_fraction is not None and not auto_fraction:
             raise ValueError(
                 f"training slice seeded only {len(centroids)} of {n_cells}"
                 f" cells — raise train_fraction (got {train_fraction})"
             )
-        # Full-corpus training: fewer occupied hash strata than n_cells
-        # just means the corpus is smaller than the requested quantizer —
+        # Full-corpus training (or an auto-derived slice the caller never
+        # asked for, ADVICE r8): fewer occupied hash strata than n_cells
+        # just means fewer distinct vectors than the requested quantizer —
         # the reduced-cell index is valid (the search paths handle
         # K' < K), so build it and say so (ADVICE r7).
         import warnings
@@ -2586,8 +2614,15 @@ def build_ivfpq_index(
     n_corpus = None
     if train_fraction == "auto" or assign == "auto" or encode == "auto":
         n_corpus = corpus.count()
-    if train_fraction == "auto":
-        train_fraction = min(1.0, _SEMDEDUP_TRAIN_CAP / max(1, n_corpus))
+    auto_fraction = train_fraction == "auto"
+    if auto_fraction:
+        # Auto cap scales with the quantizer sizes (same rationale as
+        # build_ivf_index, ADVICE r8): a fixed slice can never seed more
+        # cells/codes than its row count.
+        cap = max(
+            _SEMDEDUP_TRAIN_CAP, _TRAIN_CAP_PER_CELL * max(n_cells, n_codes)
+        )
+        train_fraction = min(1.0, cap / max(1, n_corpus))
         if train_fraction >= 1.0:
             train_fraction = None  # below the cap: full-corpus training
     train = _train_slice(corpus, id_col, train_fraction, "ivfpq-train:")
@@ -2597,7 +2632,7 @@ def build_ivfpq_index(
         and (centroids is None or codebooks is None)
     ):
         n_train = train.count()
-        if n_train < max(n_cells, n_codes):
+        if n_train < max(n_cells, n_codes) and not auto_fraction:
             raise ValueError(
                 f"training slice has fewer than max(n_cells={n_cells},"
                 f" n_codes={n_codes}) rows — raise train_fraction"
@@ -2631,7 +2666,7 @@ def build_ivfpq_index(
             assign=train_assign, n_rows=n_train,
         )
         if len(centroids) < n_cells:
-            if train_fraction is not None:
+            if train_fraction is not None and not auto_fraction:
                 raise ValueError(
                     f"training slice seeded only {len(centroids)} of"
                     f" {n_cells} cells — raise train_fraction"
@@ -2651,9 +2686,20 @@ def build_ivfpq_index(
             n_iters=pq_iters, assign=book_assign, n_rows=n_train,
         )
         if len(codebooks[0]) < n_codes:
-            raise ValueError(
-                f"training slice seeded only {len(codebooks[0])} of {n_codes}"
-                f" codes — raise train_fraction (got {train_fraction})"
+            if train_fraction is not None and not auto_fraction:
+                raise ValueError(
+                    f"training slice seeded only {len(codebooks[0])} of"
+                    f" {n_codes} codes — raise train_fraction"
+                    f" (got {train_fraction})"
+                )
+            # Reduced-code codebooks are valid (codes index whatever
+            # entries exist; the LUT builders size from the books) —
+            # same reduced-quantizer policy as the cell path.
+            import warnings
+
+            warnings.warn(
+                f"training seeded only {len(codebooks[0])} of"
+                f" n_codes={n_codes} codes; building the reduced-code index"
             )
     _centroid_table(spark, centroids).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/centroids"

@@ -144,6 +144,20 @@ def _parse_sst_fast(data: bytes) -> list[str] | None:
         # wrong. Legal but writer-exotic — expat owns these documents.
         return None
     n_si = data.count(b"<si>") + data.count(b"<si/>")
+    if n_si == 0:
+        # Either an actually-empty sst (cheap for expat) or a
+        # namespace-prefixed document (<x:sst><x:si>…) the pattern can't
+        # see at all — returning [] here would silently drop every
+        # entry, so zero is always a fast-path defeat.
+        return None
+    if data.count(b"<si") != n_si:
+        # An <si start tag carrying XML whitespace or an attribute
+        # ('<si >', '<si\n>', '<si ph="…">') is counted by NEITHER
+        # n_si NOR the pattern, so the match-count check alone would
+        # still pass while silently omitting the entry. Any <si…
+        # occurrence that is not literal '<si>'/'<si/>' defeats the
+        # fast path.
+        return None
     matches = _SI_FAST_RE.findall(data)
     if len(matches) != n_si:
         return None
@@ -198,6 +212,15 @@ class SharedStringHeap:
             if nxt == b">" or nxt == b"/":
                 offs.append(pos)
             pos = data.find(b"<si", pos + 3)
+        if not offs or len(offs) != data.count(b"<si"):
+            # Entries the offset scan can't see — '<si ' with
+            # whitespace/attributes (would SHIFT every later entry to
+            # the wrong slice) or a namespace-prefixed document whose
+            # tags never match '<si' at all (offs empty, lookups would
+            # IndexError). Expat owns these documents, eagerly.
+            self._full = _parse_sst_expat(data)
+            self._offs = list(range(len(self._full)))
+            return
         self._offs = offs
 
     def __len__(self) -> int:

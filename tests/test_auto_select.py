@@ -131,6 +131,43 @@ def test_build_ivf_index_reduced_cells_full_corpus(spark, tmp_path):
         )
 
 
+def test_build_auto_train_cap_scales_with_quantizer(spark, tmp_path, monkeypatch):
+    """ADVICE r9: train_fraction='auto' must never make a build fail that
+    full-corpus training would have served — the auto cap scales with the
+    quantizer size (max(cap, per_cell*n_cells)), and when an auto-derived
+    slice still under-seeds, the build takes the reduced-cell WARNING
+    path instead of raising about a knob the caller never set."""
+    e = _emb(spark, n=220)
+    # Old behavior: cap=8 → slice ~8 rows < n_cells=16 → hard raise.
+    # New: cap scales to 25*16=400 > 220 → full-corpus training succeeds.
+    monkeypatch.setattr(S, "_SEMDEDUP_TRAIN_CAP", 8)
+    p = str(tmp_path / "scaled")
+    S.build_ivf_index(e, p, n_cells=16)
+    assert spark.read.parquet(f"{p}/centroids").count() == 16
+    # Force an auto-derived slice that genuinely under-seeds: warn, build.
+    monkeypatch.setattr(S, "_TRAIN_CAP_PER_CELL", 0)
+    p2 = str(tmp_path / "underseeded")
+    with pytest.warns(UserWarning, match="reduced-cell"):
+        S.build_ivf_index(e, p2, n_cells=16)
+    got = spark.read.parquet(f"{p2}/centroids").count()
+    assert 0 < got < 16
+    assert spark.read.parquet(f"{p2}/assignments").count() == 220
+    # Same policy on the IVFADC builder (per-cell budget restored).
+    monkeypatch.setattr(S, "_TRAIN_CAP_PER_CELL", 25)
+    p3 = str(tmp_path / "pq_scaled")
+    S.build_ivfpq_index(e, p3, dim=8, m=2, n_codes=4, n_cells=16)
+    assert spark.read.parquet(f"{p3}/centroids").count() == 16
+
+
+def test_ivf_topk_auto_empty_corpus(spark):
+    """ADVICE r9 (low): assign='auto' on an empty corpus must degrade to
+    an empty result, not TypeError on a first()=None dim probe."""
+    e = _emb(spark, n=10)
+    empty = e.filter(F.col("vec_id") < 0)
+    out = S.ivf_topk(empty, e.limit(2), k=3, n_cells=4, assign="auto")
+    assert out.count() == 0
+
+
 def test_semantic_dedup_auto_train_cap(spark, monkeypatch):
     """'auto' train_fraction trains the cell quantizer on everything
     below _SEMDEDUP_TRAIN_CAP (the declared witnesses' behavior,

@@ -231,6 +231,57 @@ def test_sst_comment_and_cdata_fall_back_to_expat():
     assert heap.decode_many([1, 0]) == ["real two", "real one"]
 
 
+def test_sst_si_with_whitespace_or_attribute_falls_back():
+    """ADVICE r9 (high): an <si start tag carrying XML whitespace or an
+    attribute ('<si >', '<si\\n>', '<si ph="x">') is counted by NEITHER
+    the literal n_si count NOR the fast regex — the match-count check
+    alone still passes while the entry is silently OMITTED, shifting
+    every later string ref. Both fast paths must hand such documents to
+    expat."""
+    from sheetreader_duckdb_spark.sources.xlsx import parser as P
+
+    for opener in (b"<si >", b"<si\n>", b'<si ph="x">'):
+        doc = (
+            b'<sst count="3" uniqueCount="3">'
+            b"<si><t>first</t></si>"
+            + opener
+            + b"<t>hidden</t></si>"
+            b"<si><t>last</t></si></sst>"
+        )
+        want = ["first", "hidden", "last"]
+        assert P._parse_sst_expat(doc) == want
+        assert P._parse_sst_fast(doc) is None, opener
+        heap = P.SharedStringHeap(doc)
+        assert len(heap) == 3
+        assert [heap[0], heap[1], heap[2]] == want, opener
+
+
+def test_sst_namespace_prefixed_falls_back():
+    """ADVICE r9 (medium): a namespace-prefixed heap (<x:sst><x:si><x:t>)
+    yields zero literal '<si' matches — the fast parse must defeat
+    (return None), not return [], and the lazy heap must eagerly fall
+    back to expat instead of building an empty offset index that
+    IndexErrors on every lookup."""
+    from sheetreader_duckdb_spark.sources.xlsx import parser as P
+
+    doc = (
+        b'<x:sst xmlns:x="s" count="2" uniqueCount="2">'
+        b"<x:si><x:t>alpha</x:t></x:si>"
+        b"<x:si><x:t>beta</x:t></x:si></x:sst>"
+    )
+    want = ["alpha", "beta"]
+    assert P._parse_sst_expat(doc) == want
+    assert P._parse_sst_fast(doc) is None
+    heap = P.SharedStringHeap(doc)
+    assert len(heap) == 2
+    assert [heap[0], heap[1]] == want
+    assert heap.decode_many([1, 0]) == ["beta", "alpha"]
+    # Genuinely empty heap: cheap expat, no phantom entries.
+    empty = b'<sst count="0" uniqueCount="0"></sst>'
+    assert P._parse_sst_fast(empty) is None
+    assert len(P.SharedStringHeap(empty)) == 0
+
+
 def test_sst_fast_paths_roundtrip_hostile_strings():
     """Property sweep (hypothesis): arbitrary text through the writer's
     exact sst emission (ST_Xstring control-char escapes, XML entity
