@@ -153,6 +153,7 @@ def brute_force_topk_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    gemm: bool = False,
 ) -> DataFrame:
     """``brute_force_topk``'s exact result via Arrow-blocked scoring —
     same (qid, cid, cosine, rn) rows, BIT-IDENTICAL cosines (the dot and
@@ -175,7 +176,14 @@ def brute_force_topk_blocked(
     Caveat (same as ``pq_encode_vectorized``): NaN cosines (zero-norm
     vectors) rank last in the local numpy sort where Spark's window
     ranks NaN greatest — feed NaN-free embeddings, or use the
-    expression form."""
+    expression form.
+
+    ``gemm=True`` swaps the sequential per-dimension replay for one true
+    BLAS matmul per batch — ~dim× fewer memory passes, cosines
+    float-associative rather than bit-identical (neighbor sets can
+    differ only on last-ulp score ties; tolerance-pinned in
+    tests/test_gemm_score.py). Opt-in; never used by declared
+    witnesses."""
     import numpy as np
     import pandas as pd
 
@@ -209,14 +217,18 @@ def brute_force_topk_blocked(
             M = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf["cv"]]
             )
-            # Sequential per-dimension accumulation: the fold's exact
-            # IEEE op sequence for both the pair dots and the corpus
-            # norms (acc + v_d·w_d from 0.0, in order).
-            dots = np.zeros((M.shape[0], nq))
-            cn2 = np.zeros(M.shape[0])
-            for d in range(dim):
-                dots += M[:, d, None] * bQ[None, :, d]
-                cn2 += M[:, d] * M[:, d]
+            if gemm:
+                dots = M @ bQ.T
+                cn2 = np.einsum("ij,ij->i", M, M)
+            else:
+                # Sequential per-dimension accumulation: the fold's exact
+                # IEEE op sequence for both the pair dots and the corpus
+                # norms (acc + v_d·w_d from 0.0, in order).
+                dots = np.zeros((M.shape[0], nq))
+                cn2 = np.zeros(M.shape[0])
+                for d in range(dim):
+                    dots += M[:, d, None] * bQ[None, :, d]
+                    cn2 += M[:, d] * M[:, d]
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = dots / (bqn[None, :] * np.sqrt(cn2)[:, None])
             kk = min(k, M.shape[0])
@@ -754,9 +766,10 @@ def ivf_centroids(
         assign = _resolve_auto(
             "auto", n * n_cells * max(1, n_iters), "literal", "vectorized"
         )
-    if assign not in ("literal", "vectorized"):
+    if assign not in ("literal", "vectorized", "gemm"):
         raise ValueError(
-            f"assign must be 'auto', 'literal' or 'vectorized', got {assign!r}"
+            f"assign must be 'auto', 'literal', 'vectorized' or 'gemm',"
+            f" got {assign!r}"
         )
     centroids = [[float(x) for x in r[0]] for r in seeds]
     if not centroids:
@@ -765,10 +778,10 @@ def ivf_centroids(
         # literal zip_with the analyzer rejects (ADVICE r9).
         return []
     for _ in range(n_iters):
-        if assign == "vectorized":
-            cell = _vectorized_cell_udf(corpus.sparkSession, centroids)(
-                F.col(vec_col)
-            )
+        if assign in ("vectorized", "gemm"):
+            cell = _vectorized_cell_udf(
+                corpus.sparkSession, centroids, gemm=assign == "gemm"
+            )(F.col(vec_col))
         else:
             cell = _argmax_cell(F.col(vec_col), centroids)
         # Two-step select: the cell assignment MUST be projected below the
@@ -920,11 +933,24 @@ def ivf_assign_carrier(
     )
 
 
-def _vectorized_cell_udf(spark, centroids: list[list[float]]):
-    """The GEMM cell-assignment as a reusable pandas_udf column function —
-    see ``ivf_assign_vectorized`` for the bit-identity argument. Shared by
-    the corpus assignment, the Lloyd training loop (``ivf_centroids``
-    ``assign='vectorized'``), and SemDeDup's vectorized path."""
+def _vectorized_cell_udf(spark, centroids: list[list[float]], gemm: bool = False):
+    """The vectorized cell-assignment as a reusable pandas_udf column
+    function — see ``ivf_assign_vectorized`` for the bit-identity argument.
+    Shared by the corpus assignment, the Lloyd training loop
+    (``ivf_centroids`` ``assign='vectorized'``), and SemDeDup's vectorized
+    path.
+
+    ``gemm=True`` scores with ONE true BLAS matmul (``M @ C.T``) instead
+    of the dim sequential per-dimension passes the bit-identity invariant
+    requires. Float addition is not associative, so scores can differ
+    from the fold in the last ulp — argmax cells are therefore identical
+    except for vectors whose top-2 centroid scores are within that ulp
+    (adversarially constructible, vanishing for real embeddings). NEVER
+    used by declared hash witnesses; tolerance-pinned in
+    tests/test_gemm_score.py. This is the mode's entire point: the
+    sequential replay costs dim passes over every score block — measured
+    ~136 s of the 181 s default SemDeDup run at 200k×K=2000 (BENCHNOTES
+    r8, VERDICT r8 'what's wrong #1')."""
     import math
 
     import numpy as np
@@ -939,11 +965,17 @@ def _vectorized_cell_udf(spark, centroids: list[list[float]]):
         Cb, cnb = bc.value
         dim = Cb.shape[1]
         M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        dots = np.zeros((M.shape[0], Cb.shape[0]))
-        vn2 = np.zeros(M.shape[0])
-        for d in range(dim):
-            dots += M[:, d, None] * Cb[None, :, d]
-            vn2 += M[:, d] * M[:, d]
+        if gemm:
+            dots = M @ Cb.T
+            vn2 = np.einsum("ij,ij->i", M, M)
+        else:
+            # Sequential per-dimension accumulation: the fold's exact
+            # IEEE op sequence (bit-identical to the expression forms).
+            dots = np.zeros((M.shape[0], Cb.shape[0]))
+            vn2 = np.zeros(M.shape[0])
+            for d in range(dim):
+                dots += M[:, d, None] * Cb[None, :, d]
+                vn2 += M[:, d] * M[:, d]
         with np.errstate(divide="ignore", invalid="ignore"):
             s = dots / (np.sqrt(vn2)[:, None] * cnb[None, :])
         return pd.Series(np.argmax(s, axis=1).astype("int32"))
@@ -1259,11 +1291,25 @@ def semantic_dedup_pairs(
     streams pairs, instead of materializing the full occupancy² matrix
     in one task; ADVICE r7).
 
+    ``score='gemm'`` is the production scoring form: the same
+    applyInPandas cell shuffle and row-chunked blocks, but each block
+    scores as ONE true BLAS matmul (``A @ B.T``) instead of the dim
+    sequential per-dimension passes the bit-identity invariant costs.
+    Float addition is non-associative, so cosines are NOT hash-identical
+    to the fold — they agree to ~1e-12 relative, and pair membership can
+    differ only for cosines within an ulp of the threshold
+    (tolerance + planted-recall pinned in tests/test_gemm_score.py).
+    The sequential replay was measured as ~136 s of the 181 s default
+    run at 200k×K=2000 — the engine's largest constant factor
+    (VERDICT r8); 'gemm' removes it.
+
     ``score='auto'`` (default) picks by estimated scoring cells —
     max(assignment n·K, expected same-cell pairs n·(n/K)) — expression
     form below the crossover (the nx witness's declared plan shape),
-    vectorized at or above it (round 7 measured the expression form DNF
-    at production cell counts where the GEMM form took 136 s).
+    'gemm' at or above it. Every declared hash witness is below the
+    crossover by size, so 'auto' never changes a witnessed hash; callers
+    that need the bit-identical Arrow form at scale pass
+    ``score='vectorized'`` explicitly.
     ``n_rows`` is an optional corpus-size hint that skips the count-star
     'auto' otherwise runs.
 
@@ -1297,8 +1343,14 @@ def semantic_dedup_pairs(
         n = n_rows if n_rows is not None else corpus.count()
     if score == "auto":
         occupancy = max(1, n // max(1, n_cells))
+        # Above the crossover 'auto' now picks 'gemm' — the true-BLAS
+        # scoring form (VERDICT r8 task 1). No declared hash witness
+        # sits above the crossover (all sf0.01/sf0.1 SemDeDup witnesses
+        # are 'expr'-shaped by size), so hash-exactness callers are
+        # untouched; a caller that needs the bit-identical Arrow form AT
+        # scale opts into score='vectorized' explicitly.
         score = _resolve_auto(
-            "auto", max(n * n_cells, n * occupancy), "expr", "vectorized"
+            "auto", max(n * n_cells, n * occupancy), "expr", "gemm"
         )
     if centroids is None:
         if train_fraction == "auto":
@@ -1312,10 +1364,11 @@ def semantic_dedup_pairs(
             train, n_train = corpus, n
         centroids = ivf_centroids(
             train, id_col, vec_col, n_cells=n_cells,
-            assign="vectorized" if score == "vectorized" else "literal",
+            assign=score if score in ("vectorized", "gemm") else "literal",
             n_rows=n_train,
         )
-    if score == "vectorized":
+    if score in ("vectorized", "gemm"):
+        use_gemm = score == "gemm"
         import numpy as np
         import pandas as pd
 
@@ -1330,10 +1383,13 @@ def semantic_dedup_pairs(
                 )
             ids = pdf["__id"].to_numpy()
             M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
-            n2 = np.zeros(n)
-            for d in range(M.shape[1]):
-                n2 += M[:, d] * M[:, d]
-            nm = np.sqrt(n2)
+            if use_gemm:
+                nm = np.sqrt(np.einsum("ij,ij->i", M, M))
+            else:
+                n2 = np.zeros(n)
+                for d in range(M.shape[1]):
+                    n2 += M[:, d] * M[:, d]
+                nm = np.sqrt(n2)
             # Row-chunked scoring: each block is chunk×n doubles (capped
             # at _CELL_PAIR_BLOCK), never the full n×n matrix — a skewed
             # hot cell streams pair rows instead of OOMing the task. The
@@ -1346,9 +1402,18 @@ def semantic_dedup_pairs(
             outs = []
             for r0 in range(0, n - 1, chunk):
                 r1 = min(n, r0 + chunk)
-                dots = np.zeros((r1 - r0, n))
-                for d in range(M.shape[1]):
-                    dots += M[r0:r1, d, None] * M[None, :, d]
+                if use_gemm:
+                    # One BLAS matmul per block: ~dim× fewer memory
+                    # passes than the sequential replay. Cosines are
+                    # float-associative (NOT hash-identical) — pair
+                    # membership can differ from the fold only when a
+                    # cosine sits within an ulp of the threshold
+                    # (tolerance-pinned in tests/test_gemm_score.py).
+                    dots = M[r0:r1] @ M.T
+                else:
+                    dots = np.zeros((r1 - r0, n))
+                    for d in range(M.shape[1]):
+                        dots += M[r0:r1, d, None] * M[None, :, d]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     s = dots / (nm[r0:r1, None] * nm[None, :])
                 # upper triangle in GLOBAL row order: pair (i, j), j > i.
@@ -1379,7 +1444,9 @@ def semantic_dedup_pairs(
         # Assignment rides the GEMM udf too (bit-identical to the carrier
         # expression, pinned): at large K the expression's K·dim lambda
         # steps per row dominate the whole job.
-        cell_udf = _vectorized_cell_udf(corpus.sparkSession, centroids)
+        cell_udf = _vectorized_cell_udf(
+            corpus.sparkSession, centroids, gemm=use_gemm
+        )
         assigned = corpus.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
@@ -1391,7 +1458,8 @@ def semantic_dedup_pairs(
         )
     if score != "expr":
         raise ValueError(
-            f"score must be 'auto', 'expr' or 'vectorized', got {score!r}"
+            f"score must be 'auto', 'expr', 'vectorized' or 'gemm',"
+            f" got {score!r}"
         )
     from sheetreader_duckdb_spark.operators.exprutil import bind_once
 
