@@ -626,9 +626,7 @@ class SheetReaderReader(DataSourceReader):
         """
         parts = []
         for p in self.opts.paths:
-            if self.opts.coerce_to_string:
-                n = 1  # coerce path is row-based single-stream
-            elif self.opts.threads > 0:
+            if self.opts.threads > 0:
                 n = self.opts.threads  # explicit, like the reference's S4
             else:
                 try:
@@ -740,14 +738,21 @@ class SheetReaderReader(DataSourceReader):
                 return
             except P._FastPathUnsupported:
                 pass
-        # Whole-file row path (expat / coerce): single-stream — with sharded
-        # partitions only shard 0 parses, the rest are empty (the fallback
-        # decision is deterministic across shards, see _read_columnar).
-        if partition.n_shards > 1 and partition.shard != 0:
-            return
-        yield from self._read_rows(partition.path, file_schema, keep)
+        # Row path (expat / coerce / inline strings): chunk round-robin
+        # sharded like the columnar path (VERDICT r8 task 2) — each shard
+        # cell-parses only its assigned chunks and row-counts the rest;
+        # only the tier-3 whole-file expat fallback (namespace-prefixed
+        # documents) stays on shard 0, decided deterministically because
+        # every shard scans chunk 0 (see XlsxWorkbook.iter_rows).
+        yield from self._read_rows(
+            partition.path, file_schema, keep,
+            partition.shard, partition.n_shards,
+        )
 
-    def _read_rows(self, path: str, file_schema, keep: list):
+    def _read_rows(
+        self, path: str, file_schema, keep: list,
+        shard: int = 0, n_shards: int = 1,
+    ):
         import pyarrow as pa
 
         opts = self.opts
@@ -770,7 +775,12 @@ class SheetReaderReader(DataSourceReader):
 
         with P.XlsxWorkbook(path, allow_inline=opts.inline_strings) as wb:
             sheet = wb.resolve_sheet(opts.sheet_name, opts.sheet_index)
-            shared = wb.shared_strings
+            # Lazy heap when sharded: each shard decodes only the string
+            # entries its own rows reference (the columnar path's fix for
+            # the O(heap)-per-shard pathology, applied to the row path).
+            shared = (
+                wb.shared_strings_lazy() if n_shards > 1 else wb.shared_strings
+            )
             coerce = opts.coerce_to_string
             columns: list[list] = [[] for _ in range(n_cols)]
             n_buffered = 0
@@ -780,7 +790,13 @@ class SheetReaderReader(DataSourceReader):
                 arrays = [pa.array(columns[i], type=arrow_type[col_types[i]]) for i in range(n_cols)]
                 return pa.RecordBatch.from_arrays(arrays, names=[f.name for f in self.schema.fields])
 
-            for cells in wb.iter_rows(sheet, skip_rows=file_schema.skip_rows):
+            # Smaller chunks when sharded → even round-robin load balance
+            # (same policy as _read_columnar).
+            cb = (1 << 20) if n_shards > 1 else (4 << 20)
+            for cells in wb.iter_rows(
+                sheet, skip_rows=file_schema.skip_rows,
+                chunk_bytes=cb, shard=shard, n_shards=n_shards,
+            ):
                 current_row += 1
                 row = [None] * n_cols
                 for col, ctype, val in cells:
@@ -1031,7 +1047,19 @@ class SheetReaderReader(DataSourceReader):
                         # fallback decision is consistent across shards.
                         row_matches = P._ROW_RE.findall(work)
                         n_rows_chunk = len(P._ROW_COUNT_RE.findall(work))
-                        if len(row_matches) != n_rows_chunk and chunk_idx == 0:
+                        if chunk_idx == 0 and (
+                            len(row_matches) != n_rows_chunk
+                            or (
+                                not row_matches
+                                and (b":row" in work or b":sheetData" in work)
+                            )
+                        ):
+                            # Second arm: namespace-prefixed worksheet —
+                            # zero matches AND zero counts agree, which
+                            # without the marker check silently read the
+                            # document as EMPTY (r9 fix, mirrored in
+                            # parser._scan_chunk). Deterministic across
+                            # shards: every shard scans chunk 0.
                             raise P._FastPathUnsupported
                         chunk_regular = len(row_matches) == n_rows_chunk
                         if chunk_idx == 0 and chunk_regular:

@@ -484,6 +484,8 @@ class XlsxWorkbook:
         sheet: SheetInfo,
         skip_rows: int = 0,
         chunk_bytes: int = 4 << 20,
+        shard: int = 0,
+        n_shards: int = 1,
     ) -> Iterator[list[tuple[int, int, object]]]:
         """Yield rows as lists of (col_idx, cell_type, raw_value), streaming.
 
@@ -503,23 +505,42 @@ class XlsxWorkbook:
            reference's error);
         3. whole-file expat fallback when the document shape defeats chunked
            scanning entirely (namespace-prefixed tags).
+
+        ``shard``/``n_shards`` (VERDICT r8 task 2): chunk round-robin
+        sharding for the row path — this shard cell-parses only its
+        assigned ``</row>``-aligned chunks and row-COUNTS the rest
+        (memchr-speed), so the union of shards is exactly the file's rows
+        and skip_rows stays globally consistent. The tier-3 whole-file
+        expat fallback cannot be split (one XML parser state); its
+        documents (namespace-prefixed — writer-exotic) parse entirely on
+        shard 0, the other shards yield nothing. The fallback DECISION is
+        deterministic: every shard scans chunk 0, so all shards agree.
         """
         try:
-            yield from self._iter_rows_fast(sheet, skip_rows, chunk_bytes)
+            yield from self._iter_rows_fast(
+                sheet, skip_rows, chunk_bytes, shard, n_shards
+            )
             return
         except _FastPathUnsupported:
             pass  # raised only before the first row is yielded
-        yield from self._iter_rows_expat(sheet, skip_rows)
+        if shard == 0:
+            yield from self._iter_rows_expat(sheet, skip_rows)
 
     # -- tier 1/2: chunked regex scan with per-chunk expat fragments --------
     def _iter_rows_fast(
-        self, sheet: SheetInfo, skip_rows: int, chunk_bytes: int = 4 << 20
+        self,
+        sheet: SheetInfo,
+        skip_rows: int,
+        chunk_bytes: int = 4 << 20,
+        shard: int = 0,
+        n_shards: int = 1,
     ) -> Iterator[list[tuple[int, int, object]]]:
         date_styles = self.date_styles
         colmap: dict[bytes, int] = {}
-        skipped = 0
         first_chunk = True
         yielded = False
+        chunk_idx = 0
+        row_ord = 0  # global row ordinal, identical across all shards
         with self.zf.open(sheet.path) as f:
             buf = b""
             while True:
@@ -530,7 +551,7 @@ class XlsxWorkbook:
                     if cut == -1:
                         if len(buf) < (64 << 20):
                             continue
-                        if yielded or skipped:
+                        if yielded or row_ord:
                             # Falling back now would re-parse from the start
                             # and duplicate already-consumed rows — hard error.
                             raise ValueError(
@@ -541,16 +562,30 @@ class XlsxWorkbook:
                     work, buf = buf[: cut + 6], buf[cut + 6 :]
                 else:
                     work, buf = buf, b""
+                assigned = (chunk_idx % n_shards) == shard
+                chunk_idx += 1
+                if not assigned and not first_chunk:
+                    # Unassigned chunk: count rows only (memchr-speed) so
+                    # skip_rows accounting matches the owning shard's view.
+                    row_ord += count_row_starts(work)
+                    if not data:
+                        return
+                    continue
+                # Chunk 0 is scanned by EVERY shard so the whole-file
+                # fallback decision (_FastPathUnsupported from chunk 0's
+                # shape) is consistent across shards; only the owning
+                # shard yields its rows.
                 rows = _scan_chunk(
                     work, colmap, date_styles, first_chunk, self.date1904, self.allow_inline
                 )
                 first_chunk = False
                 for cells in rows:
-                    if skipped < skip_rows:
-                        skipped += 1
-                    else:
-                        yielded = True
-                        yield cells
+                    ordinal = row_ord
+                    row_ord += 1
+                    if ordinal < skip_rows or not assigned:
+                        continue
+                    yielded = True
+                    yield cells
                 if not data:
                     return
 
@@ -774,6 +809,17 @@ def _scan_chunk(
     caller restarts with the whole-file expat parser, which also handles
     namespace-prefixed documents)."""
     row_matches = _ROW_RE.findall(work)
+    if first_chunk and not row_matches and (
+        b":row" in work or b":sheetData" in work
+    ):
+        # Namespace-prefixed worksheet (<x:row>/<x:sheetData>): the regex
+        # scanner sees ZERO rows and zero counts — they agree, so without
+        # this guard the document would silently read as EMPTY instead of
+        # falling back to the namespace-insensitive expat walk (latent
+        # until the r9 sharded-row-path test caught it). A false positive
+        # (':row' inside an inline string) only costs the expat parse —
+        # results are identical either way.
+        raise _FastPathUnsupported
     if len(row_matches) != len(_ROW_COUNT_RE.findall(work)):
         if first_chunk:
             raise _FastPathUnsupported

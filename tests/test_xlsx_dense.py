@@ -231,6 +231,125 @@ def test_sst_comment_and_cdata_fall_back_to_expat():
     assert heap.decode_many([1, 0]) == ["real two", "real one"]
 
 
+def test_coerce_sharded_read_equals_single_thread(spark, tmp_path):
+    """VERDICT r8 task 2: coerce_to_string now shards like any other read
+    (chunk round-robin on the row path, lazy per-shard heap) — sharded
+    rows must be exactly the single-thread rows, including the fixed-6
+    float / TRUE-FALSE / ISO-date coercions."""
+    from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    path = str(tmp_path / "coerce.xlsx")
+    w = IncrementalXlsxWriter(path, "Sheet1")
+    w.write_row(["k", "v", "comment"])
+    for i in range(4000):
+        w.write_row([float(i), float(i) * 1.5 + 0.25, f"text {i} " + "y" * (i % 23)])
+    w.close()
+    mk = lambda t: (  # noqa: E731
+        spark.read.format("sheetreader")
+        .option("types", "VARCHAR,VARCHAR,VARCHAR")
+        .option("coerce_to_string", True)
+        .option("threads", t)
+        .load(path)
+    )
+    one, many = mk(1), mk(8)
+    assert [f.dataType.simpleString() for f in many.schema.fields] == [
+        "string", "string", "string"
+    ]
+    r1 = sorted(map(tuple, one.collect()))
+    r8 = sorted(map(tuple, many.collect()))
+    assert r1 == r8 and len(r1) == 4000
+    assert r1[0][0].endswith(".000000")  # fixed-6 coercion intact
+
+
+def test_row_path_sharded_skip_rows(spark, tmp_path):
+    """skip_rows accounting is GLOBAL across row-path shards: unassigned
+    chunks are row-counted so every shard agrees on row ordinals."""
+    from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    path = str(tmp_path / "skip.xlsx")
+    w = IncrementalXlsxWriter(path, "Sheet1")
+    w.write_row(["a", "b"])
+    for i in range(3000):
+        w.write_row([float(i), f"s{i}"])
+    w.close()
+    mk = lambda t: (  # noqa: E731
+        spark.read.format("sheetreader")
+        .option("types", "VARCHAR,VARCHAR")
+        .option("coerce_to_string", True)
+        .option("skip_rows", 500)
+        .option("threads", t)
+        .load(path)
+    )
+    r1 = sorted(map(tuple, mk(1).collect()))
+    r6 = sorted(map(tuple, mk(6).collect()))
+    assert r1 == r6 and len(r1) == 2501  # header consumed, 500 skipped
+
+
+def test_expat_fallback_sharded_parses_once(tmp_path, spark):
+    """A namespace-prefixed worksheet defeats chunked scanning entirely:
+    with sharded partitions the whole-file expat fallback runs on shard 0
+    only — sharded result identical to single-thread, no duplicates."""
+    import zipfile
+
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    path = str(tmp_path / "prefixed.xlsx")
+    ct = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    wb_xml = (
+        '<?xml version="1.0"?>'
+        '<x:workbook xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<x:sheets><x:sheet name="S" sheetId="1" r:id="rId1"/></x:sheets></x:workbook>'
+    )
+    rows = "".join(
+        f'<x:row r="{i + 2}"><x:c r="A{i + 2}"><x:v>{i}</x:v></x:c>'
+        f'<x:c r="B{i + 2}"><x:v>{i * 2}</x:v></x:c></x:row>'
+        for i in range(200)
+    )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<x:worksheet xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f'<x:sheetData><x:row r="1"><x:c r="A1"><x:v>10</x:v></x:c>'
+        f"<x:c r=\"B1\"><x:v>20</x:v></x:c></x:row>{rows}</x:sheetData></x:worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/workbook.xml", wb_xml)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    mk = lambda t: (  # noqa: E731
+        spark.read.format("sheetreader")
+        .option("has_header", False)
+        .option("threads", t)
+        .load(path)
+    )
+    r1 = sorted(map(tuple, mk(1).collect()))
+    r4 = sorted(map(tuple, mk(4).collect()))
+    assert r1 == r4 and len(r1) == 201
+
+
 def test_sst_si_with_whitespace_or_attribute_falls_back():
     """ADVICE r9 (high): an <si start tag carrying XML whitespace or an
     attribute ('<si >', '<si\\n>', '<si ph="x">') is counted by NEITHER
