@@ -2596,7 +2596,8 @@ def ivf_index_upsert(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    drift_report: bool = False,
+):
     """Add a batch of vectors to a persisted IVF index without touching the
     existing corpus: assign each new vector against the STORED centroids
     (centroids do not retrain on upsert, as in any ANN index; rebuild
@@ -2614,7 +2615,12 @@ def ivf_index_upsert(
     never corpus-sized).
 
     Returns the (id, cell) assignment of the batch (small; also useful for
-    routing audits).
+    routing audits). With ``drift_report=True`` returns
+    ``(cells, report)`` where report is ``ivf_index_drift``'s post-upsert
+    summary — the rebuild signal reaches the caller in the same call
+    instead of requiring a separate audit pass (VERDICT r8 task 6; the
+    report's occupancy aggregation reads only the index's partition
+    column).
     """
     stored = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     centroids = [list(r["cvec"]) for r in stored]
@@ -2629,6 +2635,8 @@ def ivf_index_upsert(
         .partitionBy("cell")
         .parquet(f"{path}/assignments")
     )
+    if drift_report:
+        return cells, ivf_index_drift(spark, path)
     return cells
 
 
@@ -2975,7 +2983,8 @@ def ivfpq_index_upsert(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    drift_report: bool = False,
+):
     """Append a batch to a persisted IVFADC index: assign against the
     STORED centroids, encode against the STORED codebooks (neither
     retrains — rebuild explicitly after drift, as with any ANN index),
@@ -3006,4 +3015,9 @@ def ivfpq_index_upsert(
         .partitionBy("cell")
         .parquet(f"{path}/codes")
     )
+    if drift_report:
+        # Same contract as ivf_index_upsert: the post-upsert drift
+        # summary rides back with the batch assignment (VERDICT r8
+        # task 6).
+        return cells, ivf_index_drift(spark, path)
     return cells

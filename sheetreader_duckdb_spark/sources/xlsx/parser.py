@@ -228,8 +228,12 @@ class SharedStringHeap:
 
     def _entry(self, i: int) -> str:
         offs = self._offs
-        raw = self._data[offs[i] : offs[i + 1] if i + 1 < len(offs) else self._end]
-        m = _SI_FAST_RE.match(raw)
+        # Bounded pos-match on the shared buffer: no per-entry bytes
+        # slice. The endpos bound matters for correctness, not just
+        # speed — unbounded, the non-greedy text alternative could span
+        # a failing entry into its neighbor's terminator.
+        end = offs[i + 1] if i + 1 < len(offs) else self._end
+        m = _SI_FAST_RE.match(self._data, offs[i], end)
         if m is None:  # rich-text / unusual shape: one full parse, reused
             if self._full is None:
                 self._full = _parse_sst_expat(self._data)
@@ -252,6 +256,55 @@ class SharedStringHeap:
         if self._full is not None:
             return [self._full[i] for i in indices]
         return [self._entry(i) for i in indices]
+
+    def decode_many_arrow(self, indices):
+        """Decode entry indices straight to ONE pyarrow string array
+        (order preserved) — the columnar finalize hot path (partsupp
+        profile: each batch references an ascending run of unique
+        entries). One ``findall`` per consecutive run + one Arrow cast:
+        zero per-entry Python string/bytes objects, where ``decode_many``
+        pays a match + decode + list append per entry (measured ~35% of
+        the partsupp 1T scan, BENCHNOTES r9).
+
+        Returns None when the shape defeats the bulk path — full-parse
+        fallback active, XML entities or ST_Xstring escapes anywhere in
+        a run's byte range, or an entry the pattern can't match — and
+        the caller uses ``decode_many`` (identical strings; equivalence
+        property-swept in tests/test_xlsx_dense.py)."""
+        if self._full is not None:
+            return None
+        import numpy as np
+        import pyarrow as pa
+
+        idx = np.asarray(indices, dtype=np.int64)
+        if idx.size == 0:
+            return pa.array([], type=pa.string())
+        data, offs = self._data, self._offs
+        n_offs = len(offs)
+        # Ascending consecutive runs; anything else degrades to 1-entry
+        # runs, which stay correct (just less bulky).
+        breaks = np.nonzero(np.diff(idx) != 1)[0] + 1
+        starts = np.concatenate(([0], breaks))
+        ends = np.concatenate((breaks, [idx.size]))
+        chunks: list = []
+        for s, e in zip(starts, ends):
+            a, b = int(idx[s]), int(idx[e - 1])
+            if a < 0 or b >= n_offs:
+                raise IndexError(f"shared string index out of range: {a}..{b}")
+            lo = offs[a]
+            hi = offs[b + 1] if b + 1 < n_offs else self._end
+            if data.find(b"&", lo, hi) != -1 or data.find(b"_x", lo, hi) != -1:
+                return None  # escapes in range: per-entry scalar path
+            ms = _SI_FAST_RE.findall(data, lo, hi)
+            # Every match starts at an entry's '<si' (nothing else in the
+            # range contains that byte sequence), so count == run length
+            # proves one match per entry — a rich-text entry in the run
+            # fails its match and breaks the equality.
+            if len(ms) != e - s:
+                return None
+            chunks.append(ms)
+        flat = chunks[0] if len(chunks) == 1 else [g for c in chunks for g in c]
+        return pa.array(flat, type=pa.binary()).cast(pa.string())
 
 
 def _parse_sst_expat(data: bytes) -> list[str]:

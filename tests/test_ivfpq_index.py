@@ -184,6 +184,40 @@ def _clustered(spark, centers, per, dim=8, tag=0, base=0):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def test_upsert_returns_drift_report(spark, tmp_path):
+    """VERDICT r8 task 6: drift_report=True makes the upserts hand back
+    the post-upsert drift summary with the batch assignment — the
+    rebuild signal reaches the caller in the same call. A drifted batch
+    must report the trigger from BOTH index flavors."""
+    from sheetreader_duckdb_spark.operators.similarity import (
+        build_ivf_index,
+        build_ivfpq_index,
+        ivf_index_upsert,
+        ivfpq_index_upsert,
+    )
+
+    corpus = _clustered(spark, [0, 1, 2, 3], per=40)
+    drift = _clustered(spark, [5], per=120, tag=3, base=10_000)
+
+    p1 = str(tmp_path / "ivf_up")
+    build_ivf_index(corpus, p1, n_cells=4, n_iters=2)
+    cells, report = ivf_index_upsert(spark, p1, drift, drift_report=True)
+    assert cells.count() == 120
+    assert report["upsert_fraction"] == 0.75
+    assert report["rebuild_recommended"]
+
+    p2 = str(tmp_path / "ivfpq_up")
+    build_ivfpq_index(corpus, p2, dim=8, m=2, n_codes=4, n_cells=4)
+    cells2, report2 = ivfpq_index_upsert(spark, p2, drift, drift_report=True)
+    assert cells2.count() == 120
+    assert report2["upsert_fraction"] == 0.75
+    assert report2["rebuild_recommended"]
+    # default return shape unchanged: a bare DataFrame
+    more = _clustered(spark, [6], per=5, tag=9, base=50_000)
+    bare = ivf_index_upsert(spark, p1, more)
+    assert bare.count() == 5
+
+
 def test_drift_report_and_rebuild_trigger(spark, tmp_path):
     """VERDICT r7 task 6: upserts reuse frozen quantizers — quantify the
     drift and pin the rebuild trigger. A distribution-shifted upsert
