@@ -2600,7 +2600,12 @@ def n20_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     "same-cell pairs only — candidate volume n²/K; precision exact and "
     "planted-duplicate recall ≥0.9 pinned in tests/test_semantic_dedup.py; "
     "the Lloyd centroid loop has no SQL equivalent, hence rows-only, with "
-    "the oracle-backed O(n²) twin n06 pinning pair semantics); 'winnowp' "
+    "the oracle-backed O(n²) twin n06 pinning pair semantics); 'semg' = "
+    "the same SemDeDup recipe on the score='gemm' true-BLAS production "
+    "path (r9: one A@B.T per score block instead of the 64-pass "
+    "bit-identity replay — float-associative, tolerance + recall pinned "
+    "in tests/test_gemm_score.py, the form 'auto' selects above the "
+    "crossover); 'winnowp' "
     "= MOSS-style winnowing-fingerprint overlap pairs on the xxhash64 "
     "scale hash (operators/fingerprint.py winnow_pairs: postings-capped "
     "fp equi-join; the md5 form is n10's hash-checked 'winnow' branch, "
@@ -2638,6 +2643,19 @@ def nx_scale_variants(spark: SparkSession, sf: str) -> DataFrame:
         "semdedup",
         k1="id_a", k2="id_b", n1="cell", v1="cosine",
     )
+    # The production scoring form as its own driver-run witness: same
+    # recipe through score='gemm' (true BLAS per block — what 'auto'
+    # selects above the crossover; float-associative, so it lives in
+    # this rows-only union while the expr twin above stays the
+    # plan-shape witness).
+    semg = g(
+        S.semantic_dedup_pairs(
+            emb, n_cells=S.auto_ivf_cells(n_emb, target_cell=100),
+            threshold=0.4, n_rows=n_emb, score="gemm",
+        ),
+        "semg",
+        k1="id_a", k2="id_b", n1="cell", v1="cosine",
+    )
     # winnow_pairs on the scale hash (xxhash64 grams, no DuckDB twin —
     # the md5 form is n10's hash-checked 'winnow' branch): MOSS-style
     # overlap candidates over the documents corpus, postings-capped.
@@ -2651,4 +2669,7 @@ def nx_scale_variants(spark: SparkSession, sf: str) -> DataFrame:
         "winnowp",
         k1="id_a", k2="id_b", n1="shared_fps",
     )
-    return hll.unionAll(mh).unionAll(sim).unionAll(ann).unionAll(sem).unionAll(wp)
+    return (
+        hll.unionAll(mh).unionAll(sim).unionAll(ann)
+        .unionAll(sem).unionAll(semg).unionAll(wp)
+    )
