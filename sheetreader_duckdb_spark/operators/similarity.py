@@ -989,6 +989,7 @@ def ivf_assign_vectorized(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gemm: bool = False,
 ) -> DataFrame:
     """Arrow-vectorized cell assignment: one numpy GEMM per record batch.
     Returns (id_col, cell).
@@ -1017,7 +1018,7 @@ def ivf_assign_vectorized(
     tests/test_similarity.py. Use for BUILDS at scale
     (``assign='vectorized'`` on the build functions); query-time paths
     keep the expression forms."""
-    cell_udf = _vectorized_cell_udf(corpus.sparkSession, centroids)
+    cell_udf = _vectorized_cell_udf(corpus.sparkSession, centroids, gemm=gemm)
     return corpus.select(id_col, cell_udf(F.col(vec_col)).alias("cell"))
 
 
@@ -1026,7 +1027,13 @@ def _assign_fn(assign: str):
         return ivf_assign_carrier
     if assign == "vectorized":
         return ivf_assign_vectorized
-    raise ValueError(f"assign must be 'carrier' or 'vectorized', got {assign!r}")
+    if assign == "gemm":
+        return lambda corpus, cents, id_col="vec_id", vec_col="embedding": (
+            ivf_assign_vectorized(corpus, cents, id_col, vec_col, gemm=True)
+        )
+    raise ValueError(
+        f"assign must be 'carrier', 'vectorized' or 'gemm', got {assign!r}"
+    )
 
 
 def ivf_assign_join(
@@ -1546,13 +1553,21 @@ def semantic_dedup_keep(
 # top-(k·refine) survivors recovers recall, same two-stage shape as
 # quantized_topk.
 # --------------------------------------------------------------------------
-def _vectorized_codes_udf(spark, codebooks: list[list[list[float]]]):
+def _vectorized_codes_udf(
+    spark, codebooks: list[list[list[float]]], gemm: bool = False
+):
     """PQ code assignment as a pandas_udf returning the m-code array —
     ``pq_encode_vectorized``'s distance arithmetic (sequential
     per-sub-dimension accumulation, first-index-of-min), codes only.
     Used by the Lloyd training loop at large n_codes, where the
     expression form's m·n_codes·dsub = dim·n_codes interpreted lambda
-    steps per row dominate the iteration."""
+    steps per row dominate the iteration.
+
+    ``gemm=True``: per subspace, argmin over ``-2·x@C.T + ‖C‖²`` — one
+    BLAS matmul instead of dsub passes (the per-row ‖x‖² term is constant
+    across codes and dropped). Float-associative: codes can differ from
+    the exact squared-diff fold only on last-ulp distance ties
+    (tests/test_gemm_score.py). Never used by declared witnesses."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1560,14 +1575,23 @@ def _vectorized_codes_udf(spark, codebooks: list[list[list[float]]]):
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     B = np.asarray(codebooks, dtype=np.float64)
-    bc = spark.sparkContext.broadcast(B)
+    BN2 = np.asarray(
+        [[sum(x * x for x in c) for c in book] for book in codebooks]
+    )
+    bc = spark.sparkContext.broadcast((B, BN2))
 
     def _codes(v):
-        Bb = bc.value
+        Bb, bn2 = bc.value
         M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
         n = M.shape[0]
         out = np.empty((n, m), dtype=np.int32)
         for j in range(m):
+            if gemm:
+                sub = M[:, j * dsub : (j + 1) * dsub]
+                out[:, j] = np.argmin(
+                    sub @ (-2.0 * Bb[j].T) + bn2[j], axis=1
+                )
+                continue
             dist = np.zeros((n, Bb.shape[1]))
             for d in range(dsub):
                 diff = M[:, j * dsub + d, None] - Bb[j, None, :, d]
@@ -1638,9 +1662,10 @@ def pq_codebooks(
         assign = _resolve_auto(
             "auto", n * n_codes * max(1, n_iters), "expr", "vectorized"
         )
-    if assign not in ("expr", "vectorized"):
+    if assign not in ("expr", "vectorized", "gemm"):
         raise ValueError(
-            f"assign must be 'auto', 'expr' or 'vectorized', got {assign!r}"
+            f"assign must be 'auto', 'expr', 'vectorized' or 'gemm',"
+            f" got {assign!r}"
         )
     for _ in range(n_iters):
         # Per-iteration codebooks travel as a 1-row broadcast table, not
@@ -1662,8 +1687,10 @@ def pq_codebooks(
                 ),
             )
 
-        if assign == "vectorized":
-            codes_udf = _vectorized_codes_udf(corpus.sparkSession, books)
+        if assign in ("vectorized", "gemm"):
+            codes_udf = _vectorized_codes_udf(
+                corpus.sparkSession, books, gemm=assign == "gemm"
+            )
             # The UDF evaluates once in its own ArrowEvalPython operator;
             # the m element_at references read the materialized column.
             staged = corpus.select(
@@ -1838,6 +1865,7 @@ def pq_encode_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "pq_codes",
+    gemm: bool = False,
 ) -> DataFrame:
     """Arrow-vectorized PQ encode — ``pq_encode_join``'s output
     (id, pq_codes, pq_norm) computed batch-wise in numpy, BIT-IDENTICAL by
@@ -1876,11 +1904,20 @@ def pq_encode_vectorized(
         codes = np.empty((n, m), dtype=np.int32)
         norm2 = np.zeros(n)
         for j in range(m):
-            dist = np.zeros((n, Bb.shape[1]))
-            for d in range(dsub):
-                diff = M[:, j * dsub + d, None] - Bb[j, None, :, d]
-                dist += diff * diff
-            cj = np.argmin(dist, axis=1)
+            if gemm:
+                # One BLAS matmul per subspace: argmin over
+                # -2·x@C.T + ‖C‖² (per-row ‖x‖² constant dropped).
+                # Float-associative — code choice can move only on
+                # last-ulp distance ties; the reconstructed norm is the
+                # same bn2 lookup either way.
+                sub = M[:, j * dsub : (j + 1) * dsub]
+                cj = np.argmin(sub @ (-2.0 * Bb[j].T) + bn2[j], axis=1)
+            else:
+                dist = np.zeros((n, Bb.shape[1]))
+                for d in range(dsub):
+                    diff = M[:, j * dsub + d, None] - Bb[j, None, :, d]
+                    dist += diff * diff
+                cj = np.argmin(dist, axis=1)
             codes[:, j] = cj
             norm2 += bn2[j][cj]
         return pd.DataFrame(
@@ -2482,14 +2519,19 @@ def build_ivf_index(
     if assign == "auto":
         if n_train is None:
             n_train = n_corpus
+        # Above the crossover 'auto' picks 'gemm' (r9): a build is a
+        # one-off production job — BLAS rates, not the bit-identity
+        # replay. Small builds keep the expression forms (byte-stable
+        # with every prior round); a caller needing the bit-identical
+        # Arrow forms at scale passes assign='vectorized'.
         train_assign = _resolve_auto(
-            "auto", n_train * n_cells * max(1, n_iters), "literal", "vectorized"
+            "auto", n_train * n_cells * max(1, n_iters), "literal", "gemm"
         )
         corpus_assign = _resolve_auto(
-            "auto", n_corpus * n_cells, "carrier", "vectorized"
+            "auto", n_corpus * n_cells, "carrier", "gemm"
         )
     else:
-        train_assign = "vectorized" if assign == "vectorized" else "literal"
+        train_assign = assign if assign in ("vectorized", "gemm") else "literal"
         corpus_assign = assign
     centroids = ivf_centroids(
         train, id_col, vec_col, n_cells, n_iters,
@@ -2717,24 +2759,25 @@ def build_ivfpq_index(
     if (assign == "auto" or encode == "auto") and n_train is None:
         n_train = n_corpus
     if assign == "auto":
+        # Same r9 policy as build_ivf_index: 'gemm' above the crossover.
         train_assign = _resolve_auto(
-            "auto", n_train * n_cells * max(1, n_iters), "literal", "vectorized"
+            "auto", n_train * n_cells * max(1, n_iters), "literal", "gemm"
         )
         corpus_assign = _resolve_auto(
-            "auto", n_corpus * n_cells, "carrier", "vectorized"
+            "auto", n_corpus * n_cells, "carrier", "gemm"
         )
     else:
-        train_assign = "vectorized" if assign == "vectorized" else "literal"
+        train_assign = assign if assign in ("vectorized", "gemm") else "literal"
         corpus_assign = assign
     if encode == "auto":
         book_assign = _resolve_auto(
-            "auto", n_train * n_codes * max(1, pq_iters), "expr", "vectorized"
+            "auto", n_train * n_codes * max(1, pq_iters), "expr", "gemm"
         )
         corpus_encode = _resolve_auto(
-            "auto", n_corpus * n_codes, "join", "vectorized"
+            "auto", n_corpus * n_codes, "join", "gemm"
         )
     else:
-        book_assign = "vectorized" if encode == "vectorized" else "expr"
+        book_assign = encode if encode in ("vectorized", "gemm") else "expr"
         corpus_encode = encode
     if centroids is None:
         centroids = ivf_centroids(
@@ -2783,9 +2826,10 @@ def build_ivfpq_index(
     bdf = pq_books_df(spark, codebooks)
     bdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
     cells = _assign_fn(corpus_assign)(corpus, centroids, id_col, vec_col)
-    if corpus_encode == "vectorized":
+    if corpus_encode in ("vectorized", "gemm"):
         enc = pq_encode_vectorized(
-            corpus.select(id_col, vec_col), codebooks, id_col=id_col, vec_col=vec_col
+            corpus.select(id_col, vec_col), codebooks, id_col=id_col,
+            vec_col=vec_col, gemm=corpus_encode == "gemm",
         )
     elif corpus_encode == "join":
         enc = pq_encode_join(
@@ -2793,7 +2837,8 @@ def build_ivfpq_index(
         ).select(id_col, "pq_codes", "pq_norm")
     else:
         raise ValueError(
-            f"encode must be 'auto', 'join' or 'vectorized', got {encode!r}"
+            f"encode must be 'auto', 'join', 'vectorized' or 'gemm',"
+            f" got {encode!r}"
         )
     (
         enc.join(cells, id_col)

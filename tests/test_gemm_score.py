@@ -168,6 +168,54 @@ def test_brute_force_blocked_gemm(spark):
     )
 
 
+def test_pq_encode_gemm_matches_exact(spark):
+    """gemm PQ encode (one matmul per subspace via -2x·C+‖C‖²) picks the
+    same codes as the exact squared-diff fold on ordinary embeddings
+    (differs only on last-ulp distance ties), hence identical norms."""
+    e = _emb(spark, n=60, dim=16)
+    books = S.pq_codebooks(e, dim=16, m=4, n_codes=4, assign="expr")
+    exact = S.pq_encode_vectorized(e, books)
+    gm = S.pq_encode_vectorized(e, books, gemm=True)
+    ex = {r["vec_id"]: (list(r["pq_codes"]), r["pq_norm"]) for r in exact.collect()}
+    gg = {r["vec_id"]: (list(r["pq_codes"]), r["pq_norm"]) for r in gm.collect()}
+    assert ex == gg
+
+
+def test_pq_codebooks_gemm_training_close(spark):
+    """Training the codebooks with assign='gemm' converges to books within
+    float tolerance of the expression fold."""
+    e = _emb(spark, n=60, dim=16)
+    expr = S.pq_codebooks(e, dim=16, m=4, n_codes=4, assign="expr")
+    gm = S.pq_codebooks(e, dim=16, m=4, n_codes=4, assign="gemm")
+    for be, bg in zip(expr, gm):
+        for ce, cg in zip(be, bg):
+            for x, y in zip(ce, cg):
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_index_builds_auto_select_gemm_and_serve(spark, tmp_path, monkeypatch):
+    """Above the crossover the builders' 'auto' resolves to the gemm
+    forms (r9) — the built index must still index every row and serve
+    queries; persisted doubles roundtrip so indexed search matches the
+    same trained parameters."""
+    e = _emb(spark, n=80, dim=16)
+    monkeypatch.setattr(S, "_AUTO_VECTORIZE_CELLS", 1)
+    p1 = str(tmp_path / "ivf_gemm")
+    S.build_ivf_index(e, p1, n_cells=4)
+    assert spark.read.parquet(f"{p1}/assignments").count() == 80
+    out = S.ivf_topk_indexed(
+        spark, p1, e.filter(F.col("vec_id") < 3), k=4, n_probe=4
+    )
+    assert out.count() == 12
+    p2 = str(tmp_path / "ivfpq_gemm")
+    S.build_ivfpq_index(e, p2, dim=16, m=4, n_codes=4, n_cells=4)
+    assert spark.read.parquet(f"{p2}/codes").count() == 80
+    out2 = S.ivfpq_topk_indexed(
+        spark, p2, e.filter(F.col("vec_id") < 3), k=4, n_probe=4, corpus=e
+    )
+    assert out2.count() == 12
+
+
 def test_gemm_rejects_unknown_score(spark):
     e = _emb(spark, n=10)
     with pytest.raises(ValueError, match="score must be"):
