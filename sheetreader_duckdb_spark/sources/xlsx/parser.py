@@ -193,6 +193,12 @@ class SharedStringHeap:
     def __init__(self, data: bytes):
         self._data = data
         self._full: list[str] | None = None
+        # Per-entry decode memo: a low-cardinality sheet references the
+        # same entry once per CELL, and the row/coerce paths look up per
+        # cell — without the memo that is a regex decode per occurrence
+        # (1.5M decodes for 100 unique strings). Bounded by the entries
+        # actually referenced, never the whole heap.
+        self._cache: dict[int, str] = {}
         if b"<!--" in data or b"<![CDATA[" in data:
             # A commented-out <si> would land in the offset index and
             # SHIFT every later entry to the wrong slice (each slice can
@@ -249,13 +255,17 @@ class SharedStringHeap:
     def __getitem__(self, i: int) -> str:
         if self._full is not None:
             return self._full[i]
-        return self._entry(i)
+        s = self._cache.get(i)
+        if s is None:  # decoded values are str, never None — miss only
+            s = self._entry(i)
+            self._cache[i] = s
+        return s
 
     def decode_many(self, indices) -> list[str]:
         """Decode a batch of entry indices (order preserved)."""
         if self._full is not None:
             return [self._full[i] for i in indices]
-        return [self._entry(i) for i in indices]
+        return [self[i] for i in indices]
 
     def decode_many_arrow(self, indices):
         """Decode entry indices straight to ONE pyarrow string array
