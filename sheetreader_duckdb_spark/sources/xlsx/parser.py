@@ -299,8 +299,13 @@ class SharedStringHeap:
         chunks: list = []
         for s, e in zip(starts, ends):
             a, b = int(idx[s]), int(idx[e - 1])
-            if a < 0 or b >= n_offs:
-                raise IndexError(f"shared string index out of range: {a}..{b}")
+            if a < 0:
+                # Corrupt negative ref: the scalar paths inherit Python
+                # list wrap-around — decline so the bulk path can never
+                # DIFFER from a single-thread read of the same bytes.
+                return None
+            if b >= n_offs:
+                raise IndexError(f"shared string index out of range: {b}")
             lo = offs[a]
             hi = offs[b + 1] if b + 1 < n_offs else self._end
             if data.find(b"&", lo, hi) != -1 or data.find(b"_x", lo, hi) != -1:

@@ -104,3 +104,88 @@ def test_roundtrip_property(tmp_path_factory, col_types, n_rows, date1904, data)
     for want_row, got_row in zip(rows, got):
         for name, want in zip(header, want_row):
             assert got_row[name] == want
+
+
+def _read_all_opts(path: str, **extra):
+    """_read_all with arbitrary reader options (threads, coerce, types)."""
+    opts = {"path": path, "has_header": "true", **extra}
+    o = _Options.from_options(opts)
+    if "types" in extra:
+        names_src, types = None, [t.strip() for t in extra["types"].split(",")]
+    else:
+        types = None
+    with P.XlsxWorkbook(path) as wb:
+        sheet = wb.resolve_sheet(None, None)
+        schema = infer_schema(
+            wb, sheet, has_header=True, user_types=types,
+            coerce_to_string=bool(extra.get("coerce_to_string")),
+        )
+    sql_to_spark = {
+        "VARCHAR": StringType(),
+        "DOUBLE": DoubleType(),
+        "BOOLEAN": BooleanType(),
+        "DATE": DateType(),
+    }
+    struct = StructType(
+        [StructField(n, sql_to_spark[t], True) for n, t in zip(schema.names, schema.types)]
+    )
+    reader = SheetReaderReader(opts, struct)
+    rows = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            rows.extend(batch.to_pylist())
+    return schema, rows
+
+
+@pytest.mark.slow
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    col_types=st.lists(
+        st.sampled_from(list(_cell)), min_size=1, max_size=4
+    ),
+    n_rows=st.integers(min_value=2, max_value=40),
+    date1904=st.booleans(),
+    data=st.data(),
+)
+def test_sharded_and_coerce_roundtrip_property(
+    tmp_path_factory, col_types, n_rows, date1904, data
+):
+    """r9 sharded row/columnar paths: a threads=3 read and a sharded
+    coerce_to_string read return exactly the single-stream results on any
+    writer-generated table (chunk accounting, lazy heap + memo, bulk
+    Arrow decode, coercion formats)."""
+    header = [f"c{i}" for i in range(len(col_types))]
+    rows = []
+    for r in range(n_rows):
+        row = []
+        for i, t in enumerate(col_types):
+            if r > 0 and data.draw(st.booleans(), label=f"null_{r}_{i}"):
+                row.append(None)
+            else:
+                row.append(data.draw(_cell[t], label=f"v_{r}_{i}"))
+        rows.append(row)
+    path = str(tmp_path_factory.mktemp("prop") / "t.xlsx")
+    write_xlsx(path, {"S": [header] + rows}, date1904=date1904)
+    _, single = _read_all(path)
+    _, sharded = _read_all_opts(path, threads="3")
+    assert sharded == single
+    # coerce: every column VARCHAR, fixed-6 / TRUE-FALSE / ISO formats
+    vtypes = ",".join(["VARCHAR"] * len(col_types))
+    _, c1 = _read_all_opts(path, types=vtypes, coerce_to_string="true")
+    _, c3 = _read_all_opts(
+        path, types=vtypes, coerce_to_string="true", threads="3"
+    )
+    assert c1 == c3
+    def coerced(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            return f"{v:.6f}"
+        if isinstance(v, dt.date):
+            return v.isoformat()
+        return v
+    for want_row, got_row in zip(rows, c1):
+        for name, want in zip(header, want_row):
+            assert got_row[name] == coerced(want)
