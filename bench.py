@@ -565,4 +565,19 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as exc:  # noqa: BLE001
+        # stderr is redirected to the audit log (see _capture_stderr), so
+        # a crash would otherwise leave the driver's stdout tail EMPTY.
+        # Emit a short parseable error line; the full traceback is in the
+        # log file.
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "error": f"{type(exc).__name__}: {exc}"[:400],
+                }
+            )
+        )
+        raise
