@@ -129,8 +129,13 @@ _SST_LAZY_CACHE: dict = {}  # single entry: {"key": ..., "heap": SharedStringHea
 # row scanner's design applied to the string heap).
 _SI_FAST_RE = re.compile(
     rb"<si/>|<si></si>|<si><t/></si>|<si><t></t></si>"
-    rb'|<si><t(?: xml:space="preserve")?>(.*?)</t></si>',
-    re.S,
+    # [^<]*, not a non-greedy .*: legal XML text cannot contain a raw
+    # '<', so the classes match identically on every legal single-<t>
+    # entry — but a schema-invalid multi-<t> entry (<si><t>a</t><t>b…)
+    # now FAILS the match and falls back to expat ("ab") instead of
+    # the non-greedy form silently decoding "a</t><t>b" (r9). Also
+    # removes the backtracking.
+    rb'|<si><t(?: xml:space="preserve")?>([^<]*)</t></si>',
 )
 
 

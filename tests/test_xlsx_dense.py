@@ -446,6 +446,25 @@ def test_sst_namespace_prefixed_falls_back():
     assert len(P.SharedStringHeap(empty)) == 0
 
 
+def test_sst_multi_t_entry_falls_back():
+    """A schema-invalid multi-<t> si (no <r> wrapper) must decode like
+    expat ('ab' — runs concatenate), never as raw XML text: the fast
+    pattern's [^<]* text class fails on it, forcing the fallback on
+    every path (r9)."""
+    from sheetreader_duckdb_spark.sources.xlsx import parser as P
+
+    doc = (
+        b'<sst count="2" uniqueCount="2">'
+        b"<si><t>a</t><t>b</t></si><si><t>c</t></si></sst>"
+    )
+    want = ["ab", "c"]
+    assert P._parse_sst_expat(doc) == want
+    assert P._parse_sst_fast(doc) is None
+    heap = P.SharedStringHeap(doc)
+    assert [heap[0], heap[1]] == want
+    assert heap.decode_many_arrow([0, 1]) is None
+
+
 def test_decode_many_arrow_matches_scalar():
     """decode_many_arrow (bulk run-findall → one Arrow array) returns
     exactly decode_many's strings on every shape it accepts, and declines
