@@ -901,7 +901,14 @@ def _scan_chunk(
     for body in row_matches:
         cell_matches = _CELL_RE.findall(body)
         if len(cell_matches) != len(_CELL_COUNT_RE.findall(body)):
-            if first_chunk and not rows:
+            if first_chunk:
+                # Chunk 0 carries the XML prolog + <worksheet> opener —
+                # handing it to the fragment parser fails on the
+                # declaration-not-at-start. Nothing from this chunk has
+                # been yielded yet, so defeating to the whole-file expat
+                # walk is lossless (r9; previously only an irregular
+                # FIRST ROW took this branch and a later irregular row
+                # in chunk 0 crashed the fragment parse).
                 raise _FastPathUnsupported
             return _fragment_rows(work, colmap, date_styles, date1904, allow_inline)
         cells: list[tuple[int, int, object]] = []

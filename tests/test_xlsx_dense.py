@@ -446,6 +446,70 @@ def test_sst_namespace_prefixed_falls_back():
     assert len(P.SharedStringHeap(empty)) == 0
 
 
+def test_irregular_formula_rows_sharded_equals_single(spark, tmp_path):
+    """Mid-file irregular rows (formula <f> children defeat the cell
+    regex → per-chunk expat fragments) must read identically sharded and
+    single-stream — the fragment path's shard accounting, not just the
+    dense path's."""
+    import zipfile
+
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    path = str(tmp_path / "formulas.xlsx")
+    rows = []
+    rows.append('<row r="1"><c r="A1"><v>1</v></c><c r="B1"><v>10</v></c></row>')
+    for i in range(2, 2002):
+        if i % 7 == 0:
+            # formula cell: <f> child → irregular row → fragment parse
+            rows.append(
+                f'<row r="{i}"><c r="A{i}"><f>SUM(1,2)</f><v>{i}</v></c>'
+                f'<c r="B{i}"><v>{i * 10}</v></c></row>'
+            )
+        else:
+            rows.append(
+                f'<row r="{i}"><c r="A{i}"><v>{i}</v></c>'
+                f'<c r="B{i}"><v>{i * 10}</v></c></row>'
+            )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(rows)}</sheetData></worksheet>"
+    )
+    ct = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        "</Types>"
+    )
+    rels = '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"/>'
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="t/worksheet" Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    wb_xml = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/workbook.xml", wb_xml)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    mk = lambda t: (  # noqa: E731
+        spark.read.format("sheetreader")
+        .option("has_header", False)
+        .option("threads", t)
+        .load(path)
+    )
+    r1 = sorted(map(tuple, mk(1).collect()))
+    r5 = sorted(map(tuple, mk(5).collect()))
+    assert r1 == r5 and len(r1) == 2001
+    assert (7.0, 70.0) in r1  # a formula row's cached value decoded
+
+
 def test_sst_multi_t_entry_falls_back():
     """A schema-invalid multi-<t> si (no <r> wrapper) must decode like
     expat ('ab' — runs concatenate), never as raw XML text: the fast
