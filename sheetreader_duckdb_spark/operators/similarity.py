@@ -762,9 +762,12 @@ def ivf_centroids(
     )
     if assign == "auto":
         n = n_rows if n_rows is not None else corpus.count()
-        # ×n_iters: the assignment cost repeats every Lloyd iteration
+        # ×n_iters: the assignment cost repeats every Lloyd iteration.
+        # Large form 'gemm' (r9): training is a build-time job — the
+        # no-knob call gets BLAS rates; assign='vectorized' keeps the
+        # bit-identical replay for hash-exactness callers.
         assign = _resolve_auto(
-            "auto", n * n_cells * max(1, n_iters), "literal", "vectorized"
+            "auto", n * n_cells * max(1, n_iters), "literal", "gemm"
         )
     if assign not in ("literal", "vectorized", "gemm"):
         raise ValueError(
@@ -1095,6 +1098,7 @@ def ivf_topk(
     n_probe: int = 4,
     n_iters: int = 2,
     assign: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index: corpus vectors live in
     their max-cosine centroid cell; each query probes its ``n_probe``
@@ -1105,61 +1109,86 @@ def ivf_topk(
 
     ``assign`` picks the cell-assignment strategy:
 
-    * ``"literal"`` (default) — centroid scores as one constant-folded
-      array expression embedded in the plan. Right at small K: map-side,
+    * ``"literal"`` — centroid scores as one constant-folded array
+      expression embedded in the plan. Right at small K: map-side,
       zero extra shuffles, but the plan carries K·dim literal doubles.
-    * ``"join"`` — the large-K form (K ~ thousands at 100 TB: cell
-      occupancy n/K): plan size is CONSTANT in K on both sides — the
-      corpus assignment goes through the 1-row broadcast centroid
-      carrier (map-side argmax, no shuffle; bit-identical to
-      ``ivf_assign_join``, test-pinned) and the query probe-cell
-      ranking through a broadcast join against the K-row centroid
-      table (at real scale assignments are computed once and
-      persisted, not re-derived per query).
-    * ``"auto"`` (default) — picks by plan size: 'literal' while the
-      embedded n_cells·dim literal doubles stay under
-      ``_AUTO_LITERAL_DOUBLES`` (the declared witness shape at K=16),
-      'join' above it (both forms are bit-identical, test-pinned, so
-      the production-K caller no longer needs to know the knob —
-      VERDICT r7 task 1).
+    * ``"join"`` — the large-K constant-plan form: the corpus assignment
+      goes through the 1-row broadcast centroid carrier (map-side
+      argmax, no shuffle; bit-identical to ``ivf_assign_join``,
+      test-pinned) and the query probe-cell ranking through a broadcast
+      join against the K-row centroid table.
+    * ``"gemm"`` — the production no-knob form (r9): corpus assignment
+      through the true-BLAS pandas_udf (``_vectorized_cell_udf``,
+      float-associative — argmax cells differ from the fold only on
+      last-ulp ties, tests/test_gemm_score.py); the query side keeps the
+      'join' broadcast ranking (queries ≪ corpus). At real scale
+      assignments are computed ONCE and persisted (``build_ivf_index``);
+      this keeps the one-shot call usable too.
+    * ``"auto"`` (default) — 'gemm' when the n·K scoring-cell estimate
+      crosses ``_AUTO_VECTORIZE_CELLS`` (the interpreted carrier fold
+      was measured at 182 s for 200k rows × K=128 — the class of plan
+      no default should pick); below it, 'literal' while the embedded
+      n_cells·dim literal doubles stay under ``_AUTO_LITERAL_DOUBLES``
+      (the declared witness shape at K=16), else 'join'. 'literal' and
+      'join' are bit-identical, test-pinned. ``n_rows`` is an optional
+      corpus-size hint that skips the count-star 'auto' otherwise runs
+      (shared with the centroid trainer's own auto).
     """
     from pyspark.sql import Window
 
-    if assign not in ("auto", "literal", "join"):
+    if assign not in ("auto", "literal", "join", "gemm"):
         raise ValueError(
-            f"assign must be 'auto', 'literal' or 'join', got {assign!r}"
+            f"assign must be 'auto', 'literal', 'join' or 'gemm',"
+            f" got {assign!r}"
         )
-    centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters)
+    n = n_rows
+    if assign == "auto" and n is None:
+        n = corpus.count()
+    centroids = ivf_centroids(
+        corpus, id_col, vec_col, n_cells, n_iters, n_rows=n
+    )
     if assign == "auto":
         # Resolve from the trained centroids' own dim — no extra Spark
         # job, and an empty corpus (no centroids) degrades to the
         # constant-plan 'join' form instead of a first()=None TypeError
         # (ADVICE r8).
         dim = len(centroids[0]) if centroids else 0
-        assign = (
-            "literal"
-            if centroids and n_cells * dim <= _AUTO_LITERAL_DOUBLES
-            else "join"
-        )
-    if assign == "join":
+        if centroids and n * n_cells >= _AUTO_VECTORIZE_CELLS:
+            assign = "gemm"
+        elif centroids and n_cells * dim <= _AUTO_LITERAL_DOUBLES:
+            assign = "literal"
+        else:
+            assign = "join"
+    if assign in ("join", "gemm"):
         from sheetreader_duckdb_spark.operators.exprutil import bind_once
 
-        # Corpus side: inline carrier assignment (bit-identical to
-        # ivf_assign_join, test-pinned) — cell computed map-side in the
-        # same select as the vector, so the large-K mode no longer pays
-        # the n·K argmax shuffle + id join-back before the cell join.
-        ccar = centroid_carrier_df(corpus.sparkSession, centroids)
-        ccell = bind_once(
-            _centroid_scores_from_carrier(
-                F.col("cv"), F.col("cents"), F.col("cnorms")
-            ),
-            lambda s: (F.array_position(s, F.array_max(s)) - 1).cast("int"),
-        )
-        c = (
-            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-            .crossJoin(broadcast(ccar))
-            .select("cid", "cv", ccell.alias("cell"))
-        )
+        if assign == "gemm":
+            cell_udf = _vectorized_cell_udf(
+                corpus.sparkSession, centroids, gemm=True
+            )
+            c = corpus.select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cv"),
+                cell_udf(F.col(vec_col)).alias("cell"),
+            )
+        else:
+            # Corpus side: inline carrier assignment (bit-identical to
+            # ivf_assign_join, test-pinned) — cell computed map-side in
+            # the same select as the vector, so the large-K mode no
+            # longer pays the n·K argmax shuffle + id join-back before
+            # the cell join.
+            ccar = centroid_carrier_df(corpus.sparkSession, centroids)
+            ccell = bind_once(
+                _centroid_scores_from_carrier(
+                    F.col("cv"), F.col("cents"), F.col("cnorms")
+                ),
+                lambda s: (F.array_position(s, F.array_max(s)) - 1).cast("int"),
+            )
+            c = (
+                corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+                .crossJoin(broadcast(ccar))
+                .select("cid", "cv", ccell.alias("cell"))
+            )
         cdf = _centroid_table(corpus.sparkSession, centroids)
         qscore = dot(F.col("qv"), F.col("cvec")) / (
             l2_norm(F.col("qv")) * F.col("cnorm")
