@@ -2113,6 +2113,9 @@ def ivfpq_topk(
     refine: int = 4,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    assign: str = "auto",
+    encode: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF coarse pruning composed with PQ/ADC compressed scoring — the
     IVFADC architecture (Jégou, Douze, Schmid 2011 §V: an inverted file
@@ -2149,30 +2152,57 @@ def ivfpq_topk(
     match ``pq_topk_join`` exactly — result equality is asserted, which
     pins the composition plumbing to the tested single-stage forms.
     Recall vs exact brute force at defaults is pinned there too.
+
+    ``assign``/``encode`` (r9, mirroring ``build_ivfpq_index``): the
+    corpus-side cell assignment and PQ encode default to ``'auto'`` —
+    the expression forms ('carrier'/'join', the pinned witness shapes)
+    below the scoring-cell crossover, the true-BLAS 'gemm' kernels above
+    it, so a one-shot no-knob call at production size never pays the
+    interpreted n·K / n·n_codes folds; 'vectorized' keeps the
+    bit-identical Arrow forms. Training autos resolve independently
+    inside the trainers. ``n_rows`` is an optional corpus-size hint
+    shared by all the autos (skips their count-stars).
     """
     from pyspark.sql import Window
 
+    n = n_rows
+    if (assign == "auto" or encode == "auto") and n is None:
+        n = corpus.count()
     if centroids is None:
-        centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters)
+        centroids = ivf_centroids(
+            corpus, id_col, vec_col, n_cells, n_iters, n_rows=n
+        )
     if codebooks is None:
         codebooks = pq_codebooks(
-            corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes, n_iters=pq_iters
+            corpus, id_col, vec_col, dim=dim, m=m, n_codes=n_codes,
+            n_iters=pq_iters, n_rows=n,
         )
+    corpus_assign = _resolve_auto(assign, (n or 0) * n_cells, "carrier", "gemm")
+    corpus_encode = _resolve_auto(encode, (n or 0) * n_codes, "join", "gemm")
     mm = len(codebooks)
     dsub = len(codebooks[0][0])
     bdf = pq_books_df(corpus.sparkSession, codebooks)
 
     # The index relation: cell + m codes + reconstruction norm. No floats.
     # Carrier-form assignment: map-side argmax, no K× row amplification.
-    cells = ivf_assign_carrier(corpus, centroids, id_col, vec_col).select(
+    cells = _assign_fn(corpus_assign)(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("cid"), "cell"
     )
-    enc = pq_encode_join(
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
-        codebooks,
-        vec_col="cv",
-        books=bdf,
-    ).select("cid", "pq_codes", "pq_norm")
+    renamed = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    if corpus_encode in ("vectorized", "gemm"):
+        enc = pq_encode_vectorized(
+            renamed, codebooks, id_col="cid", vec_col="cv",
+            gemm=corpus_encode == "gemm",
+        )
+    elif corpus_encode == "join":
+        enc = pq_encode_join(
+            renamed, codebooks, vec_col="cv", books=bdf,
+        ).select("cid", "pq_codes", "pq_norm")
+    else:
+        raise ValueError(
+            f"encode must be 'auto', 'join', 'vectorized' or 'gemm',"
+            f" got {encode!r}"
+        )
     index = enc.join(cells, "cid")
 
     # Query side: ADC lookup table + the n_probe closest cells, both from
