@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import tempfile
@@ -174,13 +175,28 @@ def _capture_stderr() -> str:
     return log_path
 
 
+_TASK_ID_RE = re.compile(
+    rb"(?:Lost|Exception in) task (\d+\.\d+) in stage (\d+\.\d+)"
+)
+
+
 def _task_failure_audit(log_path: str) -> dict:
     """Scrape the captured stderr for task/stage failure markers. Spark on
     a healthy run logs none of these at ERROR level; any hit means a task
-    retried or a stage aborted mid-bench and the numbers are suspect."""
+    retried or a stage aborted mid-bench and the numbers are suspect.
+
+    ``task_failures`` is deduped by (task, stage) attempt id so a
+    multi-line Java stack for one failed task counts once, and marker
+    lines are excluded from ``error_lines`` so one line never counts in
+    both buckets (ADVICE r9 — the raw line-hit counts inflated under
+    stacks and double-counted ' ERROR ' marker lines). Marker lines
+    WITHOUT a parseable task id (stage aborts, job failures) still count,
+    deduped by exact line text. ``audit_error`` (instead of -1 sentinels)
+    distinguishes 'log unreadable' from 'no failures' for JSON consumers."""
     markers = (b"Lost task", b"Exception in task", b"Aborting TaskSet",
                b"Stage failure", b"failed; aborting job")
-    failures = 0
+    failed_ids: set = set()
+    marker_lines: set = set()
     error_lines = 0
     size = 0
     try:
@@ -188,13 +204,21 @@ def _task_failure_audit(log_path: str) -> dict:
             for line in f:
                 size += len(line)
                 if any(m in line for m in markers):
-                    failures += 1
-                if b" ERROR " in line or b'"level": "ERROR"' in line:
+                    m = _TASK_ID_RE.search(line)
+                    if m:
+                        failed_ids.add((m.group(1), m.group(2)))
+                    else:
+                        marker_lines.add(line.strip()[:400])
+                elif b" ERROR " in line or b'"level": "ERROR"' in line:
                     error_lines += 1
-    except OSError:
-        return {"task_failures": -1, "error_lines": -1, "stderr_log": log_path}
+    except OSError as e:
+        return {
+            "task_failures": 0, "error_lines": 0,
+            "audit_error": f"stderr log unreadable: {e}",
+            "stderr_log": log_path,
+        }
     return {
-        "task_failures": failures,
+        "task_failures": len(failed_ids) + len(marker_lines),
         "error_lines": error_lines,
         "stderr_bytes": size,
         "stderr_log": log_path,

@@ -80,6 +80,12 @@ def register(spark):
             cloudpickle.register_pickle_by_value(mod)
     except ImportError:
         pass
+    # Capture the cluster width BEFORE the class is pickled for the JVM:
+    # the planning worker that later calls partitions() has no active
+    # session, so the auto shard cap must travel with the class (ADVICE r9).
+    SheetReaderDataSource._cluster_default_parallelism = (
+        spark.sparkContext.defaultParallelism
+    )
     spark.dataSource.register(SheetReaderDataSource)
     # SQL table-function form, 1:1 with the reference's invocation surface:
     # SELECT * FROM sheetreader('/path.xlsx', sheet_index => 2)

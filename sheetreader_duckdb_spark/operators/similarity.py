@@ -1688,8 +1688,13 @@ def pq_codebooks(
         # dim total steps — the same unit as the other knobs (measured:
         # 97.7 s expr vs 7.5 s GEMM at production book sizes, r7).
         n = n_rows if n_rows is not None else corpus.count()
+        # Large form is 'gemm' like every other trainer's auto (ADVICE r9:
+        # this one still said 'vectorized', so ivfpq_topk's no-knob call
+        # trained codebooks through the ~dim-pass bit-identity replay
+        # above the crossover). Tolerance + trained-book closeness are
+        # pinned in tests/test_gemm_score.py::test_pq_codebooks_gemm_*.
         assign = _resolve_auto(
-            "auto", n * n_codes * max(1, n_iters), "expr", "vectorized"
+            "auto", n * n_codes * max(1, n_iters), "expr", "gemm"
         )
     if assign not in ("expr", "vectorized", "gemm"):
         raise ValueError(
@@ -2165,6 +2170,20 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window
 
+    # Validate the strategy knobs BEFORE any training job runs: a typo'd
+    # assign (or ivf_topk vocabulary like 'literal'/'join') used to surface
+    # as _assign_fn's error only after the expensive centroid + codebook
+    # training already completed (ADVICE r9).
+    if assign not in ("auto", "carrier", "vectorized", "gemm"):
+        raise ValueError(
+            f"assign must be 'auto', 'carrier', 'vectorized' or 'gemm',"
+            f" got {assign!r}"
+        )
+    if encode not in ("auto", "join", "vectorized", "gemm"):
+        raise ValueError(
+            f"encode must be 'auto', 'join', 'vectorized' or 'gemm',"
+            f" got {encode!r}"
+        )
     n = n_rows
     if (assign == "auto" or encode == "auto") and n is None:
         n = corpus.count()

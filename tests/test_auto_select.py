@@ -117,8 +117,26 @@ def test_pq_codebooks_auto_matches_explicit(spark, monkeypatch):
     e = _emb(spark)
     expr = S.pq_codebooks(e, dim=8, m=2, n_codes=4, assign="expr")
     assert S.pq_codebooks(e, dim=8, m=2, n_codes=4, assign="auto") == expr
+    # Above the crossover 'auto' resolves to 'gemm' like every other
+    # trainer (ADVICE r9 — it used to pick 'vectorized', leaving
+    # ivfpq_topk's no-knob call on the ~dim-pass replay): identical to an
+    # explicit gemm call; closeness to expr training is pinned in
+    # tests/test_gemm_score.py::test_pq_codebooks_gemm_training_close.
+    gemm = S.pq_codebooks(e, dim=8, m=2, n_codes=4, assign="gemm")
     monkeypatch.setattr(S, "_AUTO_VECTORIZE_CELLS", 1)
-    assert S.pq_codebooks(e, dim=8, m=2, n_codes=4, assign="auto") == expr
+    assert S.pq_codebooks(e, dim=8, m=2, n_codes=4, assign="auto") == gemm
+
+
+def test_ivfpq_topk_validates_knobs_before_training(spark):
+    """ADVICE r9: a typo'd assign/encode must fail fast, BEFORE centroid +
+    codebook training. The corpus here is EMPTY — if validation ran after
+    training, the seed-row error would surface instead of the knob error."""
+    e = _emb(spark).filter(F.col("vec_id") < 0)
+    q = _emb(spark, n=2)
+    with pytest.raises(ValueError, match="assign must be .*carrier"):
+        S.ivfpq_topk(e, q, assign="literal", dim=8, m=2, n_rows=0)
+    with pytest.raises(ValueError, match="encode must be .*join"):
+        S.ivfpq_topk(e, q, encode="carrier", dim=8, m=2, n_rows=0)
 
 
 def test_build_ivf_index_reduced_cells_full_corpus(spark, tmp_path):

@@ -229,3 +229,32 @@ def test_t21_single_pass_window_form(tpch_plans):
     plan = tpch_plans["t21_waiting_suppliers"]
     assert plan.count("Exchange") <= 5, "t21 regressed to the self-join form"
     assert "Window" in plan
+
+
+def test_declared_witness_knobs_stay_below_auto_crossover(spark):
+    """Every declared HASH witness that routes through a scoring 'auto'
+    knob must resolve to the expression form: its scoring-cell count at
+    the driver's correctness scale (sf0.01) has to sit below
+    ``_AUTO_VECTORIZE_CELLS``, or a future data/knob growth would silently
+    flip a hash-pinned plan to the float-associative gemm form (ADVICE
+    r9). Pins the actual declared knobs against the actual table sizes —
+    update the knob constants here ONLY together with the witness."""
+    import os
+
+    from sheetreader_duckdb_spark.operators import similarity as S
+
+    cap = S._AUTO_VECTORIZE_CELLS
+    for sf_dir in ("/root/testdata/sf0.01", os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )):
+        if not os.path.isdir(sf_dir):
+            continue
+        n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        # n05/n06b ANN witnesses (plans/northstar.py): n_cells=16,
+        # n_codes=16, n_iters=pq_iters=2.
+        assert n_emb * 16 < cap, f"{sf_dir}: ivf witness crossed the crossover"
+        assert n_emb * 16 * 2 < cap, f"{sf_dir}: pq witness crossed the crossover"
+        # n01 'cur_kept' curate pipeline: semantic_dedup_keep with
+        # n_cells=min(auto_ivf_cells(n_emb), n_emb), score='auto'.
+        k = min(S.auto_ivf_cells(n_emb), n_emb)
+        assert n_emb * k < cap, f"{sf_dir}: curate semdedup crossed the crossover"

@@ -246,16 +246,20 @@ def test_auto_shard_cap_matrix(spark, tmp_path, monkeypatch):
         f.write(b"\x00")
     schema = StructType([StructField("x", DoubleType())])
 
-    def reader(**opts):
-        return DS.SheetReaderReader({"path": path, **opts}, schema)
+    def reader(parallelism=None, **opts):
+        # The REAL plumbing (ADVICE r9): default_parallelism is what
+        # register(spark) captures onto the pickled class — no mock of
+        # _auto_shard_cap, the cap math itself runs.
+        return DS.SheetReaderReader(
+            {"path": path, **opts}, schema, default_parallelism=parallelism
+        )
 
-    def n_parts(r, size_mb, parallelism):
+    def n_parts(r, size_mb, parallelism=None):
         monkeypatch.setattr(
             _os.path, "getsize", lambda _p: size_mb << 20
         )
-        monkeypatch.setattr(DS, "_auto_shard_cap",
-                            lambda ms: ms if ms is not None
-                            else max(32, parallelism))
+        if parallelism is not None:
+            r._default_parallelism = parallelism
         return len(r.partitions())
 
     r = reader()
@@ -626,3 +630,57 @@ def test_sst_fast_paths_roundtrip_hostile_strings():
             assert bulk.to_pylist() == strings
 
     check()
+
+
+def test_cluster_cap_travels_through_real_spark_read(spark, tmp_path):
+    """ADVICE r9 (medium): the cluster-aware auto shard cap must survive the
+    trip into the planning worker — partitions() runs in a separate
+    driver-side Python process with NO active SparkSession, so the cap has
+    to ride the class pickled at register() time. This is the non-mocked
+    proof: the class attribute is set (exactly what register() does, with a
+    simulated 48-core width since local mode can't exceed its own core
+    count), the class is re-registered, and a REAL spark.read on a 50 MB
+    file must plan 48 shards — not the 32 the dead getActiveSession()
+    fallback would give."""
+    import zipfile
+
+    from sheetreader_duckdb_spark import register
+    from sheetreader_duckdb_spark.sources.xlsx.datasource import (
+        SheetReaderDataSource,
+    )
+    from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
+
+    register(spark)
+    # register() captures the driver's real width onto the class.
+    assert (
+        SheetReaderDataSource._cluster_default_parallelism
+        == spark.sparkContext.defaultParallelism
+    )
+
+    path = str(tmp_path / "padded.xlsx")
+    w = IncrementalXlsxWriter(path, "Sheet1")
+    w.write_row(["a", "b"])
+    for i in range(2000):
+        w.write_row([float(i), float(i) * 0.5])
+    w.close()
+    # Pad the archive to 50 MB with a STORED non-worksheet member: the auto
+    # shard count keys on os.path.getsize, so this buys a big "file"
+    # without a slow fixture write (the sheet itself stays tiny and every
+    # shard's parse is cheap).
+    with zipfile.ZipFile(path, "a") as z:
+        z.writestr(
+            zipfile.ZipInfo("docProps/pad.bin"), b"\x00" * (50 << 20),
+            compress_type=zipfile.ZIP_STORED,
+        )
+    assert (50 << 20) <= __import__("os").path.getsize(path) < (52 << 20)
+
+    SheetReaderDataSource._cluster_default_parallelism = 48
+    try:
+        spark.dataSource.register(SheetReaderDataSource)
+        df = spark.read.format("sheetreader").load(path)
+        # min(max(32, 48), 50 MB) = 48 shards — the 48 proves the value
+        # crossed into the planning worker; rows prove shard correctness.
+        assert df.rdd.getNumPartitions() == 48
+        assert df.count() == 2000
+    finally:
+        register(spark)  # restore the real width for the rest of the suite
