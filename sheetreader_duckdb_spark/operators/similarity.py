@@ -61,6 +61,17 @@ _AUTO_LITERAL_DOUBLES = 16_384
 # doubles = 32 MB per block (plus one same-sized per-dimension temporary).
 _CELL_PAIR_BLOCK = 4_000_000
 
+# Row cap per applyInPandas group in semantic_dedup_pairs' vectorized/gemm
+# scoring (VERDICT r9 task 1): the score matrix was already block-chunked,
+# but the GROUP itself — pandas frame + stacked vector matrix — was
+# O(cell_size × dim) in one task, so a pathologically skewed cell (exactly
+# what duplicate-heavy corpora produce) could OOM an executor. Cells above
+# this cap split into ceil(size/cap) hash sub-buckets and pairs generate
+# across bucket pairs (the LSH bucket-cap discipline applied here): every
+# task now holds at most TWO sub-buckets ≈ 2×cap rows. 32k rows × 768 dim
+# × 8 B ≈ 200 MB of stacked float64 per side — bounded regardless of skew.
+_CELL_SPLIT_ROWS = 32_768
+
 # Training-slice cap for semantic_dedup's 'auto' train_fraction: Lloyd's
 # per-iteration cost is n_train·K — at production K (auto_ivf_cells gives
 # n/100) full-corpus training is the dominant term (measured 346 s
@@ -1321,11 +1332,15 @@ def semantic_dedup_pairs(
     cosines, test-pinned), so the n²/K candidate volume pays GEMM rates
     instead of dim interpreted lambda steps per pair, and the corpus
     shuffles ONCE (the join form shuffles both join sides). Task memory
-    holds one cell's vectors plus a ROW-CHUNKED score block of at most
-    ``_CELL_PAIR_BLOCK`` doubles (chunk×occupancy, not occupancy² — a
-    skewed hot cell streams its pair rows in chunks like the join form
-    streams pairs, instead of materializing the full occupancy² matrix
-    in one task; ADVICE r7).
+    is bounded on BOTH axes: the score block is row-chunked to at most
+    ``_CELL_PAIR_BLOCK`` doubles (ADVICE r7), and cells larger than
+    ``_CELL_SPLIT_ROWS`` split into hash sub-buckets whose pair-groups
+    each hold at most two buckets (VERDICT r9 task 1 — previously the
+    WHOLE cell materialized in one task, so a pathologically skewed cell,
+    exactly what duplicate-heavy corpora produce, could OOM an executor;
+    now skew only adds ceil(csz/cap)× replication for the hot cell's own
+    rows). The split is driven by a lazy broadcast K-row cell histogram —
+    no driver collect, and unsplit cells score exactly as before.
 
     ``score='gemm'`` is the production scoring form: the same
     applyInPandas cell shuffle and row-chunked blocks, but each block
@@ -1408,36 +1423,62 @@ def semantic_dedup_pairs(
         import numpy as np
         import pandas as pd
 
+        from sheetreader_duckdb_spark.session import defer_unpersist
+
         thr = float(threshold)
         id_t = corpus.schema[id_col].dataType.simpleString()
+        cap = int(_CELL_SPLIT_ROWS)
 
-        def _cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            n = len(pdf)
-            if n < 2:
-                return pd.DataFrame(
-                    {"id_a": [], "id_b": [], "cell": [], "cosine": []}
-                )
-            ids = pdf["__id"].to_numpy()
-            M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+        def _stack(col) -> "np.ndarray":
+            return np.stack([np.asarray(x, dtype=np.float64) for x in col])
+
+        def _norms(M: "np.ndarray") -> "np.ndarray":
             if use_gemm:
-                nm = np.sqrt(np.einsum("ij,ij->i", M, M))
+                return np.sqrt(np.einsum("ij,ij->i", M, M))
+            n2 = np.zeros(len(M))
+            for d in range(M.shape[1]):
+                n2 += M[:, d] * M[:, d]
+            return np.sqrt(n2)
+
+        _EMPTY = {"id_a": [], "id_b": [], "cell": [], "cosine": []}
+
+        def _group_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # One task holds ONE (cell, sub-bucket pair) group — at most
+            # ~2×_CELL_SPLIT_ROWS rows regardless of cell skew (VERDICT r9
+            # task 1: the whole cell used to stack into one matrix).
+            # g1 == g2 is the within-bucket triangle (the only group an
+            # unsplit cell produces, so small cells score EXACTLY as
+            # before); g1 < g2 scores the full left×right bipartite block.
+            cell_id = int(pdf["cell"].iloc[0])
+            g1 = int(pdf["__g1"].iloc[0])
+            g2 = int(pdf["__g2"].iloc[0])
+            if g1 == g2:
+                left = right = pdf
             else:
-                n2 = np.zeros(n)
-                for d in range(M.shape[1]):
-                    n2 += M[:, d] * M[:, d]
-                nm = np.sqrt(n2)
-            # Row-chunked scoring: each block is chunk×n doubles (capped
-            # at _CELL_PAIR_BLOCK), never the full n×n matrix — a skewed
-            # hot cell streams pair rows instead of OOMing the task. The
+                bb = pdf["__b"].to_numpy()
+                left, right = pdf[bb == g1], pdf[bb == g2]
+            nl, nr = len(left), len(right)
+            if nl == 0 or nr == 0 or (g1 == g2 and nl < 2):
+                return pd.DataFrame(_EMPTY)
+            ids_l = left["__id"].to_numpy()
+            Ml = _stack(left["__v"])
+            if g1 == g2:
+                ids_r, Mr = ids_l, Ml
+            else:
+                ids_r, Mr = right["__id"].to_numpy(), _stack(right["__v"])
+            nml = _norms(Ml)
+            nmr = nml if g1 == g2 else _norms(Mr)
+            # Row-chunked scoring: each block is chunk×nr doubles (capped
+            # at _CELL_PAIR_BLOCK), never the full nl×nr matrix. The
             # per-dimension accumulation order inside a block is the
             # fold's exact IEEE sequence, so every (i, j) cosine is
             # bit-identical to the unchunked form (each entry's
             # arithmetic is independent of the blocking).
-            chunk = max(1, _CELL_PAIR_BLOCK // n)
-            cell_id = int(pdf["cell"].iloc[0])
+            chunk = max(1, _CELL_PAIR_BLOCK // nr)
             outs = []
-            for r0 in range(0, n - 1, chunk):
-                r1 = min(n, r0 + chunk)
+            stop = nl - 1 if g1 == g2 else nl
+            for r0 in range(0, stop, chunk):
+                r1 = min(nl, r0 + chunk)
                 if use_gemm:
                     # One BLAS matmul per block: ~dim× fewer memory
                     # passes than the sequential replay. Cosines are
@@ -1445,21 +1486,28 @@ def semantic_dedup_pairs(
                     # membership can differ from the fold only when a
                     # cosine sits within an ulp of the threshold
                     # (tolerance-pinned in tests/test_gemm_score.py).
-                    dots = M[r0:r1] @ M.T
+                    dots = Ml[r0:r1] @ Mr.T
                 else:
-                    dots = np.zeros((r1 - r0, n))
-                    for d in range(M.shape[1]):
-                        dots += M[r0:r1, d, None] * M[None, :, d]
+                    dots = np.zeros((r1 - r0, nr))
+                    for d in range(Ml.shape[1]):
+                        dots += Ml[r0:r1, d, None] * Mr[None, :, d]
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    s = dots / (nm[r0:r1, None] * nm[None, :])
-                # upper triangle in GLOBAL row order: pair (i, j), j > i.
-                li, ib = np.nonzero(
-                    np.arange(n)[None, :] > (r0 + np.arange(r1 - r0))[:, None]
-                )
+                    s = dots / (nml[r0:r1, None] * nmr[None, :])
+                if g1 == g2:
+                    # upper triangle in GLOBAL row order: pair (i, j), j > i.
+                    li, ib = np.nonzero(
+                        np.arange(nr)[None, :]
+                        > (r0 + np.arange(r1 - r0))[:, None]
+                    )
+                else:
+                    # bipartite: every (left, right) pair exactly once —
+                    # buckets are disjoint, so no pair repeats elsewhere.
+                    li = np.repeat(np.arange(r1 - r0), nr)
+                    ib = np.tile(np.arange(nr), r1 - r0)
                 ia = r0 + li
                 # id_a < id_b like the join form (row order within a cell
                 # is arbitrary, so order each pair by id, not position).
-                a, b = ids[ia], ids[ib]
+                a, b = ids_l[ia], ids_r[ib]
                 swap = a > b
                 a2 = np.where(swap, b, a)
                 b2 = np.where(swap, a, b)
@@ -1475,6 +1523,8 @@ def semantic_dedup_pairs(
                         }
                     )
                 )
+            if not outs:
+                return pd.DataFrame(_EMPTY)
             return pd.concat(outs, ignore_index=True)
 
         # Assignment rides the GEMM udf too (bit-identical to the carrier
@@ -1488,9 +1538,61 @@ def semantic_dedup_pairs(
             F.col(vec_col).alias("__v"),
             cell_udf(F.col(vec_col)).alias("cell"),
         )
-        return assigned.groupBy("cell").applyInPandas(
-            _cell_pairs,
-            f"id_a {id_t}, id_b {id_t}, cell int, cosine double",
+        grouped_schema = f"id_a {id_t}, id_b {id_t}, cell int, cosine double"
+        if n_rows is not None and n_rows <= cap:
+            # No cell can exceed the split cap when the whole corpus fits
+            # under it — keep the r8 single-group plan (no histogram, no
+            # persist, one exchange). Constant group keys make the same
+            # _group_pairs kernel take its triangle branch.
+            return (
+                assigned
+                .withColumn("__b", F.lit(0))
+                .withColumn("__g1", F.lit(0))
+                .withColumn("__g2", F.lit(0))
+                .groupBy("cell", "__g1", "__g2")
+                .applyInPandas(_group_pairs, grouped_schema)
+            )
+        assigned = defer_unpersist(assigned.persist())
+        # Sub-bucket oversized cells (lazy, no driver collect): the K-row
+        # cell histogram broadcasts back onto the assignment, each row of
+        # a cell with csz > cap hashes into one of nb = ceil(csz/cap)
+        # buckets and replicates into the nb (bucket, other) pair-groups
+        # it participates in — the LSH bucket-cap pattern. Unsplit cells
+        # (nb = 1, the entire non-adversarial world) explode to exactly
+        # their old single group, so the declared witnesses' pair streams
+        # are untouched. Replication factor is nb only for hot cells.
+        hist = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__csz"))
+        sub = (
+            assigned.join(broadcast(hist), "cell")
+            .withColumn(
+                "__nb",
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("__csz") / F.lit(cap))
+                ).cast("int"),
+            )
+            .withColumn(
+                "__b",
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(
+                            F.lit("semdedup-bucket:"),
+                            F.col("__id").cast("string"),
+                        )
+                    ),
+                    F.col("__nb"),
+                ).cast("int"),
+            )
+            .withColumn(
+                "__o", F.explode(F.sequence(F.lit(0), F.col("__nb") - 1))
+            )
+            .select(
+                "__id", "__v", "cell", "__b",
+                F.least("__b", "__o").alias("__g1"),
+                F.greatest("__b", "__o").alias("__g2"),
+            )
+        )
+        return sub.groupBy("cell", "__g1", "__g2").applyInPandas(
+            _group_pairs, grouped_schema
         )
     if score != "expr":
         raise ValueError(
