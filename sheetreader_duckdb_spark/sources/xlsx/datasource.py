@@ -800,10 +800,12 @@ class SheetReaderReader(DataSourceReader):
                 pass
         # Row path (expat / coerce / inline strings): chunk round-robin
         # sharded like the columnar path (VERDICT r8 task 2) — each shard
-        # cell-parses only its assigned chunks and row-counts the rest;
-        # only the tier-3 whole-file expat fallback (namespace-prefixed
-        # documents) stays on shard 0, decided deterministically because
-        # every shard scans chunk 0 (see XlsxWorkbook.iter_rows).
+        # cell-parses only its assigned chunks and row-counts the rest.
+        # Namespace-prefixed documents shard too since r10 (per-prefix
+        # compiled patterns); only the tier-3 whole-file expat fallback
+        # (mixed prefixes / no detectable opener) stays on shard 0,
+        # decided deterministically because every shard scans chunk 0
+        # (see XlsxWorkbook.iter_rows).
         yield from self._read_rows(
             partition.path, file_schema, keep,
             partition.shard, partition.n_shards,
@@ -1041,6 +1043,8 @@ class SheetReaderReader(DataSourceReader):
             raw_cols: list[list] = [[] for _ in range(n_cols)]
             chunk_idx = 0
             rows_seen = 0  # global row ordinal, identical across all shards
+            pfx = None  # element prefix, detected from the worksheet opener
+            pr = None
             # Smaller chunks when sharded → even round-robin load balance.
             chunk_bytes = (1 << 20) if n_shards > 1 else (4 << 20)
             with wb.zf.open(sheet.path) as f:
@@ -1049,7 +1053,20 @@ class SheetReaderReader(DataSourceReader):
                     data = f.read(chunk_bytes)
                     if data:
                         buf += data
-                        cut = buf.rfind(b"</row>")
+                        if pfx is None:
+                            # Prefixed worksheets (<x:row>) scan and shard
+                            # on this same columnar tier (r10; previously
+                            # they defeated to the single-stream whole-file
+                            # walk — the reference parallelizes every
+                            # document shape). Stream-deterministic: every
+                            # shard reads the same head bytes.
+                            pfx = P.detect_row_prefix(buf)
+                            if pfx is None:
+                                if len(buf) < (64 << 20):
+                                    continue
+                                raise P._FastPathUnsupported
+                            pr = P.prefix_res(pfx)
+                        cut = buf.rfind(pr.row_end)
                         if cut == -1:
                             if len(buf) < (64 << 20):
                                 continue
@@ -1063,8 +1080,12 @@ class SheetReaderReader(DataSourceReader):
                                 )
                             raise P._FastPathUnsupported  # stream-deterministic:
                             # every shard sees the same bytes → same decision
-                        work, buf = buf[: cut + 6], buf[cut + 6 :]
+                        end = cut + len(pr.row_end)
+                        work, buf = buf[:end], buf[end:]
                     else:
+                        if pfx is None:
+                            pfx = P.detect_row_prefix(buf) or b""
+                            pr = P.prefix_res(pfx)
                         work, buf = buf, b""
 
                     assigned = (chunk_idx % n_shards) == shard
@@ -1082,12 +1103,12 @@ class SheetReaderReader(DataSourceReader):
                         # count proves no rowBreaks AND all rows matched.
                         # Only on mismatch pay the second pass to subtract
                         # rowBreaks before deciding fallback.
-                        n_raw = work.count(b"<row")
+                        n_raw = work.count(pr.row_start)
                         dm = dense[0].findall(work)
                         n_rows_chunk = (
                             n_raw
                             if len(dm) == n_raw
-                            else n_raw - work.count(b"<rowB")
+                            else n_raw - work.count(pr.rowb_start)
                         )
                         if len(dm) == n_rows_chunk:
                             chunk_idx += 1
@@ -1113,19 +1134,20 @@ class SheetReaderReader(DataSourceReader):
                     if assigned or chunk_idx == 0:
                         # Chunk 0 is checked by EVERY shard so the whole-file
                         # fallback decision is consistent across shards.
-                        row_matches = P._ROW_RE.findall(work)
-                        n_rows_chunk = len(P._ROW_COUNT_RE.findall(work))
+                        row_matches = pr.row_re.findall(work)
+                        n_rows_chunk = len(pr.row_count_re.findall(work))
                         if chunk_idx == 0 and (
                             len(row_matches) != n_rows_chunk
                             or (
                                 not row_matches
-                                and (b":row" in work or b":sheetData" in work)
+                                and P._ANY_ROW_RE.search(work)
                             )
                         ):
-                            # Second arm: namespace-prefixed worksheet —
-                            # zero matches AND zero counts agree, which
-                            # without the marker check silently read the
-                            # document as EMPTY (r9 fix, mirrored in
+                            # Second arm: row tags exist but the detected
+                            # prefix's scanner sees none (mixed/undetected
+                            # prefixes) — without the check such documents
+                            # silently read as EMPTY (r9 fix, generalized
+                            # for prefix support in r10; mirrored in
                             # parser._scan_chunk). Deterministic across
                             # shards: every shard scans chunk 0.
                             raise P._FastPathUnsupported
@@ -1138,7 +1160,7 @@ class SheetReaderReader(DataSourceReader):
                                 (b for b in reversed(row_matches) if b), b""
                             )
                             dense = P.build_dense_row_re(
-                                tmpl, keep, exp_codes, date_styles
+                                tmpl, keep, exp_codes, date_styles, pfx
                             )
                             # Dense-extract chunk 0 itself (only the owning
                             # shard emits it): findall from the first kept
@@ -1150,7 +1172,7 @@ class SheetReaderReader(DataSourceReader):
                             # below, which produces identical cells.
                             if assigned and dense and skip_n < n_rows_chunk:
                                 if skip_n:
-                                    it = P._ROW_COUNT_RE.finditer(work)
+                                    it = pr.row_count_re.finditer(work)
                                     for _ in range(skip_n):
                                         next(it)
                                     off = next(it).start()
@@ -1179,7 +1201,7 @@ class SheetReaderReader(DataSourceReader):
                                         break
                                     continue
                     else:
-                        n_rows_chunk = P.count_row_starts(work)
+                        n_rows_chunk = P.count_row_starts(work, pfx)
                         row_matches = []
                         chunk_regular = True
                     chunk_idx += 1
@@ -1211,8 +1233,8 @@ class SheetReaderReader(DataSourceReader):
                         rows_seen += 1
                         if ordinal < skip_n:
                             continue
-                        ms = P._CELL_RE.findall(body)
-                        if len(ms) != len(P._CELL_COUNT_RE.findall(body)):
+                        ms = pr.cell_re.findall(body)
+                        if len(ms) != len(pr.cell_count_re.findall(body)):
                             # Irregular row: flush and defer the whole chunk's
                             # remainder to the fragment path is overkill —
                             # handle just this row via fragment parse.
@@ -1220,7 +1242,9 @@ class SheetReaderReader(DataSourceReader):
                                 yield finalize(raw_cols)
                                 raw_cols = [[] for _ in range(n_cols)]
                                 batch_rows = 0
-                            frag, _n = fragment_batch(b"<row>" + body + b"</row>")
+                            frag, _n = fragment_batch(
+                                b"<" + pfx + b"row>" + body + b"</" + pfx + b"row>"
+                            )
                             if frag.num_rows:
                                 yield frag
                             continue

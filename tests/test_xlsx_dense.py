@@ -338,16 +338,8 @@ def test_row_path_sharded_skip_rows(spark, tmp_path):
     assert r1 == r6 and len(r1) == 2501  # header consumed, 500 skipped
 
 
-def test_expat_fallback_sharded_parses_once(tmp_path, spark):
-    """A namespace-prefixed worksheet defeats chunked scanning entirely:
-    with sharded partitions the whole-file expat fallback runs on shard 0
-    only — sharded result identical to single-thread, no duplicates."""
-    import zipfile
-
-    from sheetreader_duckdb_spark import register
-
-    register(spark)
-    path = str(tmp_path / "prefixed.xlsx")
+def _prefixed_workbook_parts():
+    """The non-worksheet members of a minimal namespace-prefixed package."""
     ct = (
         '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
         '<Default Extension="xml" ContentType="application/xml"/>'
@@ -371,6 +363,21 @@ def test_expat_fallback_sharded_parses_once(tmp_path, spark):
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
         '<x:sheets><x:sheet name="S" sheetId="1" r:id="rId1"/></x:sheets></x:workbook>'
     )
+    return ct, rels, wb_rels, wb_xml
+
+
+def test_expat_fallback_sharded_parses_once(tmp_path, spark):
+    """A namespace-prefixed worksheet scans on the SHARDED fast tier since
+    r10 (prefix-parameterized patterns) — previously it defeated to a
+    whole-file expat parse pinned to shard 0. Sharded result identical to
+    single-thread, no duplicates, and the fast tier provably engages."""
+    import zipfile
+
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    path = str(tmp_path / "prefixed.xlsx")
+    ct, rels, wb_rels, wb_xml = _prefixed_workbook_parts()
     rows = "".join(
         f'<x:row r="{i + 2}"><x:c r="A{i + 2}"><x:v>{i}</x:v></x:c>'
         f'<x:c r="B{i + 2}"><x:v>{i * 2}</x:v></x:c></x:row>'
@@ -397,6 +404,125 @@ def test_expat_fallback_sharded_parses_once(tmp_path, spark):
     r1 = sorted(map(tuple, mk(1).collect()))
     r4 = sorted(map(tuple, mk(4).collect()))
     assert r1 == r4 and len(r1) == 201
+
+    # The fast tier provably engages AND genuinely shards: with a tiny
+    # chunk size, every one of 3 shards yields rows (pre-r10 the whole
+    # document parsed on shard 0 and shards 1-2 yielded nothing).
+    per_shard = []
+    with P.XlsxWorkbook(path) as wb:
+        sheet = wb.resolve_sheet(None, None)
+        for s in range(3):
+            per_shard.append(
+                sum(
+                    1
+                    for _ in wb.iter_rows(
+                        sheet, chunk_bytes=1024, shard=s, n_shards=3
+                    )
+                )
+            )
+    assert all(c > 0 for c in per_shard), per_shard
+    assert sum(per_shard) == 201
+
+
+def test_prefixed_doc_full_type_matrix_sharded(tmp_path, spark):
+    """Prefixed worksheet with shared strings (prefixed sst heap),
+    booleans, an irregular row (reordered attrs → the ns-aware fragment
+    parser) and an empty row: sharded read bit-equal to single-thread."""
+    import zipfile
+
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    path = str(tmp_path / "prefixed_typed.xlsx")
+    ct, rels, wb_rels, wb_xml = _prefixed_workbook_parts()
+    sst = (
+        '<?xml version="1.0"?>'
+        '<x:sst xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">'
+        "<x:si><x:t>alpha</x:t></x:si><x:si><x:t>beta &amp; co</x:t></x:si>"
+        "<x:si><x:t>gamma</x:t></x:si></x:sst>"
+    )
+    body = []
+    for i in range(2, 402):
+        if i == 200:
+            # irregular: t before r defeats the cell regex -> fragment
+            # parser (needs the synthetic xmlns declarations mid-file)
+            body.append(
+                f'<x:row r="{i}"><x:c t="s" r="A{i}"><x:v>{i % 3}</x:v></x:c>'
+                f'<x:c r="B{i}"><x:v>{i}.5</x:v></x:c>'
+                f'<x:c r="C{i}" t="b"><x:v>1</x:v></x:c></x:row>'
+            )
+        elif i == 300:
+            body.append(f'<x:row r="{i}"/>')  # empty row -> all NULL
+        else:
+            body.append(
+                f'<x:row r="{i}"><x:c r="A{i}" t="s"><x:v>{i % 3}</x:v></x:c>'
+                f'<x:c r="B{i}"><x:v>{i}.5</x:v></x:c>'
+                f'<x:c r="C{i}" t="b"><x:v>{i % 2}</x:v></x:c></x:row>'
+            )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<x:worksheet xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<x:sheetData><x:row r="1">'
+        '<x:c r="A1" t="s"><x:v>0</x:v></x:c>'
+        '<x:c r="B1"><x:v>1.5</x:v></x:c>'
+        '<x:c r="C1" t="b"><x:v>0</x:v></x:c></x:row>'
+        + "".join(body)
+        + "</x:sheetData></x:worksheet>"
+    )
+    wb_rels = wb_rels.replace(
+        "</Relationships>",
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/></Relationships>',
+    )
+    ct = ct.replace(
+        "</Types>",
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>',
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/workbook.xml", wb_xml)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    mk = lambda t: (  # noqa: E731
+        spark.read.format("sheetreader")
+        .option("has_header", False)
+        .option("types", "VARCHAR,DOUBLE,BOOLEAN")
+        .option("threads", t)
+        .load(path)
+    )
+    r1 = sorted(map(tuple, mk(1).collect()), key=str)
+    r4 = sorted(map(tuple, mk(4).collect()), key=str)
+    assert r1 == r4
+    assert len(r1) == 401
+    assert ("gamma", 200.5, True) in r1  # the irregular row, decoded
+    assert any(r[0] == "beta & co" for r in r1)  # entity through the heap
+    assert (None, None, None) in r1  # the empty row
+
+    # row_count statistic on the prefixed document (regex row counting
+    # with the detected prefix — used to see zero '<row' tags).
+    assert DS.row_count(path) == 401
+
+
+def test_prefixed_dense_row_template(tmp_path):
+    """build_dense_row_re compiles a prefixed template and matches
+    prefixed rows (the dense single-findall tier works on <x:...> docs)."""
+    built = P.build_dense_row_re(
+        b'<x:c r="A2" t="s"><x:v>3</x:v></x:c><x:c r="B2"><x:v>1.0</x:v></x:c>',
+        [0, 1],
+        [0, 1],
+        frozenset(),
+        pfx=b"x:",
+    )
+    assert built is not None
+    regex, out_slots = built
+    assert out_slots == [0, 1]
+    assert regex.findall(
+        b'<x:row r="9"><x:c r="A9" t="s"><x:v>7</x:v></x:c>'
+        b'<x:c r="B9"><x:v>8.5</x:v></x:c></x:row>'
+    ) == [(b"7", b"8.5")]
+    # count_row_starts with the prefix
+    assert P.count_row_starts(b'<x:row r="1"/><x:rowBreaks/><x:row>', b"x:") == 2
 
 
 def test_sst_si_with_whitespace_or_attribute_falls_back():
