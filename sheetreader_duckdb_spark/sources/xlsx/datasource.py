@@ -37,6 +37,7 @@ rejects >1 file at bind, :648-651); partition = file.
 from __future__ import annotations
 
 import glob as _glob
+import operator as _op
 import os
 from dataclasses import dataclass
 
@@ -1114,13 +1115,17 @@ class SheetReaderReader(DataSourceReader):
                             chunk_idx += 1
                             rows_seen += n_rows_chunk
                             if len(dense[1]) == 1:
-                                cols = [dm]
+                                raw_cols[dense[1][0]].extend(dm)
                             else:
-                                cols = list(zip(*dm)) if dm else [
-                                    [] for _ in dense[1]
-                                ]
-                            for j, out in enumerate(dense[1]):
-                                raw_cols[out].extend(cols[j])
+                                # Column extract via itemgetter, NOT
+                                # zip(*dm): unpacking a million-tuple
+                                # argument list measured 3.5× slower
+                                # than the per-column C-speed map
+                                # (partsupp 1T profile, r10).
+                                for j, out in enumerate(dense[1]):
+                                    raw_cols[out].extend(
+                                        map(_op.itemgetter(j), dm)
+                                    )
                             batch_rows += len(dm)
                             while batch_rows >= opts.batch_size:
                                 take = opts.batch_size
@@ -1183,13 +1188,14 @@ class SheetReaderReader(DataSourceReader):
                                     chunk_idx += 1
                                     rows_seen += n_rows_chunk
                                     if len(dense[1]) == 1:
-                                        cols = [dm]
+                                        raw_cols[dense[1][0]].extend(dm)
                                     else:
-                                        cols = list(zip(*dm)) if dm else [
-                                            [] for _ in dense[1]
-                                        ]
-                                    for j, out in enumerate(dense[1]):
-                                        raw_cols[out].extend(cols[j])
+                                        # itemgetter, not zip(*dm) — see
+                                        # the steady-state dense site.
+                                        for j, out in enumerate(dense[1]):
+                                            raw_cols[out].extend(
+                                                map(_op.itemgetter(j), dm)
+                                            )
                                     batch_rows += len(dm)
                                     while batch_rows >= opts.batch_size:
                                         take = opts.batch_size
