@@ -22,10 +22,11 @@ re-derive whether a cross-round delta is code, methodology, or the box):
   ``queries`` stays {name: construct+exec} for compatibility.
 * ``prev_commit`` — in the SAME bench session, the previous round's
   archived commit (the last ``round N:`` driver commit) is checked out
-  into a scratch git worktree and a subprocess runs a small sentinel
-  query set on it with identical methodology. Same box, same minutes:
-  current-vs-previous on the sentinels is a paired measurement, immune
-  to machine drift.
+  into a scratch git worktree and a subprocess re-runs the FULL headline
+  set plus the standalone entries on it with identical methodology
+  (r10; previously 6 sentinels — VERDICT r9 wrong #2). Same box, same
+  minutes: current-vs-previous on every entry is a paired measurement,
+  immune to machine drift.
 
 The headline set covers the engine surface end-to-end:
   - xlsx_load_lineitem — sheetreader data-source scan of a 600k-row
@@ -87,23 +88,22 @@ HEADLINE = [
     "n19_asof_join",
 ]
 
-# Paired against the previous round's commit in the same session. Small on
-# purpose (one extra JVM): an agg, a join-heavy Q5, a window, a sort, a
-# shuffle-heavy north star, and a real write op span the plan shapes that
-# regress independently. (h08c + h02b added round 5: r4's h08c swing could
-# only be attributed to box noise by inference — now it's measured.)
-SENTINELS = [
-    "h08_agg_tpch_q1",
-    "h08c_tpch_q5",
-    "h12_window_functions",
-    "h13_sort_topk",
-    "n02_dedup_minhash_lsh",
-    "h02b_ctas_sink",
-]
+# Paired against the previous round's commit in the same session. Since r10
+# this is the FULL headline set plus the five standalone entries (pack,
+# export, curate, both xlsx loads) — VERDICT r9 wrong #2: the 6-query
+# sentinel block left regressions in the other 22 entries hidden inside box
+# noise (the r9 64-vs-55 s scare cost a judge-hour to classify). The prev
+# block costs one extra JVM + ~1-2 min; every cross-round delta is now a
+# paired measurement.
+SENTINELS = HEADLINE
 
 # Runs inside the previous round's worktree with ITS package on sys.path;
-# only stdlib + the corpus API it has had since round 2 (plans.all_queries,
-# session.configure_session, Query.fn). Emits one marked JSON line.
+# only stdlib + APIs the tree has had since round 7 (plans.all_queries,
+# branch fns, pipeline.curate_corpus, read_xlsx). Mirrors main()'s
+# methodology — warmup, then min of 3 timed construct/exec passes — and
+# every section is guarded so a missing API in an older commit records an
+# error string for that entry instead of killing the block. Emits one
+# marked JSON line.
 _PREV_RUNNER = r'''
 import json, sys, time
 root, sf_dir, cpus = sys.argv[1], sys.argv[2], sys.argv[3]
@@ -113,26 +113,162 @@ from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[" + cpus + "]")
          .appName("sheetreader-bench-prev")
          .config("spark.sql.shuffle.partitions", cpus)
+         .config("spark.driver.memory", "16g")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from sheetreader_duckdb_spark.session import configure_session
 from sheetreader_duckdb_spark.plans import all_queries
 configure_session(spark)
 corpus = all_queries()
-for n in names:  # warmup
-    corpus[n].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+out = {}
+
+
+class _B:
+    def __init__(self, fn):
+        self.fn = fn
+
+
+try:  # branch overrides, mirroring main()
+    from sheetreader_duckdb_spark.plans.tpch import TPCH_BRANCHES
+    for t in ("t06_forecast_revenue", "t18_large_orders",
+              "t21_waiting_suppliers"):
+        corpus[t] = _B(TPCH_BRANCHES[t][0])
+    from sheetreader_duckdb_spark.plans.northstar import (
+        n01_cur_kept_branch, n01_dedup_core)
+    corpus["n01_dedup_exact_pipeline"] = _B(n01_dedup_core)
+    corpus["n01_cur_kept"] = _B(n01_cur_kept_branch)
+except Exception as e:
+    out["_branch_override_error"] = str(e)[:200]
+
+try:  # s01's cached fixture, outside timing (mirrors main())
+    from sheetreader_duckdb_spark.plans.ingestion import _xlsx_for_sf
+    xlsx_path = _xlsx_for_sf(sf_dir)
+except Exception as e:
+    xlsx_path = None
+    out["_xlsx_fixture_error"] = str(e)[:200]
+
+names = [n for n in names if n in corpus]
+
+
+def _noop(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _timed(build, key, passes=3):
+    try:
+        _noop(build())  # warmup
+        cs, es = [], []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            df = build()
+            t1 = time.perf_counter()
+            _noop(df)
+            t2 = time.perf_counter()
+            cs.append(t1 - t0)
+            es.append(t2 - t1)
+        out[key] = {"construct": round(min(cs), 3),
+                    "exec": round(min(es), 3)}
+    except Exception as e:
+        out[key] = {"error": (type(e).__name__ + ": " + str(e))[:200]}
+
+
+for n in names:  # warmup pass over the whole set first, like main()
+    try:
+        _noop(corpus[n].fn(spark, sf_dir))
+    except Exception:
+        pass
 acc = {n: {"construct": [], "exec": []} for n in names}
 for _ in range(3):
     for n in names:
+        try:
+            t0 = time.perf_counter()
+            df = corpus[n].fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            _noop(df)
+            t2 = time.perf_counter()
+            acc[n]["construct"].append(t1 - t0)
+            acc[n]["exec"].append(t2 - t1)
+        except Exception as e:
+            out[n] = {"error": (type(e).__name__ + ": " + str(e))[:200]}
+for n, v in acc.items():
+    if v["construct"] and n not in out:
+        out[n] = {"construct": round(min(v["construct"]), 3),
+                  "exec": round(min(v["exec"]), 3)}
+
+# The five standalone entries, mirroring main()'s recipes exactly.
+try:
+    from sheetreader_duckdb_spark.operators.packing import pack_sequences
+    from sheetreader_duckdb_spark.plans.relational import T
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    _timed(lambda: pack_sequences(docs, "doc_id", "n_chars", seq_len=2048,
+                                  n_buckets=8), "pack_documents")
+except Exception as e:
+    out["pack_documents"] = {"error": str(e)[:200]}
+
+try:
+    from sheetreader_duckdb_spark.operators.export import export_shards
+    exp_dir = "/tmp/sheetreader_bench_export_prev"
+    export_shards(docs, "doc_id", 8, exp_dir, seed="bench")  # warmup
+    es = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        df = corpus[n].fn(spark, sf_dir)
+        export_shards(docs, "doc_id", 8, exp_dir, seed="bench")
+        es.append(time.perf_counter() - t0)
+    out["export_documents"] = {"construct": 0.0, "exec": round(min(es), 3)}
+except Exception as e:
+    out["export_documents"] = {"error": str(e)[:200]}
+
+try:
+    from pyspark.sql import functions as F
+    from sheetreader_duckdb_spark.pipeline import curate_corpus
+    from sheetreader_duckdb_spark.operators.sampling import hash_split
+    from sheetreader_duckdb_spark.session import release_deferred
+    emb = T(spark, sf_dir, "embeddings")
+
+    def _curated():
+        d = (T(spark, sf_dir, "documents")
+             .withColumn("url", F.concat(F.lit("https://www."),
+                                         F.col("source"), F.lit(".com/d/"),
+                                         F.col("doc_id").cast("string")))
+             .withColumn("split", hash_split(
+                 "doc_id", [("corpus", 0.9), ("eval", 0.1)], seed="bench")))
+        cs = d.filter(F.col("split") == "corpus").drop("split")
+        ev = d.filter(F.col("split") == "eval").select("doc_id", "text")
+        cur, _ = curate_corpus(
+            cs, eval_df=ev, url_col="url", domain_cap=50, line_dedup=True,
+            dupspan=True, pii=True, embeddings_df=emb, budget_tokens=50_000,
+            seed="bench", collect_report=False)
+        return cur
+
+    _noop(_curated())  # warmup
+    release_deferred()
+    cc, ce = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cur_df = _curated()
         t1 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
+        _noop(cur_df)
         t2 = time.perf_counter()
-        acc[n]["construct"].append(t1 - t0)
-        acc[n]["exec"].append(t2 - t1)
-out = {n: {"construct": round(min(v["construct"]), 3),
-           "exec": round(min(v["exec"]), 3)} for n, v in acc.items()}
+        cc.append(t1 - t0)
+        ce.append(t2 - t1)
+        release_deferred()
+    out["curate_corpus"] = {"construct": round(min(cc), 3),
+                            "exec": round(min(ce), 3)}
+except Exception as e:
+    out["curate_corpus"] = {"error": (type(e).__name__ + ": " + str(e))[:200]}
+
+if xlsx_path is not None:
+    try:
+        from sheetreader_duckdb_spark import register, read_xlsx
+        register(spark)
+        _timed(lambda: spark.read.format("sheetreader").load(xlsx_path),
+               "xlsx_load_lineitem")
+        _timed(lambda: read_xlsx(spark, xlsx_path,
+                                 columns=["l_returnflag", "l_quantity"]),
+               "xlsx_load_pruned")
+    except Exception as e:
+        out["xlsx_load_lineitem"] = {"error": str(e)[:200]}
+
 print("PREVBENCH " + json.dumps(out))
 spark.stop()
 '''
@@ -234,9 +370,10 @@ def _sf_from_dir(path: str) -> float:
 
 
 def _prev_commit_sentinel() -> dict:
-    """Run SENTINELS on the previous round's archived commit (latest
-    'round N:' commit) in a scratch worktree + subprocess. Never raises —
-    a bench must always print its JSON line."""
+    """Run the FULL headline set (+ the five standalone entries) on the
+    previous round's archived commit (latest 'round N:' commit) in a
+    scratch worktree + subprocess. Never raises — a bench must always
+    print its JSON line."""
     commits = subprocess.run(
         ["git", "log", "--grep", "^round [0-9]*:", "-n", "3", "--format=%H"],
         cwd=_REPO_ROOT, capture_output=True, text=True, timeout=30,
