@@ -17,6 +17,8 @@ construction; per-bucket populations concentrate ~N/2^bits.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -3188,6 +3190,7 @@ def ivf_index_drift(
     except Exception:
         pass  # pre-buildmeta index: skew-only report
     return {
+        "layout": "ivf" if rel == "assignments" else "ivfadc",
         "n_cells_trained": int(n_trained),
         "n_cells_occupied": len(counts),
         "n_rows": n_rows,
@@ -3200,6 +3203,94 @@ def ivf_index_drift(
             or (upsert_fraction is not None and upsert_fraction > upsert_threshold)
         ),
     }
+
+
+def rebuild_if_drifted(
+    spark,
+    path: str,
+    corpus: "DataFrame | None" = None,
+    dest_path: "str | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skew_threshold: float = 4.0,
+    upsert_threshold: float = 0.2,
+    n_cells: "int | None" = None,
+    train_fraction: "float | str | None" = "auto",
+    assign: str = "auto",
+    encode: str = "auto",
+) -> dict:
+    """The serving-side maintenance loop as ONE call (VERDICT r9 task 6):
+    run ``ivf_index_drift`` and, when it recommends a rebuild, retrain
+    with the same train-cap policy as the original build (``build_*`` at
+    its defaults — capped deterministic hash-slice training, auto
+    strategy knobs) and re-report.
+
+    * ``corpus``: rows to rebuild from. For an IVF index this defaults to
+      the index's OWN stored ``assignments`` (they carry the float
+      vectors, so the loop needs no external input); an IVFADC index
+      stores only PQ codes, so ``corpus`` is required there.
+    * ``dest_path``: where the rebuilt index lands. Default (None)
+      rebuilds IN PLACE through a sibling staging directory + rename —
+      the self-read-while-overwrite hazard of building straight onto the
+      files being read never arises, and readers see either the old or
+      the new index, not a mix. The rename path assumes a rename-capable
+      filesystem (local/DFS); object-store deployments pass an explicit
+      ``dest_path`` and swap serving pointers themselves.
+    * ``n_cells``: defaults to the index's trained cell count; pass a new
+      K to resize while rebuilding. IVFADC geometry (m, n_codes, dim) is
+      read from the stored books.
+
+    Returns ``{"rebuilt": bool, "drift": <pre-report>}`` plus, after a
+    rebuild, ``"post"`` (the fresh index's report — upsert_fraction back
+    to 0.0) and ``"path"``. Extends tests/test_ivfpq_index.py's drift
+    drill: upserts past the threshold trigger exactly one rebuild, recall
+    on drift-region queries is restored, and a second call is a no-op.
+    """
+    report = ivf_index_drift(spark, path, skew_threshold, upsert_threshold)
+    if not report["rebuild_recommended"]:
+        return {"rebuilt": False, "drift": report}
+    layout = report["layout"]
+    if n_cells is None:
+        n_cells = int(report["n_cells_trained"])
+    if corpus is None:
+        if layout != "ivf":
+            raise ValueError(
+                "IVFADC indexes store PQ codes, not float vectors — pass "
+                "corpus= to rebuild_if_drifted"
+            )
+        corpus = spark.read.parquet(f"{path}/assignments").select(
+            id_col, vec_col
+        )
+    build_at = dest_path if dest_path is not None else path + ".rebuild-staging"
+    if layout == "ivf":
+        build_ivf_index(
+            corpus, build_at, id_col, vec_col, n_cells=n_cells,
+            train_fraction=train_fraction, assign=assign,
+        )
+    else:
+        bk = spark.read.parquet(f"{path}/books").collect()[0]["bk"]
+        m, n_codes, dsub = len(bk), len(bk[0]), len(bk[0][0])
+        build_ivfpq_index(
+            corpus, build_at, id_col, vec_col, n_cells=n_cells,
+            dim=m * dsub, m=m, n_codes=n_codes,
+            train_fraction=train_fraction, assign=assign, encode=encode,
+        )
+    if dest_path is None:
+        # In-place swap: old index aside, staging in, old removed. A crash
+        # between the renames leaves `<path>.rebuild-old` for manual
+        # recovery instead of a half-written serving directory.
+        import shutil
+
+        old = path + ".rebuild-old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(build_at, path)
+        shutil.rmtree(old, ignore_errors=True)
+        final = path
+    else:
+        final = dest_path
+    post = ivf_index_drift(spark, final, skew_threshold, upsert_threshold)
+    return {"rebuilt": True, "drift": report, "post": post, "path": final}
 
 
 def ivfpq_index_upsert(

@@ -304,3 +304,78 @@ def test_external_query_ids_keep_colliding_neighbor(spark, tmp_path):
         for r in ivf_topk_indexed(spark, path, q, k=1, n_probe=2).collect()
     }
     assert 0 not in default  # self-search contract unchanged
+
+
+def test_rebuild_if_drifted_one_call_loop(spark, tmp_path):
+    """VERDICT r9 task 6: the maintenance loop is one call. Upserts past
+    the threshold trigger exactly one in-place rebuild (same train-cap
+    policy), the post-report clears the flag, recall on drift-region
+    queries is restored, and a second call is a no-op. IVFADC flavor
+    rebuilds from an explicit corpus (codes store no floats) and refuses
+    without one."""
+    import pytest as _pytest
+
+    from sheetreader_duckdb_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        build_ivfpq_index,
+        ivf_index_upsert,
+        ivfpq_index_upsert,
+        ivf_topk_indexed,
+        rebuild_if_drifted,
+    )
+
+    corpus = _clustered(spark, [0, 1, 2, 3], per=40)
+    drift = _clustered(spark, [5], per=120, tag=3, base=10_000)
+    combined = corpus.unionAll(drift)
+    queries = drift.filter(F.col("vec_id") < 10_005)
+    truth = {
+        (r["qid"], r["cid"])
+        for r in brute_force_topk(combined, queries, k=3).collect()
+    }
+
+    path = str(tmp_path / "ivf_loop")
+    build_ivf_index(corpus, path, n_cells=5, n_iters=2)
+    # fresh index: the call is a no-op
+    r0 = rebuild_if_drifted(spark, path)
+    assert not r0["rebuilt"] and r0["drift"]["layout"] == "ivf"
+
+    ivf_index_upsert(spark, path, drift)
+
+    def recall():
+        got = {
+            (r["qid"], r["cid"])
+            for r in ivf_topk_indexed(
+                spark, path, queries, k=3, n_probe=1
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_frozen = recall()
+    out = rebuild_if_drifted(spark, path)  # corpus=None: self-rebuild
+    assert out["rebuilt"] and out["path"] == path
+    assert out["drift"]["rebuild_recommended"]
+    assert out["post"]["upsert_fraction"] == 0.0
+    assert not out["post"]["rebuild_recommended"]
+    assert spark.read.parquet(f"{path}/assignments").count() == 280
+    r_rebuilt = recall()
+    assert r_rebuilt >= r_frozen
+    assert r_rebuilt == 1.0  # the retrained quantizer brackets the drift
+    # idempotent: the fresh index doesn't rebuild again
+    again = rebuild_if_drifted(spark, path)
+    assert not again["rebuilt"]
+
+    # IVFADC flavor: corpus required, geometry read from the stored books
+    p2 = str(tmp_path / "ivfpq_loop")
+    build_ivfpq_index(corpus, p2, dim=8, m=2, n_codes=4, n_cells=4)
+    ivfpq_index_upsert(spark, p2, drift)
+    with _pytest.raises(ValueError, match="pass corpus="):
+        rebuild_if_drifted(spark, p2)
+    out2 = rebuild_if_drifted(spark, p2, corpus=combined, n_cells=5)
+    assert out2["rebuilt"] and out2["drift"]["layout"] == "ivfadc"
+    assert out2["post"]["upsert_fraction"] == 0.0
+    codes = spark.read.parquet(f"{p2}/codes")
+    assert codes.count() == 280
+    # rebuilt geometry preserved from the stored books (m=2, n_codes=4)
+    bk = spark.read.parquet(f"{p2}/books").collect()[0]["bk"]
+    assert len(bk) == 2 and len(bk[0]) == 4
