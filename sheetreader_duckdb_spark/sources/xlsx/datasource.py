@@ -973,8 +973,15 @@ class SheetReaderReader(DataSourceReader):
                                 else [heap[j] for j in uniq.to_pylist()],
                                 type=pa.string(),
                             )
-                        pos = pc.index_in(idx, value_set=uniq)
-                        arrays.append(pc.take(small, pos))
+                        if idx.null_count == 0 and len(uniq) == len(idx):
+                            # All refs distinct and non-null (the unique-
+                            # comment shape, e.g. partsupp): uniq preserves
+                            # first-occurrence order, so the decoded array
+                            # IS the column — skip the index_in + take.
+                            arrays.append(small)
+                        else:
+                            pos = pc.index_in(idx, value_set=uniq)
+                            arrays.append(pc.take(small, pos))
                     elif code == 1:  # DOUBLE
                         arrays.append(s.cast(pa.float64()))
                     elif code == 2:  # BOOLEAN (b-cell payload: 1/0/true/false)
