@@ -1568,8 +1568,17 @@ def semantic_dedup_pairs(
             assigned.join(broadcast(hist), "cell")
             .withColumn(
                 "__nb",
-                F.greatest(
-                    F.lit(1), F.ceil(F.col("__csz") / F.lit(cap))
+                # Fan-out bounded at 4096 sub-buckets: replication is nb×
+                # for the hot cell's own rows, and past ~134M rows in ONE
+                # cell (4096×cap) the quadratic pair stream — identical
+                # under every scoring form — is the binding constraint,
+                # not group memory; an unbounded nb would only multiply
+                # shuffle volume without changing that.
+                F.least(
+                    F.lit(4096),
+                    F.greatest(
+                        F.lit(1), F.ceil(F.col("__csz") / F.lit(cap))
+                    ),
                 ).cast("int"),
             )
             .withColumn(

@@ -127,16 +127,45 @@ _SST_LAZY_CACHE: dict = {}  # single entry: {"key": ..., "heap": SharedStringHea
 # — the match-count check below catches every such document and falls back
 # to the expat walk, so the fast path can never change results (the dense
 # row scanner's design applied to the string heap).
-_SI_FAST_RE = re.compile(
-    rb"<si/>|<si></si>|<si><t/></si>|<si><t></t></si>"
-    # [^<]*, not a non-greedy .*: legal XML text cannot contain a raw
-    # '<', so the classes match identically on every legal single-<t>
-    # entry — but a schema-invalid multi-<t> entry (<si><t>a</t><t>b…)
-    # now FAILS the match and falls back to expat ("ab") instead of
-    # the non-greedy form silently decoding "a</t><t>b" (r9). Also
-    # removes the backtracking.
-    rb'|<si><t(?: xml:space="preserve")?>([^<]*)</t></si>',
-)
+def _si_fast_re(pfx: bytes = b""):
+    """The conventional single-run ``<si>`` pattern for one element prefix
+    (exactly ONE capturing group — the entry text). ``pfx=b""`` is the
+    module-constant unprefixed form; prefixed variants (``<x:si><x:t>``,
+    r10) compile once and cache."""
+    p = re.escape(pfx)
+    return re.compile(
+        b"<" + p + b"si/>|<" + p + b"si></" + p + b"si>"
+        b"|<" + p + b"si><" + p + b"t/></" + p + b"si>"
+        b"|<" + p + b"si><" + p + b"t></" + p + b"t></" + p + b"si>"
+        # [^<]*, not a non-greedy .*: legal XML text cannot contain a raw
+        # '<', so the classes match identically on every legal single-<t>
+        # entry — but a schema-invalid multi-<t> entry (<si><t>a</t><t>b…)
+        # now FAILS the match and falls back to expat ("ab") instead of
+        # the non-greedy form silently decoding "a</t><t>b" (r9). Also
+        # removes the backtracking.
+        b"|<" + p + rb'si><' + p + rb't(?: xml:space="preserve")?>'
+        rb"([^<]*)</" + p + rb"t></" + p + rb"si>",
+    )
+
+
+_SI_FAST_RE = _si_fast_re(b"")
+
+_SST_PFX_RE = re.compile(rb"<(?:([A-Za-z_][\w.-]*):)?sst[ \t\r\n/>]")
+_SI_MACHINERY_CACHE: dict = {}
+
+
+def _si_machinery(data: bytes):
+    """(needle, si_re, end_tag) for this heap's element prefix — the sst
+    opener decides (prefixed heaps previously defeated straight to expat;
+    since r10 they ride the same fast per-entry machinery)."""
+    m = _SST_PFX_RE.search(data, 0, 4096)
+    pfx = (m.group(1) + b":") if (m and m.group(1)) else b""
+    got = _SI_MACHINERY_CACHE.get(pfx)
+    if got is None:
+        got = _SI_MACHINERY_CACHE[pfx] = (
+            b"<" + pfx + b"si", _si_fast_re(pfx), b"</" + pfx + b"sst"
+        )
+    return got
 
 
 def _parse_sst_fast(data: bytes) -> list[str] | None:
@@ -148,14 +177,15 @@ def _parse_sst_fast(data: bytes) -> list[str] | None:
         # entry the count check cannot catch); CDATA text would decode
         # wrong. Legal but writer-exotic — expat owns these documents.
         return None
-    n_si = data.count(b"<si>") + data.count(b"<si/>")
+    needle, si_re, _ = _si_machinery(data)
+    n_si = data.count(needle + b">") + data.count(needle + b"/>")
     if n_si == 0:
-        # Either an actually-empty sst (cheap for expat) or a
-        # namespace-prefixed document (<x:sst><x:si>…) the pattern can't
-        # see at all — returning [] here would silently drop every
-        # entry, so zero is always a fast-path defeat.
+        # Either an actually-empty sst (cheap for expat) or a prefix the
+        # opener scan didn't resolve (mixed prefixes) — returning []
+        # here would silently drop every entry, so zero is always a
+        # fast-path defeat.
         return None
-    if data.count(b"<si") != n_si:
+    if data.count(needle) != n_si:
         # An <si start tag carrying XML whitespace or an attribute
         # ('<si >', '<si\n>', '<si ph="…">') is counted by NEITHER
         # n_si NOR the pattern, so the match-count check alone would
@@ -163,7 +193,7 @@ def _parse_sst_fast(data: bytes) -> list[str] | None:
         # occurrence that is not literal '<si>'/'<si/>' defeats the
         # fast path.
         return None
-    matches = _SI_FAST_RE.findall(data)
+    matches = si_re.findall(data)
     if len(matches) != n_si:
         return None
     out: list[str] = []
@@ -198,6 +228,7 @@ class SharedStringHeap:
     def __init__(self, data: bytes):
         self._data = data
         self._full: list[str] | None = None
+        self._si_re = _SI_FAST_RE  # replaced by the per-prefix form below
         # Per-entry decode memo: a low-cardinality sheet references the
         # same entry once per CELL, and the row/coerce paths look up per
         # cell — without the memo that is a regex decode per occurrence
@@ -214,21 +245,25 @@ class SharedStringHeap:
             self._offs = list(range(len(self._full)))
             self._end = len(data)
             return
-        end = data.rfind(b"</sst")
+        needle, si_re, end_tag = _si_machinery(data)
+        self._si_re = si_re
+        end = data.rfind(end_tag)
         self._end = end if end != -1 else len(data)
         offs: list[int] = []
-        pos = data.find(b"<si")
+        nl = len(needle)
+        pos = data.find(needle)
         while pos != -1:
-            nxt = data[pos + 3 : pos + 4]
+            nxt = data[pos + nl : pos + nl + 1]
             if nxt == b">" or nxt == b"/":
                 offs.append(pos)
-            pos = data.find(b"<si", pos + 3)
-        if not offs or len(offs) != data.count(b"<si"):
+            pos = data.find(needle, pos + nl)
+        if not offs or len(offs) != data.count(needle):
             # Entries the offset scan can't see — '<si ' with
             # whitespace/attributes (would SHIFT every later entry to
-            # the wrong slice) or a namespace-prefixed document whose
-            # tags never match '<si' at all (offs empty, lookups would
-            # IndexError). Expat owns these documents, eagerly.
+            # the wrong slice) or a prefix the opener scan didn't
+            # resolve (offs empty, lookups would IndexError; prefixed
+            # heaps themselves ride the per-prefix machinery since r10).
+            # Expat owns these documents, eagerly.
             self._full = _parse_sst_expat(data)
             self._offs = list(range(len(self._full)))
             return
@@ -244,7 +279,7 @@ class SharedStringHeap:
         # speed — unbounded, the non-greedy text alternative could span
         # a failing entry into its neighbor's terminator.
         end = offs[i + 1] if i + 1 < len(offs) else self._end
-        m = _SI_FAST_RE.match(self._data, offs[i], end)
+        m = self._si_re.match(self._data, offs[i], end)
         if m is None:  # rich-text / unusual shape: one full parse, reused
             if self._full is None:
                 self._full = _parse_sst_expat(self._data)
@@ -315,7 +350,7 @@ class SharedStringHeap:
             hi = offs[b + 1] if b + 1 < n_offs else self._end
             if data.find(b"&", lo, hi) != -1 or data.find(b"_x", lo, hi) != -1:
                 return None  # escapes in range: per-entry scalar path
-            ms = _SI_FAST_RE.findall(data, lo, hi)
+            ms = self._si_re.findall(data, lo, hi)
             # Every match starts at an entry's '<si' (nothing else in the
             # range contains that byte sequence), so count == run length
             # proves one match per entry — a rich-text entry in the run

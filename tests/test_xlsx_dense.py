@@ -550,26 +550,49 @@ def test_sst_si_with_whitespace_or_attribute_falls_back():
         assert [heap[0], heap[1], heap[2]] == want, opener
 
 
-def test_sst_namespace_prefixed_falls_back():
-    """ADVICE r9 (medium): a namespace-prefixed heap (<x:sst><x:si><x:t>)
-    yields zero literal '<si' matches — the fast parse must defeat
-    (return None), not return [], and the lazy heap must eagerly fall
-    back to expat instead of building an empty offset index that
-    IndexErrors on every lookup."""
+def test_sst_namespace_prefixed_rides_fast_machinery():
+    """A namespace-prefixed heap (<x:sst><x:si><x:t>) rides the same fast
+    per-entry machinery since r10 (ADVICE r9 made it defeat-to-expat; now
+    the prefix resolves from the sst opener): the fast parse decodes it,
+    the lazy heap builds a REAL offset index (per-shard cost stays
+    O(entries referenced), not O(heap)), the Arrow bulk path works, and
+    defeat shapes (attributes on the prefixed <si>) still fall back."""
+    import pyarrow as pa
+
     from sheetreader_duckdb_spark.sources.xlsx import parser as P
 
     doc = (
-        b'<x:sst xmlns:x="s" count="2" uniqueCount="2">'
+        b'<x:sst xmlns:x="s" count="3" uniqueCount="3">'
         b"<x:si><x:t>alpha</x:t></x:si>"
-        b"<x:si><x:t>beta</x:t></x:si></x:sst>"
+        b"<x:si><x:t>beta</x:t></x:si>"
+        b'<x:si><x:t xml:space="preserve"> g </x:t></x:si></x:sst>'
     )
-    want = ["alpha", "beta"]
+    want = ["alpha", "beta", " g "]
     assert P._parse_sst_expat(doc) == want
-    assert P._parse_sst_fast(doc) is None
+    assert P._parse_sst_fast(doc) == want
     heap = P.SharedStringHeap(doc)
-    assert len(heap) == 2
-    assert [heap[0], heap[1]] == want
+    assert heap._full is None  # lazy: the offset index, not eager expat
+    assert len(heap) == 3
+    assert [heap[0], heap[1], heap[2]] == want
     assert heap.decode_many([1, 0]) == ["beta", "alpha"]
+    bulk = heap.decode_many_arrow([0, 1, 2])
+    assert bulk is not None and bulk.to_pylist() == want
+    # rich-text prefixed entry: per-entry fallback to ONE expat parse
+    rich = (
+        b'<x:sst xmlns:x="s"><x:si><x:r><x:t>a</x:t></x:r>'
+        b"<x:r><x:t>b</x:t></x:r></x:si>"
+        b"<x:si><x:t>c</x:t></x:si></x:sst>"
+    )
+    lazy = P.SharedStringHeap(rich)
+    assert [lazy[0], lazy[1]] == P._parse_sst_expat(rich) == ["ab", "c"]
+    # defeat shape: attribute on the prefixed <si> start tag
+    bad = (
+        b'<x:sst xmlns:x="s"><x:si ph="y"><x:t>h</x:t></x:si>'
+        b"<x:si><x:t>i</x:t></x:si></x:sst>"
+    )
+    assert P._parse_sst_fast(bad) is None
+    hb = P.SharedStringHeap(bad)
+    assert [hb[0], hb[1]] == ["h", "i"]  # eager expat fallback
     # Genuinely empty heap: cheap expat, no phantom entries.
     empty = b'<sst count="0" uniqueCount="0"></sst>'
     assert P._parse_sst_fast(empty) is None
