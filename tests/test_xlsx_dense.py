@@ -833,3 +833,20 @@ def test_cluster_cap_travels_through_real_spark_read(spark, tmp_path):
         assert df.count() == 2000
     finally:
         register(spark)  # restore the real width for the rest of the suite
+
+
+def test_fragment_parses_prefixed_attributes_without_scope():
+    """Excel writes `x14ac:dyDescent` on <row>; a mid-file irregular
+    fragment loses the root's xmlns declarations, which used to hit
+    expat's unbound-prefix error. The synthetic wrapper declares every
+    prefix the fragment carries (r10), so such rows parse; colon-bearing
+    cell text must not confuse the prefix harvest."""
+    frag = (
+        b'<row r="5" spans="1:2" x14ac:dyDescent="0.25">'
+        b'<c r="A5"><v>1.5</v></c><c r="B5" t="b"><v>1</v></c></row>'
+    )
+    assert P._fragment_rows(frag, {}, frozenset()) == [
+        [(0, P.T_NUMERIC, 1.5), (1, P.T_BOOLEAN, True)]
+    ]
+    frag2 = b'<row r="6"><c r="A6"><f>SUM(A1:A5)</f><v>7.5</v></c></row>'
+    assert P._fragment_rows(frag2, {}, frozenset()) == [[(0, P.T_NUMERIC, 7.5)]]
