@@ -267,7 +267,8 @@ if xlsx_path is not None:
                                  columns=["l_returnflag", "l_quantity"]),
                "xlsx_load_pruned")
     except Exception as e:
-        out["xlsx_load_lineitem"] = {"error": str(e)[:200]}
+        out.setdefault("xlsx_load_lineitem", {"error": str(e)[:200]})
+        out.setdefault("xlsx_load_pruned", {"error": str(e)[:200]})
 
 print("PREVBENCH " + json.dumps(out))
 spark.stop()
