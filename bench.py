@@ -195,11 +195,18 @@ for n, v in acc.items():
         out[n] = {"construct": round(min(v["construct"]), 3),
                   "exec": round(min(v["exec"]), 3)}
 
-# The five standalone entries, mirroring main()'s recipes exactly.
+# The five standalone entries, mirroring main()'s recipes exactly. The
+# shared docs relation gets its own guard so one missing operator API
+# doesn't poison the other sections' entries with a NameError.
 try:
-    from sheetreader_duckdb_spark.operators.packing import pack_sequences
     from sheetreader_duckdb_spark.plans.relational import T
     docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+except Exception as e:
+    docs = None
+    out["_docs_fixture_error"] = str(e)[:200]
+
+try:
+    from sheetreader_duckdb_spark.operators.packing import pack_sequences
     _timed(lambda: pack_sequences(docs, "doc_id", "n_chars", seq_len=2048,
                                   n_buckets=8), "pack_documents")
 except Exception as e:
@@ -390,6 +397,11 @@ def _prev_commit_sentinel() -> dict:
         if "queries" in out:
             return out
         last = out
+        if "TimeoutExpired" in out.get("error", ""):
+            # A timed-out full-set run means the box, not the snapshot —
+            # walking back would burn up to two more 45-min ceilings for
+            # the same outcome. Record the timeout and move on.
+            break
     return last
 
 
@@ -408,7 +420,11 @@ def _run_sentinels_at(commit: str) -> dict:
             f.write(_PREV_RUNNER)
         res = subprocess.run(
             [sys.executable, runner, wt, SF_DIR, CPUS, json.dumps(SENTINELS)],
-            capture_output=True, text=True, timeout=1200,
+            # Sized for the FULL paired set (28 headline + 5 standalone
+            # entries since r10 — the old 6-sentinel block fit in 1200 s;
+            # the full set measures ~3-4 min here, so 2700 s covers a
+            # badly loaded box without letting a hang eat the round).
+            capture_output=True, text=True, timeout=2700,
         )
         for line in reversed(res.stdout.splitlines()):
             if line.startswith("PREVBENCH "):

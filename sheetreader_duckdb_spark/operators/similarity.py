@@ -1425,8 +1425,6 @@ def semantic_dedup_pairs(
         import numpy as np
         import pandas as pd
 
-        from sheetreader_duckdb_spark.session import defer_unpersist
-
         thr = float(threshold)
         id_t = corpus.schema[id_col].dataType.simpleString()
         cap = int(_CELL_SPLIT_ROWS)
@@ -1541,7 +1539,11 @@ def semantic_dedup_pairs(
             cell_udf(F.col(vec_col)).alias("cell"),
         )
         grouped_schema = f"id_a {id_t}, id_b {id_t}, cell int, cosine double"
-        if n_rows is not None and n_rows <= cap:
+        # Resolved size: the exact count when score='auto'/train='auto'
+        # already paid for one, else the caller's hint — a counted small
+        # corpus skips the histogram machinery even without an n_rows hint.
+        known_n = n if n is not None else n_rows
+        if known_n is not None and known_n <= cap:
             # No cell can exceed the split cap when the whole corpus fits
             # under it — keep the r8 single-group plan (no histogram, no
             # persist, one exchange). Constant group keys make the same
@@ -2684,6 +2686,14 @@ def build_ivf_index(
     hash-sample of the corpus (see ``_train_slice``); assignment still
     covers every row. Raises if the slice seeds fewer than n_cells cells.
     """
+    # Fail-fast BEFORE any training job (same contract as ivfpq_topk's r9
+    # early check): a typo'd assign used to coerce into 'literal' training
+    # and only surface as _assign_fn's error after the Lloyd loop ran.
+    if assign not in ("auto", "carrier", "vectorized", "gemm"):
+        raise ValueError(
+            f"assign must be 'auto', 'carrier', 'vectorized' or 'gemm',"
+            f" got {assign!r}"
+        )
     n_corpus = None
     if train_fraction == "auto" or assign == "auto":
         n_corpus = corpus.count()
@@ -2919,6 +2929,18 @@ def build_ivfpq_index(
     full-corpus assignment, and full-corpus encoding independently by
     scoring-cell count (``_resolve_auto``): witness-shaped expression
     forms below the crossover, the bit-identical GEMM forms above it."""
+    # Fail-fast BEFORE the (much longer) two-quantizer training — the same
+    # early-validation contract as ivfpq_topk and build_ivf_index.
+    if assign not in ("auto", "carrier", "vectorized", "gemm"):
+        raise ValueError(
+            f"assign must be 'auto', 'carrier', 'vectorized' or 'gemm',"
+            f" got {assign!r}"
+        )
+    if encode not in ("auto", "join", "vectorized", "gemm"):
+        raise ValueError(
+            f"encode must be 'auto', 'join', 'vectorized' or 'gemm',"
+            f" got {encode!r}"
+        )
     spark = corpus.sparkSession
     n_corpus = None
     if train_fraction == "auto" or assign == "auto" or encode == "auto":
@@ -3239,12 +3261,17 @@ def rebuild_if_drifted(
       vectors, so the loop needs no external input); an IVFADC index
       stores only PQ codes, so ``corpus`` is required there.
     * ``dest_path``: where the rebuilt index lands. Default (None)
-      rebuilds IN PLACE through a sibling staging directory + rename —
-      the self-read-while-overwrite hazard of building straight onto the
-      files being read never arises, and readers see either the old or
-      the new index, not a mix. The rename path assumes a rename-capable
-      filesystem (local/DFS); object-store deployments pass an explicit
-      ``dest_path`` and swap serving pointers themselves.
+      rebuilds IN PLACE through a sibling staging directory + two
+      renames — the self-read-while-overwrite hazard of building straight
+      onto the files being read never arises, and readers see either the
+      old or the new index, never a mix of generations. The two renames
+      are driver-local ``os.rename`` (LOCAL paths only — remote URIs are
+      rejected up front, before the retrain; object-store deployments
+      pass an explicit ``dest_path`` and swap serving pointers
+      themselves), so there is a sub-millisecond window where ``path``
+      does not exist; a crash inside it leaves ``<path>.rebuild-old``,
+      which the next call restores automatically before re-evaluating
+      drift.
     * ``n_cells``: defaults to the index's trained cell count; pass a new
       K to resize while rebuilding. IVFADC geometry (m, n_codes, dim) is
       read from the stored books.
@@ -3255,6 +3282,22 @@ def rebuild_if_drifted(
     drill: upserts past the threshold trigger exactly one rebuild, recall
     on drift-region queries is restored, and a second call is a no-op.
     """
+    if dest_path is None:
+        # The in-place swap is driver-local os.rename — it cannot operate
+        # on a remote URI, and discovering that AFTER the staged retrain
+        # completed would orphan the staging dir. Validate up front.
+        if "://" in path and not path.startswith("file:"):
+            raise ValueError(
+                "in-place rebuild (dest_path=None) renames through the "
+                "local filesystem — pass an explicit dest_path for "
+                f"remote index URIs (got {path!r})"
+            )
+        # Self-heal a crash between the two renames of a prior rebuild
+        # (old moved aside, staging not yet promoted): restore the old
+        # index so serving resumes, then re-evaluate drift normally.
+        old = path + ".rebuild-old"
+        if not os.path.exists(path) and os.path.isdir(old):
+            os.rename(old, path)
     report = ivf_index_drift(spark, path, skew_threshold, upsert_threshold)
     if not report["rebuild_recommended"]:
         return {"rebuilt": False, "drift": report}

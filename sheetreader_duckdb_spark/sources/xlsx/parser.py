@@ -587,7 +587,14 @@ class XlsxWorkbook:
                     # the opener is in the first chunk for any real file.
                     pfx = detect_row_prefix(buf)
                     if pfx is None:
-                        continue  # keep buffering until the opener shows
+                        if len(buf) < (64 << 20):
+                            continue  # keep buffering until the opener shows
+                        # No worksheet opener in 64 MB (malformed /
+                        # truncated document): stop accumulating — and
+                        # re-searching — the whole file and count with the
+                        # unprefixed pattern, the pre-r10 behavior (the
+                        # sibling scan loops defeat at the same bound).
+                        pfx = b""
                     rc_re = prefix_res(pfx).row_count_re
                 # Keep a tail so a row tag split across chunk borders
                 # still counts (tag length grows with the prefix).

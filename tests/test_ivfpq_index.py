@@ -379,3 +379,57 @@ def test_rebuild_if_drifted_one_call_loop(spark, tmp_path):
     # rebuilt geometry preserved from the stored books (m=2, n_codes=4)
     bk = spark.read.parquet(f"{p2}/books").collect()[0]["bk"]
     assert len(bk) == 2 and len(bk[0]) == 4
+
+
+def test_rebuild_rejects_remote_uri_before_training(spark):
+    """In-place swap is driver-local os.rename — a remote index URI must
+    fail fast, BEFORE the drift read or any retrain job (r10 review: it
+    used to fail only after the full staged rebuild completed)."""
+    from sheetreader_duckdb_spark.operators.similarity import (
+        rebuild_if_drifted,
+    )
+
+    with pytest.raises(ValueError, match="dest_path"):
+        rebuild_if_drifted(spark, "s3://bucket/idx")
+    with pytest.raises(ValueError, match="dest_path"):
+        rebuild_if_drifted(spark, "hdfs://nn:8020/idx")
+
+
+def test_rebuild_self_heals_interrupted_swap(spark, tmp_path):
+    """A crash between the two in-place renames leaves only
+    <path>.rebuild-old; the next call restores it and serving resumes
+    (r10 review: the window used to require manual recovery)."""
+    from sheetreader_duckdb_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        rebuild_if_drifted,
+    )
+
+    corpus = _clustered(spark, [0, 1, 2], per=30)
+    path = str(tmp_path / "ivf_heal")
+    build_ivf_index(corpus, path, n_cells=3, n_iters=2)
+    # Simulate the crash window: index moved aside, staging never promoted.
+    os.rename(path, path + ".rebuild-old")
+    out = rebuild_if_drifted(spark, path)
+    assert not out["rebuilt"]  # restored index is fresh: no drift
+    assert os.path.isdir(path) and not os.path.exists(path + ".rebuild-old")
+    q = corpus.filter(F.col("vec_id") < 3)
+    assert ivf_topk_indexed(spark, path, q, k=2, n_probe=3).count() == 6
+
+
+def test_builders_validate_knobs_before_training(spark, tmp_path):
+    """build_ivf_index / build_ivfpq_index fail fast on a typo'd
+    assign/encode — same early-validation contract as ivfpq_topk's r9
+    fix (r10 review: they used to surface _assign_fn's error only after
+    the Lloyd training jobs ran)."""
+    from sheetreader_duckdb_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    corpus = _clustered(spark, [0, 1], per=4)
+    with pytest.raises(ValueError, match="assign must be"):
+        build_ivf_index(corpus, str(tmp_path / "x"), assign="literal")
+    with pytest.raises(ValueError, match="assign must be"):
+        build_ivfpq_index(corpus, str(tmp_path / "y"), assign="join")
+    with pytest.raises(ValueError, match="encode must be"):
+        build_ivfpq_index(corpus, str(tmp_path / "z"), encode="carrier")

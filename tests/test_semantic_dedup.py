@@ -149,8 +149,13 @@ def test_vectorized_single_shuffle_plan(spark):
     the corpus — and the assignment is persisted so its lineage runs once
     for both consumers."""
     df, _, _ = _planted_corpus(spark)
+    # train_fraction=None keeps the corpus size UNKNOWN (no count runs),
+    # so the histogram plan shape is exercised — any resolved size ≤ the
+    # split cap takes the single-group shortcut instead (pinned below).
     plan = (
-        semantic_dedup_pairs(df, n_cells=8, score="vectorized")
+        semantic_dedup_pairs(
+            df, n_cells=8, score="vectorized", train_fraction=None
+        )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -175,6 +180,19 @@ def test_vectorized_single_shuffle_plan(spark):
     )
     assert short.count("Exchange hashpartitioning") == 1, short[:2000]
     assert "InMemoryTableScan" not in short, short[:2000]
+    # No hint needed when a count already ran: the default call's
+    # train_fraction='auto' pays one count, and that resolved size (not
+    # just the n_rows hint) drives the shortcut — a counted small corpus
+    # never pays the histogram machinery (r10 review).
+    df3, _, _ = _planted_corpus(spark)
+    counted = (
+        semantic_dedup_pairs(df3, n_cells=8, score="vectorized")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert counted.count("Exchange hashpartitioning") == 1, counted[:2000]
+    assert "InMemoryTableScan" not in counted, counted[:2000]
 
 
 def test_hot_cell_sub_bucketing_bounds_group_size(spark, monkeypatch):
