@@ -59,6 +59,7 @@ from pyspark.sql.types import (
 )
 
 from sheetreader_duckdb_spark.sources.xlsx import parser as P
+from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
 from sheetreader_duckdb_spark.sources.xlsx.inference import SheetSchema, infer_schema
 
 _SQL_TO_SPARK = {
@@ -1053,257 +1054,315 @@ class SheetReaderReader(DataSourceReader):
             rows_seen = 0  # global row ordinal, identical across all shards
             pfx = None  # element prefix, detected from the worksheet opener
             pr = None
-            # Smaller chunks when sharded → even round-robin load balance.
-            chunk_bytes = (1 << 20) if n_shards > 1 else (4 << 20)
-            with wb.zf.open(sheet.path) as f:
-                buf = b""
-                while True:
-                    data = f.read(chunk_bytes)
-                    if data:
-                        buf += data
-                        if pfx is None:
-                            # Prefixed worksheets (<x:row>) scan and shard
-                            # on this same columnar tier (r10; previously
-                            # they defeated to the single-stream whole-file
-                            # walk — the reference parallelizes every
-                            # document shape). Stream-deterministic: every
-                            # shard reads the same head bytes.
-                            pfx = P.detect_row_prefix(buf)
-                            if pfx is None:
-                                if len(buf) < (64 << 20):
-                                    continue
-                                raise P._FastPathUnsupported
-                            pr = P.prefix_res(pfx)
-                        cut = buf.rfind(pr.row_end)
-                        if cut == -1:
-                            if len(buf) < (64 << 20):
-                                continue
-                            if rows_seen:
-                                # Batches may already be downstream; falling
-                                # back would re-parse from the start and
-                                # duplicate rows — hard error instead.
-                                raise ValueError(
-                                    "sheetreader: row exceeds 64MB without a "
-                                    f"</row> boundary mid-file in {sheet.path}"
-                                )
-                            raise P._FastPathUnsupported  # stream-deterministic:
-                            # every shard sees the same bytes → same decision
-                        end = cut + len(pr.row_end)
-                        work, buf = buf[:end], buf[end:]
-                    else:
-                        if pfx is None:
-                            pfx = P.detect_row_prefix(buf) or b""
-                            pr = P.prefix_res(pfx)
-                        work, buf = buf, b""
 
-                    assigned = (chunk_idx % n_shards) == shard
-                    # Dense-row fast path (parser.build_dense_row_re): one
-                    # findall per chunk, tuples already in column order —
-                    # no per-row regex, no per-cell Python. Only when the
-                    # chunk's match count equals its row count (so any row
-                    # deviating from the template shape falls back to the
-                    # generic scan below, which produces identical cells).
-                    if assigned and dense and chunk_idx > 0 and rows_seen >= skip_n:
-                        # One memchr pass in the steady case: every dense
-                        # match starts "<row " / "<row>", which cannot
-                        # match "<rowBreaks", so matches ≤ true rows ≤ the
-                        # raw "<row" prefix count — equality with the raw
-                        # count proves no rowBreaks AND all rows matched.
-                        # Only on mismatch pay the second pass to subtract
-                        # rowBreaks before deciding fallback.
-                        n_raw = work.count(pr.row_start)
-                        dm = dense[0].findall(work)
-                        n_rows_chunk = (
-                            n_raw
-                            if len(dm) == n_raw
-                            else n_raw - work.count(pr.rowb_start)
-                        )
-                        if len(dm) == n_rows_chunk:
-                            chunk_idx += 1
-                            rows_seen += n_rows_chunk
-                            if len(dense[1]) == 1:
-                                raw_cols[dense[1][0]].extend(dm)
-                            else:
-                                # Column extract via itemgetter, NOT
-                                # zip(*dm): unpacking a million-tuple
-                                # argument list measured 3.5× slower
-                                # than the per-column C-speed map
-                                # (partsupp 1T profile, r10).
-                                for j, out in enumerate(dense[1]):
-                                    raw_cols[out].extend(
-                                        map(_op.itemgetter(j), dm)
-                                    )
-                            batch_rows += len(dm)
-                            while batch_rows >= opts.batch_size:
-                                take = opts.batch_size
-                                head = [c[:take] for c in raw_cols]
-                                raw_cols = [c[take:] for c in raw_cols]
-                                batch_rows -= take
-                                yield finalize(head)
-                            if not data:
-                                break
-                            continue
-                    if assigned or chunk_idx == 0:
-                        # Chunk 0 is checked by EVERY shard so the whole-file
-                        # fallback decision is consistent across shards.
-                        row_matches = pr.row_re.findall(work)
-                        n_rows_chunk = len(pr.row_count_re.findall(work))
-                        if chunk_idx == 0 and (
-                            len(row_matches) != n_rows_chunk
-                            or (
-                                not row_matches
-                                and P._ANY_ROW_RE.search(work)
-                            )
-                        ):
-                            # Second arm: row tags exist but the detected
-                            # prefix's scanner sees none (mixed/undetected
-                            # prefixes) — without the check such documents
-                            # silently read as EMPTY (r9 fix, generalized
-                            # for prefix support in r10; mirrored in
-                            # parser._scan_chunk). Deterministic across
-                            # shards: every shard scans chunk 0.
-                            raise P._FastPathUnsupported
-                        chunk_regular = len(row_matches) == n_rows_chunk
-                        if chunk_idx == 0 and chunk_regular:
-                            # Template = chunk 0's last non-empty row (every
-                            # shard sees chunk 0, so the decision — and the
-                            # compiled pattern — is identical across shards).
-                            tmpl = next(
-                                (b for b in reversed(row_matches) if b), b""
-                            )
-                            dense = P.build_dense_row_re(
-                                tmpl, keep, exp_codes, date_styles, pfx
-                            )
-                            # Dense-extract chunk 0 itself (only the owning
-                            # shard emits it): findall from the first kept
-                            # row's byte offset, so the ~chunk-size head of
-                            # the file skips the per-row cell regex too.
-                            # Guard and fallback are the same as any other
-                            # chunk — a non-matching row (e.g. a mid-chunk
-                            # irregular one) drops to the per-row loop
-                            # below, which produces identical cells.
-                            if assigned and dense and skip_n < n_rows_chunk:
-                                if skip_n:
-                                    it = pr.row_count_re.finditer(work)
-                                    for _ in range(skip_n):
-                                        next(it)
-                                    off = next(it).start()
-                                else:
-                                    off = 0
-                                dm = dense[0].findall(work, off)
-                                if len(dm) == n_rows_chunk - skip_n:
-                                    chunk_idx += 1
-                                    rows_seen += n_rows_chunk
-                                    if len(dense[1]) == 1:
-                                        raw_cols[dense[1][0]].extend(dm)
-                                    else:
-                                        # itemgetter, not zip(*dm) — see
-                                        # the steady-state dense site.
-                                        for j, out in enumerate(dense[1]):
-                                            raw_cols[out].extend(
-                                                map(_op.itemgetter(j), dm)
-                                            )
-                                    batch_rows += len(dm)
-                                    while batch_rows >= opts.batch_size:
-                                        take = opts.batch_size
-                                        head = [c[:take] for c in raw_cols]
-                                        raw_cols = [c[take:] for c in raw_cols]
-                                        batch_rows -= take
-                                        yield finalize(head)
-                                    if not data:
-                                        break
-                                    continue
-                    else:
-                        n_rows_chunk = P.count_row_starts(work, pfx)
-                        row_matches = []
-                        chunk_regular = True
-                    chunk_idx += 1
-
-                    if not assigned:
+            def _process(work: bytes):
+                """Parse one row-aligned chunk (identical semantics for the
+                sequential and the split-index acquisition below); yields
+                finished Arrow batches and mutates the enclosing scan state.
+                """
+                nonlocal batch_rows, raw_cols, chunk_idx, rows_seen, dense
+                assigned = (chunk_idx % n_shards) == shard
+                # Dense-row fast path (parser.build_dense_row_re): one
+                # findall per chunk, tuples already in column order —
+                # no per-row regex, no per-cell Python. Only when the
+                # chunk's match count equals its row count (so any row
+                # deviating from the template shape falls back to the
+                # generic scan below, which produces identical cells).
+                if assigned and dense and chunk_idx > 0 and rows_seen >= skip_n:
+                    # One memchr pass in the steady case: every dense
+                    # match starts "<row " / "<row>", which cannot
+                    # match "<rowBreaks", so matches ≤ true rows ≤ the
+                    # raw "<row" prefix count — equality with the raw
+                    # count proves no rowBreaks AND all rows matched.
+                    # Only on mismatch pay the second pass to subtract
+                    # rowBreaks before deciding fallback.
+                    n_raw = work.count(pr.row_start)
+                    dm = dense[0].findall(work)
+                    n_rows_chunk = (
+                        n_raw
+                        if len(dm) == n_raw
+                        else n_raw - work.count(pr.rowb_start)
+                    )
+                    if len(dm) == n_rows_chunk:
+                        chunk_idx += 1
                         rows_seen += n_rows_chunk
-                        if not data:
-                            break
-                        continue
+                        if len(dense[1]) == 1:
+                            raw_cols[dense[1][0]].extend(dm)
+                        else:
+                            # Column extract via itemgetter, NOT
+                            # zip(*dm): unpacking a million-tuple
+                            # argument list measured 3.5× slower
+                            # than the per-column C-speed map
+                            # (partsupp 1T profile, r10).
+                            for j, out in enumerate(dense[1]):
+                                raw_cols[out].extend(
+                                    map(_op.itemgetter(j), dm)
+                                )
+                        batch_rows += len(dm)
+                        while batch_rows >= opts.batch_size:
+                            take = opts.batch_size
+                            head = [c[:take] for c in raw_cols]
+                            raw_cols = [c[take:] for c in raw_cols]
+                            batch_rows -= take
+                            yield finalize(head)
+                        return
+                if assigned or chunk_idx == 0:
+                    # Chunk 0 is checked by EVERY shard so the whole-file
+                    # fallback decision is consistent across shards.
+                    row_matches = pr.row_re.findall(work)
+                    n_rows_chunk = len(pr.row_count_re.findall(work))
+                    if chunk_idx == 0 and (
+                        len(row_matches) != n_rows_chunk
+                        or (
+                            not row_matches
+                            and P._ANY_ROW_RE.search(work)
+                        )
+                    ):
+                        # Second arm: row tags exist but the detected
+                        # prefix's scanner sees none (mixed/undetected
+                        # prefixes) — without the check such documents
+                        # silently read as EMPTY (r9 fix, generalized
+                        # for prefix support in r10; mirrored in
+                        # parser._scan_chunk). Deterministic across
+                        # shards: every shard scans chunk 0.
+                        raise P._FastPathUnsupported
+                    chunk_regular = len(row_matches) == n_rows_chunk
+                    if chunk_idx == 0 and chunk_regular:
+                        # Template = chunk 0's last non-empty row (every
+                        # shard sees chunk 0, so the decision — and the
+                        # compiled pattern — is identical across shards).
+                        tmpl = next(
+                            (b for b in reversed(row_matches) if b), b""
+                        )
+                        dense = P.build_dense_row_re(
+                            tmpl, keep, exp_codes, date_styles, pfx
+                        )
+                        # Dense-extract chunk 0 itself (only the owning
+                        # shard emits it): findall from the first kept
+                        # row's byte offset, so the ~chunk-size head of
+                        # the file skips the per-row cell regex too.
+                        # Guard and fallback are the same as any other
+                        # chunk — a non-matching row (e.g. a mid-chunk
+                        # irregular one) drops to the per-row loop
+                        # below, which produces identical cells.
+                        if assigned and dense and skip_n < n_rows_chunk:
+                            if skip_n:
+                                it = pr.row_count_re.finditer(work)
+                                for _ in range(skip_n):
+                                    next(it)
+                                off = next(it).start()
+                            else:
+                                off = 0
+                            dm = dense[0].findall(work, off)
+                            if len(dm) == n_rows_chunk - skip_n:
+                                chunk_idx += 1
+                                rows_seen += n_rows_chunk
+                                if len(dense[1]) == 1:
+                                    raw_cols[dense[1][0]].extend(dm)
+                                else:
+                                    # itemgetter, not zip(*dm) — see
+                                    # the steady-state dense site.
+                                    for j, out in enumerate(dense[1]):
+                                        raw_cols[out].extend(
+                                            map(_op.itemgetter(j), dm)
+                                        )
+                                batch_rows += len(dm)
+                                while batch_rows >= opts.batch_size:
+                                    take = opts.batch_size
+                                    head = [c[:take] for c in raw_cols]
+                                    raw_cols = [c[take:] for c in raw_cols]
+                                    batch_rows -= take
+                                    yield finalize(head)
+                                return
+                else:
+                    n_rows_chunk = P.count_row_starts(work, pfx)
+                    row_matches = []
+                    chunk_regular = True
+                chunk_idx += 1
 
-                    if not chunk_regular:
-                        # Irregular mid-file chunk owned by this shard.
+                if not assigned:
+                    rows_seen += n_rows_chunk
+                    return
+
+                if not chunk_regular:
+                    # Irregular mid-file chunk owned by this shard.
+                    if batch_rows:
+                        yield finalize(raw_cols)
+                        raw_cols = [[] for _ in range(n_cols)]
+                        batch_rows = 0
+                    frag, n_frag = fragment_batch(work)
+                    drop = min(max(0, skip_n - rows_seen), n_frag)
+                    rows_seen += n_rows_chunk
+                    part = frag.slice(drop)
+                    if part.num_rows:
+                        yield part
+                    return
+
+                for body in row_matches:
+                    ordinal = rows_seen
+                    rows_seen += 1
+                    if ordinal < skip_n:
+                        continue
+                    ms = pr.cell_re.findall(body)
+                    if len(ms) != len(pr.cell_count_re.findall(body)):
+                        # Irregular row: flush and defer the whole chunk's
+                        # remainder to the fragment path is overkill —
+                        # handle just this row via fragment parse.
                         if batch_rows:
                             yield finalize(raw_cols)
                             raw_cols = [[] for _ in range(n_cols)]
                             batch_rows = 0
-                        frag, n_frag = fragment_batch(work)
-                        drop = min(max(0, skip_n - rows_seen), n_frag)
-                        rows_seen += n_rows_chunk
-                        part = frag.slice(drop)
-                        if part.num_rows:
-                            yield part
+                        frag, _n = fragment_batch(
+                            b"<" + pfx + b"row>" + body + b"</" + pfx + b"row>"
+                        )
+                        if frag.num_rows:
+                            yield frag
+                        continue
+                    row = [None] * n_cols
+                    for letters, s_attr, t_attr, v in ms:
+                        col = colmap.get(letters)
+                        if col is None:
+                            col = colmap[letters] = P.column_index(letters.decode())
+                        if col >= n_file:
+                            raise ValueError(
+                                f"Row has more columns than the first row. "
+                                f"Has: {col + 1} Expected: {n_file}"
+                            )
+                        out = keep[col]
+                        if out is None:
+                            continue  # pruned column: raw bytes dropped here
+                        if not v:
+                            continue  # absent / empty cell → NULL
+                        code = exp_codes[out]
+                        if not t_attr or t_attr == b"n":
+                            dated = is_date_style.get(s_attr)
+                            if dated is None:
+                                dated = is_date_style[s_attr] = int(s_attr) in date_styles
+                            if code == (3 if dated else 1):
+                                row[out] = v
+                        elif t_attr == b"s":
+                            if code == 0:
+                                row[out] = v
+                        elif t_attr == b"b":
+                            if code == 2:
+                                row[out] = v
+                        elif t_attr in (b"str", b"inlineStr"):
+                            raise ValueError(P.UNSUPPORTED_STRING_ERROR)
+                        # t="e" / unknown → NULL (stays None)
+                    for i in range(n_cols):
+                        raw_cols[i].append(row[i])
+                    batch_rows += 1
+                    if batch_rows >= opts.batch_size:
+                        yield finalize(raw_cols)
+                        raw_cols = [[] for _ in range(n_cols)]
+                        batch_rows = 0
+
+            # Split-index acquisition (splitindex module doc): when our
+            # writer left Z_FULL_FLUSH points + the offset/row index in the
+            # archive comment, each shard seeks straight to its intervals
+            # and inflates ONLY those — total decompression returns to 1x
+            # the file instead of n_shards x (the one per-shard fixed cost
+            # of the chunk round-robin design that did not divide). The
+            # index is untrusted input: decode validates structure, and
+            # every materialized interval's parsed row count is checked
+            # against the recorded one — a lying index fails loudly, never
+            # silently wrong. Single-shard reads keep the sequential scan
+            # (same bytes, no seek benefit).
+            split_pts = (
+                SI.decode_split_index(wb.zf, sheet.path)
+                if n_shards > 1
+                else None
+            )
+            if split_pts:
+                import zlib
+
+                info = wb.zf.getinfo(sheet.path)
+                doff = SI.member_data_offset(wb.path, info)
+                with open(wb.path, "rb") as rf:
+                    for i in range(len(split_pts)):
+                        lo = split_pts[i - 1][0] if i else 0
+                        hi, cum = split_pts[i]
+                        before_rows = split_pts[i - 1][1] if i else 0
+                        rows_in = cum - before_rows
+                        if i and (i % n_shards) != shard:
+                            # Unassigned interval: bytes untouched — the
+                            # recorded count keeps the global row ordinal.
+                            # (Interval 0 is materialized by EVERY shard,
+                            # like chunk 0 in the sequential scan, so the
+                            # template/fallback decision stays identical
+                            # across shards.)
+                            rows_seen += rows_in
+                            chunk_idx += 1
+                            continue
+                        rf.seek(doff + lo)
+                        work = zlib.decompressobj(-15).decompress(
+                            rf.read(hi - lo)
+                        )
+                        if i == 0:
+                            pfx = P.detect_row_prefix(work)
+                            if pfx is None:
+                                raise P._FastPathUnsupported
+                            pr = P.prefix_res(pfx)
+                        before_seen = rows_seen
+                        yield from _process(work)
+                        if rows_seen - before_seen != rows_in:
+                            raise ValueError(
+                                "sheetreader: split-index row count mismatch"
+                                f" in {sheet.path} interval {i} (parsed"
+                                f" {rows_seen - before_seen}, index says"
+                                f" {rows_in}) — the archive comment is stale"
+                                " or corrupt; remove it or rewrite the file"
+                            )
+            else:
+                # Smaller chunks when sharded → even round-robin load balance.
+                chunk_bytes = (1 << 20) if n_shards > 1 else (4 << 20)
+                with wb.zf.open(sheet.path) as f:
+                    buf = b""
+                    while True:
+                        data = f.read(chunk_bytes)
+                        if data:
+                            buf += data
+                            if pfx is None:
+                                # Prefixed worksheets (<x:row>) scan and shard
+                                # on this same columnar tier (r10; previously
+                                # they defeated to the single-stream whole-file
+                                # walk — the reference parallelizes every
+                                # document shape). Stream-deterministic: every
+                                # shard reads the same head bytes.
+                                pfx = P.detect_row_prefix(buf)
+                                if pfx is None:
+                                    if len(buf) < (64 << 20):
+                                        continue
+                                    raise P._FastPathUnsupported
+                                pr = P.prefix_res(pfx)
+                            cut = buf.rfind(pr.row_end)
+                            if cut == -1:
+                                if len(buf) < (64 << 20):
+                                    continue
+                                if rows_seen:
+                                    # Batches may already be downstream; falling
+                                    # back would re-parse from the start and
+                                    # duplicate rows — hard error instead.
+                                    raise ValueError(
+                                        "sheetreader: row exceeds 64MB without a "
+                                        f"</row> boundary mid-file in {sheet.path}"
+                                    )
+                                raise P._FastPathUnsupported  # stream-deterministic:
+                                # every shard sees the same bytes → same decision
+                            end = cut + len(pr.row_end)
+                            work, buf = buf[:end], buf[end:]
+                        else:
+                            if pfx is None:
+                                pfx = P.detect_row_prefix(buf) or b""
+                                pr = P.prefix_res(pfx)
+                            work, buf = buf, b""
+
+
+                        yield from _process(work)
                         if not data:
                             break
-                        continue
-
-                    for body in row_matches:
-                        ordinal = rows_seen
-                        rows_seen += 1
-                        if ordinal < skip_n:
-                            continue
-                        ms = pr.cell_re.findall(body)
-                        if len(ms) != len(pr.cell_count_re.findall(body)):
-                            # Irregular row: flush and defer the whole chunk's
-                            # remainder to the fragment path is overkill —
-                            # handle just this row via fragment parse.
-                            if batch_rows:
-                                yield finalize(raw_cols)
-                                raw_cols = [[] for _ in range(n_cols)]
-                                batch_rows = 0
-                            frag, _n = fragment_batch(
-                                b"<" + pfx + b"row>" + body + b"</" + pfx + b"row>"
-                            )
-                            if frag.num_rows:
-                                yield frag
-                            continue
-                        row = [None] * n_cols
-                        for letters, s_attr, t_attr, v in ms:
-                            col = colmap.get(letters)
-                            if col is None:
-                                col = colmap[letters] = P.column_index(letters.decode())
-                            if col >= n_file:
-                                raise ValueError(
-                                    f"Row has more columns than the first row. "
-                                    f"Has: {col + 1} Expected: {n_file}"
-                                )
-                            out = keep[col]
-                            if out is None:
-                                continue  # pruned column: raw bytes dropped here
-                            if not v:
-                                continue  # absent / empty cell → NULL
-                            code = exp_codes[out]
-                            if not t_attr or t_attr == b"n":
-                                dated = is_date_style.get(s_attr)
-                                if dated is None:
-                                    dated = is_date_style[s_attr] = int(s_attr) in date_styles
-                                if code == (3 if dated else 1):
-                                    row[out] = v
-                            elif t_attr == b"s":
-                                if code == 0:
-                                    row[out] = v
-                            elif t_attr == b"b":
-                                if code == 2:
-                                    row[out] = v
-                            elif t_attr in (b"str", b"inlineStr"):
-                                raise ValueError(P.UNSUPPORTED_STRING_ERROR)
-                            # t="e" / unknown → NULL (stays None)
-                        for i in range(n_cols):
-                            raw_cols[i].append(row[i])
-                        batch_rows += 1
-                        if batch_rows >= opts.batch_size:
-                            yield finalize(raw_cols)
-                            raw_cols = [[] for _ in range(n_cols)]
-                            batch_rows = 0
-                    if not data:
-                        break
             if batch_rows:
                 yield finalize(raw_cols)
-
 
 class SheetReaderStreamReader(SimpleDataSourceStreamReader):
     """File-arrival streaming ingest of spreadsheets (SURVEY.md §7 PR6).

@@ -1,0 +1,118 @@
+"""Splittable-XLSX index: the bgzip pattern applied to the worksheet entry.
+
+An XLSX worksheet is one deflate stream inside a zip, so a sharded read
+normally re-inflates the WHOLE stream per shard just to reach its own
+chunks — O(shards × file) decompression, the one cost of the chunk
+round-robin design that does not divide (BENCHNOTES r10: lineitem auto
+saturates at ~32 shards because every task pays the full-zlib fixed cost;
+at 1000 executors against a 10 GB sheet that waste is 1000×).
+
+Our writer closes the gap the way bgzip/indexed-gzip do for gzip: it
+emits ``Z_FULL_FLUSH`` sync points at ``</row>`` boundaries every ~4 MB
+of uncompressed sheet XML. A full flush byte-aligns the stream AND resets
+the deflate window, so a fresh ``zlib.decompressobj`` can start inflating
+at any recorded point — each shard preads only its own intervals' raw
+bytes and inflates exactly those. Total decompression returns to 1× the
+file, spread across the shards, and sharding scales with I/O.
+
+The index — (compressed offset, cumulative row count) per point — rides
+the ZIP ARCHIVE COMMENT: a standard container field every zip tool
+preserves and every consumer ignores, so the file stays a plain XLSX
+(the flush points are ordinary deflate blocks; Excel, the reference
+extension, and our own pre-index reader all read these files unchanged,
+just sequentially). The reference core never shards inside one deflate
+stream either — its interleaved threads split the DECOMPRESSED buffer
+(sheetreader_extension.cpp:775) — so this is beyond-parity scaling, not
+parity.
+
+Readers must treat the comment as untrusted input: `decode_split_index`
+validates structure/monotonicity and the consuming scan additionally
+checks each interval's parsed row count against the recorded one,
+failing loudly on any mismatch rather than returning silently wrong
+rows (a corrupt-but-well-formed index cannot pass both).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zipfile
+
+MAGIC = b"SRSX1:"
+
+# Uncompressed bytes between flush points. 4 MB matches the reader's
+# single-thread chunk size; at the 2048-point cap that indexes ≥8 GB of
+# sheet XML before interval doubling kicks in (see writer).
+SPLIT_INTERVAL = 4 << 20
+MAX_POINTS = 2048
+
+
+def encode_split_index(
+    entry: str, points: list[tuple[int, int]], total_rows: int
+) -> bytes:
+    """Comment bytes for one indexed entry. ``points`` are (compressed
+    offset relative to the member's data start, cumulative rows written
+    before the point); both sequences are delta-encoded so a 2048-point
+    index stays ~10-20 KB, well under the 64 KB comment ceiling."""
+    coffs, rows = [], []
+    pc = prow = 0
+    for c, r in points:
+        coffs.append(c - pc)
+        rows.append(r - prow)
+        pc, prow = c, r
+    payload = {"e": entry, "n": total_rows, "c": coffs, "r": rows}
+    out = MAGIC + json.dumps(payload, separators=(",", ":")).encode("ascii")
+    if len(out) > 0xFFFF:
+        raise ValueError("split index exceeds the zip comment limit")
+    return out
+
+
+def decode_split_index(
+    zf: zipfile.ZipFile, entry: str
+) -> "list[tuple[int, int]] | None":
+    """Validated absolute (coff, rows_cum) points for ``entry``, plus the
+    implicit terminal point (compress_size, total_rows) — or None when the
+    archive carries no usable index for this entry (no comment, other
+    entry, non-deflate member, or any structural inconsistency; the caller
+    falls back to the sequential scan, results identical either way)."""
+    comment = zf.comment
+    if not comment.startswith(MAGIC):
+        return None
+    try:
+        payload = json.loads(comment[len(MAGIC):])
+        if payload.get("e") != entry:
+            return None
+        info = zf.getinfo(entry)
+        if info.compress_type != zipfile.ZIP_DEFLATED:
+            return None
+        total_rows = int(payload["n"])
+        coffs, rows = payload["c"], payload["r"]
+        if len(coffs) != len(rows) or not coffs or total_rows < 0:
+            return None
+        points: list[tuple[int, int]] = []
+        c = r = 0
+        for dc, dr in zip(coffs, rows):
+            c += int(dc)
+            r += int(dr)
+            # Strictly increasing compressed offsets inside the member;
+            # rows monotone non-decreasing and within the declared total.
+            if dc <= 0 or dr < 0 or c >= info.compress_size or r > total_rows:
+                return None
+            points.append((c, r))
+        points.append((info.compress_size, total_rows))
+        return points
+    except (ValueError, KeyError, TypeError, zipfile.BadZipFile):
+        return None
+
+
+def member_data_offset(path: str, info: zipfile.ZipInfo) -> int:
+    """Absolute file offset of ``info``'s compressed data: local header
+    is 30 fixed bytes + its OWN name/extra lengths (which may differ from
+    the central directory's copy — read them from the file)."""
+    with open(path, "rb") as f:
+        f.seek(info.header_offset)
+        hdr = f.read(30)
+        if len(hdr) != 30 or hdr[:4] != b"PK\x03\x04":
+            raise ValueError(f"bad local header for {info.filename}")
+        name_len, extra_len = struct.unpack("<HH", hdr[26:30])
+        return info.header_offset + 30 + name_len + extra_len

@@ -23,7 +23,10 @@ import datetime as dt
 import os
 import re
 import zipfile
+import zlib
 from xml.sax.saxutils import escape
+
+from .splitindex import MAX_POINTS, SPLIT_INTERVAL, encode_split_index
 
 # SpreadsheetML ST_Xstring escaping (ECMA-376 §22.9.2.19): characters that
 # cannot appear in XML 1.0 (C0 controls except tab/newline, plus CR, which
@@ -116,6 +119,85 @@ def _cell_xml(ref: str, v: object, intern, date1904: bool) -> str:
     if isinstance(v, float):
         return f'<c r="{ref}"><v>{_fmt_double(v)}</v></c>'
     raise TypeError(f"Unsupported cell value type: {type(v)}")
+
+
+def _flush_point(zwf) -> "int | None":
+    """Emit a ``Z_FULL_FLUSH`` into an open ``zf.open(name, "w")`` stream
+    and return the member-relative compressed offset after it — the seek
+    point a reader can start a fresh inflater at (splitindex module doc).
+
+    Reaches into CPython zipfile's ``_ZipWriteFile`` internals
+    (``_compressor``/``_fileobj``/``_compress_size``, stable across 3.8+):
+    the flush consumes no uncompressed bytes, so CRC and file_size are
+    untouched and only the compressed byte count needs adjusting. Returns
+    None when the internals are unavailable (alternate Python) — the
+    member is then a perfectly normal unindexed deflate stream."""
+    try:
+        comp = zwf._compressor
+        fobj = zwf._fileobj
+        size = zwf._compress_size
+    except AttributeError:
+        return None
+    out = comp.flush(zlib.Z_FULL_FLUSH)
+    fobj.write(out)
+    zwf._compress_size = size + len(out)
+    return zwf._compress_size
+
+
+def _write_sheet_member(zf, name: str, chunks) -> "tuple[list | None, int]":
+    """Stream a worksheet entry with split points: write ``chunks`` (any
+    byte slicing) into the member, emitting a full-flush point at the
+    first ``</row>`` boundary past every ``SPLIT_INTERVAL`` uncompressed
+    bytes. Returns (points, row_count) where points is the
+    (member-relative compressed offset, cumulative rows) list — or None
+    when indexing is unavailable or the sheet never reached one interval.
+
+    Past ``MAX_POINTS`` the recorded points thin 2:1 and the interval
+    doubles — any subset of valid flush points is a valid (coarser)
+    index, and the comment stays bounded for arbitrarily large sheets."""
+    points: list = []
+    indexable = True
+    interval = SPLIT_INTERVAL
+    rows = 0
+    since = 0  # uncompressed bytes written since the last flush point
+    # 4-byte tail of the previous write: "<row " can straddle two input
+    # chunks, and the index's cumulative row counts must be EXACT (the
+    # reader fails loudly on any mismatch) — counting (carry + piece)
+    # catches straddles; nothing shorter than the 5-byte needle fits
+    # wholly inside the carry, so no occurrence double-counts.
+    carry = b""
+    with zf.open(name, "w", force_zip64=True) as out:
+        for ch in chunks:
+            while indexable and since + len(ch) >= interval:
+                # Earliest in-chunk row boundary past the interval mark —
+                # zero buffering: pieces stream straight to the member.
+                # (A boundary straddling two chunks is simply not seen;
+                # the point lands at the next whole one — any row-aligned
+                # point set is a valid index.)
+                cut = ch.find(b"</row>", max(0, interval - since - 6))
+                if cut == -1:
+                    break
+                cut += 6
+                piece, ch = ch[:cut], ch[cut:]
+                out.write(piece)
+                rows += (carry + piece[:4]).count(b"<row ") + piece.count(b"<row ")
+                carry = piece[-4:] if len(piece) >= 4 else (carry + piece)[-4:]
+                coff = _flush_point(out)
+                if coff is None:
+                    indexable = False
+                    break
+                points.append((coff, rows))
+                since = 0
+                if len(points) >= MAX_POINTS:
+                    points = points[1::2]
+                    interval *= 2
+            if ch:
+                out.write(ch)
+                if indexable:
+                    rows += (carry + ch[:4]).count(b"<row ") + ch.count(b"<row ")
+                    carry = ch[-4:] if len(ch) >= 4 else (carry + ch)[-4:]
+                since += len(ch)
+    return (points if (indexable and points) else None), rows
 
 
 def write_xlsx(
@@ -216,7 +298,17 @@ def write_xlsx(
         zf.writestr("xl/styles.xml", _STYLES)
         zf.writestr("xl/sharedStrings.xml", sst_xml)
         for i, xml in enumerate(sheet_xmls):
-            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
+            name = f"xl/worksheets/sheet{i + 1}.xml"
+            if i == 0:
+                # Sheet 1 (the one the default scan resolves) writes with
+                # split points; its index rides the archive comment so
+                # sharded readers seek instead of re-inflating the stream
+                # (splitindex module doc). Other consumers ignore both.
+                pts, nrows = _write_sheet_member(zf, name, iter([xml.encode("utf-8")]))
+                if pts:
+                    zf.comment = encode_split_index(name, pts, nrows)
+            else:
+                zf.writestr(name, xml)
     return path
 
 
@@ -339,21 +431,35 @@ class IncrementalXlsxWriter:
                     if self.n_rows and self._n_cols
                     else ""
                 )
-                with zf.open("xl/worksheets/sheet1.xml", "w", force_zip64=True) as out:
-                    out.write(
-                        (
-                            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
-                            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">\n'
-                            f"{dim}<sheetData>"
-                        ).encode("utf-8")
+                head = (
+                    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+                    '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">\n'
+                    f"{dim}<sheetData>"
+                ).encode("utf-8")
+
+                def _sheet_chunks():
+                    yield head
+                    # Re-read the spool binary (it was written utf-8 text);
+                    # _write_sheet_member does the row-boundary alignment.
+                    with open(self._spool.name, "rb") as sf:
+                        while True:
+                            c = sf.read(1 << 20)
+                            if not c:
+                                break
+                            yield c
+                    yield b"</sheetData>\n</worksheet>"
+
+                pts, nrows = _write_sheet_member(
+                    zf, "xl/worksheets/sheet1.xml", _sheet_chunks()
+                )
+                # Cross-check the byte-counted rows against the writer's
+                # own count before publishing the index (a mismatch means
+                # a row-shaped literal slipped through escaping — never
+                # index on a lie; the file itself is still fine).
+                if pts and nrows == self.n_rows:
+                    zf.comment = encode_split_index(
+                        "xl/worksheets/sheet1.xml", pts, nrows
                     )
-                    self._spool.seek(0)
-                    while True:
-                        chunk = self._spool.read(1 << 20)
-                        if not chunk:
-                            break
-                        out.write(chunk.encode("utf-8"))
-                    out.write(b"</sheetData>\n</worksheet>")
                 with zf.open("xl/sharedStrings.xml", "w", force_zip64=True) as out:
                     out.write(
                         (

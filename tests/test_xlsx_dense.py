@@ -850,3 +850,93 @@ def test_fragment_parses_prefixed_attributes_without_scope():
     ]
     frag2 = b'<row r="6"><c r="A6"><f>SUM(A1:A5)</f><v>7.5</v></c></row>'
     assert P._fragment_rows(frag2, {}, frozenset()) == [[(0, P.T_NUMERIC, 7.5)]]
+
+
+# ---- split-index (splittable-XLSX) path -----------------------------------
+
+
+def test_split_index_present_and_sharded_read_uses_it(big_xlsx):
+    """Guard: the module fixture is big enough to carry a split index, so
+    the sharded assertions in this file genuinely exercise the seek-and-
+    inflate acquisition (not silently the sequential one)."""
+    import zipfile
+
+    from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
+
+    with zipfile.ZipFile(big_xlsx) as zf:
+        pts = SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+        assert pts is not None and len(pts) >= 2
+        # terminal point == (member csize, total physical rows incl header)
+        info = zf.getinfo("xl/worksheets/sheet1.xml")
+        assert pts[-1] == (info.compress_size, N_ROWS + 1)
+
+
+def test_split_index_stripped_comment_is_equal(big_xlsx, tmp_path):
+    """No comment -> sequential acquisition; results identical (the index
+    is pure acceleration, never semantics)."""
+    import shutil
+    import zipfile
+
+    noc = str(tmp_path / "nocomment.xlsx")
+    shutil.copy(big_xlsx, noc)
+    with zipfile.ZipFile(noc, "a") as zf:
+        zf.comment = b""
+    a = _collect({"path": big_xlsx, "threads": "4"})
+    b = _collect({"path": noc, "threads": "4"})
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+    assert sorted(a, key=key) == sorted(
+        _collect({"path": big_xlsx, "threads": "1"}), key=key
+    )
+
+
+def test_split_index_garbage_comment_ignored(big_xlsx, tmp_path):
+    """A comment that fails structural validation (wrong magic, wrong
+    entry, non-monotonic offsets) is ignored — sequential scan, same
+    rows."""
+    import json
+    import shutil
+    import zipfile
+
+    from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
+
+    base = _collect({"path": big_xlsx, "threads": "4"})
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    for comment in (
+        b"not an index at all",
+        SI.MAGIC + b"{broken json",
+        SI.MAGIC + json.dumps(
+            {"e": "xl/worksheets/other.xml", "n": 1, "c": [1], "r": [1]}
+        ).encode(),
+        SI.MAGIC + json.dumps(
+            # non-monotonic compressed offsets
+            {"e": "xl/worksheets/sheet1.xml", "n": 10, "c": [5, -2], "r": [1, 1]}
+        ).encode(),
+    ):
+        p = str(tmp_path / "garbage.xlsx")
+        shutil.copy(big_xlsx, p)
+        with zipfile.ZipFile(p, "a") as zf:
+            zf.comment = comment
+        got = _collect({"path": p, "threads": "4"})
+        assert sorted(got, key=key) == sorted(base, key=key)
+
+
+def test_split_index_lying_rowcount_fails_loudly(big_xlsx, tmp_path):
+    """A well-formed index whose row counts disagree with the actual sheet
+    must raise, never return silently wrong data: every materialized
+    interval's parsed count is checked against the recorded one."""
+    import shutil
+    import zipfile
+
+    from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
+
+    p = str(tmp_path / "lying.xlsx")
+    shutil.copy(big_xlsx, p)
+    with zipfile.ZipFile(p) as zf:
+        pts = SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+        total = pts[-1][1]
+    bad = [(c, r + 1) for c, r in pts[:-1]]
+    with zipfile.ZipFile(p, "a") as zf:
+        zf.comment = SI.encode_split_index("xl/worksheets/sheet1.xml", bad, total)
+    with pytest.raises(ValueError, match="split-index row count mismatch"):
+        _collect({"path": p, "threads": "4"})
