@@ -678,6 +678,80 @@ class XlsxWorkbook:
         row_ord = 0  # global row ordinal, identical across all shards
         pfx: bytes | None = None
         pr: _PrefixRes | None = None
+
+        def _row_chunk(work: bytes):
+            """Scan one row-aligned chunk (identical semantics for both
+            acquisitions below); yields this shard's rows, counts all."""
+            nonlocal first_chunk, yielded, chunk_idx, row_ord
+            assigned = (chunk_idx % n_shards) == shard
+            chunk_idx += 1
+            if not assigned and not first_chunk:
+                # Unassigned chunk: count rows only (memchr-speed) so
+                # skip_rows accounting matches the owning shard's view.
+                row_ord += count_row_starts(work, pfx)
+                return
+            # Chunk 0 is scanned by EVERY shard so the whole-file
+            # fallback decision (_FastPathUnsupported from chunk 0's
+            # shape) is consistent across shards; only the owning
+            # shard yields its rows.
+            rows = _scan_chunk(
+                work, colmap, date_styles, first_chunk, self.date1904,
+                self.allow_inline, pfx,
+            )
+            first_chunk = False
+            for cells in rows:
+                ordinal = row_ord
+                row_ord += 1
+                if ordinal < skip_rows or not assigned:
+                    continue
+                yielded = True
+                yield cells
+
+        # Split-index acquisition (splitindex module doc): seek straight
+        # to this shard's intervals and inflate only those — the same
+        # 1x-total-decompression win the columnar tier gets, here for the
+        # coerce / user-typed / inline row paths. Untrusted-index
+        # discipline identical: structural validation on decode plus a
+        # per-interval parsed-vs-recorded row-count check.
+        split_pts = None
+        if n_shards > 1:
+            from sheetreader_duckdb_spark.sources.xlsx.splitindex import (
+                decode_split_index,
+                member_data_offset,
+            )
+
+            split_pts = decode_split_index(self.zf, sheet.path)
+        if split_pts:
+            import zlib
+
+            doff = member_data_offset(self.path, self.zf.getinfo(sheet.path))
+            with open(self.path, "rb") as rf:
+                for i in range(len(split_pts)):
+                    lo = split_pts[i - 1][0] if i else 0
+                    hi, cum = split_pts[i]
+                    rows_in = cum - (split_pts[i - 1][1] if i else 0)
+                    if i and (i % n_shards) != shard:
+                        row_ord += rows_in
+                        chunk_idx += 1
+                        continue
+                    rf.seek(doff + lo)
+                    work = zlib.decompressobj(-15).decompress(rf.read(hi - lo))
+                    if i == 0:
+                        pfx = detect_row_prefix(work)
+                        if pfx is None:
+                            raise _FastPathUnsupported
+                        pr = prefix_res(pfx)
+                    before = row_ord
+                    yield from _row_chunk(work)
+                    if row_ord - before != rows_in:
+                        raise ValueError(
+                            "sheetreader: split-index row count mismatch"
+                            f" in {sheet.path} interval {i} (parsed"
+                            f" {row_ord - before}, index says {rows_in})"
+                            " — the archive comment is stale or corrupt;"
+                            " remove it or rewrite the file"
+                        )
+            return
         with self.zf.open(sheet.path) as f:
             buf = b""
             while True:
@@ -720,31 +794,7 @@ class XlsxWorkbook:
                         pfx = detect_row_prefix(buf) or b""
                         pr = prefix_res(pfx)
                     work, buf = buf, b""
-                assigned = (chunk_idx % n_shards) == shard
-                chunk_idx += 1
-                if not assigned and not first_chunk:
-                    # Unassigned chunk: count rows only (memchr-speed) so
-                    # skip_rows accounting matches the owning shard's view.
-                    row_ord += count_row_starts(work, pfx)
-                    if not data:
-                        return
-                    continue
-                # Chunk 0 is scanned by EVERY shard so the whole-file
-                # fallback decision (_FastPathUnsupported from chunk 0's
-                # shape) is consistent across shards; only the owning
-                # shard yields its rows.
-                rows = _scan_chunk(
-                    work, colmap, date_styles, first_chunk, self.date1904,
-                    self.allow_inline, pfx,
-                )
-                first_chunk = False
-                for cells in rows:
-                    ordinal = row_ord
-                    row_ord += 1
-                    if ordinal < skip_rows or not assigned:
-                        continue
-                    yielded = True
-                    yield cells
+                yield from _row_chunk(work)
                 if not data:
                     return
 

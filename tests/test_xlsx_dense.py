@@ -940,3 +940,32 @@ def test_split_index_lying_rowcount_fails_loudly(big_xlsx, tmp_path):
         zf.comment = SI.encode_split_index("xl/worksheets/sheet1.xml", bad, total)
     with pytest.raises(ValueError, match="split-index row count mismatch"):
         _collect({"path": p, "threads": "4"})
+
+
+def test_split_index_row_path_coerce_sharded_equals_single(big_xlsx):
+    """The coerce/user-typed tier reads through iter_rows, whose sharded
+    acquisition also rides the split index — same rows as single-thread,
+    and as the stripped-comment scan (covered by the reader suites)."""
+    schema = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("qty", StringType()),
+            StructField("price", StringType()),
+        ]
+    )
+
+    def rd(threads):
+        reader = DS.SheetReaderReader(
+            {"path": big_xlsx, "threads": threads, "coerce_to_string": "true"},
+            schema,
+        )
+        rows = []
+        for part in reader.partitions():
+            for batch in reader.read(part):
+                rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
+        return rows
+
+    single, sharded = rd("1"), rd("4")
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    assert len(sharded) == N_ROWS
+    assert sorted(single, key=key) == sorted(sharded, key=key)
