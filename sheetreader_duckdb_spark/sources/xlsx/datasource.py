@@ -728,6 +728,12 @@ class SheetReaderReader(DataSourceReader):
                         info = {
                             i.filename: i.file_size for i in z.infolist()
                         }
+                        # A split-indexed heap removes the per-shard sst
+                        # fixed cost entirely (each shard inflates only
+                        # the intervals its rows reference), so the cap
+                        # below would just throttle a cost that no longer
+                        # exists — keep the size-based fan-out.
+                        sst_indexed = SI.decode_sst_index(z) is not None
                     sst_u = info.get("xl/sharedStrings.xml", 0)
                     sheet_u = max(
                         (
@@ -737,7 +743,7 @@ class SheetReaderReader(DataSourceReader):
                         ),
                         default=0,
                     )
-                    if sst_u > 0 and sheet_u > 0:
+                    if sst_u > 0 and sheet_u > 0 and not sst_indexed:
                         n = max(1, min(n, round(8 * sheet_u / sst_u)))
                 except Exception:
                     pass  # unreadable zip fails later with a real error

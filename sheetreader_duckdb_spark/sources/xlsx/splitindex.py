@@ -47,20 +47,41 @@ SPLIT_INTERVAL = 4 << 20
 MAX_POINTS = 2048
 
 
-def encode_split_index(
-    entry: str, points: list[tuple[int, int]], total_rows: int
-) -> bytes:
-    """Comment bytes for one indexed entry. ``points`` are (compressed
-    offset relative to the member's data start, cumulative rows written
-    before the point); both sequences are delta-encoded so a 2048-point
-    index stays ~10-20 KB, well under the 64 KB comment ceiling."""
-    coffs, rows = [], []
-    pc = prow = 0
-    for c, r in points:
+SST_ENTRY = "xl/sharedStrings.xml"
+
+
+def _deltas(points: list) -> "tuple[list, list]":
+    coffs, counts = [], []
+    pc = pn = 0
+    for c, n in points:
         coffs.append(c - pc)
-        rows.append(r - prow)
-        pc, prow = c, r
+        counts.append(n - pn)
+        pc, pn = c, n
+    return coffs, counts
+
+
+def encode_split_index(
+    entry: str,
+    points: list[tuple[int, int]],
+    total_rows: int,
+    sst_points: "list[tuple[int, int]] | None" = None,
+    sst_total: int = 0,
+) -> bytes:
+    """Comment bytes for one indexed worksheet entry (+ optionally the
+    shared-strings heap). ``points`` are (compressed offset relative to
+    the member's data start, cumulative rows written before the point);
+    sequences are delta-encoded so a 2048-point index stays ~10-20 KB,
+    well under the 64 KB comment ceiling. ``sst_points`` carry the same
+    shape for ``xl/sharedStrings.xml`` with cumulative ENTRY counts —
+    sharded readers then inflate only the heap intervals their own rows
+    reference instead of the whole heap per task."""
+    coffs, rows = _deltas(points)
     payload = {"e": entry, "n": total_rows, "c": coffs, "r": rows}
+    if sst_points:
+        sc, sr = _deltas(sst_points)
+        payload["sc"] = sc
+        payload["sr"] = sr
+        payload["sn"] = sst_total
     out = MAGIC + json.dumps(payload, separators=(",", ":")).encode("ascii")
     if len(out) > 0xFFFF:
         raise ValueError("split index exceeds the zip comment limit")
@@ -100,6 +121,39 @@ def decode_split_index(
                 return None
             points.append((c, r))
         points.append((info.compress_size, total_rows))
+        return points
+    except (ValueError, KeyError, TypeError, zipfile.BadZipFile):
+        return None
+
+
+def decode_sst_index(zf: zipfile.ZipFile) -> "list[tuple[int, int]] | None":
+    """Validated absolute (coff, entries_cum) points for the shared-strings
+    heap, plus the implicit terminal (compress_size, total_entries) — or
+    None when the comment carries no usable sst section (same untrusted-
+    input discipline as the worksheet index; the heap reader additionally
+    verifies each interval's local entry count and falls back to the full
+    heap on any inconsistency)."""
+    comment = zf.comment
+    if not comment.startswith(MAGIC):
+        return None
+    try:
+        payload = json.loads(comment[len(MAGIC):])
+        coffs, counts = payload.get("sc"), payload.get("sr")
+        if not coffs or not counts or len(coffs) != len(counts):
+            return None
+        total = int(payload["sn"])
+        info = zf.getinfo(SST_ENTRY)
+        if info.compress_type != zipfile.ZIP_DEFLATED or total < 0:
+            return None
+        points: list[tuple[int, int]] = []
+        c = n = 0
+        for dc, dn in zip(coffs, counts):
+            c += int(dc)
+            n += int(dn)
+            if dc <= 0 or dn < 0 or c >= info.compress_size or n > total:
+                return None
+            points.append((c, n))
+        points.append((info.compress_size, total))
         return points
     except (ValueError, KeyError, TypeError, zipfile.BadZipFile):
         return None

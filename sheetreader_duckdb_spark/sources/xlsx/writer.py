@@ -144,49 +144,56 @@ def _flush_point(zwf) -> "int | None":
     return zwf._compress_size
 
 
-def _write_sheet_member(zf, name: str, chunks) -> "tuple[list | None, int]":
-    """Stream a worksheet entry with split points: write ``chunks`` (any
-    byte slicing) into the member, emitting a full-flush point at the
-    first ``</row>`` boundary past every ``SPLIT_INTERVAL`` uncompressed
-    bytes. Returns (points, row_count) where points is the
-    (member-relative compressed offset, cumulative rows) list — or None
-    when indexing is unavailable or the sheet never reached one interval.
+def _write_indexed_member(
+    zf, name: str, chunks, boundary: bytes = b"</row>", needle: bytes = b"<row "
+) -> "tuple[list | None, int]":
+    """Stream a zip member with split points: write ``chunks`` (any byte
+    slicing) into the member, emitting a full-flush point at the first
+    ``boundary`` past every ``SPLIT_INTERVAL`` uncompressed bytes.
+    Returns (points, count) where points is the (member-relative
+    compressed offset, cumulative ``needle`` count) list — or None when
+    indexing is unavailable or the member never reached one interval.
+    Worksheets index rows (``</row>`` / ``<row ``); the shared-strings
+    heap indexes entries (``</si>`` / ``<si>``).
 
     Past ``MAX_POINTS`` the recorded points thin 2:1 and the interval
     doubles — any subset of valid flush points is a valid (coarser)
-    index, and the comment stays bounded for arbitrarily large sheets."""
+    index, and the comment stays bounded for arbitrarily large members."""
     points: list = []
     indexable = True
     interval = SPLIT_INTERVAL
-    rows = 0
+    blen = len(boundary)
+    # (len(needle)-1)-byte tail of the previous write: the needle can
+    # straddle two input chunks, and the index's cumulative counts must
+    # be EXACT (the reader fails loudly on any mismatch) — counting
+    # (carry + head of piece) catches straddles; nothing fits wholly
+    # inside the shorter-than-needle carry, so no occurrence
+    # double-counts.
+    clen = len(needle) - 1
+    count = 0
     since = 0  # uncompressed bytes written since the last flush point
-    # 4-byte tail of the previous write: "<row " can straddle two input
-    # chunks, and the index's cumulative row counts must be EXACT (the
-    # reader fails loudly on any mismatch) — counting (carry + piece)
-    # catches straddles; nothing shorter than the 5-byte needle fits
-    # wholly inside the carry, so no occurrence double-counts.
     carry = b""
     with zf.open(name, "w", force_zip64=True) as out:
         for ch in chunks:
             while indexable and since + len(ch) >= interval:
-                # Earliest in-chunk row boundary past the interval mark —
+                # Earliest in-chunk boundary past the interval mark —
                 # zero buffering: pieces stream straight to the member.
                 # (A boundary straddling two chunks is simply not seen;
-                # the point lands at the next whole one — any row-aligned
+                # the point lands at the next whole one — any aligned
                 # point set is a valid index.)
-                cut = ch.find(b"</row>", max(0, interval - since - 6))
+                cut = ch.find(boundary, max(0, interval - since - blen))
                 if cut == -1:
                     break
-                cut += 6
+                cut += blen
                 piece, ch = ch[:cut], ch[cut:]
                 out.write(piece)
-                rows += (carry + piece[:4]).count(b"<row ") + piece.count(b"<row ")
-                carry = piece[-4:] if len(piece) >= 4 else (carry + piece)[-4:]
+                count += (carry + piece[:clen]).count(needle) + piece.count(needle)
+                carry = piece[-clen:] if len(piece) >= clen else (carry + piece)[-clen:]
                 coff = _flush_point(out)
                 if coff is None:
                     indexable = False
                     break
-                points.append((coff, rows))
+                points.append((coff, count))
                 since = 0
                 if len(points) >= MAX_POINTS:
                     points = points[1::2]
@@ -194,10 +201,14 @@ def _write_sheet_member(zf, name: str, chunks) -> "tuple[list | None, int]":
             if ch:
                 out.write(ch)
                 if indexable:
-                    rows += (carry + ch[:4]).count(b"<row ") + ch.count(b"<row ")
-                    carry = ch[-4:] if len(ch) >= 4 else (carry + ch)[-4:]
+                    count += (carry + ch[:clen]).count(needle) + ch.count(needle)
+                    carry = ch[-clen:] if len(ch) >= clen else (carry + ch)[-clen:]
                 since += len(ch)
-    return (points if (indexable and points) else None), rows
+    return (points if (indexable and points) else None), count
+
+
+def _write_sheet_member(zf, name: str, chunks) -> "tuple[list | None, int]":
+    return _write_indexed_member(zf, name, chunks, b"</row>", b"<row ")
 
 
 def write_xlsx(
@@ -452,29 +463,51 @@ class IncrementalXlsxWriter:
                 pts, nrows = _write_sheet_member(
                     zf, "xl/worksheets/sheet1.xml", _sheet_chunks()
                 )
-                # Cross-check the byte-counted rows against the writer's
-                # own count before publishing the index (a mismatch means
-                # a row-shaped literal slipped through escaping — never
-                # index on a lie; the file itself is still fine).
-                if pts and nrows == self.n_rows:
-                    zf.comment = encode_split_index(
-                        "xl/worksheets/sheet1.xml", pts, nrows
-                    )
-                with zf.open("xl/sharedStrings.xml", "w", force_zip64=True) as out:
-                    out.write(
-                        (
-                            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
-                            '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
-                            f'count="{len(self._sst)}" uniqueCount="{len(self._sst)}">'
-                        ).encode("utf-8")
-                    )
+                def _sst_chunks():
+                    yield (
+                        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+                        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+                        f'count="{len(self._sst)}" uniqueCount="{len(self._sst)}">'
+                    ).encode("utf-8")
+                    batch: list[str] = []
+                    size = 0
                     for s in self._sst:
-                        out.write(
-                            f'<si><t xml:space="preserve">{escape(_xstring(s))}</t></si>'.encode(
-                                "utf-8"
-                            )
+                        e = f'<si><t xml:space="preserve">{escape(_xstring(s))}</t></si>'
+                        batch.append(e)
+                        size += len(e)
+                        if size >= (256 << 10):
+                            yield "".join(batch).encode("utf-8")
+                            batch, size = [], 0
+                    if batch:
+                        yield "".join(batch).encode("utf-8")
+                    yield b"</sst>"
+
+                # Entry-boundary flush points in the heap too: sharded
+                # readers then inflate only the heap intervals their rows
+                # reference instead of the whole sst per task (splitindex
+                # module doc; the string-heavy partsupp witness pays ~1 s
+                # of inflate+offset-scan per shard without this).
+                spts, n_si = _write_indexed_member(
+                    zf, "xl/sharedStrings.xml", _sst_chunks(), b"</si>", b"<si>"
+                )
+                # Cross-check byte-counted totals against the writer's own
+                # counts before publishing the index (a mismatch means a
+                # row/entry-shaped literal slipped through escaping —
+                # never index on a lie; the file itself is still fine).
+                if spts and n_si != len(self._sst):
+                    spts = None
+                if pts and nrows == self.n_rows:
+                    try:
+                        zf.comment = encode_split_index(
+                            "xl/worksheets/sheet1.xml", pts, nrows,
+                            sst_points=spts, sst_total=len(self._sst),
                         )
-                    out.write(b"</sst>")
+                    except ValueError:
+                        # Both sections exceed the 64 KB comment ceiling:
+                        # keep the (more valuable) worksheet index.
+                        zf.comment = encode_split_index(
+                            "xl/worksheets/sheet1.xml", pts, nrows
+                        )
         finally:
             self._spool.close()
             try:

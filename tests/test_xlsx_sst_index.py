@@ -1,0 +1,137 @@
+"""Split-indexed shared-strings heap (parser.IntervalStringHeap +
+splitindex sst section): sharded readers inflate only the heap intervals
+their rows reference. Pins: (a) interval-heap strings identical to the
+eager heap's, (b) sharded Spark-less reads identical to single-thread,
+(c) a corrupt sst section falls back to the full heap with identical
+results, (d) the planning-time string-heavy shard cap lifts when the
+index is present (the cost it throttles no longer exists)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import zipfile
+
+import pytest
+
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from sheetreader_duckdb_spark.sources.xlsx import datasource as DS
+from sheetreader_duckdb_spark.sources.xlsx import parser as P
+from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
+from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
+
+N = 120_000
+
+
+@pytest.fixture(scope="module")
+def stringy_xlsx(tmp_path_factory):
+    """Unique long strings: sst raw bytes ≳ sheet raw bytes, several sst
+    intervals, several row intervals."""
+    import hashlib
+
+    path = str(tmp_path_factory.mktemp("sst") / "stringy.xlsx")
+    w = IncrementalXlsxWriter(path, "Sheet1")
+    w.write_row(["k", "comment"])
+    for i in range(N):
+        # Hex digests compress poorly, so the sst member dwarfs the sheet
+        # both raw and compressed — the shape the string-heavy shard cap
+        # (and this heap) exist for.
+        s = str(i).encode()
+        h = (
+            hashlib.sha512(s).hexdigest()
+            + hashlib.sha512(s + b"x").hexdigest()
+        )
+        w.write_row([float(i), f"unique comment {i} {h}"])
+    w.close()
+    return path
+
+
+SCHEMA = StructType(
+    [StructField("k", DoubleType()), StructField("comment", StringType())]
+)
+
+
+def _collect(options, schema=SCHEMA):
+    reader = DS.SheetReaderReader(options, schema)
+    rows: list[tuple] = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
+    return rows
+
+
+def test_sst_index_written_and_interval_heap_matches_eager(stringy_xlsx):
+    with zipfile.ZipFile(stringy_xlsx) as zf:
+        spts = SI.decode_sst_index(zf)
+        assert spts is not None and len(spts) >= 2
+        info = zf.getinfo("xl/sharedStrings.xml")
+        assert spts[-1][0] == info.compress_size
+    P._SST_LAZY_CACHE.clear()
+    with P.XlsxWorkbook(stringy_xlsx) as wb:
+        heap = wb.shared_strings_lazy()
+        assert isinstance(heap, P.IntervalStringHeap)
+        eager = wb.shared_strings  # independent full parse
+        assert len(heap) == len(eager) == spts[-1][1]
+        # spot probes across intervals + a bulk decode in arbitrary order
+        import numpy as np
+
+        probe = [0, 1, len(eager) // 3, len(eager) // 2, len(eager) - 1]
+        assert [heap[i] for i in probe] == [eager[i] for i in probe]
+        idx = np.array([7, len(eager) - 2, 3, len(eager) // 2 + 5])
+        assert heap.decode_many_arrow(idx).to_pylist() == [
+            eager[j] for j in idx.tolist()
+        ]
+        # only the touched intervals were inflated — the point of the heap
+        assert 0 < len(heap._subs) <= len(spts)
+
+
+def test_sst_indexed_sharded_read_equals_single(stringy_xlsx):
+    P._SST_LAZY_CACHE.clear()
+    single = _collect({"path": stringy_xlsx, "threads": "1"})
+    P._SST_LAZY_CACHE.clear()
+    sharded = _collect({"path": stringy_xlsx, "threads": "6"})
+    assert len(sharded) == N
+    key = lambda r: r[0]  # noqa: E731
+    assert sorted(single, key=key) == sorted(sharded, key=key)
+
+
+def test_sst_corrupt_section_falls_back_to_full_heap(stringy_xlsx, tmp_path):
+    """A lying sst section (entry counts shifted) defeats per-interval
+    validation; results must still be IDENTICAL via the full-heap
+    fallback — the index can never change strings."""
+    p = str(tmp_path / "lying_sst.xlsx")
+    shutil.copy(stringy_xlsx, p)
+    with zipfile.ZipFile(p) as zf:
+        payload = json.loads(zf.comment[len(SI.MAGIC):])
+    payload["sr"] = [c + 1 for c in payload["sr"]]  # shift every interval
+    with zipfile.ZipFile(p, "a") as zf:
+        zf.comment = SI.MAGIC + json.dumps(payload, separators=(",", ":")).encode()
+    P._SST_LAZY_CACHE.clear()
+    got = _collect({"path": p, "threads": "6"})
+    P._SST_LAZY_CACHE.clear()
+    want = _collect({"path": stringy_xlsx, "threads": "1"})
+    key = lambda r: r[0]  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_sst_index_lifts_string_heavy_shard_cap(stringy_xlsx, tmp_path):
+    """Planning: without the sst index the string-heavy refinement caps
+    the fan-out (~8 × sheet/sst bytes); with it the size-based count
+    stands — per-shard heap cost no longer exists to throttle."""
+    with_index = len(
+        DS.SheetReaderReader({"path": stringy_xlsx}, SCHEMA).partitions()
+    )
+    # strip ONLY the sst section; keep the row index so everything else
+    # about the plan is unchanged
+    p = str(tmp_path / "no_sst_section.xlsx")
+    shutil.copy(stringy_xlsx, p)
+    with zipfile.ZipFile(p) as zf:
+        payload = json.loads(zf.comment[len(SI.MAGIC):])
+    for k in ("sc", "sr", "sn"):
+        payload.pop(k, None)
+    with zipfile.ZipFile(p, "a") as zf:
+        zf.comment = SI.MAGIC + json.dumps(payload, separators=(",", ":")).encode()
+    without = len(DS.SheetReaderReader({"path": p}, SCHEMA).partitions())
+    # this fixture's sst dwarfs its sheet, so the capped count is smaller
+    assert without < with_index
