@@ -1280,45 +1280,30 @@ class SheetReaderReader(DataSourceReader):
                 else None
             )
             if split_pts:
-                import zlib
-
-                info = wb.zf.getinfo(sheet.path)
-                doff = SI.member_data_offset(wb.path, info)
-                with open(wb.path, "rb") as rf:
-                    for i in range(len(split_pts)):
-                        lo = split_pts[i - 1][0] if i else 0
-                        hi, cum = split_pts[i]
-                        before_rows = split_pts[i - 1][1] if i else 0
-                        rows_in = cum - before_rows
-                        if i and (i % n_shards) != shard:
-                            # Unassigned interval: bytes untouched — the
-                            # recorded count keeps the global row ordinal.
-                            # (Interval 0 is materialized by EVERY shard,
-                            # like chunk 0 in the sequential scan, so the
-                            # template/fallback decision stays identical
-                            # across shards.)
-                            rows_seen += rows_in
-                            chunk_idx += 1
-                            continue
-                        rf.seek(doff + lo)
-                        work = zlib.decompressobj(-15).decompress(
-                            rf.read(hi - lo)
+                for i, work, rows_in in SI.iter_intervals(
+                    wb.path, wb.zf, sheet.path, split_pts, shard, n_shards
+                ):
+                    if work is None:
+                        # Unassigned interval: bytes untouched — the
+                        # recorded count keeps the global row ordinal.
+                        rows_seen += rows_in
+                        chunk_idx += 1
+                        continue
+                    if i == 0:
+                        pfx = P.detect_row_prefix(work)
+                        if pfx is None:
+                            raise P._FastPathUnsupported
+                        pr = P.prefix_res(pfx)
+                    before_seen = rows_seen
+                    yield from _process(work)
+                    if rows_seen - before_seen != rows_in:
+                        raise ValueError(
+                            "sheetreader: split-index row count mismatch"
+                            f" in {sheet.path} interval {i} (parsed"
+                            f" {rows_seen - before_seen}, index says"
+                            f" {rows_in}) — the archive comment is stale"
+                            " or corrupt; remove it or rewrite the file"
                         )
-                        if i == 0:
-                            pfx = P.detect_row_prefix(work)
-                            if pfx is None:
-                                raise P._FastPathUnsupported
-                            pr = P.prefix_res(pfx)
-                        before_seen = rows_seen
-                        yield from _process(work)
-                        if rows_seen - before_seen != rows_in:
-                            raise ValueError(
-                                "sheetreader: split-index row count mismatch"
-                                f" in {sheet.path} interval {i} (parsed"
-                                f" {rows_seen - before_seen}, index says"
-                                f" {rows_in}) — the archive comment is stale"
-                                " or corrupt; remove it or rewrite the file"
-                            )
             else:
                 # Smaller chunks when sharded → even round-robin load balance.
                 chunk_bytes = (1 << 20) if n_shards > 1 else (4 << 20)

@@ -423,18 +423,26 @@ class IntervalStringHeap:
         return self._subs[t]
 
     def __getitem__(self, i: int) -> str:
+        # ANY miss — out-of-range (incl. the corrupt-cell negative ref,
+        # which the sequential heap resolves list-style via its own expat
+        # fallback), an interval that defeats, or a per-entry decode error
+        # at lookup time — lands on the full-heap fallback, so lookups can
+        # never answer differently from a single-thread read (r10 review:
+        # a lazy decode error used to escape as an uncaught ParseError on
+        # a truncated fragment).
         if self._full is not None:
             return self._full[i]
-        if not 0 <= i < self._n:
-            raise IndexError(i)
-        from bisect import bisect_right
+        if 0 <= i < self._n:
+            from bisect import bisect_right
 
-        t = bisect_right(self._cums, i)
-        got = self._sub(t)
-        if got is None:
-            return self._fallback()[i]
-        sub, base = got
-        return sub[i - base]
+            got = self._sub(bisect_right(self._cums, i))
+            if got is not None:
+                sub, base = got
+                try:
+                    return sub[i - base]
+                except Exception:
+                    pass
+        return self._fallback()[i]
 
     def decode_many(self, indices) -> list[str]:
         return [self[i] for i in indices]
@@ -442,33 +450,46 @@ class IntervalStringHeap:
     def decode_many_arrow(self, indices):
         """Bulk decode of a unique global-index array, order-preserving —
         groups by interval and delegates each group to that interval's
-        own ``decode_many_arrow`` (falling back per group to scalar
-        decode when it declines). Returns an Arrow string array aligned
-        with ``indices``, or None to signal the caller's scalar path."""
+        own ``decode_many_arrow``. Returns an Arrow string array aligned
+        with ``indices``, or None to signal the caller's scalar path
+        (which resolves through ``__getitem__``'s full-heap fallback).
+        Single-interval batches — the dominant shape, since a shard's
+        refs are clustered — return the sub-heap's array DIRECTLY; multi-
+        interval batches reassemble with concat + take, so no string ever
+        round-trips through a Python object on this path (r10 review)."""
         if self._full is not None:
             return None  # defeated: caller's scalar path over the fallback
         import numpy as np
         import pyarrow as pa
 
         idx = np.asarray(indices)
+        if len(idx) == 0 or (len(idx) and idx.min() < 0):
+            return None  # corrupt refs: scalar path owns the semantics
         t_of = np.searchsorted(self._cums, idx, side="right")
-        out: list = [None] * len(idx)
-        for t in np.unique(t_of):
-            got = self._sub(int(t))
-            if got is None:
-                return None
-            sub, base = got
-            sel = np.nonzero(t_of == t)[0]
-            local = idx[sel] - base
-            arr = None
-            if hasattr(sub, "decode_many_arrow"):
+        try:
+            groups: list = []
+            for t in np.unique(t_of):
+                got = self._sub(int(t))
+                if got is None:
+                    return None
+                sub, base = got
+                sel = np.nonzero(t_of == t)[0]
+                local = idx[sel] - base
                 arr = sub.decode_many_arrow(local)
-            vals = (
-                arr.to_pylist() if arr is not None else sub.decode_many(local.tolist())
-            )
-            for p, v in zip(sel.tolist(), vals):
-                out[p] = v
-        return pa.array(out, type=pa.string())
+                if arr is None:
+                    arr = pa.array(
+                        sub.decode_many(local.tolist()), type=pa.string()
+                    )
+                groups.append((sel, arr))
+        except Exception:
+            return None  # any lazy decode error: scalar path + fallback
+        if len(groups) == 1:
+            return groups[0][1]  # sel covers 0..n-1 ascending: aligned
+        values = pa.concat_arrays([a for _, a in groups])
+        pos = np.concatenate([s for s, _ in groups])
+        inv = np.empty(len(idx), dtype=np.int64)
+        inv[pos] = np.arange(len(idx))
+        return values.take(pa.array(inv))
 
 
 def _parse_sst_expat(data: bytes) -> list[str]:
@@ -615,7 +636,7 @@ class XlsxWorkbook:
         key = self._file_key()
         if key is not None and _SST_LAZY_CACHE.get("key") == key:
             return _SST_LAZY_CACHE["heap"]
-        heap: "SharedStringHeap | IntervalStringHeap"
+        heap: "SharedStringHeap | IntervalStringHeap | None" = None
         try:
             from sheetreader_duckdb_spark.sources.xlsx.splitindex import (
                 decode_sst_index,
@@ -623,21 +644,25 @@ class XlsxWorkbook:
             )
 
             spts = decode_sst_index(self.zf)
+            if spts:
+                # Split-indexed heap: inflate only the intervals this
+                # shard's rows reference (IntervalStringHeap doc) — the
+                # whole-heap decompress + offset scan per worker
+                # disappears. member_data_offset is inside this guard: a
+                # corrupt local header must fall back to the plain heap,
+                # not fail a read the no-index path would serve fine
+                # (r10 review).
+                heap = IntervalStringHeap(
+                    self.path,
+                    member_data_offset(
+                        self.path, self.zf.getinfo("xl/sharedStrings.xml")
+                    ),
+                    spts,
+                    spts[-1][1],
+                )
         except Exception:
-            spts = None
-        if spts:
-            # Split-indexed heap: inflate only the intervals this shard's
-            # rows reference (IntervalStringHeap doc) — the whole-heap
-            # decompress + offset scan per worker disappears.
-            heap = IntervalStringHeap(
-                self.path,
-                member_data_offset(
-                    self.path, self.zf.getinfo("xl/sharedStrings.xml")
-                ),
-                spts,
-                spts[-1][1],
-            )
-        else:
+            heap = None
+        if heap is None:
             heap = SharedStringHeap(self.zf.read("xl/sharedStrings.xml"))
         if key is not None:
             _SST_LAZY_CACHE.clear()
@@ -847,42 +872,32 @@ class XlsxWorkbook:
         # per-interval parsed-vs-recorded row-count check.
         split_pts = None
         if n_shards > 1:
-            from sheetreader_duckdb_spark.sources.xlsx.splitindex import (
-                decode_split_index,
-                member_data_offset,
-            )
+            from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
 
-            split_pts = decode_split_index(self.zf, sheet.path)
+            split_pts = SI.decode_split_index(self.zf, sheet.path)
         if split_pts:
-            import zlib
-
-            doff = member_data_offset(self.path, self.zf.getinfo(sheet.path))
-            with open(self.path, "rb") as rf:
-                for i in range(len(split_pts)):
-                    lo = split_pts[i - 1][0] if i else 0
-                    hi, cum = split_pts[i]
-                    rows_in = cum - (split_pts[i - 1][1] if i else 0)
-                    if i and (i % n_shards) != shard:
-                        row_ord += rows_in
-                        chunk_idx += 1
-                        continue
-                    rf.seek(doff + lo)
-                    work = zlib.decompressobj(-15).decompress(rf.read(hi - lo))
-                    if i == 0:
-                        pfx = detect_row_prefix(work)
-                        if pfx is None:
-                            raise _FastPathUnsupported
-                        pr = prefix_res(pfx)
-                    before = row_ord
-                    yield from _row_chunk(work)
-                    if row_ord - before != rows_in:
-                        raise ValueError(
-                            "sheetreader: split-index row count mismatch"
-                            f" in {sheet.path} interval {i} (parsed"
-                            f" {row_ord - before}, index says {rows_in})"
-                            " — the archive comment is stale or corrupt;"
-                            " remove it or rewrite the file"
-                        )
+            for i, work, rows_in in SI.iter_intervals(
+                self.path, self.zf, sheet.path, split_pts, shard, n_shards
+            ):
+                if work is None:
+                    row_ord += rows_in
+                    chunk_idx += 1
+                    continue
+                if i == 0:
+                    pfx = detect_row_prefix(work)
+                    if pfx is None:
+                        raise _FastPathUnsupported
+                    pr = prefix_res(pfx)
+                before = row_ord
+                yield from _row_chunk(work)
+                if row_ord - before != rows_in:
+                    raise ValueError(
+                        "sheetreader: split-index row count mismatch"
+                        f" in {sheet.path} interval {i} (parsed"
+                        f" {row_ord - before}, index says {rows_in})"
+                        " — the archive comment is stale or corrupt;"
+                        " remove it or rewrite the file"
+                    )
             return
         with self.zf.open(sheet.path) as f:
             buf = b""

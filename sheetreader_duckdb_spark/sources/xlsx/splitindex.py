@@ -88,61 +88,20 @@ def encode_split_index(
     return out
 
 
-def decode_split_index(
-    zf: zipfile.ZipFile, entry: str
+def _decode_points(
+    zf: zipfile.ZipFile, entry: str, payload: dict, ckey: str, nkey: str, tkey: str
 ) -> "list[tuple[int, int]] | None":
-    """Validated absolute (coff, rows_cum) points for ``entry``, plus the
-    implicit terminal point (compress_size, total_rows) — or None when the
-    archive carries no usable index for this entry (no comment, other
-    entry, non-deflate member, or any structural inconsistency; the caller
-    falls back to the sequential scan, results identical either way)."""
-    comment = zf.comment
-    if not comment.startswith(MAGIC):
-        return None
+    """Shared delta-walk validation for one indexed member: strictly
+    increasing compressed offsets inside the member, counts monotone
+    non-decreasing and within the declared total, deflate members only.
+    Returns absolute (coff, count_cum) points plus the implicit terminal
+    (compress_size, total), or None on any inconsistency."""
     try:
-        payload = json.loads(comment[len(MAGIC):])
-        if payload.get("e") != entry:
-            return None
-        info = zf.getinfo(entry)
-        if info.compress_type != zipfile.ZIP_DEFLATED:
-            return None
-        total_rows = int(payload["n"])
-        coffs, rows = payload["c"], payload["r"]
-        if len(coffs) != len(rows) or not coffs or total_rows < 0:
-            return None
-        points: list[tuple[int, int]] = []
-        c = r = 0
-        for dc, dr in zip(coffs, rows):
-            c += int(dc)
-            r += int(dr)
-            # Strictly increasing compressed offsets inside the member;
-            # rows monotone non-decreasing and within the declared total.
-            if dc <= 0 or dr < 0 or c >= info.compress_size or r > total_rows:
-                return None
-            points.append((c, r))
-        points.append((info.compress_size, total_rows))
-        return points
-    except (ValueError, KeyError, TypeError, zipfile.BadZipFile):
-        return None
-
-
-def decode_sst_index(zf: zipfile.ZipFile) -> "list[tuple[int, int]] | None":
-    """Validated absolute (coff, entries_cum) points for the shared-strings
-    heap, plus the implicit terminal (compress_size, total_entries) — or
-    None when the comment carries no usable sst section (same untrusted-
-    input discipline as the worksheet index; the heap reader additionally
-    verifies each interval's local entry count and falls back to the full
-    heap on any inconsistency)."""
-    comment = zf.comment
-    if not comment.startswith(MAGIC):
-        return None
-    try:
-        payload = json.loads(comment[len(MAGIC):])
-        coffs, counts = payload.get("sc"), payload.get("sr")
+        coffs, counts = payload.get(ckey), payload.get(nkey)
         if not coffs or not counts or len(coffs) != len(counts):
             return None
-        total = int(payload["sn"])
-        info = zf.getinfo(SST_ENTRY)
+        total = int(payload[tkey])
+        info = zf.getinfo(entry)
         if info.compress_type != zipfile.ZIP_DEFLATED or total < 0:
             return None
         points: list[tuple[int, int]] = []
@@ -157,6 +116,69 @@ def decode_sst_index(zf: zipfile.ZipFile) -> "list[tuple[int, int]] | None":
         return points
     except (ValueError, KeyError, TypeError, zipfile.BadZipFile):
         return None
+
+
+def _payload(zf: zipfile.ZipFile) -> "dict | None":
+    if not zf.comment.startswith(MAGIC):
+        return None
+    try:
+        payload = json.loads(zf.comment[len(MAGIC):])
+        return payload if isinstance(payload, dict) else None
+    except ValueError:
+        return None
+
+
+def decode_split_index(
+    zf: zipfile.ZipFile, entry: str
+) -> "list[tuple[int, int]] | None":
+    """Validated absolute (coff, rows_cum) points for ``entry``, plus the
+    implicit terminal point (compress_size, total_rows) — or None when the
+    archive carries no usable index for this entry (no comment, other
+    entry, non-deflate member, or any structural inconsistency; the caller
+    falls back to the sequential scan, results identical either way)."""
+    payload = _payload(zf)
+    if payload is None or payload.get("e") != entry:
+        return None
+    return _decode_points(zf, entry, payload, "c", "r", "n")
+
+
+def decode_sst_index(zf: zipfile.ZipFile) -> "list[tuple[int, int]] | None":
+    """Validated absolute (coff, entries_cum) points for the shared-strings
+    heap, plus the implicit terminal (compress_size, total_entries) — or
+    None when the comment carries no usable sst section (same untrusted-
+    input discipline as the worksheet index; the heap reader additionally
+    verifies each interval's local entry count and falls back to the full
+    heap on any inconsistency)."""
+    payload = _payload(zf)
+    if payload is None:
+        return None
+    return _decode_points(zf, SST_ENTRY, payload, "sc", "sr", "sn")
+
+
+def iter_intervals(
+    path: str, zf: zipfile.ZipFile, entry: str, points: list, shard: int, n_shards: int
+):
+    """Seek-and-inflate interval walk shared by the columnar and row scan
+    tiers: yields ``(i, work_or_None, count_in)`` per interval in order —
+    ``work`` is the inflated uncompressed bytes for intervals this shard
+    materializes (its own, plus interval 0 which EVERY shard scans so the
+    template/fallback decision stays identical across shards), and None
+    for skipped intervals (the caller bumps its ordinals by ``count_in``
+    without touching a byte — the point of the index)."""
+    import zlib
+
+    doff = member_data_offset(path, zf.getinfo(entry))
+    with open(path, "rb") as rf:
+        for i in range(len(points)):
+            lo = points[i - 1][0] if i else 0
+            hi, cum = points[i]
+            count_in = cum - (points[i - 1][1] if i else 0)
+            if i and (i % n_shards) != shard:
+                yield i, None, count_in
+                continue
+            rf.seek(doff + lo)
+            work = zlib.decompressobj(-15).decompress(rf.read(hi - lo))
+            yield i, work, count_in
 
 
 def member_data_offset(path: str, info: zipfile.ZipInfo) -> int:

@@ -316,7 +316,11 @@ def write_xlsx(
                 # sharded readers seek instead of re-inflating the stream
                 # (splitindex module doc). Other consumers ignore both.
                 pts, nrows = _write_sheet_member(zf, name, iter([xml.encode("utf-8")]))
-                if pts:
+                # Same never-index-on-a-lie cross-check as the incremental
+                # writer (r10 review): the byte-counted rows must agree
+                # with the actual row-list length, else readers would hard-
+                # fail an otherwise-valid file on the mismatch check.
+                if pts and nrows == len(next(iter(sheets.values()))):
                     zf.comment = encode_split_index(name, pts, nrows)
             else:
                 zf.writestr(name, xml)

@@ -135,3 +135,26 @@ def test_sst_index_lifts_string_heavy_shard_cap(stringy_xlsx, tmp_path):
     without = len(DS.SheetReaderReader({"path": p}, SCHEMA).partitions())
     # this fixture's sst dwarfs its sheet, so the capped count is smaller
     assert without < with_index
+
+
+def test_interval_heap_corrupt_refs_match_sequential_semantics(stringy_xlsx):
+    """r10 review (confirmed crash): a corrupt string ref (e.g. a cell
+    with <v>-1</v>) used to escape the interval heap as an uncaught
+    ParseError from expat on a truncated fragment. Any lookup miss must
+    resolve through the full-heap fallback, answering exactly like a
+    single-thread read (Python list semantics for negatives included)."""
+    import numpy as np
+
+    P._SST_LAZY_CACHE.clear()
+    with P.XlsxWorkbook(stringy_xlsx) as wb:
+        heap = wb.shared_strings_lazy()
+        assert isinstance(heap, P.IntervalStringHeap)
+        eager = wb.shared_strings
+        # scalar negative ref: same answer as the eager list
+        assert heap[-1] == eager[-1]
+        # bulk path declines corrupt refs to the scalar path, no crash
+        assert heap.decode_many_arrow(np.array([-1])) is None
+        assert heap.decode_many([-1, 0]) == [eager[-1], eager[0]]
+        # far out of range raises like a list does
+        with pytest.raises(IndexError):
+            heap[len(eager) + 10]
