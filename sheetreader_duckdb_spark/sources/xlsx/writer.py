@@ -307,7 +307,15 @@ def write_xlsx(
         zf.writestr("xl/workbook.xml", workbook)
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         zf.writestr("xl/styles.xml", _STYLES)
-        zf.writestr("xl/sharedStrings.xml", sst_xml)
+        # The shared-strings heap writes with entry-boundary split points
+        # like the incremental writer's (splitindex module doc) — the sst
+        # section is published only when the byte count matches len(sst).
+        spts, n_si = _write_indexed_member(
+            zf, "xl/sharedStrings.xml",
+            iter([sst_xml.encode("utf-8")]), b"</si>", b"<si>",
+        )
+        if spts and n_si != len(sst):
+            spts = None
         for i, xml in enumerate(sheet_xmls):
             name = f"xl/worksheets/sheet{i + 1}.xml"
             if i == 0:
@@ -321,7 +329,13 @@ def write_xlsx(
                 # with the actual row-list length, else readers would hard-
                 # fail an otherwise-valid file on the mismatch check.
                 if pts and nrows == len(next(iter(sheets.values()))):
-                    zf.comment = encode_split_index(name, pts, nrows)
+                    try:
+                        zf.comment = encode_split_index(
+                            name, pts, nrows,
+                            sst_points=spts, sst_total=len(sst),
+                        )
+                    except ValueError:
+                        zf.comment = encode_split_index(name, pts, nrows)
             else:
                 zf.writestr(name, xml)
     return path

@@ -158,3 +158,56 @@ def test_interval_heap_corrupt_refs_match_sequential_semantics(stringy_xlsx):
         # far out of range raises like a list does
         with pytest.raises(IndexError):
             heap[len(eager) + 10]
+
+
+def test_point_thinning_keeps_a_valid_index(tmp_path):
+    """Past MAX_POINTS the writer thins points 2:1 and doubles the
+    interval — any subset of valid flush points is a valid (coarser)
+    index, so the sharded read stays exact and the comment stays
+    bounded."""
+    from sheetreader_duckdb_spark.sources.xlsx import writer as W
+
+    path = str(tmp_path / "thin.xlsx")
+    saved_i, saved_m = W.SPLIT_INTERVAL, W.MAX_POINTS
+    W.SPLIT_INTERVAL, W.MAX_POINTS = 256, 4
+    try:
+        w = IncrementalXlsxWriter(path, "Sheet1")
+        w.write_row(["k", "s"])
+        for i in range(3_000):
+            w.write_row([float(i), f"row string {i} with some body"])
+        w.close()
+    finally:
+        W.SPLIT_INTERVAL, W.MAX_POINTS = saved_i, saved_m
+    with zipfile.ZipFile(path) as zf:
+        pts = SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+        assert pts is not None
+        # thinning kept the count bounded (cap + in-flight growth margin)
+        assert len(pts) <= 4 + 2
+        assert pts[-1][1] == 3_001
+    schema = StructType(
+        [StructField("k", DoubleType()), StructField("s", StringType())]
+    )
+    P._SST_LAZY_CACHE.clear()
+    single = _collect({"path": path, "threads": "1"}, schema)
+    P._SST_LAZY_CACHE.clear()
+    sharded = _collect({"path": path, "threads": "3"}, schema)
+    key = lambda r: r[0]  # noqa: E731
+    assert sorted(single, key=key) == sorted(sharded, key=key)
+    assert len(sharded) == 3_000
+
+
+def test_second_sheet_never_uses_first_sheets_index(tmp_path):
+    """A multi-sheet workbook indexes sheet 1 only; a sheet_index=2 read
+    must take the sequential path (entry-name check in decode) and agree
+    with the written data."""
+    from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+
+    path = str(tmp_path / "two.xlsx")
+    s1 = [["a"]] + [[float(i)] for i in range(10)]
+    s2 = [["b"]] + [[float(i) * 2] for i in range(7)]
+    write_xlsx(path, {"One": s1, "Two": s2})
+    with zipfile.ZipFile(path) as zf:
+        assert SI.decode_split_index(zf, "xl/worksheets/sheet2.xml") is None
+    schema = StructType([StructField("b", DoubleType())])
+    got = _collect({"path": path, "threads": "2", "sheet_index": "2"}, schema)
+    assert sorted(v for (v,) in got) == [float(i) * 2 for i in range(7)]
