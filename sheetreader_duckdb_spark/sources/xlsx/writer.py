@@ -211,6 +211,36 @@ def _write_sheet_member(zf, name: str, chunks) -> "tuple[list | None, int]":
     return _write_indexed_member(zf, name, chunks, b"</row>", b"<row ")
 
 
+def _publish_index(
+    zf, name: str, pts, nrows: int, expected_rows: int,
+    spts, n_si: int, expected_si: int,
+) -> None:
+    """Set the archive comment for whichever validated sections exist —
+    shared by both writers (r10 review: the two publication blocks had
+    started to diverge). Never index on a lie: a byte-counted total that
+    disagrees with the writer's own count drops that section (a
+    row/entry-shaped literal slipped through escaping — the file itself
+    is still fine, it just loses the optimization). An sst-only comment
+    is valid (heap-dominated workbooks whose tiny sheet never reaches one
+    interval still get interval heaps + the planner's cap lift); if both
+    sections together exceed the 64 KB comment ceiling, the (more
+    valuable) worksheet section is kept alone."""
+    if pts and nrows != expected_rows:
+        pts = None
+    if spts and n_si != expected_si:
+        spts = None
+    if not pts and not spts:
+        return
+    try:
+        zf.comment = encode_split_index(
+            name, pts or [], nrows if pts else 0,
+            sst_points=spts, sst_total=expected_si if spts else 0,
+        )
+    except ValueError:
+        if pts:
+            zf.comment = encode_split_index(name, pts, nrows)
+
+
 def write_xlsx(
     path: str, sheets: dict[str, list[list[object]]], date1904: bool = False
 ) -> str:
@@ -308,14 +338,11 @@ def write_xlsx(
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         zf.writestr("xl/styles.xml", _STYLES)
         # The shared-strings heap writes with entry-boundary split points
-        # like the incremental writer's (splitindex module doc) — the sst
-        # section is published only when the byte count matches len(sst).
+        # like the incremental writer's (splitindex module doc).
         spts, n_si = _write_indexed_member(
             zf, "xl/sharedStrings.xml",
             iter([sst_xml.encode("utf-8")]), b"</si>", b"<si>",
         )
-        if spts and n_si != len(sst):
-            spts = None
         for i, xml in enumerate(sheet_xmls):
             name = f"xl/worksheets/sheet{i + 1}.xml"
             if i == 0:
@@ -324,18 +351,10 @@ def write_xlsx(
                 # sharded readers seek instead of re-inflating the stream
                 # (splitindex module doc). Other consumers ignore both.
                 pts, nrows = _write_sheet_member(zf, name, iter([xml.encode("utf-8")]))
-                # Same never-index-on-a-lie cross-check as the incremental
-                # writer (r10 review): the byte-counted rows must agree
-                # with the actual row-list length, else readers would hard-
-                # fail an otherwise-valid file on the mismatch check.
-                if pts and nrows == len(next(iter(sheets.values()))):
-                    try:
-                        zf.comment = encode_split_index(
-                            name, pts, nrows,
-                            sst_points=spts, sst_total=len(sst),
-                        )
-                    except ValueError:
-                        zf.comment = encode_split_index(name, pts, nrows)
+                _publish_index(
+                    zf, name, pts, nrows, len(next(iter(sheets.values()))),
+                    spts, n_si, len(sst),
+                )
             else:
                 zf.writestr(name, xml)
     return path
@@ -508,24 +527,11 @@ class IncrementalXlsxWriter:
                 spts, n_si = _write_indexed_member(
                     zf, "xl/sharedStrings.xml", _sst_chunks(), b"</si>", b"<si>"
                 )
-                # Cross-check byte-counted totals against the writer's own
-                # counts before publishing the index (a mismatch means a
-                # row/entry-shaped literal slipped through escaping —
-                # never index on a lie; the file itself is still fine).
-                if spts and n_si != len(self._sst):
-                    spts = None
-                if pts and nrows == self.n_rows:
-                    try:
-                        zf.comment = encode_split_index(
-                            "xl/worksheets/sheet1.xml", pts, nrows,
-                            sst_points=spts, sst_total=len(self._sst),
-                        )
-                    except ValueError:
-                        # Both sections exceed the 64 KB comment ceiling:
-                        # keep the (more valuable) worksheet index.
-                        zf.comment = encode_split_index(
-                            "xl/worksheets/sheet1.xml", pts, nrows
-                        )
+                _publish_index(
+                    zf, "xl/worksheets/sheet1.xml",
+                    pts, nrows, self.n_rows,
+                    spts, n_si, len(self._sst),
+                )
         finally:
             self._spool.close()
             try:

@@ -234,9 +234,11 @@ def test_split_index_roundtrip_property(tmp_path_factory, col_types, n_rows, dat
 
     with zipfile.ZipFile(path) as zf:
         pts = SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
-        # tiny interval => a real multi-interval index on most draws
-        if pts is not None:
-            assert pts[-1][1] == n_rows + 1
+        # tiny interval + ≥8 rows => the index MUST exist on every draw
+        # (a None here means publication broke and the sweep would
+        # silently degrade to two identical sequential reads; r10 review)
+        assert pts is not None
+        assert pts[-1][1] == n_rows + 1
     P._SST_LAZY_CACHE.clear()
     _, single = _read_all_opts(path, threads="1")
     P._SST_LAZY_CACHE.clear()

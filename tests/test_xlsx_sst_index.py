@@ -199,15 +199,48 @@ def test_point_thinning_keeps_a_valid_index(tmp_path):
 def test_second_sheet_never_uses_first_sheets_index(tmp_path):
     """A multi-sheet workbook indexes sheet 1 only; a sheet_index=2 read
     must take the sequential path (entry-name check in decode) and agree
-    with the written data."""
+    with the written data. The interval is forced tiny so sheet 1
+    GENUINELY carries an index — at the 4 MB default this workbook would
+    get no comment at all and the decode assertion would pass vacuously
+    (r10 review)."""
+    from sheetreader_duckdb_spark.sources.xlsx import writer as W
     from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
 
     path = str(tmp_path / "two.xlsx")
-    s1 = [["a"]] + [[float(i)] for i in range(10)]
+    s1 = [["a"]] + [[float(i)] for i in range(200)]
     s2 = [["b"]] + [[float(i) * 2] for i in range(7)]
-    write_xlsx(path, {"One": s1, "Two": s2})
+    saved = W.SPLIT_INTERVAL
+    W.SPLIT_INTERVAL = 256
+    try:
+        write_xlsx(path, {"One": s1, "Two": s2})
+    finally:
+        W.SPLIT_INTERVAL = saved
     with zipfile.ZipFile(path) as zf:
+        # the protection under test only exists if sheet 1 IS indexed
+        assert SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
         assert SI.decode_split_index(zf, "xl/worksheets/sheet2.xml") is None
     schema = StructType([StructField("b", DoubleType())])
     got = _collect({"path": path, "threads": "2", "sheet_index": "2"}, schema)
     assert sorted(v for (v,) in got) == [float(i) * 2 for i in range(7)]
+
+
+def test_sst_only_index_publishes_for_heap_dominated_files(tmp_path):
+    """A workbook whose tiny sheet never reaches one flush interval but
+    whose heap does still gets an sst-only comment — interval heaps and
+    the planner's cap lift apply even when the worksheet index is absent
+    (r10 review: the sst section used to be droppable only inside the
+    worksheet-index gate)."""
+    from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+
+    path = str(tmp_path / "heapy.xlsx")
+    rows = [["s"]] + [[f"unique {i} " + "x" * 50_000] for i in range(120)]
+    write_xlsx(path, {"S": rows})
+    with zipfile.ZipFile(path) as zf:
+        assert SI.decode_split_index(zf, "xl/worksheets/sheet1.xml") is None
+        spts = SI.decode_sst_index(zf)
+        assert spts is not None and len(spts) >= 2
+    P._SST_LAZY_CACHE.clear()
+    with P.XlsxWorkbook(path) as wb:
+        heap = wb.shared_strings_lazy()
+        assert isinstance(heap, P.IntervalStringHeap)
+        assert heap[5] == rows[5][0]  # intern order: header "s" is entry 0
