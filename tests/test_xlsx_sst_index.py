@@ -244,3 +244,20 @@ def test_sst_only_index_publishes_for_heap_dominated_files(tmp_path):
         heap = wb.shared_strings_lazy()
         assert isinstance(heap, P.IntervalStringHeap)
         assert heap[5] == rows[5][0]  # intern order: header "s" is entry 0
+
+
+@pytest.mark.slow
+def test_pruned_filtered_sharded_read_on_indexed_file(stringy_xlsx, spark):
+    """Composition: reader-side pruning + filter pushdown + the split
+    index together — a projected, filtered, multi-shard read of an
+    indexed string-heavy file returns exactly the rows a full unsharded
+    scan filters to."""
+    from sheetreader_duckdb_spark import read_xlsx, register
+
+    register(spark)
+    df = read_xlsx(
+        spark, stringy_xlsx,
+        columns=["k"], where="k < 100", threads="6",
+    )
+    got = sorted(r["k"] for r in df.collect())
+    assert got == [float(i) for i in range(100)]
