@@ -95,6 +95,17 @@ def register(spark):
     return spark
 
 
+def index_xlsx(path, out_path=None, **kwargs):
+    """Retrofit the splittable-read index onto any XLSX file (one
+    sequential pass; foreign members preserved raw) — see
+    ``sources.xlsx.indexer.index_xlsx`` for the full contract. Indexed
+    files shard with seek-and-inflate reads: total decompression is 1×
+    the file across the fleet instead of 1× per task."""
+    from sheetreader_duckdb_spark.sources.xlsx.indexer import index_xlsx as _ix
+
+    return _ix(path, out_path=out_path, **kwargs)
+
+
 def read_xlsx(spark, path, columns=None, where=None, **options):
     """Read an XLSX through the sheetreader source, stating the projection
     (and optionally the filter) up front — the documented pattern for

@@ -3286,7 +3286,23 @@ def rebuild_if_drifted(
         # The in-place swap is driver-local os.rename — it cannot operate
         # on a remote URI, and discovering that AFTER the staged retrain
         # completed would orphan the staging dir. Validate up front.
-        if "://" in path and not path.startswith("file:"):
+        # `file:` URIs name the local filesystem but os.path.exists /
+        # os.rename cannot resolve them either (ADVICE r10: the exemption
+        # alone just deferred the failure past the retrain) — normalize
+        # them to the plain local path they name; everything else remote
+        # is rejected here, before any work.
+        if path.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            u = urlparse(path)
+            if u.netloc not in ("", "localhost") or not u.path:
+                raise ValueError(
+                    "in-place rebuild (dest_path=None) renames through "
+                    "the local filesystem — cannot resolve non-local "
+                    f"file: URI {path!r}; pass an explicit dest_path"
+                )
+            path = unquote(u.path)
+        elif "://" in path:
             raise ValueError(
                 "in-place rebuild (dest_path=None) renames through the "
                 "local filesystem — pass an explicit dest_path for "

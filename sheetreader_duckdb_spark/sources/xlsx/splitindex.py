@@ -177,7 +177,18 @@ def iter_intervals(
                 yield i, None, count_in
                 continue
             rf.seek(doff + lo)
-            work = zlib.decompressobj(-15).decompress(rf.read(hi - lo))
+            try:
+                work = zlib.decompressobj(-15).decompress(rf.read(hi - lo))
+            except zlib.error as e:
+                # A structurally valid but stale index (the archive was
+                # recompressed by a tool that preserved the comment) lands
+                # here — same loud, actionable message as the row-count
+                # check, never a bare zlib.error (ADVICE r10).
+                raise ValueError(
+                    f"sheetreader: split-index interval {i} of {entry} "
+                    f"failed to inflate ({e}) — the archive comment is "
+                    "stale or corrupt; remove it or rewrite the file"
+                ) from e
             yield i, work, count_in
 
 

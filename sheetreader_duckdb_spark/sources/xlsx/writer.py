@@ -131,7 +131,16 @@ def _flush_point(zwf) -> "int | None":
     the flush consumes no uncompressed bytes, so CRC and file_size are
     untouched and only the compressed byte count needs adjusting. Returns
     None when the internals are unavailable (alternate Python) — the
-    member is then a perfectly normal unindexed deflate stream."""
+    member is then a perfectly normal unindexed deflate stream. A one-time
+    round-trip probe (``_flush_probe``) guards against a future SEMANTIC
+    change to how ``_compress_size`` feeds the zip metadata: if the
+    interpreter's zipfile no longer behaves as patched, indexing turns
+    OFF globally instead of mis-sizing members (ADVICE r10)."""
+    global _FLUSH_OK
+    if _FLUSH_OK is None:
+        _FLUSH_OK = _flush_probe()
+    if not _FLUSH_OK:
+        return None
     try:
         comp = zwf._compressor
         fobj = zwf._fileobj
@@ -144,8 +153,85 @@ def _flush_point(zwf) -> "int | None":
     return zwf._compress_size
 
 
+_FLUSH_OK: "bool | None" = None  # one-time _flush_probe verdict
+
+
+def _flush_probe() -> bool:
+    """Self-test the ``_ZipWriteFile`` surgery on an in-memory zip before
+    the first real flush point: write a member with one mid-stream full
+    flush, then verify (a) the central directory's ``compress_size``
+    matches the bytes actually occupied in the archive, (b) the member
+    round-trips byte-identical through a fresh ``ZipFile.read``, and
+    (c) a fresh raw inflater started at the recorded offset reproduces
+    the post-flush bytes. Any future CPython change to these internals
+    fails the probe and degrades every write to a plain unindexed deflate
+    stream — never corrupt zip metadata (ADVICE r10)."""
+    import io
+
+    head, tail = b"<probe>" * 64, b"</probe>" * 64
+    try:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            with zf.open("p", "w") as out:
+                data_start = out._fileobj.tell()
+                out.write(head)
+                comp = out._compressor
+                flushed = comp.flush(zlib.Z_FULL_FLUSH)
+                out._fileobj.write(flushed)
+                out._compress_size += len(flushed)
+                coff = out._compress_size
+                out.write(tail)
+            if zf.getinfo("p").compress_size != zf.fp.tell() - data_start:
+                return False
+            csize = zf.getinfo("p").compress_size
+        raw = buf.getvalue()
+        buf.seek(0)
+        with zipfile.ZipFile(buf) as zf:
+            if zf.read("p") != head + tail:
+                return False
+        seg = raw[data_start + coff : data_start + csize]
+        return zlib.decompressobj(-15).decompress(seg) == tail
+    except Exception:
+        return False
+
+
+class _StraddleCounter:
+    """Exact needle count over a chunked byte stream: occurrences fully
+    inside a chunk come from ``piece.count``; occurrences straddling two
+    chunks are caught in a window of the previous (len(needle)-1)-byte
+    tail plus the new head — too short to hold a whole occurrence, so
+    nothing double-counts. ``neg`` subtracts a longer superstring needle
+    (``<rowB`` out of ``<row``: the one other legal worksheet element the
+    row needle prefix-matches) with its own straddle window, matching
+    ``parser.count_row_starts``'s convention exactly — the index's
+    cumulative counts MUST agree with the reader's parse counts or the
+    read fails loudly."""
+
+    __slots__ = ("needle", "neg", "clen", "carry", "count")
+
+    def __init__(self, needle: bytes, neg: "bytes | None" = None):
+        self.needle = needle
+        self.neg = neg
+        self.clen = max(len(needle), len(neg) if neg else 0) - 1
+        self.carry = b""
+        self.count = 0
+
+    def feed(self, piece: bytes) -> None:
+        n = self.needle
+        w = self.carry[-(len(n) - 1):] + piece[: len(n) - 1]
+        c = w.count(n) + piece.count(n)
+        if self.neg:
+            g = self.neg
+            wg = self.carry[-(len(g) - 1):] + piece[: len(g) - 1]
+            c -= wg.count(g) + piece.count(g)
+        self.count += c
+        cl = self.clen
+        self.carry = piece[-cl:] if len(piece) >= cl else (self.carry + piece)[-cl:]
+
+
 def _write_indexed_member(
-    zf, name: str, chunks, boundary: bytes = b"</row>", needle: bytes = b"<row "
+    zf, name, chunks, boundary: bytes = b"</row>", needle: bytes = b"<row ",
+    neg_needle: "bytes | None" = None, on_piece=None,
 ) -> "tuple[list | None, int]":
     """Stream a zip member with split points: write ``chunks`` (any byte
     slicing) into the member, emitting a full-flush point at the first
@@ -154,7 +240,12 @@ def _write_indexed_member(
     compressed offset, cumulative ``needle`` count) list — or None when
     indexing is unavailable or the member never reached one interval.
     Worksheets index rows (``</row>`` / ``<row ``); the shared-strings
-    heap indexes entries (``</si>`` / ``<si>``).
+    heap indexes entries (``</si>`` / ``<si>``). ``neg_needle`` subtracts
+    a prefix-colliding element (``<rowB``) so retrofit counts over
+    foreign XML agree with ``parser.count_row_starts``. ``name`` may be a
+    ZipInfo to preserve foreign member metadata (retrofit). ``on_piece``,
+    when given, observes every written piece plus each flush point's
+    ordinal — the hook interval statistics ride on (indexer module).
 
     Past ``MAX_POINTS`` the recorded points thin 2:1 and the interval
     doubles — any subset of valid flush points is a valid (coarser)
@@ -163,16 +254,8 @@ def _write_indexed_member(
     indexable = True
     interval = SPLIT_INTERVAL
     blen = len(boundary)
-    # (len(needle)-1)-byte tail of the previous write: the needle can
-    # straddle two input chunks, and the index's cumulative counts must
-    # be EXACT (the reader fails loudly on any mismatch) — counting
-    # (carry + head of piece) catches straddles; nothing fits wholly
-    # inside the shorter-than-needle carry, so no occurrence
-    # double-counts.
-    clen = len(needle) - 1
-    count = 0
+    ctr = _StraddleCounter(needle, neg_needle)
     since = 0  # uncompressed bytes written since the last flush point
-    carry = b""
     with zf.open(name, "w", force_zip64=True) as out:
         for ch in chunks:
             while indexable and since + len(ch) >= interval:
@@ -187,13 +270,14 @@ def _write_indexed_member(
                 cut += blen
                 piece, ch = ch[:cut], ch[cut:]
                 out.write(piece)
-                count += (carry + piece[:clen]).count(needle) + piece.count(needle)
-                carry = piece[-clen:] if len(piece) >= clen else (carry + piece)[-clen:]
+                ctr.feed(piece)
+                if on_piece is not None:
+                    on_piece(piece, True)
                 coff = _flush_point(out)
                 if coff is None:
                     indexable = False
                     break
-                points.append((coff, count))
+                points.append((coff, ctr.count))
                 since = 0
                 if len(points) >= MAX_POINTS:
                     points = points[1::2]
@@ -201,10 +285,11 @@ def _write_indexed_member(
             if ch:
                 out.write(ch)
                 if indexable:
-                    count += (carry + ch[:clen]).count(needle) + ch.count(needle)
-                    carry = ch[-clen:] if len(ch) >= clen else (carry + ch)[-clen:]
+                    ctr.feed(ch)
+                    if on_piece is not None:
+                        on_piece(ch, False)
                 since += len(ch)
-    return (points if (indexable and points) else None), count
+    return (points if (indexable and points) else None), ctr.count
 
 
 def _write_sheet_member(zf, name: str, chunks) -> "tuple[list | None, int]":

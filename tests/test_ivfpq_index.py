@@ -433,3 +433,26 @@ def test_builders_validate_knobs_before_training(spark, tmp_path):
         build_ivfpq_index(corpus, str(tmp_path / "y"), assign="join")
     with pytest.raises(ValueError, match="encode must be"):
         build_ivfpq_index(corpus, str(tmp_path / "z"), encode="carrier")
+
+
+def test_rebuild_file_uri_normalizes_to_local_path(spark, tmp_path):
+    """ADVICE r10: a file: URI names the local filesystem, but os.rename
+    can't resolve it — the in-place path must normalize it up front (the
+    self-heal restore proves the os calls see a plain path), and a
+    non-local file: URI still fails fast."""
+    from sheetreader_duckdb_spark.operators.similarity import (
+        build_ivf_index,
+        rebuild_if_drifted,
+    )
+
+    corpus = _clustered(spark, [0, 1, 2], per=30)
+    path = str(tmp_path / "ivf_uri")
+    build_ivf_index(corpus, path, n_cells=3, n_iters=2)
+    # Crash window on disk + file: URI in the call: the restore rename
+    # only happens if the URI was stripped to the local path.
+    os.rename(path, path + ".rebuild-old")
+    out = rebuild_if_drifted(spark, "file://" + path)
+    assert not out["rebuilt"]
+    assert os.path.isdir(path) and not os.path.exists(path + ".rebuild-old")
+    with pytest.raises(ValueError, match="dest_path"):
+        rebuild_if_drifted(spark, "file://otherhost/idx")

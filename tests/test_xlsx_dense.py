@@ -969,3 +969,60 @@ def test_split_index_row_path_coerce_sharded_equals_single(big_xlsx):
     key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
     assert len(sharded) == N_ROWS
     assert sorted(single, key=key) == sorted(sharded, key=key)
+
+
+def test_split_index_misaligned_offsets_fail_descriptively(big_xlsx, tmp_path):
+    """ADVICE r10: a structurally valid index whose offsets don't land on
+    flush points (stale comment on a recompressed archive) must surface as
+    the descriptive 'stale or corrupt' ValueError, not a bare zlib.error."""
+    import shutil
+    import zipfile
+
+    from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
+
+    p = str(tmp_path / "misaligned.xlsx")
+    shutil.copy(big_xlsx, p)
+    with zipfile.ZipFile(p) as zf:
+        pts = SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+        total = pts[-1][1]
+    # Shift every offset off its flush boundary: still monotonic, still
+    # inside the member, so structural validation passes — only the
+    # inflate can discover the lie.
+    bad = [(c + 1, r) for c, r in pts[:-1]]
+    with zipfile.ZipFile(p, "a") as zf:
+        zf.comment = SI.encode_split_index("xl/worksheets/sheet1.xml", bad, total)
+    with pytest.raises(ValueError, match="stale or corrupt"):
+        _collect({"path": p, "threads": "4"})
+
+
+def test_flush_probe_gates_indexing(tmp_path):
+    """ADVICE r10: the writer's zipfile-internals surgery self-tests once
+    per process; on this interpreter the probe passes, and a failing probe
+    degrades writes to plain unindexed (but valid) workbooks instead of
+    risking mis-sized zip metadata."""
+    import zipfile
+
+    from sheetreader_duckdb_spark.sources.xlsx import writer as W
+    from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+
+    assert W._flush_probe() is True
+
+    p = str(tmp_path / "gated.xlsx")
+    saved = W._FLUSH_OK
+    try:
+        W._FLUSH_OK = False
+        write_xlsx(p, {"S": [["a", "b"], ["x", 1.0], ["y", 2.0]]})
+    finally:
+        W._FLUSH_OK = saved
+    with zipfile.ZipFile(p) as zf:
+        assert zf.comment == b""  # no index published
+        assert zf.testzip() is None  # archive metadata intact
+    reader = DS.SheetReaderReader(
+        {"path": p, "threads": "1"},
+        StructType([StructField("a", StringType()), StructField("b", DoubleType())]),
+    )
+    got = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            got.extend(zip(*[c.to_pylist() for c in batch.columns]))
+    assert got == [("x", 1.0), ("y", 2.0)]

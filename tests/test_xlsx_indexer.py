@@ -1,0 +1,365 @@
+"""Retrofit indexer (indexer.index_xlsx — VERDICT r11 task 1).
+
+The split index previously existed only for files OUR writer produced;
+these tests pin that ``index_xlsx`` extends it to FOREIGN files — plain
+single-stream deflate members, foreign row XML shapes (spans/dyDescent
+attributes, namespace prefixes), extra members we don't parse — with
+bit-equal reads before/after, raw-byte preservation of untouched members,
+and the no-op discipline for files it cannot or should not index.
+
+Foreign files are simulated by recompressing every member through plain
+``zipfile.writestr`` (one deflate stream, zero flush points, no comment) —
+byte-for-byte the compression shape Excel/openpyxl emit — plus handcrafted
+foreign XML where the shape itself is the point.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import pytest
+
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from sheetreader_duckdb_spark.sources.xlsx import datasource as DS
+from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
+from sheetreader_duckdb_spark.sources.xlsx.indexer import index_xlsx
+from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
+
+N_ROWS = 60_000  # ~7 MB sheet XML: enough for 2 flush points
+
+
+def _foreignize(src: str, dst: str) -> str:
+    """Recompress every member plainly: single deflate streams, no flush
+    points, no archive comment — a foreign producer's compression shape."""
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(
+        dst, "w", zipfile.ZIP_DEFLATED
+    ) as zout:
+        for info in zin.infolist():
+            zout.writestr(info.filename, zin.read(info.filename))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def foreign_xlsx(tmp_path_factory):
+    d = tmp_path_factory.mktemp("indexer")
+    src = str(d / "src.xlsx")
+    w = IncrementalXlsxWriter(src, "Sheet1")
+    w.write_row(["name", "qty", "price"])
+    for i in range(N_ROWS):
+        if i == 30_000:
+            w.write_row([None, None, None])  # empty row mid-file
+        else:
+            w.write_row([f"r{i}", float(i % 50), float(i) + 0.25])
+    w.close()
+    return _foreignize(src, str(d / "foreign.xlsx"))
+
+
+SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("qty", DoubleType()),
+        StructField("price", DoubleType()),
+    ]
+)
+
+
+def _collect(options, schema=SCHEMA):
+    reader = DS.SheetReaderReader(options, schema)
+    rows: list[tuple] = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
+    key = lambda r: tuple((v is None, str(type(v)), v) for v in r)  # noqa: E731
+    return sorted(rows, key=key)
+
+
+def test_retrofit_roundtrip_bit_equal(foreign_xlsx, tmp_path):
+    """The headline contract: a foreign file reads bit-equal before and
+    after retrofit, sharded and single-thread, and the sharded read
+    genuinely rides the new index."""
+    import shutil
+
+    p = str(tmp_path / "work.xlsx")
+    shutil.copy(foreign_xlsx, p)
+    with zipfile.ZipFile(p) as zf:
+        assert SI.decode_split_index(zf, "xl/worksheets/sheet1.xml") is None
+    before_1 = _collect({"path": p, "threads": "1"})
+    before_4 = _collect({"path": p, "threads": "4"})
+
+    out = index_xlsx(p)
+    assert out["indexed"] and out["path"] == p
+    assert out["rows"] == N_ROWS + 1  # physical rows incl. header
+    assert out["worksheet_points"] >= 1
+
+    with zipfile.ZipFile(p) as zf:
+        assert zf.testzip() is None
+        pts = SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+        assert pts is not None and len(pts) >= 2
+        assert pts[-1][1] == N_ROWS + 1
+
+    after_1 = _collect({"path": p, "threads": "1"})
+    after_4 = _collect({"path": p, "threads": "4"})
+    assert before_1 == after_1 == before_4 == after_4
+    assert len(after_4) == N_ROWS
+
+
+def test_retrofit_preserves_untouched_members_raw(foreign_xlsx, tmp_path):
+    """Members the indexer doesn't parse — including a STORED binary one
+    and docProps — survive at the raw COMPRESSED byte level, not just
+    content-equal: same CRC, same compress_size, same data bytes."""
+    import shutil
+
+    p = str(tmp_path / "extras.xlsx")
+    shutil.copy(foreign_xlsx, p)
+    blob = bytes(range(256)) * 64
+    with zipfile.ZipFile(p, "a") as zf:
+        zf.writestr("docProps/custom.bin", blob)
+        zi = zipfile.ZipInfo("xl/media/raw.bin")
+        zf.writestr(zi, b"stored-bytes" * 100, compress_type=zipfile.ZIP_STORED)
+
+    def member_raw(path, name):
+        with zipfile.ZipFile(path) as zf:
+            info = zf.getinfo(name)
+            doff = SI.member_data_offset(path, info)
+            with open(path, "rb") as f:
+                f.seek(doff)
+                return (info.CRC, info.compress_size, f.read(info.compress_size))
+
+    before = {
+        n: member_raw(p, n)
+        for n in ("docProps/custom.bin", "xl/media/raw.bin", "xl/styles.xml")
+    }
+    assert index_xlsx(p)["indexed"]
+    for name, want in before.items():
+        assert member_raw(p, name) == want, name
+    with zipfile.ZipFile(p) as zf:
+        assert zf.read("docProps/custom.bin") == blob
+        assert zf.testzip() is None
+
+
+def test_retrofit_foreign_row_shapes(tmp_path):
+    """Foreign row XML — `spans=`/`x14ac:dyDescent` attributes like Excel
+    writes, plus rows the dense template won't match — counts and reads
+    correctly after retrofit (the count convention is the reader's own
+    `<row` − `<rowB` rule, not our writer's shape)."""
+    from tests.test_xlsx_dense import _prefixed_workbook_parts
+
+    ct, rels, wb_rels, wb_xml = _prefixed_workbook_parts()
+    ct = ct.replace("x:workbook", "workbook")  # parts are generic enough
+    wb_xml = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    n = 120_000
+    body = []
+    for i in range(1, n + 1):
+        if i % 5000 == 0:
+            body.append(f'<row r="{i}"/>')  # self-closing empty row
+        else:
+            body.append(
+                f'<row r="{i}" spans="1:2" x14ac:dyDescent="0.25">'
+                f'<c r="A{i}"><v>{i}</v></c><c r="B{i}"><v>{i * 2}</v></c></row>'
+            )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:x14ac="http://schemas.microsoft.com/office/spreadsheetml/2009/9/ac">'
+        "<sheetData>" + "".join(body) + "</sheetData></worksheet>"
+    )
+    p = str(tmp_path / "shapes.xlsx")
+    with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/workbook.xml", wb_xml)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    schema = StructType(
+        [StructField("a", DoubleType()), StructField("b", DoubleType())]
+    )
+    opts = {"path": p, "has_header": "false"}
+    before = _collect({**opts, "threads": "4"}, schema)
+    out = index_xlsx(p)
+    assert out["indexed"] and out["rows"] == n
+    after = _collect({**opts, "threads": "4"}, schema)
+    single = _collect({**opts, "threads": "1"}, schema)
+    assert before == after == single
+    assert len(after) == n
+
+
+def test_retrofit_prefixed_document(tmp_path):
+    """A namespace-prefixed (`<x:row>`) document indexes with prefixed
+    needles and reads bit-equal sharded — the same prefix detection the
+    scan tiers use."""
+    from tests.test_xlsx_dense import _prefixed_workbook_parts
+
+    ct, rels, wb_rels, wb_xml = _prefixed_workbook_parts()
+    n = 120_000
+    rows = "".join(
+        f'<x:row r="{i}"><x:c r="A{i}"><x:v>{i}</x:v></x:c>'
+        f'<x:c r="B{i}"><x:v>{i * 3}</x:v></x:c></x:row>'
+        for i in range(1, n + 1)
+    )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<x:worksheet xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<x:sheetData>{rows}</x:sheetData></x:worksheet>"
+    )
+    p = str(tmp_path / "prefixed.xlsx")
+    with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/workbook.xml", wb_xml)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    schema = StructType(
+        [StructField("a", DoubleType()), StructField("b", DoubleType())]
+    )
+    opts = {"path": p, "has_header": "false"}
+    before = _collect({**opts, "threads": "4"}, schema)
+    out = index_xlsx(p)
+    assert out["indexed"] and out["rows"] == n and out["worksheet_points"] >= 1
+    after = _collect({**opts, "threads": "4"}, schema)
+    assert before == after and len(after) == n
+
+
+def test_retrofit_sst_index(tmp_path):
+    """A string-heavy foreign file gains the shared-strings section too:
+    sst_points > 0, IntervalStringHeap-eligible, reads equal."""
+    src = str(tmp_path / "strsrc.xlsx")
+    w = IncrementalXlsxWriter(src, "Sheet1")
+    w.write_row(["k", "txt"])
+    for i in range(90_000):
+        w.write_row([float(i), f"unique-string-{i:07d}-" + "x" * 40])
+    w.close()
+    p = _foreignize(src, str(tmp_path / "strheavy.xlsx"))
+    schema = StructType(
+        [StructField("k", DoubleType()), StructField("txt", StringType())]
+    )
+    before = _collect({"path": p, "threads": "4"}, schema)
+    out = index_xlsx(p)
+    assert out["indexed"] and out["sst_points"] >= 1
+    with zipfile.ZipFile(p) as zf:
+        spts = SI.decode_sst_index(zf)
+        # 90,000 data strings + the 2 header-cell strings
+        assert spts is not None and spts[-1][1] == 90_002
+    after = _collect({"path": p, "threads": "4"}, schema)
+    assert before == after and len(after) == 90_000
+
+
+def test_retrofit_out_path_leaves_source_untouched(foreign_xlsx, tmp_path):
+    dst = str(tmp_path / "indexed_copy.xlsx")
+    src_bytes = open(foreign_xlsx, "rb").read()
+    out = index_xlsx(foreign_xlsx, out_path=dst)
+    assert out["indexed"] and out["path"] == dst
+    assert open(foreign_xlsx, "rb").read() == src_bytes
+    with zipfile.ZipFile(dst) as zf:
+        assert SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+    assert _collect({"path": dst, "threads": "4"}) == _collect(
+        {"path": foreign_xlsx, "threads": "1"}
+    )
+
+
+def test_retrofit_idempotent(foreign_xlsx, tmp_path):
+    """Indexing an already-indexed file (ours or a prior retrofit)
+    replaces the stale index and stays correct."""
+    import shutil
+
+    p = str(tmp_path / "twice.xlsx")
+    shutil.copy(foreign_xlsx, p)
+    assert index_xlsx(p)["indexed"]
+    first = _collect({"path": p, "threads": "4"})
+    assert index_xlsx(p)["indexed"]  # our MAGIC comment: replaced, no opt-in
+    assert _collect({"path": p, "threads": "4"}) == first
+
+
+def test_retrofit_noop_paths(tmp_path, foreign_xlsx):
+    """Too-small files and foreign-comment files are reported, NOT
+    modified; replace_comment=True overrides the comment guard."""
+    import shutil
+
+    from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+
+    small = str(tmp_path / "small.xlsx")
+    write_xlsx(small, {"S": [["a"], ["x"], ["y"]]})
+    small_foreign = _foreignize(small, str(tmp_path / "small_foreign.xlsx"))
+    raw = open(small_foreign, "rb").read()
+    out = index_xlsx(small_foreign)
+    assert not out["indexed"] and "interval" in out["reason"]
+    assert open(small_foreign, "rb").read() == raw  # untouched
+
+    commented = str(tmp_path / "commented.xlsx")
+    shutil.copy(foreign_xlsx, commented)
+    with zipfile.ZipFile(commented, "a") as zf:
+        zf.comment = b"customer archive note: do not remove"
+    raw = open(commented, "rb").read()
+    out = index_xlsx(commented)
+    assert not out["indexed"] and "foreign comment" in out["reason"]
+    assert open(commented, "rb").read() == raw
+    out = index_xlsx(commented, replace_comment=True)
+    assert out["indexed"]
+    assert _collect({"path": commented, "threads": "4"}) == _collect(
+        {"path": foreign_xlsx, "threads": "1"}
+    )
+
+
+def test_retrofit_discipline_tests_apply_to_output(foreign_xlsx, tmp_path):
+    """The untrusted-index discipline (lying counts fail loudly, stripped
+    comment falls back) applies unchanged to retrofit output — the read
+    path is shared with writer-indexed files."""
+    import shutil
+
+    p = str(tmp_path / "disc.xlsx")
+    shutil.copy(foreign_xlsx, p)
+    assert index_xlsx(p)["indexed"]
+    base = _collect({"path": p, "threads": "4"})
+
+    stripped = str(tmp_path / "disc_stripped.xlsx")
+    shutil.copy(p, stripped)
+    with zipfile.ZipFile(stripped, "a") as zf:
+        zf.comment = b""
+    assert _collect({"path": stripped, "threads": "4"}) == base
+
+    lying = str(tmp_path / "disc_lying.xlsx")
+    shutil.copy(p, lying)
+    with zipfile.ZipFile(lying) as zf:
+        pts = SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+    bad = [(c, r + 1) for c, r in pts[:-1]]
+    with zipfile.ZipFile(lying, "a") as zf:
+        zf.comment = SI.encode_split_index(
+            "xl/worksheets/sheet1.xml", bad, pts[-1][1]
+        )
+    with pytest.raises(ValueError, match="split-index row count mismatch"):
+        _collect({"path": lying, "threads": "4"})
+
+
+def test_retrofit_crash_leaves_source_intact(foreign_xlsx, tmp_path, monkeypatch):
+    """A failure mid-retrofit removes the temp file and leaves the source
+    byte-identical (atomic os.replace is the only mutation)."""
+    import shutil
+
+    from sheetreader_duckdb_spark.sources.xlsx import indexer as IX
+
+    p = str(tmp_path / "crash.xlsx")
+    shutil.copy(foreign_xlsx, p)
+    raw = open(p, "rb").read()
+
+    real = IX._raw_copy
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise OSError("disk full (simulated)")
+        return real(*a, **k)
+
+    monkeypatch.setattr(IX, "_raw_copy", boom)
+    with pytest.raises(OSError, match="disk full"):
+        index_xlsx(p)
+    assert open(p, "rb").read() == raw
+    assert not [f for f in os.listdir(tmp_path) if f.startswith(".idx-tmp")]
