@@ -334,9 +334,13 @@ def _task_failure_audit(log_path: str) -> dict:
     lines are excluded from ``error_lines`` so one line never counts in
     both buckets (ADVICE r9 — the raw line-hit counts inflated under
     stacks and double-counted ' ERROR ' marker lines). Marker lines
-    WITHOUT a parseable task id (stage aborts, job failures) still count,
-    deduped by exact line text. ``audit_error`` (instead of -1 sentinels)
-    distinguishes 'log unreadable' from 'no failures' for JSON consumers."""
+    WITHOUT a parseable task id (stage aborts, job failures) are reported
+    SEPARATELY as ``marker_lines`` (r11, VERDICT note 1: summing them
+    into task_failures could double-count a lost task that also prints an
+    id-less marker, making magnitudes incomparable across rounds — both
+    fields are now stamped and each is internally deduped). ``audit_error``
+    (instead of -1 sentinels) distinguishes 'log unreadable' from 'no
+    failures' for JSON consumers."""
     markers = (b"Lost task", b"Exception in task", b"Aborting TaskSet",
                b"Stage failure", b"failed; aborting job")
     failed_ids: set = set()
@@ -357,12 +361,13 @@ def _task_failure_audit(log_path: str) -> dict:
                     error_lines += 1
     except OSError as e:
         return {
-            "task_failures": 0, "error_lines": 0,
+            "task_failures": 0, "marker_lines": 0, "error_lines": 0,
             "audit_error": f"stderr log unreadable: {e}",
             "stderr_log": log_path,
         }
     return {
-        "task_failures": len(failed_ids) + len(marker_lines),
+        "task_failures": len(failed_ids),
+        "marker_lines": len(marker_lines),
         "error_lines": error_lines,
         "stderr_bytes": size,
         "stderr_log": log_path,
@@ -734,6 +739,7 @@ def main() -> None:
             "queries": timings,
             "sf": _sf_from_dir(SF_DIR),
             "task_failures": audit.get("task_failures"),
+            "marker_lines": audit.get("marker_lines"),
         }
     )
     # The driver records only a 2000-char stdout tail; a line longer than

@@ -184,6 +184,111 @@ def supported_pushdown_filter(f, schema: StructType) -> bool:
     return _filter_mask_builder([f], schema) is not None
 
 
+def _plan_interval_skips(filters, schema, file_names, ivstats, date1904):
+    """Interval ordinals provably EMPTY of matching rows under the ANDed
+    pushed filters, per the split index's per-interval min/max stats
+    (r11 — the parquet row-group-pruning pattern for XLSX: a selective
+    filter skips whole intervals before inflating a byte).
+
+    Only comparison/equality/In filters on DOUBLE and DATE columns prune;
+    everything else claims nothing. NULL-safe by construction: those
+    predicates never match NULL cells, so a disjoint numeric range proves
+    row-emptiness even when the interval also holds NULLs or mismatched
+    types (which decode to NULL). DATE filter values convert to WIDENED
+    serial envelopes (±2 days absorbs the workbook date system and the
+    1900 phantom-day quirk), so date pruning can only over-keep, never
+    over-skip. Interval 0 is never skippable — every shard scans it for
+    the cross-shard fallback decision and the loud staleness check."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from sheetreader_duckdb_spark.sources.xlsx.writer import (
+        _col_letter,
+        _date_serial,
+    )
+
+    out_type = {f.name: f.dataType.typeName() for f in schema.fields}
+    n_iv = len(next(iter(ivstats.values())))
+    skips: set = set()
+
+    def envelope(v, t):
+        """Closed serial/value range that covers every cell decoding to
+        ``v`` — raises TypeError on anything we refuse to reason about."""
+        if t == "date":
+            if isinstance(v, dt.datetime) or not isinstance(v, dt.date):
+                raise TypeError(v)
+            days = (v - dt.date(1970, 1, 1)).days
+            s = _date_serial(days, date1904)
+            return (s - 2.0, s + 3.0)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise TypeError(v)
+        return (float(v), float(v))
+
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:
+            continue
+        name = attr[0]
+        t = out_type.get(name)
+        if t not in ("double", "date"):
+            continue
+        try:
+            letters = _col_letter(file_names.index(name))
+        except ValueError:
+            continue
+        col = ivstats.get(letters)
+        if col is None:
+            continue
+        try:
+            if isinstance(f, (EqualTo, In)):
+                vals = list(f.value) if isinstance(f, In) else [f.value]
+                if not vals or any(v is None for v in vals):
+                    continue
+                envs = [envelope(v, t) for v in vals]
+                lo = min(e[0] for e in envs)
+                hi = max(e[1] for e in envs)
+
+                def empty(mn, mx, lo=lo, hi=hi):
+                    return hi < mn or lo > mx
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo, hi = envelope(f.value, t)
+                if t == "date" or isinstance(f, GreaterThanOrEqual):
+                    # dates: any matching serial is >= the widened lower
+                    # edge; doubles GTE: matching values are >= v exactly
+                    def empty(mn, mx, b=lo):
+                        return mx < b
+                else:
+
+                    def empty(mn, mx, b=lo):
+                        return mx <= b
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                lo, hi = envelope(f.value, t)
+                if t == "date" or isinstance(f, LessThanOrEqual):
+                    def empty(mn, mx, b=hi):
+                        return mn > b
+                else:
+
+                    def empty(mn, mx, b=hi):
+                        return mn >= b
+            else:
+                continue
+        except (TypeError, ValueError):
+            continue
+        for i in range(1, n_iv):
+            st = col[i]
+            if st is not None and empty(st[0], st[1]):
+                skips.add(i)
+    return frozenset(skips)
+
+
 def _parse_bool(v: str | None, default: bool = False) -> bool:
     if v is None:
         return default
@@ -801,7 +906,8 @@ class SheetReaderReader(DataSourceReader):
             # back to the row path on unscannable document shapes.
             try:
                 yield from self._read_columnar(
-                    partition.path, file_schema, partition.shard, partition.n_shards, keep
+                    partition.path, file_schema, partition.shard,
+                    partition.n_shards, keep, partition.filters,
                 )
                 return
             except P._FastPathUnsupported:
@@ -911,7 +1017,8 @@ class SheetReaderReader(DataSourceReader):
 
 
     def _read_columnar(
-        self, path: str, file_schema, shard: int = 0, n_shards: int = 1, keep: list | None = None
+        self, path: str, file_schema, shard: int = 0, n_shards: int = 1,
+        keep: list | None = None, filters: tuple = (),
     ):
         """Regex-scan chunks into per-column raw byte lists; type with Arrow.
 
@@ -1074,14 +1181,23 @@ class SheetReaderReader(DataSourceReader):
                 # chunk's match count equals its row count (so any row
                 # deviating from the template shape falls back to the
                 # generic scan below, which produces identical cells).
-                if assigned and dense and chunk_idx > 0 and rows_seen >= skip_n:
+                if (
+                    assigned and dense and chunk_idx > 0
+                    and rows_seen >= skip_n
+                    and not P.foreign_row_evidence(work, pfx)
+                ):
                     # One memchr pass in the steady case: every dense
                     # match starts "<row " / "<row>", which cannot
                     # match "<rowBreaks", so matches ≤ true rows ≤ the
                     # raw "<row" prefix count — equality with the raw
                     # count proves no rowBreaks AND all rows matched.
                     # Only on mismatch pay the second pass to subtract
-                    # rowBreaks before deciding fallback.
+                    # rowBreaks before deciding fallback. The
+                    # foreign_row_evidence guard (r11) keeps rows under
+                    # ANOTHER prefix from hiding behind that equality
+                    # (they match neither count) — evidence chunks fall
+                    # to the generic scan, which recounts exactly and
+                    # fragments.
                     n_raw = work.count(pr.row_start)
                     dm = dense[0].findall(work)
                     n_rows_chunk = (
@@ -1117,6 +1233,12 @@ class SheetReaderReader(DataSourceReader):
                     # fallback decision is consistent across shards.
                     row_matches = pr.row_re.findall(work)
                     n_rows_chunk = len(pr.row_count_re.findall(work))
+                    if P.foreign_row_evidence(work, pfx):
+                        # Mixed-prefix chunk (r11): the exact any-prefix
+                        # count routes it to the fragment parser (mid-
+                        # file) or tier 3 (chunk 0) instead of silently
+                        # dropping the foreign-prefix rows.
+                        n_rows_chunk = P.count_any_row_starts(work)
                     if chunk_idx == 0 and (
                         len(row_matches) != n_rows_chunk
                         or (
@@ -1181,7 +1303,10 @@ class SheetReaderReader(DataSourceReader):
                                     yield finalize(head)
                                 return
                 else:
-                    n_rows_chunk = P.count_row_starts(work, pfx)
+                    if P.foreign_row_evidence(work, pfx):
+                        n_rows_chunk = P.count_any_row_starts(work)
+                    else:
+                        n_rows_chunk = P.count_row_starts(work, pfx)
                     row_matches = []
                     chunk_regular = True
                 chunk_idx += 1
@@ -1276,12 +1401,32 @@ class SheetReaderReader(DataSourceReader):
             # (same bytes, no seek benefit).
             split_pts = (
                 SI.decode_split_index(wb.zf, sheet.path)
-                if n_shards > 1
+                if (n_shards > 1 or filters)
                 else None
             )
+            # Interval pruning (r11): when the index carries per-interval
+            # min/max stats and this query pushed filters, intervals the
+            # stats prove empty of matches are never inflated — treated
+            # exactly like unassigned intervals (the recorded count keeps
+            # the global row ordinal). The downstream Arrow mask would
+            # have dropped every row in them anyway; the stats only
+            # decide WHERE the dropping happens (before the byte level).
+            skip_ivals: frozenset = frozenset()
+            if split_pts and filters:
+                ivstats = SI.decode_interval_stats(wb.zf, sheet.path, split_pts)
+                if ivstats:
+                    skip_ivals = _plan_interval_skips(
+                        filters, self.schema, file_schema.names, ivstats,
+                        wb.date1904,
+                    )
+            if split_pts and n_shards == 1 and not skip_ivals:
+                # Single-shard with nothing to prune: the sequential scan
+                # reads the same bytes without per-interval seeks.
+                split_pts = None
             if split_pts:
                 for i, work, rows_in in SI.iter_intervals(
-                    wb.path, wb.zf, sheet.path, split_pts, shard, n_shards
+                    wb.path, wb.zf, sheet.path, split_pts, shard, n_shards,
+                    skip=skip_ivals,
                 ):
                     if work is None:
                         # Unassigned interval: bytes untouched — the

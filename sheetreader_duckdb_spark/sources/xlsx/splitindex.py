@@ -66,6 +66,7 @@ def encode_split_index(
     total_rows: int,
     sst_points: "list[tuple[int, int]] | None" = None,
     sst_total: int = 0,
+    stats: "dict[str, list] | None" = None,
 ) -> bytes:
     """Comment bytes for one indexed worksheet entry (+ optionally the
     shared-strings heap). ``points`` are (compressed offset relative to
@@ -74,7 +75,12 @@ def encode_split_index(
     well under the 64 KB comment ceiling. ``sst_points`` carry the same
     shape for ``xl/sharedStrings.xml`` with cumulative ENTRY counts —
     sharded readers then inflate only the heap intervals their own rows
-    reference instead of the whole heap per task."""
+    reference instead of the whole heap per task. ``stats`` (r11) maps a
+    column LETTER to a flat per-interval ``[lo0, hi0, lo1, hi1, ...]``
+    min/max array over the column's raw numeric cell values (date serials
+    included raw) with null pairs for statless intervals — the parquet
+    row-group-stats pattern: a selective filter skips whole intervals
+    before inflating a byte (interval pruning, datasource side)."""
     coffs, rows = _deltas(points)
     payload = {"e": entry, "n": total_rows, "c": coffs, "r": rows}
     if sst_points:
@@ -82,6 +88,8 @@ def encode_split_index(
         payload["sc"] = sc
         payload["sr"] = sr
         payload["sn"] = sst_total
+    if stats:
+        payload["st"] = stats
     out = MAGIC + json.dumps(payload, separators=(",", ":")).encode("ascii")
     if len(out) > 0xFFFF:
         raise ValueError("split index exceeds the zip comment limit")
@@ -155,8 +163,52 @@ def decode_sst_index(zf: zipfile.ZipFile) -> "list[tuple[int, int]] | None":
     return _decode_points(zf, SST_ENTRY, payload, "sc", "sr", "sn")
 
 
+def decode_interval_stats(
+    zf: zipfile.ZipFile, entry: str, points: list
+) -> "dict[str, list] | None":
+    """Validated per-interval ``[(lo, hi) | None]`` stats per column
+    letter for ``entry`` (the ``st`` section), aligned with the decoded
+    ``points`` (terminal included → ``len(points)`` intervals). Untrusted
+    like the rest of the comment: wrong array length, non-numeric
+    entries, NaN, or lo > hi drops ALL stats — pruning is an
+    optimization, the unpruned scan is the semantics. (Unlike the row
+    counts, stats on a pruned interval are never re-validated by parsing
+    — the same honest-writer trust model as parquet row-group stats;
+    interval 0 is always materialized and count-checked, which catches
+    whole-file staleness loudly.)"""
+    payload = _payload(zf)
+    if payload is None or payload.get("e") != entry:
+        return None
+    st = payload.get("st")
+    if not isinstance(st, dict) or not st:
+        return None
+    n_iv = len(points)
+    out: dict = {}
+    try:
+        for k, arr in st.items():
+            if not isinstance(k, str) or not isinstance(arr, list):
+                return None
+            if len(arr) != 2 * n_iv:
+                return None
+            col: list = []
+            for j in range(n_iv):
+                lo, hi = arr[2 * j], arr[2 * j + 1]
+                if lo is None or hi is None:
+                    col.append(None)
+                    continue
+                lo, hi = float(lo), float(hi)
+                if not (lo <= hi):  # also rejects NaN
+                    return None
+                col.append((lo, hi))
+            out[k] = col
+    except (TypeError, ValueError):
+        return None
+    return out
+
+
 def iter_intervals(
-    path: str, zf: zipfile.ZipFile, entry: str, points: list, shard: int, n_shards: int
+    path: str, zf: zipfile.ZipFile, entry: str, points: list, shard: int,
+    n_shards: int, skip: "frozenset[int] | set[int]" = frozenset(),
 ):
     """Seek-and-inflate interval walk shared by the columnar and row scan
     tiers: yields ``(i, work_or_None, count_in)`` per interval in order —
@@ -164,7 +216,11 @@ def iter_intervals(
     materializes (its own, plus interval 0 which EVERY shard scans so the
     template/fallback decision stays identical across shards), and None
     for skipped intervals (the caller bumps its ordinals by ``count_in``
-    without touching a byte — the point of the index)."""
+    without touching a byte — the point of the index). ``skip`` holds
+    interval ordinals PRUNED by stats (r11): treated exactly like
+    unassigned intervals, except interval 0 is never skippable (every
+    shard must scan it for the cross-shard fallback decision and the
+    loud staleness check)."""
     import zlib
 
     doff = member_data_offset(path, zf.getinfo(entry))
@@ -173,7 +229,7 @@ def iter_intervals(
             lo = points[i - 1][0] if i else 0
             hi, cum = points[i]
             count_in = cum - (points[i - 1][1] if i else 0)
-            if i and (i % n_shards) != shard:
+            if i and ((i % n_shards) != shard or i in skip):
                 yield i, None, count_in
                 continue
             rf.seek(doff + lo)

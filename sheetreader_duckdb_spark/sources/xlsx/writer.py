@@ -298,32 +298,49 @@ def _write_sheet_member(zf, name: str, chunks) -> "tuple[list | None, int]":
 
 def _publish_index(
     zf, name: str, pts, nrows: int, expected_rows: int,
-    spts, n_si: int, expected_si: int,
+    spts, n_si: int, expected_si: int, stats: "dict | None" = None,
 ) -> None:
     """Set the archive comment for whichever validated sections exist —
-    shared by both writers (r10 review: the two publication blocks had
-    started to diverge). Never index on a lie: a byte-counted total that
-    disagrees with the writer's own count drops that section (a
-    row/entry-shaped literal slipped through escaping — the file itself
-    is still fine, it just loses the optimization). An sst-only comment
-    is valid (heap-dominated workbooks whose tiny sheet never reaches one
-    interval still get interval heaps + the planner's cap lift); if both
-    sections together exceed the 64 KB comment ceiling, the (more
-    valuable) worksheet section is kept alone."""
+    shared by both writers and the retrofit indexer (r10 review: the two
+    publication blocks had started to diverge). Never index on a lie: a
+    byte-counted total that disagrees with the writer's own count drops
+    that section (a row/entry-shaped literal slipped through escaping —
+    the file itself is still fine, it just loses the optimization). An
+    sst-only comment is valid (heap-dominated workbooks whose tiny sheet
+    never reaches one interval still get interval heaps + the planner's
+    cap lift). Size discipline against the 64 KB comment ceiling, most
+    valuable sections last to go: per-interval ``stats`` columns drop
+    largest-first, then the sst section, and the worksheet section is
+    kept alone as the floor."""
     if pts and nrows != expected_rows:
         pts = None
     if spts and n_si != expected_si:
         spts = None
     if not pts and not spts:
         return
-    try:
-        zf.comment = encode_split_index(
-            name, pts or [], nrows if pts else 0,
-            sst_points=spts, sst_total=expected_si if spts else 0,
-        )
-    except ValueError:
-        if pts:
-            zf.comment = encode_split_index(name, pts, nrows)
+    stats = dict(stats) if (stats and pts) else None
+    while True:
+        try:
+            zf.comment = encode_split_index(
+                name, pts or [], nrows if pts else 0,
+                sst_points=spts, sst_total=expected_si if spts else 0,
+                stats=stats,
+            )
+            return
+        except ValueError:
+            if stats:
+                import json as _json
+
+                biggest = max(
+                    stats, key=lambda k: len(_json.dumps(stats[k]))
+                )
+                del stats[biggest]
+                if not stats:
+                    stats = None
+                continue
+            break
+    if pts:
+        zf.comment = encode_split_index(name, pts, nrows)
 
 
 def write_xlsx(

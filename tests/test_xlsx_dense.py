@@ -1026,3 +1026,161 @@ def test_flush_probe_gates_indexing(tmp_path):
         for batch in reader.read(part):
             got.extend(zip(*[c.to_pylist() for c in batch.columns]))
     assert got == [("x", 1.0), ("y", 2.0)]
+
+
+# ---- mixed-prefix rows (r11: silent-loss fix + sharded tier 3) ------------
+
+
+def _mixed_prefix_xlsx(path: str, n: int, mix_from: int = 0) -> int:
+    """A worksheet whose rows ALTERNATE <row> and <x:row> from row
+    ``mix_from`` on (every 3rd row prefixed). Returns the expected row
+    count. Before r11 the prefixed rows were silently DROPPED by the fast
+    tiers (the r9 guard only fires when ZERO rows match the detected
+    prefix)."""
+    import zipfile
+
+    ct, rels, wb_rels, _ = _prefixed_workbook_parts()
+    wb_xml = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    body = []
+    for i in range(1, n + 1):
+        if i > mix_from and i % 3 == 0:
+            body.append(
+                f'<x:row r="{i}"><x:c r="A{i}"><x:v>{i}</x:v></x:c>'
+                f'<x:c r="B{i}"><x:v>{i * 2}</x:v></x:c></x:row>'
+            )
+        else:
+            body.append(
+                f'<row r="{i}"><c r="A{i}"><v>{i}</v></c>'
+                f'<c r="B{i}"><v>{i * 2}</v></c></row>'
+            )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(body) + "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/workbook.xml", wb_xml)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return n
+
+
+MIXED_SCHEMA = StructType(
+    [StructField("a", DoubleType()), StructField("b", DoubleType())]
+)
+
+
+def _collect_mixed(path, threads, **extra):
+    reader = DS.SheetReaderReader(
+        {"path": path, "threads": threads, "has_header": "false", **extra},
+        MIXED_SCHEMA,
+    )
+    rows = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
+    return rows
+
+
+def test_mixed_prefix_rows_not_dropped(tmp_path):
+    """The r11 repro: rows alternating <row>/<x:row> must ALL be read —
+    previously 267 of 400 came back with no error."""
+    p = str(tmp_path / "mixed.xlsx")
+    n = _mixed_prefix_xlsx(p, 400)
+    got = _collect_mixed(p, "1")
+    assert len(got) == n
+    assert (3.0, 6.0) in got and (399.0, 798.0) in got  # prefixed rows
+    assert (1.0, 2.0) in got  # unprefixed rows
+    assert sorted(got) == [(float(i), float(2 * i)) for i in range(1, n + 1)]
+
+
+def test_mixed_prefix_sharded_equals_single_tier3(tmp_path):
+    """Mixed rows IN CHUNK 0 defeat the fast tiers -> the r11 SHARDED
+    tier-3 walk: every shard yields rows (not just shard 0), union equals
+    the single-thread read."""
+    p = str(tmp_path / "mixed_t3.xlsx")
+    n = _mixed_prefix_xlsx(p, 4000)
+    single = sorted(_collect_mixed(p, "1"))
+    sharded = sorted(_collect_mixed(p, "4"))
+    assert len(single) == n
+    assert single == sharded
+
+    from sheetreader_duckdb_spark.sources.xlsx import parser as P2
+
+    per_shard = []
+    with P2.XlsxWorkbook(p) as wb:
+        sheet = wb.resolve_sheet(None, None)
+        for s in range(3):
+            per_shard.append(
+                sum(1 for _ in wb.iter_rows(sheet, chunk_bytes=4096, shard=s, n_shards=3))
+            )
+    assert all(c > 0 for c in per_shard), per_shard
+    assert sum(per_shard) == n
+
+
+def test_mixed_prefix_midfile_stays_on_fast_tier_with_fragments(tmp_path):
+    """Mixed rows appearing only AFTER a clean chunk 0: the fast tier has
+    already yielded, so the evidence check routes just those chunks to the
+    namespace-aware fragment parser — all rows read, sharded == single."""
+    p = str(tmp_path / "mixed_mid.xlsx")
+    # chunk size in iter_rows is 4MB; at ~60 bytes/row, 4000 rows ~ 240KB
+    # fits one chunk — drive iter_rows with a small chunk_bytes directly.
+    n = _mixed_prefix_xlsx(p, 4000, mix_from=2000)
+
+    from sheetreader_duckdb_spark.sources.xlsx import parser as P2
+
+    with P2.XlsxWorkbook(p) as wb:
+        sheet = wb.resolve_sheet(None, None)
+        single = [
+            cells for cells in wb.iter_rows(sheet, chunk_bytes=1 << 20)
+        ]
+        totals = []
+        for s in range(3):
+            totals.append(
+                sum(1 for _ in wb.iter_rows(sheet, chunk_bytes=16384, shard=s, n_shards=3))
+            )
+    assert len(single) == n
+    assert sum(totals) == n
+    # every shard participated: mid-file mixing must not re-route the
+    # document to a single-shard path
+    assert all(c > 0 for c in totals), totals
+
+
+def test_mixed_prefix_skip_rows_and_row_count(tmp_path):
+    """skip_rows ordinals stay consistent across shards on mixed docs
+    (unassigned chunks must count foreign-prefix rows too), and the
+    row_count statistic sees every row."""
+    p = str(tmp_path / "mixed_skip.xlsx")
+    n = _mixed_prefix_xlsx(p, 4000)
+    got1 = sorted(_collect_mixed(p, "1", skip_rows="100"))
+    got4 = sorted(_collect_mixed(p, "4", skip_rows="100"))
+    assert len(got1) == n - 100
+    assert got1 == got4
+    assert DS.row_count(p) == n
+
+
+def test_retrofit_refuses_mixed_prefix_worksheet(tmp_path):
+    """index_xlsx must not publish a worksheet section whose counts the
+    reader's any-prefix parse would contradict."""
+    from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
+    from sheetreader_duckdb_spark.sources.xlsx.indexer import index_xlsx
+
+    import zipfile
+
+    p = str(tmp_path / "mixed_retro.xlsx")
+    n = _mixed_prefix_xlsx(p, 120_000)  # > one split interval of XML
+    out = index_xlsx(p)
+    assert not out["indexed"]
+    assert "mixes row prefixes" in out["reason"]
+    with zipfile.ZipFile(p) as zf:
+        assert SI.decode_split_index(zf, "xl/worksheets/sheet1.xml") is None
+    # and the file still reads completely
+    assert len(_collect_mixed(p, "4")) == n

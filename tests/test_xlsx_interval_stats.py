@@ -1,0 +1,272 @@
+"""Per-interval min/max statistics + interval pruning (VERDICT r11 task 2
+— the parquet row-group-stats pattern for XLSX).
+
+The retrofit indexer records per-interval numeric min/max per column in
+the split index; a read with pushed filters skips intervals the stats
+prove empty BEFORE inflating a byte. Pinned here: stats authoring honesty
+(exact ranges, None on anything unparseable), pruning correctness on
+numeric and date filters (results bit-equal to the unpruned scan, with
+the interval-walk spy proving intervals were actually skipped), the
+NULL/mismatch semantics, untrusted-stats validation, and the 64 KB
+drop-largest-first publication discipline.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import zipfile
+
+import pytest
+
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sheetreader_duckdb_spark.sources.xlsx import datasource as DS
+from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
+from sheetreader_duckdb_spark.sources.xlsx.indexer import index_xlsx
+from sheetreader_duckdb_spark.sources.xlsx.writer import IncrementalXlsxWriter
+
+N = 120_000
+BASE = dt.date(2020, 1, 1)
+SHEET = "xl/worksheets/sheet1.xml"
+
+
+def _foreignize(src: str, dst: str) -> str:
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(
+        dst, "w", zipfile.ZIP_DEFLATED
+    ) as zout:
+        for info in zin.infolist():
+            zout.writestr(info.filename, zin.read(info.filename))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def stats_xlsx(tmp_path_factory):
+    """Retrofit-indexed foreign file: id ascending (prunable), name
+    strings, a date column ascending one day per 1000 rows, and NULLs
+    planted in id every 10_000th row."""
+    d = tmp_path_factory.mktemp("ivstats")
+    src = str(d / "src.xlsx")
+    w = IncrementalXlsxWriter(src, "Sheet1")
+    w.write_row(["id", "name", "d"])
+    for i in range(N):
+        idv = None if i % 10_000 == 5_000 else float(i)
+        w.write_row([idv, f"r{i}", BASE + dt.timedelta(days=i // 1000)])
+    w.close()
+    p = _foreignize(src, str(d / "foreign.xlsx"))
+    out = index_xlsx(p)
+    assert out["indexed"] and out["worksheet_points"] >= 2
+    return p
+
+
+SCHEMA = StructType(
+    [
+        StructField("id", DoubleType()),
+        StructField("name", StringType()),
+        StructField("d", DateType()),
+    ]
+)
+
+
+class _Spy:
+    """Wraps SI.iter_intervals; counts materialized vs skipped intervals."""
+
+    def __init__(self, monkeypatch):
+        self.materialized = 0
+        self.skipped = 0
+        orig = SI.iter_intervals
+
+        def wrapped(*a, **k):
+            for i, work, cin in orig(*a, **k):
+                if work is None:
+                    self.skipped += 1
+                else:
+                    self.materialized += 1
+                yield i, work, cin
+
+        monkeypatch.setattr(DS.SI, "iter_intervals", wrapped)
+
+
+def _collect(path, filters, threads=4, schema=SCHEMA):
+    reader = DS.SheetReaderReader({"path": path, "threads": str(threads)}, schema)
+    rows = []
+    for s in range(threads):
+        part = DS._SheetPartition(
+            path, shard=s, n_shards=threads, filters=tuple(filters)
+        )
+        for batch in reader.read(part):
+            rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
+    return rows
+
+
+def test_stats_present_and_exact(stats_xlsx):
+    with zipfile.ZipFile(stats_xlsx) as zf:
+        pts = SI.decode_split_index(zf, SHEET)
+        st = SI.decode_interval_stats(zf, SHEET, pts)
+    assert st is not None and "A" in st and "C" in st
+    assert "B" not in st  # string column: no numeric stats
+    assert len(st["A"]) == len(pts)
+    # id is ascending: interval ranges are disjoint and ordered, the
+    # terminal interval tops out at exactly N-1
+    prev_hi = -1.0
+    for rng in st["A"]:
+        assert rng is not None
+        lo, hi = rng
+        assert prev_hi < lo <= hi
+        prev_hi = hi
+    assert st["A"][-1][1] == float(N - 1)
+    assert st["A"][0][0] == 0.0
+
+
+def test_pruned_reads_bit_equal_and_actually_skip(stats_xlsx, monkeypatch):
+    cases = [
+        ([GreaterThan(("id",), float(N - 2000))], lambda r: r[0] is not None and r[0] > N - 2000),
+        ([GreaterThanOrEqual(("id",), float(N - 2000))], lambda r: r[0] is not None and r[0] >= N - 2000),
+        ([LessThan(("id",), 1000.0)], lambda r: r[0] is not None and r[0] < 1000),
+        ([LessThanOrEqual(("id",), 999.0)], lambda r: r[0] is not None and r[0] <= 999),
+        ([EqualTo(("id",), 77_777.0)], lambda r: r[0] == 77_777.0),
+        ([In(("id",), (5.0, 99_999.0))], lambda r: r[0] in (5.0, 99_999.0)),
+        ([EqualTo(("d",), BASE + dt.timedelta(days=100))],
+         lambda r: r[2] == BASE + dt.timedelta(days=100)),
+        ([GreaterThan(("d",), BASE + dt.timedelta(days=115))],
+         lambda r: r[2] > BASE + dt.timedelta(days=115)),
+        # conjunction: both filters must hold; either may prune
+        ([GreaterThan(("id",), float(N - 2000)), LessThan(("id",), float(N - 1500))],
+         lambda r: r[0] is not None and N - 2000 < r[0] < N - 1500),
+    ]
+    unfiltered = _collect(stats_xlsx, [])
+    assert len(unfiltered) == N
+    for filters, pred in cases:
+        spy = _Spy(monkeypatch)
+        got = sorted(_collect(stats_xlsx, filters), key=str)
+        want = sorted((r for r in unfiltered if pred(r)), key=str)
+        assert got == want, filters
+        assert len(want) > 0, ("vacuous case", filters)
+        # selective filters on an ascending column: most intervals skipped
+        assert spy.skipped > spy.materialized, (filters, vars(spy))
+
+
+def test_pruning_never_drops_null_or_edge_rows(stats_xlsx):
+    # IsNull is not prunable — planted NULLs all come back
+    got = _collect(stats_xlsx, [IsNull(("id",))])
+    assert len(got) == N // 10_000
+    # boundary equality at an interval edge: take an actual interval hi
+    with zipfile.ZipFile(stats_xlsx) as zf:
+        pts = SI.decode_split_index(zf, SHEET)
+        st = SI.decode_interval_stats(zf, SHEET, pts)
+    edge = st["A"][0][1]
+    got = _collect(stats_xlsx, [EqualTo(("id",), edge)])
+    assert [r[0] for r in got] == [edge]
+
+
+def test_unfiltered_and_string_filters_do_not_engage_pruning(stats_xlsx, monkeypatch):
+    spy = _Spy(monkeypatch)
+    got = _collect(stats_xlsx, [], threads=2)
+    assert len(got) == N
+    assert spy.skipped + spy.materialized > 0  # sharded read used the index
+    before = spy.materialized
+    # a string filter can't prune; every assigned interval materializes
+    spy2 = _Spy(monkeypatch)
+    got2 = _collect(stats_xlsx, [EqualTo(("name",), "r5")], threads=2)
+    assert [r[1] for r in got2] == ["r5"]
+    assert spy2.materialized == before
+
+
+def test_garbage_stats_are_ignored_not_trusted(stats_xlsx, tmp_path):
+    """Structurally invalid stats (wrong length, lo>hi, NaN) must drop to
+    the unpruned scan — results identical, never an error."""
+    import json
+    import shutil
+
+    p = str(tmp_path / "garbled.xlsx")
+    shutil.copy(stats_xlsx, p)
+    with zipfile.ZipFile(p) as zf:
+        payload = json.loads(zf.comment[len(SI.MAGIC):])
+    base = _collect(stats_xlsx, [LessThan(("id",), 1000.0)])
+    for bad_st in (
+        {"A": [0.0]},                      # wrong length
+        {"A": [5.0, 1.0] * (len(payload["c"]) + 1)},   # lo > hi
+        {"A": ["x", "y"] * (len(payload["c"]) + 1)},   # non-numeric
+        "not-a-dict",
+    ):
+        payload2 = dict(payload)
+        payload2["st"] = bad_st
+        with zipfile.ZipFile(p, "a") as zf:
+            zf.comment = SI.MAGIC + json.dumps(payload2).encode()
+        with zipfile.ZipFile(p) as zf:
+            pts = SI.decode_split_index(zf, SHEET)
+            assert SI.decode_interval_stats(zf, SHEET, pts) is None
+        assert _collect(p, [LessThan(("id",), 1000.0)]) == base
+
+
+def test_lying_stats_cannot_hide_from_interval_zero_check(stats_xlsx, tmp_path):
+    """Adversarially wrong stats DO lose rows by design (parquet trust
+    model) — but the loud interval-0 count check still fires when the
+    index as a whole is stale. Pin the trust boundary explicitly: wrong
+    stats with a valid index silently prune (documented), wrong COUNTS
+    fail loudly."""
+    import json
+    import shutil
+
+    p = str(tmp_path / "lying_counts.xlsx")
+    shutil.copy(stats_xlsx, p)
+    with zipfile.ZipFile(p) as zf:
+        payload = json.loads(zf.comment[len(SI.MAGIC):])
+    payload["r"] = [r + 1 for r in payload["r"]]
+    with zipfile.ZipFile(p, "a") as zf:
+        zf.comment = SI.MAGIC + json.dumps(payload).encode()
+    with pytest.raises(ValueError, match="split-index row count mismatch"):
+        _collect(p, [LessThan(("id",), 1000.0)])
+
+
+def test_stats_dropped_largest_first_when_comment_overflows(tmp_path):
+    """A synthetic overflow: _publish_index keeps the index and sheds
+    stats columns (largest first) instead of losing the whole comment."""
+    import io
+
+    from sheetreader_duckdb_spark.sources.xlsx.writer import _publish_index
+
+    pts = [(100 * (i + 1), 10 * (i + 1)) for i in range(2000)]
+    big = {c: [float(i) for i in range(4002 * 2)] for c in ("A", "B")}
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("x", b"")
+        _publish_index(zf, SHEET, pts, 99_999, 99_999, None, 0, 0, stats=big)
+        comment = zf.comment
+    assert comment.startswith(SI.MAGIC)
+    import json
+
+    payload = json.loads(comment[len(SI.MAGIC):])
+    assert payload["e"] == SHEET and len(payload["c"]) == 2000
+    assert "st" not in payload or len(payload["st"]) < 2
+
+
+def test_writer_files_without_stats_still_read(stats_xlsx, tmp_path):
+    """Our own sink writes indexes WITHOUT stats (authoring lives in the
+    indexer): filters on such files simply don't prune — same rows."""
+    w = IncrementalXlsxWriter(str(tmp_path / "nosts.xlsx"), "Sheet1")
+    w.write_row(["id", "name", "d"])
+    for i in range(N // 2):
+        w.write_row([float(i), f"r{i}", BASE])
+    p = w.close()
+    with zipfile.ZipFile(p) as zf:
+        pts = SI.decode_split_index(zf, SHEET)
+        assert pts is not None
+        assert SI.decode_interval_stats(zf, SHEET, pts) is None
+    got = _collect(p, [LessThan(("id",), 10.0)])
+    assert sorted(r[0] for r in got) == [float(i) for i in range(10)]

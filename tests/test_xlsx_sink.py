@@ -232,3 +232,44 @@ def test_single_file_insufficient_probe_still_errors(spark, tmp_path, _register)
     w.close()
     with pytest.raises(Exception, match="Unknown cell type"):
         spark.read.format("sheetreader").load(p).collect()
+
+
+def test_sink_parts_carry_split_index(spark, tmp_path):
+    """Every big-enough workbook the distributed sink writes carries the
+    split index (VERDICT r11 task 6): a downstream sharded read of
+    sink-produced parts plans seek-and-inflate intervals, not
+    O(shards x file) re-inflation. Small parts are legitimately
+    unindexed (below one flush interval)."""
+    import glob
+    import zipfile
+
+    from pyspark.sql import functions as F
+
+    from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
+
+    out = str(tmp_path / "indexed_parts")
+    (
+        spark.range(300_000)
+        .select(
+            F.col("id").cast("double").alias("k"),
+            F.concat(F.lit("u"), F.col("id").cast("string"), F.lit("-" + "y" * 30)).alias("txt"),
+        )
+        .repartition(2)
+        .write.format("sheetreader")
+        .mode("overwrite")
+        .save(out)
+    )
+    parts = sorted(glob.glob(out + "/*.xlsx"))
+    assert len(parts) == 2
+    for p in parts:
+        with zipfile.ZipFile(p) as zf:
+            pts = SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+            assert pts is not None and len(pts) >= 2, p
+            spts = SI.decode_sst_index(zf)
+            assert spts is not None, p
+    # and the sharded read of the directory is exact
+    back = (
+        spark.read.format("sheetreader").option("threads", "4").load(out)
+    )
+    agg = back.agg(F.count("*"), F.bit_xor(F.xxhash64("k", "txt"))).collect()[0]
+    assert agg[0] == 300_000
