@@ -106,6 +106,18 @@ def index_xlsx(path, out_path=None, **kwargs):
     return _ix(path, out_path=out_path, **kwargs)
 
 
+def index_xlsx_dir(spark, path_or_glob, **kwargs):
+    """Distributed in-place retrofit of every workbook in a directory or
+    glob — one Spark task per file; per-file failures reported, not
+    fatal. See ``sources.xlsx.indexer.index_xlsx_dir``."""
+    register(spark)
+    from sheetreader_duckdb_spark.sources.xlsx.indexer import (
+        index_xlsx_dir as _ixd,
+    )
+
+    return _ixd(spark, path_or_glob, **kwargs)
+
+
 def read_xlsx(spark, path, columns=None, where=None, **options):
     """Read an XLSX through the sheetreader source, stating the projection
     (and optionally the filter) up front — the documented pattern for

@@ -582,6 +582,7 @@ class SheetReaderDataSource(DataSource):
             max_rows,
             _parse_bool(self.options.get("date1904")),
             token,
+            index_stats=_parse_bool(self.options.get("index_stats")),
         )
 
 
@@ -614,13 +615,21 @@ class SheetReaderWriter(DataSourceWriter):
     file into the table directory. A failed or aborted job therefore
     leaves no visible workbook and no staged bytes behind."""
 
-    def __init__(self, path, names, sheet_name, max_rows, date1904, token):
+    def __init__(
+        self, path, names, sheet_name, max_rows, date1904, token,
+        index_stats: bool = False,
+    ):
         self.path = path
         self.names = list(names)
         self.sheet_name = sheet_name
         self.max_rows = max_rows
         self.date1904 = date1904
         self.token = token
+        # Opt-in (`index_stats`): per-interval min/max stats in each
+        # part's split index, enabling filter-driven interval pruning on
+        # read-back without a retrofit pass. Off by default — the
+        # collector's cell-regex + float-fold is a write-path tax.
+        self.index_stats = index_stats
 
     def _staging_dir(self) -> str:
         return os.path.join(self.path, f".staging-{self.token}")
@@ -655,6 +664,7 @@ class SheetReaderWriter(DataSourceWriter):
                 os.path.join(self.path, w_tmp),
                 self.sheet_name,
                 self.date1904,
+                stats=self.index_stats,
             )
             w.write_row(list(self.names))
             rows_in_file = 0

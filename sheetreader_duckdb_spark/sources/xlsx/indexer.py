@@ -426,3 +426,57 @@ def index_xlsx(
 
 class _TooSmall(Exception):
     """No member reached one split interval (control flow only)."""
+
+
+def index_xlsx_dir(
+    spark,
+    path_or_glob: str,
+    sheet_name: "str | None" = None,
+    sheet_index: "int | None" = None,
+    replace_comment: bool = False,
+    stats: bool = True,
+) -> list[dict]:
+    """Distributed retrofit of a whole corpus: one Spark task per
+    workbook, each running ``index_xlsx`` IN PLACE (per-file output paths
+    don't generalize to a sweep; each file's replace is atomic). This is
+    the conversion story at fleet scale — indexing a directory of
+    foreign XLSX is embarrassingly parallel per file, and each task's
+    work is one sequential inflate+deflate of its own file.
+
+    ``path_or_glob``: a directory (its ``*.xlsx``, non-recursive) or a
+    glob pattern. Paths must be visible to the executors (shared
+    filesystem — the same constraint as reading them). Per-file failures
+    are REPORTED, not fatal: the sweep returns one result dict per file
+    (``index_xlsx``'s shape, plus ``reason: "error: ..."`` rows for
+    files that raised), so a single corrupt workbook can't kill a
+    million-file sweep."""
+    import glob as _glob
+
+    if os.path.isdir(path_or_glob):
+        paths = sorted(_glob.glob(os.path.join(path_or_glob, "*.xlsx")))
+    else:
+        paths = sorted(_glob.glob(path_or_glob))
+    if not paths:
+        raise ValueError(f"no .xlsx files match {path_or_glob!r}")
+    kwargs = dict(
+        sheet_name=sheet_name, sheet_index=sheet_index,
+        replace_comment=replace_comment, stats=stats,
+    )
+
+    def _one(it):
+        from sheetreader_duckdb_spark.sources.xlsx.indexer import index_xlsx
+
+        for p in it:
+            try:
+                yield index_xlsx(p, **kwargs)
+            except Exception as e:  # noqa: BLE001 — sweep survives one bad file
+                yield {
+                    "indexed": False, "reason": f"error: {e}", "rows": 0,
+                    "worksheet_points": 0, "sst_points": 0, "path": p,
+                }
+
+    return (
+        spark.sparkContext.parallelize(paths, len(paths))
+        .mapPartitions(_one)
+        .collect()
+    )

@@ -292,8 +292,12 @@ def _write_indexed_member(
     return (points if (indexable and points) else None), ctr.count
 
 
-def _write_sheet_member(zf, name: str, chunks) -> "tuple[list | None, int]":
-    return _write_indexed_member(zf, name, chunks, b"</row>", b"<row ")
+def _write_sheet_member(
+    zf, name: str, chunks, on_piece=None
+) -> "tuple[list | None, int]":
+    return _write_indexed_member(
+        zf, name, chunks, b"</row>", b"<row ", on_piece=on_piece
+    )
 
 
 def _publish_index(
@@ -482,12 +486,21 @@ class IncrementalXlsxWriter:
     buffer. Numeric/date/bool-heavy data streams in O(1).
     """
 
-    def __init__(self, path: str, sheet_name: str = "Sheet1", date1904: bool = False):
+    def __init__(
+        self, path: str, sheet_name: str = "Sheet1", date1904: bool = False,
+        stats: bool = False,
+    ):
         import tempfile
 
         self.path = path
         self.sheet_name = sheet_name
         self.date1904 = date1904
+        # Opt-in per-interval min/max statistics (r11): the close() pass
+        # already streams every sheet byte, so the collector rides the
+        # same write — but cell-regex + float-fold per interval is a
+        # measurable write-path tax, so the sink exposes it as the
+        # `index_stats` option rather than paying it on every export.
+        self.stats = stats
         self._sst: list[str] = []
         self._sst_index: dict[str, int] = {}
         # The spool lives next to the output path. The distributed sink
@@ -599,8 +612,14 @@ class IncrementalXlsxWriter:
                             yield c
                     yield b"</sheetData>\n</worksheet>"
 
+                coll = None
+                if self.stats:
+                    from .indexer import _IntervalStatsCollector
+
+                    coll = _IntervalStatsCollector(b"")
                 pts, nrows = _write_sheet_member(
-                    zf, "xl/worksheets/sheet1.xml", _sheet_chunks()
+                    zf, "xl/worksheets/sheet1.xml", _sheet_chunks(),
+                    on_piece=coll.on_piece if coll else None,
                 )
                 def _sst_chunks():
                     yield (
@@ -633,6 +652,7 @@ class IncrementalXlsxWriter:
                     zf, "xl/worksheets/sheet1.xml",
                     pts, nrows, self.n_rows,
                     spts, n_si, len(self._sst),
+                    stats=coll.aligned(pts, nrows) if coll else None,
                 )
         finally:
             self._spool.close()

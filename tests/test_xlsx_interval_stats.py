@@ -270,3 +270,44 @@ def test_writer_files_without_stats_still_read(stats_xlsx, tmp_path):
         assert SI.decode_interval_stats(zf, SHEET, pts) is None
     got = _collect(p, [LessThan(("id",), 10.0)])
     assert sorted(r[0] for r in got) == [float(i) for i in range(10)]
+
+
+def test_sink_index_stats_option(spark, tmp_path):
+    """The sink's opt-in `index_stats` authors stats at write time —
+    read-back with a pushed filter prunes without any retrofit pass;
+    default writes stay statless."""
+    from pyspark.sql import functions as F
+
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    out = str(tmp_path / "sink_stats")
+    (
+        spark.range(150_000)
+        .select(
+            F.col("id").cast("double").alias("id"),
+            F.concat(F.lit("s"), F.col("id").cast("string"), F.lit("-" + "z" * 30)).alias("txt"),
+        )
+        .repartition(1)
+        .write.format("sheetreader")
+        .option("index_stats", "true")
+        .mode("overwrite")
+        .save(out)
+    )
+    import glob
+
+    part = glob.glob(out + "/*.xlsx")[0]
+    with zipfile.ZipFile(part) as zf:
+        pts = SI.decode_split_index(zf, SHEET)
+        st = SI.decode_interval_stats(zf, SHEET, pts)
+    assert st is not None and "A" in st
+    schema = StructType(
+        [StructField("id", DoubleType()), StructField("txt", StringType())]
+    )
+    got = _collect(part, [LessThan(("id",), 5.0)], schema=schema)
+    assert sorted(r[0] for r in got) == [0.0, 1.0, 2.0, 3.0, 4.0]
+    # read-back equality with and without the option
+    from sheetreader_duckdb_spark import read_xlsx
+
+    n = read_xlsx(spark, part, where="id >= 149000").count()
+    assert n == 1000
