@@ -862,6 +862,35 @@ class SheetReaderReader(DataSourceReader):
                         n = max(1, min(n, round(8 * sheet_u / sst_u)))
                 except Exception:
                     pass  # unreadable zip fails later with a real error
+                # Prune-aware fan-out (r11): a selective filter on a
+                # stats-indexed file should not schedule a task per
+                # interval it will never inflate — at fleet scale a point
+                # lookup must not fan out 1000 no-op tasks. Planning-time
+                # only (read-time skips are recomputed per partition and
+                # own correctness); applied only without a `columns`
+                # option, where output names map to file columns by
+                # position. Any failure keeps the size-based n.
+                if self._staged_filters and self.opts.columns is None and n > 1:
+                    try:
+                        with P.XlsxWorkbook(p) as wb:
+                            sheet = wb.resolve_sheet(
+                                self.opts.sheet_name, self.opts.sheet_index
+                            )
+                            pts = SI.decode_split_index(wb.zf, sheet.path)
+                            st = (
+                                SI.decode_interval_stats(wb.zf, sheet.path, pts)
+                                if pts
+                                else None
+                            )
+                            if st:
+                                skips = _plan_interval_skips(
+                                    self._staged_filters, self.schema,
+                                    [f.name for f in self.schema.fields],
+                                    st, wb.date1904,
+                                )
+                                n = max(1, min(n, len(pts) - len(skips)))
+                    except Exception:
+                        pass
             parts.extend(
                 _SheetPartition(p, shard=i, n_shards=n, filters=self._staged_filters)
                 for i in range(n)
@@ -1622,6 +1651,16 @@ def row_count(
             dim = wb.dimension(sheet)
             if dim is not None:
                 return max(0, dim[0] - schema.skip_rows)
+        # Split-indexed files serve the count from the index terminal —
+        # O(1) instead of streaming the member (a 10 GB sheet's count
+        # should not cost an inflate). Same trust class as the
+        # <dimension> shortcut but SAFER: the index total is counted by
+        # our writers/retrofitter with the scan's own row convention, and
+        # any sharded read of the same file re-validates it loudly
+        # per-interval; dimension tags are third-party metadata.
+        pts = SI.decode_split_index(wb.zf, sheet.path)
+        if pts is not None:
+            return max(0, pts[-1][1] - schema.skip_rows)
         return max(0, wb.count_rows(sheet) - schema.skip_rows)
 
 

@@ -311,3 +311,39 @@ def test_sink_index_stats_option(spark, tmp_path):
 
     n = read_xlsx(spark, part, where="id >= 149000").count()
     assert n == 1000
+
+
+def test_prune_aware_partition_planning(stats_xlsx):
+    """A selective staged filter on a stats-indexed file caps the auto
+    fan-out at the surviving interval count — a point lookup must not
+    schedule a task per interval it will never inflate (r11)."""
+    reader = DS.SheetReaderReader(
+        {"path": stats_xlsx, "filter_pushdown": "true", "max_shards": "64"},
+        SCHEMA,
+    )
+    # Force the auto branch past the n<=4 shortcut by checking the file
+    # is big enough; then stage a highly selective filter.
+    wide = reader.partitions()
+    remaining = reader.pushFilters([EqualTo(("id",), 77_777.0)])
+    assert remaining == []  # absorbed
+    narrow = reader.partitions()
+    if len(wide) > 4:  # fixture big enough for the probe branch
+        assert len(narrow) < len(wide), (len(narrow), len(wide))
+    # the narrow plan still returns exactly the matching rows
+    rows = []
+    for part in narrow:
+        for batch in reader.read(part):
+            rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
+    assert [r[0] for r in rows] == [77_777.0]
+
+
+def test_row_count_served_from_index(stats_xlsx, monkeypatch):
+    """row_count on an indexed file is O(1): the streaming counter must
+    not run (the index terminal carries the same row-start count)."""
+    import sheetreader_duckdb_spark.sources.xlsx.parser as P2
+
+    def boom(self, sheet):
+        raise AssertionError("count_rows streamed despite the index")
+
+    monkeypatch.setattr(P2.XlsxWorkbook, "count_rows", boom)
+    assert DS.row_count(stats_xlsx) == N  # header consumed by inference

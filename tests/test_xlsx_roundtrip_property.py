@@ -247,3 +247,114 @@ def test_split_index_roundtrip_property(tmp_path_factory, col_types, n_rows, dat
     # interleave, and partition order is not part of the reader contract.
     key = lambda d: repr(sorted(d.items()))  # noqa: E731
     assert sorted(sharded, key=key) == sorted(single, key=key)
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    col_types=st.lists(st.sampled_from(list(_cell)), min_size=1, max_size=3),
+    n_rows=st.integers(min_value=8, max_value=60),
+    data=st.data(),
+)
+def test_retrofit_and_pruning_roundtrip_property(
+    tmp_path_factory, col_types, n_rows, data
+):
+    """r11 retrofit + interval stats under a TINY interval (hypothesis):
+    write a random hostile table, FOREIGNIZE it (plain recompression —
+    single deflate streams, no comment), retrofit with stats, then pin
+    (a) sharded == single == the pre-retrofit read, and (b) a random
+    range filter on the first DOUBLE column returns exactly the
+    Python-filtered rows through the pruned path."""
+    import zipfile
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+    from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
+    from sheetreader_duckdb_spark.sources.xlsx import writer as W
+    from sheetreader_duckdb_spark.sources.xlsx.indexer import index_xlsx
+
+    header = [f"c{i}" for i in range(len(col_types))]
+    rows = []
+    for r in range(n_rows):
+        row = []
+        for i, t in enumerate(col_types):
+            if r > 0 and data.draw(st.booleans(), label=f"null_{r}_{i}"):
+                row.append(None)
+            else:
+                row.append(data.draw(_cell[t], label=f"v_{r}_{i}"))
+        rows.append(row)
+    d = tmp_path_factory.mktemp("retro_prop")
+    src = str(d / "s.xlsx")
+    write_xlsx(src, {"S": [header] + rows}, date1904=False)
+    path = str(d / "f.xlsx")
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(
+        path, "w", zipfile.ZIP_DEFLATED
+    ) as zout:
+        for info in zin.infolist():
+            zout.writestr(info.filename, zin.read(info.filename))
+
+    P._SST_LAZY_CACHE.clear()
+    _, before = _read_all_opts(path, threads="1")
+
+    saved = W.SPLIT_INTERVAL
+    W.SPLIT_INTERVAL = 256
+    try:
+        out = index_xlsx(path)
+    finally:
+        W.SPLIT_INTERVAL = saved
+    assert out["indexed"] and out["rows"] == n_rows + 1
+
+    with zipfile.ZipFile(path) as zf:
+        pts = SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+        assert pts is not None and pts[-1][1] == n_rows + 1
+        stats = SI.decode_interval_stats(zf, "xl/worksheets/sheet1.xml", pts)
+
+    P._SST_LAZY_CACHE.clear()
+    _, single = _read_all_opts(path, threads="1")
+    P._SST_LAZY_CACHE.clear()
+    _, sharded = _read_all_opts(path, threads="5")
+    key = lambda dd: repr(sorted(dd.items(), key=str))  # noqa: E731
+    assert sorted(single, key=key) == sorted(before, key=key)
+    assert sorted(sharded, key=key) == sorted(before, key=key)
+
+    # pruned range read on the first DOUBLE column (if any, and only when
+    # stats were actually published for it)
+    if "DOUBLE" not in col_types or stats is None:
+        return
+    ci = col_types.index("DOUBLE")
+    letter = chr(ord("A") + ci)
+    if letter not in stats:
+        return
+    lo = data.draw(_cell["DOUBLE"], label="flt_lo")
+    hi = data.draw(_cell["DOUBLE"], label="flt_hi")
+    if lo > hi:
+        lo, hi = hi, lo
+    from pyspark.sql.types import StructField as SF_, StructType as ST_
+
+    sql_to_spark = {
+        "VARCHAR": StringType(), "DOUBLE": DoubleType(),
+        "BOOLEAN": BooleanType(), "DATE": DateType(),
+    }
+    schema = ST_([SF_(h, sql_to_spark[t]) for h, t in zip(header, col_types)])
+    reader = SheetReaderReader({"path": path, "threads": "3"}, schema)
+    got = []
+    from sheetreader_duckdb_spark.sources.xlsx.datasource import _SheetPartition
+
+    for s in range(3):
+        part = _SheetPartition(
+            path, shard=s, n_shards=3,
+            filters=(
+                GreaterThanOrEqual((header[ci],), lo),
+                LessThanOrEqual((header[ci],), hi),
+            ),
+        )
+        for batch in reader.read(part):
+            got.extend(zip(*[c.to_pylist() for c in batch.columns]))
+    name = header[ci]
+    want = sorted(
+        (r for r in before if r[name] is not None and lo <= r[name] <= hi),
+        key=key,
+    )
+    got_dicts = sorted((dict(zip(header, g)) for g in got), key=key)
+    assert [sorted(x.items(), key=str) for x in got_dicts] == [
+        sorted(x.items(), key=str) for x in want
+    ]
