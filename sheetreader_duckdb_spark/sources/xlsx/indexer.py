@@ -349,35 +349,41 @@ def index_xlsx(
             f".idx-tmp-{os.getpid()}-{os.path.basename(dest)}",
         )
         try:
+            sheet_paths = {s.path for s in wb.sheets}
             with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zout:
                 pts = spts = None
                 nrows = n_si = 0
                 mixed = False
                 ivstats = None
+                extra: dict = {}
                 for info in infos:
                     if info.filename == sheet.path:
-                        anyctr = _AnyRowStreamCounter()
-
-                        def _counted(chunks):
-                            for c in chunks:
-                                anyctr.feed(c)
-                                yield c
-
-                        coll = _IntervalStatsCollector(pfx) if stats else None
-                        pts, nrows = _reencode_member(
-                            zout, info,
-                            _counted(_inflate_chunks(wb.zf, sheet.path)),
-                            b"</" + pfx + b"row>", b"<" + pfx + b"row",
-                            b"<" + pfx + b"rowB",
-                            on_piece=coll.on_piece if coll else None,
+                        pts, nrows, ivstats, mixed = _index_one_sheet(
+                            zout, wb, path, info, pfx, stats
                         )
-                        if anyctr.close() != nrows:
+                        if mixed:
                             # Rows under other prefixes exist: the
                             # detected-prefix counts would disagree with
                             # the reader's parse — never index on a lie.
-                            pts, mixed = None, True
-                        elif coll is not None:
-                            ivstats = coll.aligned(pts, nrows)
+                            pts, ivstats = None, None
+                    elif info.filename in sheet_paths:
+                        # Additional worksheets of a multi-sheet workbook
+                        # (r11): each gets its own flush points + section
+                        # under the `m` key, so a sheet_index/sheet_name
+                        # read of ANY big sheet shards with seeks.
+                        pfx2 = detect_row_prefix(
+                            _peek(wb.zf, info.filename, 4 << 20)
+                        )
+                        if pfx2 is None:
+                            _raw_copy(zout, path, info)
+                            continue
+                        pts2, n2, st2, mixed2 = _index_one_sheet(
+                            zout, wb, path, info, pfx2, stats
+                        )
+                        if pts2 and not mixed2:
+                            extra[info.filename] = {
+                                "n": n2, "points": pts2, "stats": st2,
+                            }
                     elif info.filename == SST_ENTRY and sst_pfx is not None:
                         spts, n_si = _reencode_member(
                             zout, info, _inflate_chunks(wb.zf, SST_ENTRY),
@@ -386,16 +392,16 @@ def index_xlsx(
                         )
                     else:
                         _raw_copy(zout, path, info)
-                if pts is None and spts is None:
+                if pts is None and spts is None and not extra:
                     raise _TooSmall
                 # Counted during the write with the reader's own needle
                 # convention over the same bytes — expected == counted by
                 # construction; _publish_index still owns size limits
-                # (stats columns drop largest-first if the comment would
-                # exceed the 64 KB ceiling).
+                # (stats columns drop largest-first, then extra sheets,
+                # if the comment would exceed the 64 KB ceiling).
                 _publish_index(
                     zout, sheet.path, pts, nrows, nrows, spts, n_si, n_si,
-                    stats=ivstats,
+                    stats=ivstats, extra_sheets=extra or None,
                 )
                 published = bool(zout.comment)
             if not published:
@@ -420,8 +426,30 @@ def index_xlsx(
         return {
             "indexed": True, "reason": None, "rows": nrows,
             "worksheet_points": len(pts or []), "sst_points": len(spts or []),
-            "path": dest,
+            "extra_sheets": len(extra), "path": dest,
         }
+
+
+def _index_one_sheet(zout, wb, src_path, info, pfx, want_stats):
+    """Re-deflate one worksheet member with flush points and the full
+    honesty kit: any-prefix stream count (mixed detection) + optional
+    interval statistics. Returns (points, n_rows, stats, mixed)."""
+    anyctr = _AnyRowStreamCounter()
+
+    def _counted(chunks):
+        for c in chunks:
+            anyctr.feed(c)
+            yield c
+
+    coll = _IntervalStatsCollector(pfx) if want_stats else None
+    pts, n = _reencode_member(
+        zout, info, _counted(_inflate_chunks(wb.zf, info.filename)),
+        b"</" + pfx + b"row>", b"<" + pfx + b"row", b"<" + pfx + b"rowB",
+        on_piece=coll.on_piece if coll else None,
+    )
+    if anyctr.close() != n:
+        return pts, n, None, True
+    return pts, n, (coll.aligned(pts, n) if coll else None), False
 
 
 class _TooSmall(Exception):

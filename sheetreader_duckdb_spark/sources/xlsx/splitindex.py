@@ -67,6 +67,7 @@ def encode_split_index(
     sst_points: "list[tuple[int, int]] | None" = None,
     sst_total: int = 0,
     stats: "dict[str, list] | None" = None,
+    extra_sheets: "dict[str, dict] | None" = None,
 ) -> bytes:
     """Comment bytes for one indexed worksheet entry (+ optionally the
     shared-strings heap). ``points`` are (compressed offset relative to
@@ -80,7 +81,13 @@ def encode_split_index(
     min/max array over the column's raw numeric cell values (date serials
     included raw) with null pairs for statless intervals — the parquet
     row-group-stats pattern: a selective filter skips whole intervals
-    before inflating a byte (interval pruning, datasource side)."""
+    before inflating a byte (interval pruning, datasource side).
+    ``extra_sheets`` (r11) carries sections for ADDITIONAL worksheet
+    members of a multi-sheet workbook under the ``m`` key —
+    ``{entry: {"n": total, "points": [...], "stats": {...} | None}}`` —
+    so every big sheet is splittable, not just the one the default scan
+    resolves; the primary sheet stays in the top-level keys for
+    compatibility with indexes written before this field existed."""
     coffs, rows = _deltas(points)
     payload = {"e": entry, "n": total_rows, "c": coffs, "r": rows}
     if sst_points:
@@ -90,6 +97,15 @@ def encode_split_index(
         payload["sn"] = sst_total
     if stats:
         payload["st"] = stats
+    if extra_sheets:
+        m = {}
+        for entry2, sec in extra_sheets.items():
+            c2, r2 = _deltas(sec["points"])
+            s2 = {"n": sec["n"], "c": c2, "r": r2}
+            if sec.get("stats"):
+                s2["st"] = sec["stats"]
+            m[entry2] = s2
+        payload["m"] = m
     out = MAGIC + json.dumps(payload, separators=(",", ":")).encode("ascii")
     if len(out) > 0xFFFF:
         raise ValueError("split index exceeds the zip comment limit")
@@ -136,6 +152,20 @@ def _payload(zf: zipfile.ZipFile) -> "dict | None":
         return None
 
 
+def _section_for(payload: dict, entry: str) -> "dict | None":
+    """The index section describing ``entry``: the top-level keys when it
+    is the primary sheet, else its ``m`` sub-dict (multi-sheet workbooks,
+    r11). None when the comment says nothing about this member."""
+    if payload.get("e") == entry:
+        return payload
+    m = payload.get("m")
+    if isinstance(m, dict):
+        sec = m.get(entry)
+        if isinstance(sec, dict):
+            return sec
+    return None
+
+
 def decode_split_index(
     zf: zipfile.ZipFile, entry: str
 ) -> "list[tuple[int, int]] | None":
@@ -143,11 +173,15 @@ def decode_split_index(
     implicit terminal point (compress_size, total_rows) — or None when the
     archive carries no usable index for this entry (no comment, other
     entry, non-deflate member, or any structural inconsistency; the caller
-    falls back to the sequential scan, results identical either way)."""
+    falls back to the sequential scan, results identical either way).
+    Resolves additional-sheet sections (``m``) as well as the primary."""
     payload = _payload(zf)
-    if payload is None or payload.get("e") != entry:
+    if payload is None:
         return None
-    return _decode_points(zf, entry, payload, "c", "r", "n")
+    sec = _section_for(payload, entry)
+    if sec is None:
+        return None
+    return _decode_points(zf, entry, sec, "c", "r", "n")
 
 
 def decode_sst_index(zf: zipfile.ZipFile) -> "list[tuple[int, int]] | None":
@@ -177,9 +211,12 @@ def decode_interval_stats(
     interval 0 is always materialized and count-checked, which catches
     whole-file staleness loudly.)"""
     payload = _payload(zf)
-    if payload is None or payload.get("e") != entry:
+    if payload is None:
         return None
-    st = payload.get("st")
+    sec = _section_for(payload, entry)
+    if sec is None:
+        return None
+    st = sec.get("st")
     if not isinstance(st, dict) or not st:
         return None
     n_iv = len(points)

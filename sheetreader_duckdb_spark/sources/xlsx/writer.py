@@ -303,6 +303,7 @@ def _write_sheet_member(
 def _publish_index(
     zf, name: str, pts, nrows: int, expected_rows: int,
     spts, n_si: int, expected_si: int, stats: "dict | None" = None,
+    extra_sheets: "dict | None" = None,
 ) -> None:
     """Set the archive comment for whichever validated sections exist —
     shared by both writers and the retrofit indexer (r10 review: the two
@@ -312,15 +313,20 @@ def _publish_index(
     the file itself is still fine, it just loses the optimization). An
     sst-only comment is valid (heap-dominated workbooks whose tiny sheet
     never reaches one interval still get interval heaps + the planner's
-    cap lift). Size discipline against the 64 KB comment ceiling, most
-    valuable sections last to go: per-interval ``stats`` columns drop
-    largest-first, then the sst section, and the worksheet section is
-    kept alone as the floor."""
+    cap lift); ``extra_sheets`` carry additional worksheets of a
+    multi-sheet workbook (r11). Size discipline against the 64 KB comment
+    ceiling, most valuable sections last to go: per-interval ``stats``
+    columns drop largest-first (across all sheets), then whole extra-sheet
+    sections largest-first, then the sst section, and the primary
+    worksheet section is kept alone as the floor."""
+    import json as _json
+
     if pts and nrows != expected_rows:
         pts = None
     if spts and n_si != expected_si:
         spts = None
-    if not pts and not spts:
+    extra = {k: dict(v) for k, v in (extra_sheets or {}).items()}
+    if not pts and not spts and not extra:
         return
     stats = dict(stats) if (stats and pts) else None
     while True:
@@ -328,19 +334,33 @@ def _publish_index(
             zf.comment = encode_split_index(
                 name, pts or [], nrows if pts else 0,
                 sst_points=spts, sst_total=expected_si if spts else 0,
-                stats=stats,
+                stats=stats, extra_sheets=extra or None,
             )
             return
         except ValueError:
-            if stats:
-                import json as _json
-
-                biggest = max(
-                    stats, key=lambda k: len(_json.dumps(stats[k]))
+            sections = ([("", stats)] if stats else []) + [
+                (en, sec["stats"]) for en, sec in extra.items()
+                if sec.get("stats")
+            ]
+            if sections:
+                _, en, col = max(
+                    (len(_json.dumps(stt[k])), en, k)
+                    for en, stt in sections
+                    for k in stt
                 )
-                del stats[biggest]
-                if not stats:
-                    stats = None
+                tgt = stats if en == "" else extra[en]["stats"]
+                del tgt[col]
+                if not tgt:
+                    if en == "":
+                        stats = None
+                    else:
+                        extra[en]["stats"] = None
+                continue
+            if extra:
+                del extra[max(extra, key=lambda e: len(extra[e]["points"]))]
+                continue
+            if spts:
+                spts = None
                 continue
             break
     if pts:
@@ -449,20 +469,28 @@ def write_xlsx(
             zf, "xl/sharedStrings.xml",
             iter([sst_xml.encode("utf-8")]), b"</si>", b"<si>",
         )
+        # Every sheet writes with split points (r11: multi-sheet workbooks
+        # previously carried an index only for sheet 1 — a reader of
+        # sheet 2 lost the splittable property). Sheet 1 publishes as the
+        # primary section; the rest ride the `m` section, shed first when
+        # the comment would overflow.
+        pts = None
+        nrows = 0
+        extra: dict = {}
+        row_counts = [len(rows) for rows in sheets.values()]
         for i, xml in enumerate(sheet_xmls):
             name = f"xl/worksheets/sheet{i + 1}.xml"
+            pts_i, nrows_i = _write_sheet_member(
+                zf, name, iter([xml.encode("utf-8")])
+            )
             if i == 0:
-                # Sheet 1 (the one the default scan resolves) writes with
-                # split points; its index rides the archive comment so
-                # sharded readers seek instead of re-inflating the stream
-                # (splitindex module doc). Other consumers ignore both.
-                pts, nrows = _write_sheet_member(zf, name, iter([xml.encode("utf-8")]))
-                _publish_index(
-                    zf, name, pts, nrows, len(next(iter(sheets.values()))),
-                    spts, n_si, len(sst),
-                )
-            else:
-                zf.writestr(name, xml)
+                pts, nrows = pts_i, nrows_i
+            elif pts_i and nrows_i == row_counts[i]:
+                extra[name] = {"n": nrows_i, "points": pts_i}
+        _publish_index(
+            zf, "xl/worksheets/sheet1.xml", pts, nrows, row_counts[0],
+            spts, n_si, len(sst), extra_sheets=extra or None,
+        )
     return path
 
 

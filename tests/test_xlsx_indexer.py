@@ -405,3 +405,69 @@ def test_index_xlsx_dir_distributed_sweep(spark, tmp_path):
         .count()
     )
     assert total == 180_000
+
+
+def test_retrofit_multi_sheet_sections(tmp_path):
+    """Multi-sheet workbooks (r11): EVERY big sheet gets a section — the
+    primary in the top-level keys, the rest under `m` — and a
+    sheet_index=2 sharded read rides its own index (spy-verified),
+    bit-equal to single-thread."""
+    from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+
+    n1, n2 = 60_000, 80_000
+    src = str(tmp_path / "multi.xlsx")
+    write_xlsx(
+        src,
+        {
+            "First": [["a", "b"]] + [[f"x{i}", float(i)] for i in range(n1)],
+            "Second": [["p", "q"]] + [[float(i), float(i * 3)] for i in range(n2)],
+        },
+    )
+    p = _foreignize(src, str(tmp_path / "multi_foreign.xlsx"))
+    out = index_xlsx(p)
+    assert out["indexed"] and out["extra_sheets"] == 1
+
+    from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI2
+
+    with zipfile.ZipFile(p) as zf:
+        pts1 = SI2.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+        pts2 = SI2.decode_split_index(zf, "xl/worksheets/sheet2.xml")
+        assert pts1 is not None and pts1[-1][1] == n1 + 1
+        assert pts2 is not None and pts2[-1][1] == n2 + 1
+        st2 = SI2.decode_interval_stats(zf, "xl/worksheets/sheet2.xml", pts2)
+        assert st2 is not None and "A" in st2  # numeric col on sheet 2
+
+    schema2 = StructType(
+        [StructField("p", DoubleType()), StructField("q", DoubleType())]
+    )
+
+    calls = {"mat": 0}
+    orig = SI.iter_intervals
+
+    def spy(*a, **k):
+        for i, w, c in orig(*a, **k):
+            if w is not None:
+                calls["mat"] += 1
+            yield i, w, c
+
+    DS.SI.iter_intervals = spy
+    try:
+        single = _collect(
+            {"path": p, "threads": "1", "sheet_index": "2"}, schema2
+        )
+        before = calls["mat"]
+        sharded = _collect(
+            {"path": p, "threads": "4", "sheet_index": "2"}, schema2
+        )
+        assert calls["mat"] > before  # sheet 2's sharded read used ITS index
+    finally:
+        DS.SI.iter_intervals = orig
+    assert single == sharded and len(single) == n2
+    assert (79_999.0, 239_997.0) in single
+
+    # writer-side: our own multi-sheet write_xlsx carries both sections
+    with zipfile.ZipFile(src) as zf:
+        assert SI2.decode_split_index(zf, "xl/worksheets/sheet2.xml") is not None
+
+    # row_count of sheet 2 served from its section
+    assert DS.row_count(p, sheet_index=2) == n2 + 1 - 1  # header consumed

@@ -197,11 +197,14 @@ def test_point_thinning_keeps_a_valid_index(tmp_path):
 
 
 def test_second_sheet_never_uses_first_sheets_index(tmp_path):
-    """A multi-sheet workbook indexes sheet 1 only; a sheet_index=2 read
-    must take the sequential path (entry-name check in decode) and agree
-    with the written data. The interval is forced tiny so sheet 1
-    GENUINELY carries an index — at the 4 MB default this workbook would
-    get no comment at all and the decode assertion would pass vacuously
+    """A sheet_index=2 read must never consume sheet 1's index section.
+    Pre-r11 that meant sheet 2 decoded to None (entry-name check); since
+    r11 every big-enough sheet carries its OWN section under the `m` key
+    — so the protection is now: sheet 2's decode returns ITS counts (7+1
+    physical rows), never sheet 1's 201, and the sharded read agrees with
+    the written data. The interval is forced tiny so both sheets
+    GENUINELY carry sections — at the 4 MB default this workbook would
+    get no comment at all and the assertions would pass vacuously
     (r10 review)."""
     from sheetreader_duckdb_spark.sources.xlsx import writer as W
     from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
@@ -216,9 +219,12 @@ def test_second_sheet_never_uses_first_sheets_index(tmp_path):
     finally:
         W.SPLIT_INTERVAL = saved
     with zipfile.ZipFile(path) as zf:
-        # the protection under test only exists if sheet 1 IS indexed
-        assert SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
-        assert SI.decode_split_index(zf, "xl/worksheets/sheet2.xml") is None
+        pts1 = SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+        pts2 = SI.decode_split_index(zf, "xl/worksheets/sheet2.xml")
+        assert pts1 is not None and pts1[-1][1] == 201
+        assert pts2 is not None and pts2[-1][1] == 8  # ITS rows, not 201
+        # an entry the workbook doesn't index resolves to nothing
+        assert SI.decode_split_index(zf, "xl/worksheets/sheet9.xml") is None
     schema = StructType([StructField("b", DoubleType())])
     got = _collect({"path": path, "threads": "2", "sheet_index": "2"}, schema)
     assert sorted(v for (v,) in got) == [float(i) * 2 for i in range(7)]
