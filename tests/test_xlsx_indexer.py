@@ -471,3 +471,71 @@ def test_retrofit_multi_sheet_sections(tmp_path):
 
     # row_count of sheet 2 served from its section
     assert DS.row_count(p, sheet_index=2) == n2 + 1 - 1  # header consumed
+
+
+def test_retrofit_descriptor_written_zip_with_unicode_names(tmp_path):
+    """Foreign files written by STREAMING zip writers carry data
+    descriptors (flag 0x08: zero sizes in the local header, a descriptor
+    after the data — the shape Java's ZipOutputStream and many services
+    emit) plus UTF-8-flagged member names. The retrofit must normalize
+    the descriptor members (real sizes up front, flag cleared), preserve
+    unicode names, and produce a valid indexed archive."""
+    import io
+
+    class NoSeek(io.RawIOBase):
+        def __init__(self):
+            self.buf = bytearray()
+
+        def writable(self):
+            return True
+
+        def write(self, b):
+            self.buf += b
+            return len(b)
+
+        def seekable(self):
+            return False
+
+    from tests.test_xlsx_dense import _prefixed_workbook_parts
+
+    ct, rels, wb_rels, _ = _prefixed_workbook_parts()
+    wb_xml = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    n = 120_000
+    rows = "".join(
+        f'<row r="{i}"><c r="A{i}"><v>{i}</v></c></row>' for i in range(1, n + 1)
+    )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{rows}</sheetData></worksheet>"
+    )
+    out = NoSeek()
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/workbook.xml", wb_xml)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("méta/ünïcode.txt", "hello")
+    p = str(tmp_path / "desc.xlsx")
+    with open(p, "wb") as f:
+        f.write(bytes(out.buf))
+    with zipfile.ZipFile(p) as zf:
+        assert zf.getinfo("xl/worksheets/sheet1.xml").flag_bits & 0x08
+        assert zf.getinfo("méta/ünïcode.txt").flag_bits & 0x800
+
+    res = index_xlsx(p)
+    assert res["indexed"] and res["rows"] == n
+    with zipfile.ZipFile(p) as zf:
+        assert zf.testzip() is None
+        assert zf.read("méta/ünïcode.txt") == b"hello"
+        assert SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")[-1][1] == n
+
+    schema = StructType([StructField("a", DoubleType())])
+    got = _collect({"path": p, "threads": "4", "has_header": "false"}, schema)
+    assert len(got) == n and (1.0,) in got and (float(n),) in got
