@@ -836,49 +836,54 @@ class SheetReaderReader(DataSourceReader):
                         for i in range(n)
                     )
                     continue
+                # One metadata open serves both planning probes (r11
+                # review: the sst probe and the prune block used to open
+                # the same zip twice per filtered file).
                 try:
-                    import zipfile as _zf
-
-                    with _zf.ZipFile(p) as z:
+                    with P.XlsxWorkbook(p) as wb:
                         info = {
-                            i.filename: i.file_size for i in z.infolist()
+                            i.filename: i.file_size
+                            for i in wb.zf.infolist()
                         }
                         # A split-indexed heap removes the per-shard sst
                         # fixed cost entirely (each shard inflates only
                         # the intervals its rows reference), so the cap
                         # below would just throttle a cost that no longer
                         # exists — keep the size-based fan-out.
-                        sst_indexed = SI.decode_sst_index(z) is not None
-                    sst_u = info.get("xl/sharedStrings.xml", 0)
-                    sheet_u = max(
-                        (
-                            v
-                            for k, v in info.items()
-                            if k.startswith("xl/worksheets/")
-                        ),
-                        default=0,
-                    )
-                    if sst_u > 0 and sheet_u > 0 and not sst_indexed:
-                        n = max(1, min(n, round(8 * sheet_u / sst_u)))
-                except Exception:
-                    pass  # unreadable zip fails later with a real error
-                # Prune-aware fan-out (r11): a selective filter on a
-                # stats-indexed file should not schedule a task per
-                # interval it will never inflate — at fleet scale a point
-                # lookup must not fan out 1000 no-op tasks. Planning-time
-                # only (read-time skips are recomputed per partition and
-                # own correctness); applied only without a `columns`
-                # option, where output names map to file columns by
-                # position. Any failure keeps the size-based n.
-                if self._staged_filters and self.opts.columns is None and n > 1:
-                    try:
-                        with P.XlsxWorkbook(p) as wb:
+                        sst_indexed = SI.decode_sst_index(wb.zf) is not None
+                        sst_u = info.get("xl/sharedStrings.xml", 0)
+                        sheet_u = max(
+                            (
+                                v
+                                for k, v in info.items()
+                                if k.startswith("xl/worksheets/")
+                            ),
+                            default=0,
+                        )
+                        if sst_u > 0 and sheet_u > 0 and not sst_indexed:
+                            n = max(1, min(n, round(8 * sheet_u / sst_u)))
+                        # Prune-aware fan-out (r11): a selective filter
+                        # on a stats-indexed file should not schedule a
+                        # task per interval it will never inflate — at
+                        # fleet scale a point lookup must not fan out
+                        # 1000 no-op tasks. Planning-time only (read-time
+                        # skips are recomputed per partition and own
+                        # correctness); applied only without a `columns`
+                        # option, where output names map to file columns
+                        # by position. Any failure keeps the size-based n.
+                        if (
+                            self._staged_filters
+                            and self.opts.columns is None
+                            and n > 1
+                        ):
                             sheet = wb.resolve_sheet(
                                 self.opts.sheet_name, self.opts.sheet_index
                             )
                             pts = SI.decode_split_index(wb.zf, sheet.path)
                             st = (
-                                SI.decode_interval_stats(wb.zf, sheet.path, pts)
+                                SI.decode_interval_stats(
+                                    wb.zf, sheet.path, pts
+                                )
                                 if pts
                                 else None
                             )
@@ -889,8 +894,8 @@ class SheetReaderReader(DataSourceReader):
                                     st, wb.date1904,
                                 )
                                 n = max(1, min(n, len(pts) - len(skips)))
-                    except Exception:
-                        pass
+                except Exception:
+                    pass  # unreadable zip fails later with a real error
             parts.extend(
                 _SheetPartition(p, shard=i, n_shards=n, filters=self._staged_filters)
                 for i in range(n)
@@ -1652,15 +1657,26 @@ def row_count(
             if dim is not None:
                 return max(0, dim[0] - schema.skip_rows)
         # Split-indexed files serve the count from the index terminal —
-        # O(1) instead of streaming the member (a 10 GB sheet's count
-        # should not cost an inflate). Same trust class as the
-        # <dimension> shortcut but SAFER: the index total is counted by
-        # our writers/retrofitter with the scan's own row convention, and
-        # any sharded read of the same file re-validates it loudly
-        # per-interval; dimension tags are third-party metadata.
+        # near-O(1) instead of streaming the member (a 10 GB sheet's
+        # count should not cost a full inflate). Unlike the opt-in
+        # <dimension> shortcut, this stays DEFAULT-ON because it
+        # self-validates (r11 review: an unvalidated comment could go
+        # stale while remaining structurally decodable): interval 0 is
+        # inflated and its parsed row count checked against the recorded
+        # one — the same check every sharded read applies — and ANY
+        # disagreement (count, zlib error, anything) falls back to the
+        # exact streaming count.
         pts = SI.decode_split_index(wb.zf, sheet.path)
         if pts is not None:
-            return max(0, pts[-1][1] - schema.skip_rows)
+            try:
+                for _i, work, rows_in in SI.iter_intervals(
+                    wb.path, wb.zf, sheet.path, pts[:1], 0, 1
+                ):
+                    if P.count_any_row_starts(work) != rows_in:
+                        raise ValueError("interval-0 count mismatch")
+                return max(0, pts[-1][1] - schema.skip_rows)
+            except Exception:
+                pass  # stale/corrupt index: the streaming count is exact
         return max(0, wb.count_rows(sheet) - schema.skip_rows)
 
 

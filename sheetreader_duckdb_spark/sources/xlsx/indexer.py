@@ -142,9 +142,11 @@ class _IntervalStatsCollector:
         for b in bounds:
             merged: "dict | None" = {}
             at = None
+            took = False
             while fi < len(self.fine) and self.fine[fi][0] <= b:
                 at, st = self.fine[fi]
                 fi += 1
+                took = True
                 if merged is None or st is None:
                     merged = None
                     continue
@@ -153,8 +155,12 @@ class _IntervalStatsCollector:
                     merged[k] = (
                         (mn, mx) if got is None else (min(got[0], mn), max(got[1], mx))
                     )
-            if at != b:
+            if took and at != b:
                 return None  # fine/survivor cum mismatch: claim nothing
+            # not took: a ZERO-ROW interval (duplicate cumulative bound —
+            # e.g. the final flush landed exactly on the last row and only
+            # the trailer followed). Nothing to claim, nothing wrong; the
+            # r11 review caught this dropping ALL stats for such files.
             for k in letters_all:
                 got = (merged or {}).get(k)
                 if got is None:
@@ -447,7 +453,11 @@ def _index_one_sheet(zout, wb, src_path, info, pfx, want_stats):
         b"</" + pfx + b"row>", b"<" + pfx + b"row", b"<" + pfx + b"rowB",
         on_piece=coll.on_piece if coll else None,
     )
-    if anyctr.close() != n:
+    # The mixed verdict only means anything when indexing actually ran:
+    # with flush machinery unavailable (pts None, counting stopped early)
+    # the needle count is not comparable and every pure-prefix file would
+    # misreport as mixed (r11 review).
+    if pts is not None and anyctr.close() != n:
         return pts, n, None, True
     return pts, n, (coll.aligned(pts, n) if coll else None), False
 

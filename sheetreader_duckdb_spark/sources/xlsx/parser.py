@@ -1514,9 +1514,23 @@ def _fragment_rows(
     date1904: bool = False,
     allow_inline: bool = False,
 ) -> list[list[tuple[int, int, object]]]:
-    """Expat-parse a `</row>`-aligned XML fragment (irregular chunk fallback)."""
+    """Expat-parse a `</row>`-aligned XML fragment (irregular chunk fallback).
+
+    The FINAL chunk of a worksheet carries the document trailer
+    (``</sheetData></worksheet>`` + any post-sheetData members) — close
+    tags that were never opened inside the fragment, which expat rejects
+    as mismatched inside the synthetic wrapper. Strip from the sheetData
+    close on (rows cannot live past it), HERE, so every fragment call
+    site is safe — r11 review: a well-formed file whose trailing rows
+    used a foreign prefix crashed instead of reading, because the mixed-
+    evidence fix routed its final chunk to this parser with the trailer
+    attached."""
     import io
     from xml.etree.ElementTree import ParseError
+
+    mc = _SHEETDATA_CLOSE_RE.search(work)
+    if mc is not None:
+        work = work[: mc.start()]
 
     rows: list[list[tuple[int, int, object]]] = []
     cells: list[tuple[int, int, object]] = []

@@ -1184,3 +1184,74 @@ def test_retrofit_refuses_mixed_prefix_worksheet(tmp_path):
         assert SI.decode_split_index(zf, "xl/worksheets/sheet1.xml") is None
     # and the file still reads completely
     assert len(_collect_mixed(p, "4")) == n
+
+
+def test_trailing_foreign_rows_in_final_chunk_read_not_crash(tmp_path):
+    """r11 review: a well-formed sheet whose LAST rows (just before
+    </sheetData>) use a foreign prefix routed its trailer-bearing final
+    chunk to the fragment parser, which crashed on the unopened
+    </sheetData></worksheet> close tags. The trailer now strips inside
+    _fragment_rows, so every call site reads such files completely."""
+    import zipfile
+
+    ct, rels, wb_rels, _ = _prefixed_workbook_parts()
+    wb_xml = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    n = 40_000
+    body = []
+    for i in range(1, n + 1):
+        if i > n - 5:  # ONLY the last rows are foreign-prefixed
+            body.append(
+                f'<x:row r="{i}"><x:c r="A{i}"><x:v>{i}</x:v></x:c></x:row>'
+            )
+        else:
+            body.append(f'<row r="{i}"><c r="A{i}"><v>{i}</v></c></row>')
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(body) + "</sheetData>"
+        '<pageMargins left="0.7" right="0.7"/></worksheet>'
+    )
+    p = str(tmp_path / "trail.xlsx")
+    with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/workbook.xml", wb_xml)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    schema = StructType([StructField("a", DoubleType())])
+    got1 = sorted(
+        _collect_mixed_schema(p, "1", schema)
+    )
+    got4 = sorted(_collect_mixed_schema(p, "4", schema))
+    assert len(got1) == n
+    assert got1 == got4
+    assert (float(n),) in got1 and (float(n - 4),) in got1  # the x: rows
+    # and iter_rows (row path) under small chunks — the other call site
+    from sheetreader_duckdb_spark.sources.xlsx import parser as P3
+
+    with P3.XlsxWorkbook(p) as wb:
+        sheet_i = wb.resolve_sheet(None, None)
+        total = sum(
+            1
+            for s in range(3)
+            for _ in wb.iter_rows(sheet_i, chunk_bytes=65536, shard=s, n_shards=3)
+        )
+    assert total == n
+
+
+def _collect_mixed_schema(path, threads, schema):
+    reader = DS.SheetReaderReader(
+        {"path": path, "threads": threads, "has_header": "false"}, schema
+    )
+    rows = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
+    return rows

@@ -539,3 +539,36 @@ def test_retrofit_descriptor_written_zip_with_unicode_names(tmp_path):
     schema = StructType([StructField("a", DoubleType())])
     got = _collect({"path": p, "threads": "4", "has_header": "false"}, schema)
     assert len(got) == n and (1.0,) in got and (float(n),) in got
+
+
+def test_stats_survive_final_flush_on_last_row():
+    """r11 review: a final flush point landing exactly on the last row
+    produces a duplicate cumulative bound (zero-row terminal interval);
+    aligned() must emit a claim-nothing interval, not drop ALL stats."""
+    from sheetreader_duckdb_spark.sources.xlsx.indexer import (
+        _IntervalStatsCollector,
+    )
+
+    coll = _IntervalStatsCollector(b"")
+    coll.fine = [(10, {"A": (0.0, 9.0)}), (20, {"A": (10.0, 19.0)})]
+    out = coll.aligned([(100, 10), (200, 20)], 20)
+    assert out == {"A": [0.0, 9.0, 10.0, 19.0, None, None]}
+
+
+def test_flush_unavailable_reports_unavailable_not_mixed(foreign_xlsx, tmp_path, monkeypatch):
+    """r11 review: with the flush machinery gated off, every file used to
+    misreport as 'mixes row prefixes' (the needle count stops early while
+    the any-prefix count doesn't). The verdict must be the generic
+    nothing-to-index one, and the file untouched."""
+    import shutil
+
+    from sheetreader_duckdb_spark.sources.xlsx import writer as W
+
+    p = str(tmp_path / "gated.xlsx")
+    shutil.copy(foreign_xlsx, p)
+    raw = open(p, "rb").read()
+    monkeypatch.setattr(W, "_FLUSH_OK", False)
+    out = index_xlsx(p)
+    assert not out["indexed"]
+    assert "mixes row prefixes" not in out["reason"]
+    assert open(p, "rb").read() == raw
