@@ -1255,3 +1255,91 @@ def _collect_mixed_schema(path, threads, schema):
         for batch in reader.read(part):
             rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
     return rows
+
+
+def test_mixed_prefix_full_type_matrix_sharded(tmp_path, spark):
+    """Mixed-prefix rows carrying the FULL cell-type matrix — shared
+    strings (both prefixes referencing one heap), booleans, date-styled
+    serials, self-closing foreign empty rows — read bit-equal sharded vs
+    single through the real Spark path."""
+    import zipfile
+
+    from sheetreader_duckdb_spark import register
+
+    register(spark)
+    ct, rels, wb_rels, _ = _prefixed_workbook_parts()
+    wb_xml = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = wb_rels.replace(
+        "</Relationships>",
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+        '<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/></Relationships>',
+    )
+    sst = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">'
+        "<si><t>alpha</t></si><si><t>beta</t></si><si><t>gamma</t></si></sst>"
+    )
+    styles = (
+        '<?xml version="1.0"?>'
+        '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs>'
+        "</styleSheet>"
+    )
+    n = 3000
+    body = []
+    for i in range(1, n + 1):
+        if i % 7 == 0:
+            body.append(f'<x:row r="{i}"/>')  # self-closing FOREIGN empty row
+        elif i % 3 == 0:
+            body.append(
+                f'<x:row r="{i}"><x:c r="A{i}" t="s"><x:v>{i % 3}</x:v></x:c>'
+                f'<x:c r="B{i}"><x:v>{i}.5</x:v></x:c>'
+                f'<x:c r="C{i}" t="b"><x:v>{i % 2}</x:v></x:c>'
+                f'<x:c r="D{i}" s="1"><x:v>44200</x:v></x:c></x:row>'
+            )
+        else:
+            body.append(
+                f'<row r="{i}"><c r="A{i}" t="s"><v>{i % 3}</v></c>'
+                f'<c r="B{i}"><v>{i}.5</v></c>'
+                f'<c r="C{i}" t="b"><v>{i % 2}</v></c>'
+                f'<c r="D{i}" s="1"><v>44200</v></c></row>'
+            )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(body) + "</sheetData></worksheet>"
+    )
+    p = str(tmp_path / "mixed_matrix.xlsx")
+    with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/workbook.xml", wb_xml)
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    mk = lambda t: (  # noqa: E731
+        spark.read.format("sheetreader")
+        .option("has_header", False)
+        .option("types", "VARCHAR,DOUBLE,BOOLEAN,DATE")
+        .option("threads", t)
+        .load(p)
+    )
+    r1 = sorted(map(tuple, mk(1).collect()), key=str)
+    r4 = sorted(map(tuple, mk(4).collect()), key=str)
+    assert r1 == r4
+    assert len(r1) == n
+    import datetime as dt
+
+    d = dt.date(2021, 1, 4)  # serial 44200
+    assert ("alpha", 3.5, True, d) in r1  # a prefixed data row (i=3, 3%3=0)
+    assert ("gamma", 2.5, False, d) in r1  # an unprefixed one (i=2, 2%3=2)
+    assert (None, None, None, None) in r1  # the self-closing foreign rows
+    assert sum(1 for r in r1 if r[0] is None) == n // 7
