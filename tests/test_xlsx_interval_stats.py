@@ -347,3 +347,26 @@ def test_row_count_served_from_index(stats_xlsx, monkeypatch):
 
     monkeypatch.setattr(P2.XlsxWorkbook, "count_rows", boom)
     assert DS.row_count(stats_xlsx) == N  # header consumed by inference
+
+
+def test_columns_pruning_composes_with_interval_pruning(spark, stats_xlsx):
+    """`read_xlsx(columns=…, where=…)`: reader-side column pruning and
+    stats-driven interval pruning on the SAME sharded read — including a
+    column order that differs from the file's (the filter column maps by
+    FILE position, not output slot)."""
+    from sheetreader_duckdb_spark import read_xlsx, register
+
+    register(spark)
+    df = read_xlsx(
+        spark, stats_xlsx, columns=["id", "d"], where="id >= 119000"
+    )
+    rows = sorted(r["id"] for r in df.collect())
+    assert len(rows) == 1000 and rows[0] == 119_000.0 and rows[-1] == 119_999.0
+    # reordered projection + filter on the (file-)third column
+    df2 = read_xlsx(
+        spark, stats_xlsx, columns=["d", "id"],
+        where="d = DATE'2020-04-10'",
+    )
+    got = df2.collect()
+    assert len(got) == 1000
+    assert all(str(r["d"]) == "2020-04-10" for r in got)
