@@ -226,6 +226,12 @@ def test_retrofit_prefixed_document(tmp_path):
     assert out["indexed"] and out["rows"] == n and out["worksheet_points"] >= 1
     after = _collect({**opts, "threads": "4"}, schema)
     assert before == after and len(after) == n
+    # interval stats collect through the PREFIXED cell regex too
+    with zipfile.ZipFile(p) as zf:
+        pts = SI.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+        st = SI.decode_interval_stats(zf, "xl/worksheets/sheet1.xml", pts)
+    assert st is not None and "A" in st and "B" in st
+    assert st["A"][0] is not None and st["A"][0][0] == 1.0
 
 
 def test_retrofit_sst_index(tmp_path):
