@@ -960,18 +960,19 @@ class SheetReaderReader(DataSourceReader):
         # sharded like the columnar path (VERDICT r8 task 2) — each shard
         # cell-parses only its assigned chunks and row-counts the rest.
         # Namespace-prefixed documents shard too since r10 (per-prefix
-        # compiled patterns); only the tier-3 whole-file expat fallback
-        # (mixed prefixes / no detectable opener) stays on shard 0,
-        # decided deterministically because every shard scans chunk 0
-        # (see XlsxWorkbook.iter_rows).
+        # compiled patterns); tier-3 documents shard namespace-
+        # agnostically since r11 (see XlsxWorkbook.iter_rows). Interval
+        # pruning applies here too (r11): the typed inline-strings read
+        # skips stats-proven-empty intervals; coerce reads are
+        # all-VARCHAR, where numeric pruning can't apply by construction.
         yield from self._read_rows(
             partition.path, file_schema, keep,
-            partition.shard, partition.n_shards,
+            partition.shard, partition.n_shards, partition.filters,
         )
 
     def _read_rows(
         self, path: str, file_schema, keep: list,
-        shard: int = 0, n_shards: int = 1,
+        shard: int = 0, n_shards: int = 1, filters: tuple = (),
     ):
         import pyarrow as pa
 
@@ -1011,11 +1012,28 @@ class SheetReaderReader(DataSourceReader):
                 return pa.RecordBatch.from_arrays(arrays, names=[f.name for f in self.schema.fields])
 
             # Smaller chunks when sharded → even round-robin load balance
-            # (same policy as _read_columnar).
+            # (same policy as _read_columnar). Interval pruning mirrors
+            # the columnar path: stats-proven-empty intervals are never
+            # inflated (only reachable with typed columns, i.e. the
+            # inline-strings read — coerce output is all VARCHAR).
+            skip_ivals: frozenset = frozenset()
+            if filters:
+                pts0 = SI.decode_split_index(wb.zf, sheet.path)
+                ivstats = (
+                    SI.decode_interval_stats(wb.zf, sheet.path, pts0)
+                    if pts0
+                    else None
+                )
+                if ivstats:
+                    skip_ivals = _plan_interval_skips(
+                        filters, self.schema, file_schema.names, ivstats,
+                        wb.date1904,
+                    )
             cb = (1 << 20) if n_shards > 1 else (4 << 20)
             for cells in wb.iter_rows(
                 sheet, skip_rows=file_schema.skip_rows,
                 chunk_bytes=cb, shard=shard, n_shards=n_shards,
+                skip_intervals=skip_ivals,
             ):
                 current_row += 1
                 row = [None] * n_cols

@@ -790,6 +790,7 @@ class XlsxWorkbook:
         chunk_bytes: int = 4 << 20,
         shard: int = 0,
         n_shards: int = 1,
+        skip_intervals: "frozenset[int]" = frozenset(),
     ) -> Iterator[list[tuple[int, int, object]]]:
         """Yield rows as lists of (col_idx, cell_type, raw_value), streaming.
 
@@ -829,10 +830,17 @@ class XlsxWorkbook:
         with no findable sheetData opener still parses whole-file on
         shard 0. The fallback DECISION is deterministic: every shard
         scans chunk 0 / the same head bytes, so all shards agree.
+
+        ``skip_intervals`` (r11): split-index interval ordinals the
+        caller's filter statistics prove empty — treated exactly like
+        unassigned intervals on the split acquisition (never inflated;
+        ordinals advance by the recorded counts). Ignored when the scan
+        is sequential (no usable index).
         """
         try:
             yield from self._iter_rows_fast(
-                sheet, skip_rows, chunk_bytes, shard, n_shards
+                sheet, skip_rows, chunk_bytes, shard, n_shards,
+                skip_intervals,
             )
             return
         except _FastPathUnsupported:
@@ -849,6 +857,7 @@ class XlsxWorkbook:
         chunk_bytes: int = 4 << 20,
         shard: int = 0,
         n_shards: int = 1,
+        skip_intervals: "frozenset[int]" = frozenset(),
     ) -> Iterator[list[tuple[int, int, object]]]:
         date_styles = self.date_styles
         colmap: dict[bytes, int] = {}
@@ -900,13 +909,14 @@ class XlsxWorkbook:
         # discipline identical: structural validation on decode plus a
         # per-interval parsed-vs-recorded row-count check.
         split_pts = None
-        if n_shards > 1:
+        if n_shards > 1 or skip_intervals:
             from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI
 
             split_pts = SI.decode_split_index(self.zf, sheet.path)
         if split_pts:
             for i, work, rows_in in SI.iter_intervals(
-                self.path, self.zf, sheet.path, split_pts, shard, n_shards
+                self.path, self.zf, sheet.path, split_pts, shard, n_shards,
+                skip=skip_intervals,
             ):
                 if work is None:
                     row_ord += rows_in

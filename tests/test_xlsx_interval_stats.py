@@ -370,3 +370,33 @@ def test_columns_pruning_composes_with_interval_pruning(spark, stats_xlsx):
     got = df2.collect()
     assert len(got) == 1000
     assert all(str(r["d"]) == "2020-04-10" for r in got)
+
+
+def test_row_path_inline_strings_prunes_too(stats_xlsx, monkeypatch):
+    """The typed ROW path (inline_strings) mirrors the columnar tier's
+    interval pruning (r11): a selective filter skips stats-proven-empty
+    intervals there as well, results identical to the columnar read."""
+    spy = _Spy(monkeypatch)
+    want = sorted(_collect(stats_xlsx, [LessThan(("id",), 500.0)]), key=str)
+
+    def collect_rowpath(filters, threads=3):
+        reader = DS.SheetReaderReader(
+            {
+                "path": stats_xlsx, "threads": str(threads),
+                "inline_strings": "true",  # routes through _read_rows
+            },
+            SCHEMA,
+        )
+        rows = []
+        for s in range(threads):
+            part = DS._SheetPartition(
+                stats_xlsx, shard=s, n_shards=threads, filters=tuple(filters)
+            )
+            for batch in reader.read(part):
+                rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
+        return rows
+
+    spy2 = _Spy(monkeypatch)
+    got = sorted(collect_rowpath([LessThan(("id",), 500.0)]), key=str)
+    assert got == want
+    assert spy2.skipped > spy2.materialized, vars(spy2)
