@@ -198,7 +198,19 @@ def _plan_interval_skips(filters, schema, file_names, ivstats, date1904):
     serial envelopes (±2 days absorbs the workbook date system and the
     1900 phantom-day quirk), so date pruning can only over-keep, never
     over-skip. Interval 0 is never skippable — every shard scans it for
-    the cross-shard fallback decision and the loud staleness check."""
+    the cross-shard fallback decision and the loud staleness check.
+
+    Error-semantics trust model (ADVICE r12): a pruned interval is never
+    inflated, so a parse error lurking inside it (most notably the
+    UNSUPPORTED_STRING_ERROR on ``t="str"``/``t="inlineStr"`` cells)
+    would not fire on a filtered read even though the unfiltered read of
+    the same file raises — the parquet row-group trust model, where
+    skipping is decided by stats alone. Our own stats AUTHOR closes the
+    gap at the source: ``_IntervalStatsCollector`` withholds every claim
+    for intervals containing such cells, so honestly-indexed files error
+    identically with and without pruning; only a hand-forged comment can
+    create the divergence, and forged comments are already documented as
+    silently-wrong-by-design (see the lying-stats trust boundary test)."""
     import datetime as dt
 
     from pyspark.sql.datasource import (

@@ -110,6 +110,17 @@ class _IntervalStatsCollector:
         if len(ms) != len(self._cell_count_re.findall(data)):
             self.fine.append((self._cum, None))  # unseen cells: no claims
             return
+        if any(t in (b"str", b"inlineStr") for _l, _s, t, _v in ms):
+            # Cells the default reader REFUSES (formula/inline strings →
+            # UNSUPPORTED_STRING_ERROR): claiming stats here would let a
+            # pruned filtered read silently succeed where the unfiltered
+            # read of the same file errors — withhold the whole interval
+            # so it always inflates and raises identically (ADVICE r12).
+            # (Most such cells already land in the count-mismatch branch
+            # above — their <is>/<f> children defeat the cell regex — but
+            # a bare `<c t="str"><v>…</v></c>` matches and needs this.)
+            self.fine.append((self._cum, None))
+            return
         per: dict = {}
         for letters, _s, t_attr, v in ms:
             if v and (not t_attr or t_attr == b"n"):

@@ -325,7 +325,14 @@ def _publish_index(
         pts = None
     if spts and n_si != expected_si:
         spts = None
-    extra = {k: dict(v) for k, v in (extra_sheets or {}).items()}
+    # Deep-copy every stats dict before the shedding loop below may
+    # mutate it (`del tgt[col]`): a shallow `dict(v)` shares the inner
+    # stats mapping with the CALLER, so overflow retries would silently
+    # edit the dicts the caller passed in (ADVICE r12).
+    extra = {
+        k: {**v, "stats": dict(v["stats"]) if v.get("stats") else None}
+        for k, v in (extra_sheets or {}).items()
+    }
     if not pts and not spts and not extra:
         return
     stats = dict(stats) if (stats and pts) else None
