@@ -41,7 +41,6 @@ import struct
 import zipfile
 
 from .parser import (
-    _ANY_ROW_RE,
     _SST_PFX_RE,
     XlsxWorkbook,
     count_row_starts,
@@ -181,32 +180,10 @@ class _IntervalStatsCollector:
         return out
 
 
-class _AnyRowStreamCounter:
-    """Exact any-prefix row-start count over a chunked byte stream:
-    matches starting before a 69-byte carry boundary are counted each
-    round (they complete within the buffer for prefixes ≤ 64 chars); the
-    carried bytes are re-searched with the next chunk, so nothing is
-    counted twice or lost. Guards the retrofit against MIXED-prefix
-    worksheets: the detected-prefix row counts would disagree with what
-    the reader parses, so such files get no worksheet index section
-    (sequential + tier-3 sharded reads serve them exactly)."""
-
-    def __init__(self):
-        self.buf = b""
-        self.count = 0
-
-    def feed(self, piece: bytes) -> None:
-        self.buf += piece
-        cut = max(0, len(self.buf) - 69)
-        self.count += sum(
-            1 for m in _ANY_ROW_RE.finditer(self.buf) if m.start() < cut
-        )
-        self.buf = self.buf[cut:]
-
-    def close(self) -> int:
-        self.count += len(_ANY_ROW_RE.findall(self.buf))
-        self.buf = b""
-        return self.count
+# One boundary algorithm, one home (r12 consolidation): the any-prefix
+# stream counter now lives in rowstream with the other stream counters;
+# the old name stays importable for its call/test sites.
+from .rowstream import AnyRowStreamCounter as _AnyRowStreamCounter  # noqa: E402
 
 
 def _strip_zip64_extra(extra: bytes) -> bytes:

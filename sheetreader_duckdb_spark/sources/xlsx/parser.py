@@ -728,20 +728,24 @@ class XlsxWorkbook:
         ``<row>`` element, gaps are not synthesized), so it is safe on
         sparse sheets where the ``<dimension>`` span over-counts. The
         ``[ />]`` suffix class excludes ``<rowBreaks>``.
+
+        The chunk-boundary carry discipline lives in ONE place
+        (``rowstream.MixedAwareRowCounter`` — r12 consolidation): the
+        r11 inline copy undercounted mixed-prefix sheets whose chunk
+        ended mid foreign row tag (ADVICE r12), a hole the shared
+        viable-suffix cut closes for any prefix length.
         """
-        n = 0
-        pfx: bytes | None = None
-        rc_re = _ROW_COUNT_RE
+        ctr: MixedAwareRowCounter | None = None
         with self.zf.open(sheet.path) as f:
             buf = b""
             while True:
-                data = f.read(4 << 20)
+                data = f.read(_COUNT_CHUNK)
                 if not data:
                     break
-                buf += data
-                if pfx is None:
+                if ctr is None:
                     # Prefixed worksheets count their own row tag (r10);
                     # the opener is in the first chunk for any real file.
+                    buf += data
                     pfx = detect_row_prefix(buf)
                     if pfx is None:
                         if len(buf) < (64 << 20):
@@ -752,36 +756,18 @@ class XlsxWorkbook:
                         # unprefixed pattern, the pre-r10 behavior (the
                         # sibling scan loops defeat at the same bound).
                         pfx = b""
-                    rc_re = prefix_res(pfx).row_count_re
-                # Border discipline (r11 fix): rc_re matches are FIXED
-                # length L = 5+len(pfx), so findall over the WHOLE buffer
-                # counts exactly the matches starting at < len(buf)-(L-1)
-                # — keep the last L-1 bytes as the next round's head and
-                # nothing is counted twice or lost. (The previous
-                # work/tail slicing dropped a tag that STARTED before the
-                # cut but ended inside the kept tail: counted by neither
-                # side.) Mixed-prefix chunks (foreign_row_evidence)
-                # recount with the variable-length any-prefix pattern via
-                # a start-position filter at a 69-byte carry (covers
-                # foreign prefixes ≤ 64 chars; uncounted starts land at
-                # or after the cut, exactly the carried bytes).
-                if foreign_row_evidence(buf, pfx):
-                    cut = max(0, len(buf) - 69)
-                    n += sum(
-                        1 for m in _ANY_ROW_RE.finditer(buf) if m.start() < cut
+                    ctr = MixedAwareRowCounter(
+                        pfx, prefix_res(pfx).row_count_re
                     )
+                    ctr.feed(buf)
+                    buf = b""
                 else:
-                    cut = max(0, len(buf) - (4 + len(pfx)))
-                    n += len(rc_re.findall(buf))
-                buf = buf[cut:]
-            if pfx is None:
-                pfx = detect_row_prefix(buf) or b""
-                rc_re = prefix_res(pfx).row_count_re
-            if foreign_row_evidence(buf, pfx):
-                n += count_any_row_starts(buf)
-            else:
-                n += len(rc_re.findall(buf))
-        return n
+                    ctr.feed(data)
+        if ctr is None:  # document smaller than one chunk, opener or not
+            pfx = detect_row_prefix(buf) or b""
+            ctr = MixedAwareRowCounter(pfx, prefix_res(pfx).row_count_re)
+            ctr.feed(buf)
+        return ctr.close()
 
     def iter_rows(
         self,
@@ -1180,6 +1166,10 @@ _ROW_RE = re.compile(rb"<row\b[^>]*?(?:/>|>(.*?)</row>)", re.S)
 # producer desynced the sharded readers' rows_seen, mis-applying
 # skip_rows, because one path counted it and the other didn't).
 _ROW_COUNT_RE = re.compile(rb"<row[ \t\r\n/>]")
+
+# count_rows' stream chunk size — a module constant so boundary tests can
+# shrink it and sweep real chunk-edge alignments (ADVICE r12 item 1).
+_COUNT_CHUNK = 4 << 20
 _CELL_COUNT_RE = re.compile(rb"<c[ />]")
 # Conventional writer attribute order: r, then s, then t (Excel, openpyxl,
 # our writer, the reference demo file). Anything else fails the per-row cell
@@ -1268,8 +1258,15 @@ def prefix_res(pfx: bytes) -> _PrefixRes:
 # Any row-shaped opener under ANY prefix — the zero-match guard that sends
 # chunk 0 to the whole-file expat walk when the detected prefix's scanner
 # sees no rows but row tags exist (mixed/undetected prefixes; previously
-# such documents could silently read as EMPTY — r9).
-_ANY_ROW_RE = re.compile(rb"<(?:[A-Za-z_][\w.-]*:)?row[ \t\r\n/>]")
+# such documents could silently read as EMPTY — r9). Canonical home is
+# rowstream (r12 counter consolidation); re-imported here because every
+# scan tier and the indexer reference it through this module.
+from .rowstream import (  # noqa: E402  (grouped with its siblings below)
+    _ANY_ROW_RE,
+    MixedAwareRowCounter,
+    count_any_row_starts,
+    foreign_row_evidence,
+)
 
 # Tier-3 sharding machinery (r11): any-prefix row-end cut points, and the
 # sheetData open/close tags under any prefix — the preamble before the
@@ -1281,36 +1278,6 @@ _SHEETDATA_OPEN_RE = re.compile(
     rb"<(?:[A-Za-z_][\w.-]*:)?sheetData(?=[ \t\r\n/>])[^>]*>"
 )
 _SHEETDATA_CLOSE_RE = re.compile(rb"</(?:[A-Za-z_][\w.-]*:)?sheetData[ \t\r\n]*>")
-
-
-def foreign_row_evidence(work: bytes, pfx: bytes = b"") -> bool:
-    """Memchr-cheap test for row tags under a DIFFERENT element prefix
-    than the detected one — the mixed-prefix shape the per-prefix
-    scanners would otherwise silently DROP (r11 review: a sheet
-    alternating ``<row>`` and ``<x:row>`` read 267 of 400 rows with no
-    error, because the r9 zero-match guard never fires when SOME rows
-    match). Zero false negatives: a foreign row tag always contains
-    ``:row`` (prefixed) or ``<row`` (unprefixed). False positives
-    (``:row`` inside attribute/text bytes) only cost the exact recount /
-    fragment path — never correctness. Conventional documents pay ONE
-    extra bytes.count pass (~1.3 GB/s measured; the ``:rowB`` pass runs
-    only when the first is nonzero)."""
-    if not pfx:
-        n = work.count(b":row")
-        return n > 0 and n > work.count(b":rowB")
-    if work.count(b"<row") > work.count(b"<rowB"):
-        return True  # unprefixed rows hiding in a prefixed document
-    own = work.count(b"<" + pfx + b"row") - work.count(b"<" + pfx + b"rowB")
-    colon = work.count(b":row") - work.count(b":rowB")
-    return colon != own
-
-
-def count_any_row_starts(work: bytes) -> int:
-    """EXACT row-start count under any element prefix — the regex form
-    (no memchr shortcut exists that is immune to text false positives,
-    and this count feeds row ordinals, so it must be exact). Only runs
-    on chunks where ``foreign_row_evidence`` fired."""
-    return len(_ANY_ROW_RE.findall(work))
 
 
 def count_row_starts(work: bytes, pfx: bytes = b"") -> int:

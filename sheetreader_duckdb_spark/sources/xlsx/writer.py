@@ -195,38 +195,12 @@ def _flush_probe() -> bool:
         return False
 
 
-class _StraddleCounter:
-    """Exact needle count over a chunked byte stream: occurrences fully
-    inside a chunk come from ``piece.count``; occurrences straddling two
-    chunks are caught in a window of the previous (len(needle)-1)-byte
-    tail plus the new head — too short to hold a whole occurrence, so
-    nothing double-counts. ``neg`` subtracts a longer superstring needle
-    (``<rowB`` out of ``<row``: the one other legal worksheet element the
-    row needle prefix-matches) with its own straddle window, matching
-    ``parser.count_row_starts``'s convention exactly — the index's
-    cumulative counts MUST agree with the reader's parse counts or the
-    read fails loudly."""
-
-    __slots__ = ("needle", "neg", "clen", "carry", "count")
-
-    def __init__(self, needle: bytes, neg: "bytes | None" = None):
-        self.needle = needle
-        self.neg = neg
-        self.clen = max(len(needle), len(neg) if neg else 0) - 1
-        self.carry = b""
-        self.count = 0
-
-    def feed(self, piece: bytes) -> None:
-        n = self.needle
-        w = self.carry[-(len(n) - 1):] + piece[: len(n) - 1]
-        c = w.count(n) + piece.count(n)
-        if self.neg:
-            g = self.neg
-            wg = self.carry[-(len(g) - 1):] + piece[: len(g) - 1]
-            c -= wg.count(g) + piece.count(g)
-        self.count += c
-        cl = self.clen
-        self.carry = piece[-cl:] if len(piece) >= cl else (self.carry + piece)[-cl:]
+# One boundary algorithm, one home (r12 consolidation): the fixed-needle
+# stream counter now lives in rowstream with the other stream counters;
+# the old name stays importable for its call/test sites. ``.count`` is
+# exact at every flush point (the property adds completed matches still
+# in the carry), so the indexed-member loop below reads it unchanged.
+from .rowstream import NeedleStreamCounter as _StraddleCounter  # noqa: E402
 
 
 def _write_indexed_member(
