@@ -184,14 +184,23 @@ def supported_pushdown_filter(f, schema: StructType) -> bool:
     return _filter_mask_builder([f], schema) is not None
 
 
-def _plan_interval_skips(filters, schema, file_names, ivstats, date1904):
+def _plan_interval_skips(filters, schema, file_names, ivstats, date1904,
+                         ivstr=None):
     """Interval ordinals provably EMPTY of matching rows under the ANDed
     pushed filters, per the split index's per-interval min/max stats
     (r11 — the parquet row-group-pruning pattern for XLSX: a selective
     filter skips whole intervals before inflating a byte).
 
-    Only comparison/equality/In filters on DOUBLE and DATE columns prune;
-    everything else claims nothing. NULL-safe by construction: those
+    Comparison/equality/In filters on DOUBLE and DATE columns prune
+    against the numeric ``st`` section; the same shapes plus
+    StringStartsWith on STRING columns prune against the truncated
+    (lo, hi) bounds of the ``sv`` section (r12 — ``ivstr``). String
+    bounds are BOUNDS, not exact extrema (lo <= min, hi >= max by the
+    over-keep-only truncation rule), and every predicate below is stated
+    against bounds, so truncation can only cost pruning opportunities,
+    never rows; comparisons are Python str = code-point order = the
+    UTF-8/binary collation Spark and DuckDB sort by. Everything else
+    claims nothing. NULL-safe by construction: those
     predicates never match NULL cells, so a disjoint numeric range proves
     row-emptiness even when the interval also holds NULLs or mismatched
     types (which decode to NULL). DATE filter values convert to WIDENED
@@ -220,20 +229,30 @@ def _plan_interval_skips(filters, schema, file_names, ivstats, date1904):
         In,
         LessThan,
         LessThanOrEqual,
+        StringStartsWith,
     )
 
+    from sheetreader_duckdb_spark.sources.xlsx.splitindex import increment_str
     from sheetreader_duckdb_spark.sources.xlsx.writer import (
         _col_letter,
         _date_serial,
     )
 
     out_type = {f.name: f.dataType.typeName() for f in schema.fields}
-    n_iv = len(next(iter(ivstats.values())))
+    n_iv = len(
+        next(iter(ivstats.values()))
+        if ivstats
+        else next(iter(ivstr.values()))
+    )
     skips: set = set()
 
     def envelope(v, t):
         """Closed serial/value range that covers every cell decoding to
         ``v`` — raises TypeError on anything we refuse to reason about."""
+        if t == "string":
+            if not isinstance(v, str):
+                raise TypeError(v)
+            return (v, v)
         if t == "date":
             if isinstance(v, dt.datetime) or not isinstance(v, dt.date):
                 raise TypeError(v)
@@ -250,13 +269,14 @@ def _plan_interval_skips(filters, schema, file_names, ivstats, date1904):
             continue
         name = attr[0]
         t = out_type.get(name)
-        if t not in ("double", "date"):
+        if t not in ("double", "date", "string"):
             continue
         try:
             letters = _col_letter(file_names.index(name))
         except ValueError:
             continue
-        col = ivstats.get(letters)
+        src = ivstr if t == "string" else ivstats
+        col = src.get(letters) if src else None
         if col is None:
             continue
         try:
@@ -290,6 +310,16 @@ def _plan_interval_skips(filters, schema, file_names, ivstats, date1904):
 
                     def empty(mn, mx, b=hi):
                         return mn >= b
+            elif isinstance(f, StringStartsWith) and t == "string":
+                p0 = f.value
+                if not isinstance(p0, str) or not p0:
+                    continue
+                up = increment_str(p0)  # strict upper bound on p0-prefixed
+                # strings; None (all-U+10FFFF prefix) keeps only the
+                # lower-side test
+
+                def empty(mn, mx, p=p0, up=up):
+                    return mx < p or (up is not None and mn >= up)
             else:
                 continue
         except (TypeError, ValueError):
@@ -886,6 +916,7 @@ class SheetReaderReader(DataSourceReader):
                         if (
                             self._staged_filters
                             and self.opts.columns is None
+                            and not self.opts.coerce_to_string
                             and n > 1
                         ):
                             sheet = wb.resolve_sheet(
@@ -899,11 +930,18 @@ class SheetReaderReader(DataSourceReader):
                                 if pts
                                 else None
                             )
-                            if st:
+                            sv = (
+                                SI.decode_interval_string_stats(
+                                    wb.zf, sheet.path, pts
+                                )
+                                if pts
+                                else None
+                            )
+                            if st or sv:
                                 skips = _plan_interval_skips(
                                     self._staged_filters, self.schema,
                                     [f.name for f in self.schema.fields],
-                                    st, wb.date1904,
+                                    st, wb.date1904, ivstr=sv,
                                 )
                                 n = max(1, min(n, len(pts) - len(skips)))
                 except Exception:
@@ -1029,17 +1067,31 @@ class SheetReaderReader(DataSourceReader):
             # inflated (only reachable with typed columns, i.e. the
             # inline-strings read — coerce output is all VARCHAR).
             skip_ivals: frozenset = frozenset()
-            if filters:
+            # Coerce reads are excluded from pruning entirely (r12):
+            # under coerce_to_string NUMERIC/BOOL/DATE cells decode to
+            # formatted STRINGS, which the sv bounds (resolved t="s"
+            # values only) do not cover — a string filter could then
+            # prune an interval whose coerced numerics match. Typed and
+            # inline-strings reads stay sound: mismatched types decode
+            # to NULL (never match), and intervals containing inline-
+            # string cells carry no claims at all (the ADVICE r12
+            # withhold rule).
+            if filters and not opts.coerce_to_string:
                 pts0 = SI.decode_split_index(wb.zf, sheet.path)
                 ivstats = (
                     SI.decode_interval_stats(wb.zf, sheet.path, pts0)
                     if pts0
                     else None
                 )
-                if ivstats:
+                ivstr = (
+                    SI.decode_interval_string_stats(wb.zf, sheet.path, pts0)
+                    if pts0
+                    else None
+                )
+                if ivstats or ivstr:
                     skip_ivals = _plan_interval_skips(
                         filters, self.schema, file_schema.names, ivstats,
-                        wb.date1904,
+                        wb.date1904, ivstr=ivstr,
                     )
             cb = (1 << 20) if n_shards > 1 else (4 << 20)
             for cells in wb.iter_rows(
@@ -1488,10 +1540,13 @@ class SheetReaderReader(DataSourceReader):
             skip_ivals: frozenset = frozenset()
             if split_pts and filters:
                 ivstats = SI.decode_interval_stats(wb.zf, sheet.path, split_pts)
-                if ivstats:
+                ivstr = SI.decode_interval_string_stats(
+                    wb.zf, sheet.path, split_pts
+                )
+                if ivstats or ivstr:
                     skip_ivals = _plan_interval_skips(
                         filters, self.schema, file_schema.names, ivstats,
-                        wb.date1904,
+                        wb.date1904, ivstr=ivstr,
                     )
             if split_pts and n_shards == 1 and not skip_ivals:
                 # Single-shard with nothing to prune: the sequential scan

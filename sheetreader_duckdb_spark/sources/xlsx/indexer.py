@@ -47,25 +47,34 @@ from .parser import (
     detect_row_prefix,
     prefix_res,
 )
-from .splitindex import SST_ENTRY, member_data_offset
+from .splitindex import SST_ENTRY, member_data_offset, truncated_string_bounds
 from .writer import _col_letter, _publish_index, _write_indexed_member
 
 
 class _IntervalStatsCollector:
-    """Per-interval numeric min/max per column letter, collected from the
+    """Per-interval min/max per column letter, collected from the
     retrofit pass's own bytes (VERDICT r11 task 2 — the parquet
     row-group-stats pattern for XLSX): buffers one interval's uncompressed
     XML at a time, parses its cells with the same prefix-compiled cell
     regex the reader scans with, and folds raw ``<v>`` values of untyped /
     ``t="n"`` cells (date serials stay raw — the reader converts filter
-    dates to serial envelopes). Honesty rules, all conservative toward
-    NOT pruning:
+    dates to serial envelopes). With an ``sst`` resolver (r12), STRING
+    cells (``t="s"``) additionally fold to truncated (lo, hi) bounds over
+    the RESOLVED shared-string values — resolution order cannot matter
+    because min/max commute, and the stored bounds use the over-keep-only
+    truncation rule (splitindex.truncated_string_bounds). Honesty rules,
+    all conservative toward NOT pruning:
 
     * an interval whose cell-regex match count disagrees with its raw
       ``<c`` count (irregular cells the regex can't see) records None for
       EVERY column in that interval;
+    * so does an interval containing ``t="str"``/``t="inlineStr"`` cells
+      the default reader refuses — pruning must not skip the error the
+      unfiltered read raises (ADVICE r12);
     * a column whose values fail float parse — or contain NaN — records
-      None for that interval;
+      None for that interval; a string cell whose sst reference fails to
+      resolve, or whose max admits no honest truncated upper bound,
+      likewise drops that column's string claim;
     * fine-grained intervals are realigned to the FINAL (possibly
       2:1-thinned) point list by cumulative row count; any misalignment
       drops all stats;
@@ -75,15 +84,19 @@ class _IntervalStatsCollector:
 
     _MAX_BUFFER = 64 << 20
 
-    def __init__(self, pfx: bytes):
+    def __init__(self, pfx: bytes, sst: "list[str] | None" = None):
         pr = prefix_res(pfx)
         self._pfx = pfx
         self._cell_re = pr.cell_re
         self._cell_count_re = pr.cell_count_re
+        self._sst = sst
         self._buf: list = []
         self._size = 0
         self._cum = 0
-        self.fine: list = []  # [(cum_rows_at_interval_end, {letters: (mn,mx)} | None)]
+        # [(cum_rows_at_interval_end,
+        #   {letters: (mn, mx)} | None,          numeric claims
+        #   {letters: (lo, hi)} | None)]         string-bound claims
+        self.fine: list = []
         self.dead = False
 
     def on_piece(self, piece: bytes, flushed: bool) -> None:
@@ -107,7 +120,8 @@ class _IntervalStatsCollector:
         self._cum += count_row_starts(data, self._pfx)
         ms = self._cell_re.findall(data)
         if len(ms) != len(self._cell_count_re.findall(data)):
-            self.fine.append((self._cum, None))  # unseen cells: no claims
+            # unseen cells: no claims
+            self.fine.append((self._cum, None, None))
             return
         if any(t in (b"str", b"inlineStr") for _l, _s, t, _v in ms):
             # Cells the default reader REFUSES (formula/inline strings →
@@ -118,12 +132,15 @@ class _IntervalStatsCollector:
             # (Most such cells already land in the count-mismatch branch
             # above — their <is>/<f> children defeat the cell regex — but
             # a bare `<c t="str"><v>…</v></c>` matches and needs this.)
-            self.fine.append((self._cum, None))
+            self.fine.append((self._cum, None, None))
             return
         per: dict = {}
+        per_s: dict = {}
         for letters, _s, t_attr, v in ms:
             if v and (not t_attr or t_attr == b"n"):
                 per.setdefault(letters, []).append(v)
+            elif v and t_attr == b"s" and self._sst is not None:
+                per_s.setdefault(letters, []).append(v)
         stats: dict = {}
         for letters, vals in per.items():
             try:
@@ -133,51 +150,76 @@ class _IntervalStatsCollector:
             if np.isnan(arr).any():
                 continue
             stats[letters.decode()] = (float(arr.min()), float(arr.max()))
-        self.fine.append((self._cum, stats))
+        sstats: dict = {}
+        heap = self._sst
+        for letters, vals in per_s.items():
+            try:
+                resolved = [heap[int(v)] for v in vals]
+            except (ValueError, IndexError):
+                continue  # unresolvable reference: no claims, this column
+            bounds = truncated_string_bounds(min(resolved), max(resolved))
+            if bounds is None:
+                continue  # no honest upper bound: claim nothing
+            sstats[letters.decode()] = bounds
+        self.fine.append((self._cum, stats, sstats))
 
-    def aligned(self, points: "list | None", total_rows: int) -> "dict | None":
-        """Flat per-column arrays aligned to the SURVIVING points (the
-        encode payload shape), or None when collection died / misaligned
-        / there is nothing to claim."""
+    def aligned(
+        self, points: "list | None", total_rows: int
+    ) -> "tuple[dict | None, dict | None]":
+        """(numeric, string) flat per-column arrays aligned to the
+        SURVIVING points (the encode payload shape); each side is None
+        when collection died / misaligned / there is nothing to claim."""
         if self.dead or points is None:
-            return None
+            return None, None
         if self._buf:
             self._close()
         bounds = [cum for _, cum in points] + [total_rows]
-        letters_all = sorted({k for _, st in self.fine if st for k in st})
-        if not letters_all:
-            return None
-        out = {k: [] for k in letters_all}
-        fi = 0
-        for b in bounds:
-            merged: "dict | None" = {}
-            at = None
-            took = False
-            while fi < len(self.fine) and self.fine[fi][0] <= b:
-                at, st = self.fine[fi]
-                fi += 1
-                took = True
-                if merged is None or st is None:
-                    merged = None
-                    continue
-                for k, (mn, mx) in st.items():
-                    got = merged.get(k)
-                    merged[k] = (
-                        (mn, mx) if got is None else (min(got[0], mn), max(got[1], mx))
-                    )
-            if took and at != b:
-                return None  # fine/survivor cum mismatch: claim nothing
-            # not took: a ZERO-ROW interval (duplicate cumulative bound —
-            # e.g. the final flush landed exactly on the last row and only
-            # the trailer followed). Nothing to claim, nothing wrong; the
-            # r11 review caught this dropping ALL stats for such files.
-            for k in letters_all:
-                got = (merged or {}).get(k)
-                if got is None:
-                    out[k].extend((None, None))
-                else:
-                    out[k].extend(got)
-        return out
+        outs: list = []
+        for kind in (1, 2):  # fine tuple slot: numeric, then string
+            letters_all = sorted(
+                {k for rec in self.fine if rec[kind] for k in rec[kind]}
+            )
+            if not letters_all:
+                outs.append(None)
+                continue
+            out = {k: [] for k in letters_all}
+            fi = 0
+            ok = True
+            for b in bounds:
+                merged: "dict | None" = {}
+                at = None
+                took = False
+                while fi < len(self.fine) and self.fine[fi][0] <= b:
+                    rec = self.fine[fi]
+                    at, st = rec[0], rec[kind]
+                    fi += 1
+                    took = True
+                    if merged is None or st is None:
+                        merged = None
+                        continue
+                    for k, (mn, mx) in st.items():
+                        got = merged.get(k)
+                        merged[k] = (
+                            (mn, mx)
+                            if got is None
+                            else (min(got[0], mn), max(got[1], mx))
+                        )
+                if took and at != b:
+                    ok = False  # fine/survivor cum mismatch: claim nothing
+                    break
+                # not took: a ZERO-ROW interval (duplicate cumulative
+                # bound — e.g. the final flush landed exactly on the last
+                # row and only the trailer followed). Nothing to claim,
+                # nothing wrong; the r11 review caught this dropping ALL
+                # stats for such files.
+                for k in letters_all:
+                    got = (merged or {}).get(k)
+                    if got is None:
+                        out[k].extend((None, None))
+                    else:
+                        out[k].extend(got)
+            outs.append(out if ok else None)
+        return outs[0], outs[1]
 
 
 # One boundary algorithm, one home (r12 consolidation): the any-prefix
@@ -348,18 +390,19 @@ def index_xlsx(
                 pts = spts = None
                 nrows = n_si = 0
                 mixed = False
-                ivstats = None
+                ivstats = ivsv = None
                 extra: dict = {}
+                stats_sst = _stats_sst(wb) if stats else None
                 for info in infos:
                     if info.filename == sheet.path:
-                        pts, nrows, ivstats, mixed = _index_one_sheet(
-                            zout, wb, path, info, pfx, stats
+                        pts, nrows, ivstats, ivsv, mixed = _index_one_sheet(
+                            zout, wb, path, info, pfx, stats, sst=stats_sst
                         )
                         if mixed:
                             # Rows under other prefixes exist: the
                             # detected-prefix counts would disagree with
                             # the reader's parse — never index on a lie.
-                            pts, ivstats = None, None
+                            pts, ivstats, ivsv = None, None, None
                     elif info.filename in sheet_paths:
                         # Additional worksheets of a multi-sheet workbook
                         # (r11): each gets its own flush points + section
@@ -371,12 +414,13 @@ def index_xlsx(
                         if pfx2 is None:
                             _raw_copy(zout, path, info)
                             continue
-                        pts2, n2, st2, mixed2 = _index_one_sheet(
-                            zout, wb, path, info, pfx2, stats
+                        pts2, n2, st2, sv2, mixed2 = _index_one_sheet(
+                            zout, wb, path, info, pfx2, stats, sst=stats_sst
                         )
                         if pts2 and not mixed2:
                             extra[info.filename] = {
                                 "n": n2, "points": pts2, "stats": st2,
+                                "sstats": sv2,
                             }
                     elif info.filename == SST_ENTRY and sst_pfx is not None:
                         spts, n_si = _reencode_member(
@@ -395,7 +439,7 @@ def index_xlsx(
                 # if the comment would exceed the 64 KB ceiling).
                 _publish_index(
                     zout, sheet.path, pts, nrows, nrows, spts, n_si, n_si,
-                    stats=ivstats, extra_sheets=extra or None,
+                    stats=ivstats, sstats=ivsv, extra_sheets=extra or None,
                 )
                 published = bool(zout.comment)
             if not published:
@@ -424,10 +468,27 @@ def index_xlsx(
         }
 
 
-def _index_one_sheet(zout, wb, src_path, info, pfx, want_stats):
+def _stats_sst(wb) -> "list[str] | None":
+    """The resolved shared-strings heap for stats authoring, or None when
+    string stats should be skipped: no heap, or a heap whose uncompressed
+    member exceeds 256 MB (the collector's bounded-memory philosophy —
+    numeric stats and the index itself are unaffected)."""
+    try:
+        info = wb.zf.getinfo(SST_ENTRY)
+    except KeyError:
+        return None
+    if info.file_size > (256 << 20):
+        return None
+    try:
+        return wb.shared_strings
+    except Exception:
+        return None  # undecodable heap: the read will error, not the stats
+
+
+def _index_one_sheet(zout, wb, src_path, info, pfx, want_stats, sst=None):
     """Re-deflate one worksheet member with flush points and the full
     honesty kit: any-prefix stream count (mixed detection) + optional
-    interval statistics. Returns (points, n_rows, stats, mixed)."""
+    interval statistics. Returns (points, n_rows, stats, sstats, mixed)."""
     anyctr = _AnyRowStreamCounter()
 
     def _counted(chunks):
@@ -435,7 +496,7 @@ def _index_one_sheet(zout, wb, src_path, info, pfx, want_stats):
             anyctr.feed(c)
             yield c
 
-    coll = _IntervalStatsCollector(pfx) if want_stats else None
+    coll = _IntervalStatsCollector(pfx, sst=sst) if want_stats else None
     pts, n = _reencode_member(
         zout, info, _counted(_inflate_chunks(wb.zf, info.filename)),
         b"</" + pfx + b"row>", b"<" + pfx + b"row", b"<" + pfx + b"rowB",
@@ -446,8 +507,9 @@ def _index_one_sheet(zout, wb, src_path, info, pfx, want_stats):
     # the needle count is not comparable and every pure-prefix file would
     # misreport as mixed (r11 review).
     if pts is not None and anyctr.close() != n:
-        return pts, n, None, True
-    return pts, n, (coll.aligned(pts, n) if coll else None), False
+        return pts, n, None, None, True
+    st, sv = coll.aligned(pts, n) if coll else (None, None)
+    return pts, n, st, sv, False
 
 
 class _TooSmall(Exception):

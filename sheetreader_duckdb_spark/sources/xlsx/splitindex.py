@@ -49,6 +49,61 @@ MAX_POINTS = 2048
 
 SST_ENTRY = "xl/sharedStrings.xml"
 
+# VARCHAR interval stats (r12): truncated min/max string bounds per
+# interval, the parquet row-group pattern for string columns. Bounds are
+# UTF-8-prefix-truncated to this many bytes with the over-keep-only rule:
+# the stored lo is a prefix of the true min (so lo <= min), the stored hi
+# is either the exact max or the truncated prefix with its last code
+# point incremented (so hi >= max). Python str comparison is code-point
+# order == UTF-8 byte order == Spark/DuckDB binary collation, so the
+# planner compares filter values against these bounds directly.
+STR_STAT_BYTES = 16
+# decode-side structural ceiling: an honest bound is <= 16 chars (one
+# char per byte at minimum width; increment never lengthens) — reject
+# anything materially beyond it as forged/garbage.
+_STR_STAT_MAX_CHARS = STR_STAT_BYTES + 1
+
+
+def utf8_char_prefix(s: str, limit: int = STR_STAT_BYTES) -> str:
+    """Longest char-boundary prefix of ``s`` whose UTF-8 encoding fits in
+    ``limit`` bytes — lexicographically <= ``s`` by construction."""
+    n = 0
+    out = []
+    for ch in s:
+        k = len(ch.encode("utf-8"))
+        if n + k > limit:
+            break
+        out.append(ch)
+        n += k
+    return "".join(out)
+
+
+def increment_str(p: str) -> "str | None":
+    """Smallest convenient strict upper bound for ALL strings having char
+    prefix ``p``: bump the last code point that can grow and drop the
+    tail. None when every char is U+10FFFF (no bound claimable). The
+    bumped char may land on a lone surrogate — irrelevant for ordering
+    (code-point compare) and JSON-safe (escaped)."""
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            return p[:i] + chr(c + 1)
+    return None
+
+
+def truncated_string_bounds(mn: str, mx: str) -> "tuple[str, str] | None":
+    """(lo, hi) bounds for a value set with true min ``mn`` / max ``mx``:
+    lo <= mn and hi >= mx under code-point order, each stored in <=
+    STR_STAT_BYTES UTF-8 bytes (pre-JSON-escaping). None when no honest
+    upper bound fits (absurd U+10FFFF-prefixed max): claim nothing."""
+    lo = mn if len(mn.encode("utf-8")) <= STR_STAT_BYTES else utf8_char_prefix(mn)
+    if len(mx.encode("utf-8")) <= STR_STAT_BYTES:
+        return lo, mx
+    hi = increment_str(utf8_char_prefix(mx))
+    if hi is None:
+        return None
+    return lo, hi
+
 
 def _deltas(points: list) -> "tuple[list, list]":
     coffs, counts = [], []
@@ -68,6 +123,7 @@ def encode_split_index(
     sst_total: int = 0,
     stats: "dict[str, list] | None" = None,
     extra_sheets: "dict[str, dict] | None" = None,
+    sstats: "dict[str, list] | None" = None,
 ) -> bytes:
     """Comment bytes for one indexed worksheet entry (+ optionally the
     shared-strings heap). ``points`` are (compressed offset relative to
@@ -82,12 +138,19 @@ def encode_split_index(
     included raw) with null pairs for statless intervals — the parquet
     row-group-stats pattern: a selective filter skips whole intervals
     before inflating a byte (interval pruning, datasource side).
+    ``sstats`` (r12) is the same shape for STRING columns under the
+    ``sv`` key: truncated (lo, hi) bounds over the column's RESOLVED
+    shared-string values (see ``truncated_string_bounds`` — lo <= true
+    min, hi >= true max, so pruning can only over-keep). A letter may
+    appear in both ``st`` and ``sv`` (mixed-type columns): the planner
+    consults whichever matches the schema type it is filtering.
     ``extra_sheets`` (r11) carries sections for ADDITIONAL worksheet
     members of a multi-sheet workbook under the ``m`` key —
-    ``{entry: {"n": total, "points": [...], "stats": {...} | None}}`` —
-    so every big sheet is splittable, not just the one the default scan
-    resolves; the primary sheet stays in the top-level keys for
-    compatibility with indexes written before this field existed."""
+    ``{entry: {"n": total, "points": [...], "stats": {...} | None,
+    "sstats": {...} | None}}`` — so every big sheet is splittable, not
+    just the one the default scan resolves; the primary sheet stays in
+    the top-level keys for compatibility with indexes written before
+    this field existed."""
     coffs, rows = _deltas(points)
     payload = {"e": entry, "n": total_rows, "c": coffs, "r": rows}
     if sst_points:
@@ -97,6 +160,8 @@ def encode_split_index(
         payload["sn"] = sst_total
     if stats:
         payload["st"] = stats
+    if sstats:
+        payload["sv"] = sstats
     if extra_sheets:
         m = {}
         for entry2, sec in extra_sheets.items():
@@ -104,6 +169,8 @@ def encode_split_index(
             s2 = {"n": sec["n"], "c": c2, "r": r2}
             if sec.get("stats"):
                 s2["st"] = sec["stats"]
+            if sec.get("sstats"):
+                s2["sv"] = sec["sstats"]
             m[entry2] = s2
         payload["m"] = m
     out = MAGIC + json.dumps(payload, separators=(",", ":")).encode("ascii")
@@ -240,6 +307,53 @@ def decode_interval_stats(
             out[k] = col
     except (TypeError, ValueError):
         return None
+    return out
+
+
+def decode_interval_string_stats(
+    zf: zipfile.ZipFile, entry: str, points: list
+) -> "dict[str, list] | None":
+    """Validated per-interval ``[(lo, hi) | None]`` STRING bounds per
+    column letter for ``entry`` (the ``sv`` section, r12), aligned with
+    the decoded ``points``. Same untrusted-input discipline as the
+    numeric ``st`` decode: wrong array length, non-string entries,
+    half-null pairs, lo > hi, or oversized bounds (an honest bound fits
+    in STR_STAT_BYTES UTF-8 bytes) drop the WHOLE section — pruning is
+    an optimization, the unpruned scan is the semantics. Validation is
+    independent of ``st``: garbage in one section never costs the other.
+    Bounds may contain lone surrogates (increment_str can land on one —
+    JSON carries them fine); validation therefore never UTF-8-encodes,
+    it bounds by char count."""
+    payload = _payload(zf)
+    if payload is None:
+        return None
+    sec = _section_for(payload, entry)
+    if sec is None:
+        return None
+    sv = sec.get("sv")
+    if not isinstance(sv, dict) or not sv:
+        return None
+    n_iv = len(points)
+    out: dict = {}
+    for k, arr in sv.items():
+        if not isinstance(k, str) or not isinstance(arr, list):
+            return None
+        if len(arr) != 2 * n_iv:
+            return None
+        col: list = []
+        for j in range(n_iv):
+            lo, hi = arr[2 * j], arr[2 * j + 1]
+            if lo is None and hi is None:
+                col.append(None)
+                continue
+            if not isinstance(lo, str) or not isinstance(hi, str):
+                return None
+            if len(lo) > _STR_STAT_MAX_CHARS or len(hi) > _STR_STAT_MAX_CHARS:
+                return None
+            if lo > hi:
+                return None
+            col.append((lo, hi))
+        out[k] = col
     return out
 
 

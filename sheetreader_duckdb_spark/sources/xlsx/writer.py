@@ -277,7 +277,7 @@ def _write_sheet_member(
 def _publish_index(
     zf, name: str, pts, nrows: int, expected_rows: int,
     spts, n_si: int, expected_si: int, stats: "dict | None" = None,
-    extra_sheets: "dict | None" = None,
+    extra_sheets: "dict | None" = None, sstats: "dict | None" = None,
 ) -> None:
     """Set the archive comment for whichever validated sections exist —
     shared by both writers and the retrofit indexer (r10 review: the two
@@ -289,10 +289,11 @@ def _publish_index(
     never reaches one interval still get interval heaps + the planner's
     cap lift); ``extra_sheets`` carry additional worksheets of a
     multi-sheet workbook (r11). Size discipline against the 64 KB comment
-    ceiling, most valuable sections last to go: per-interval ``stats``
-    columns drop largest-first (across all sheets), then whole extra-sheet
-    sections largest-first, then the sst section, and the primary
-    worksheet section is kept alone as the floor."""
+    ceiling, most valuable sections last to go: per-interval stats
+    columns — numeric ``stats`` and string ``sstats`` alike (r12) — drop
+    largest-first (across all sheets and both kinds), then whole
+    extra-sheet sections largest-first, then the sst section, and the
+    primary worksheet section is kept alone as the floor."""
     import json as _json
 
     if pts and nrows != expected_rows:
@@ -304,38 +305,54 @@ def _publish_index(
     # stats mapping with the CALLER, so overflow retries would silently
     # edit the dicts the caller passed in (ADVICE r12).
     extra = {
-        k: {**v, "stats": dict(v["stats"]) if v.get("stats") else None}
+        k: {
+            **v,
+            "stats": dict(v["stats"]) if v.get("stats") else None,
+            "sstats": dict(v["sstats"]) if v.get("sstats") else None,
+        }
         for k, v in (extra_sheets or {}).items()
     }
     if not pts and not spts and not extra:
         return
     stats = dict(stats) if (stats and pts) else None
+    sstats = dict(sstats) if (sstats and pts) else None
     while True:
         try:
             zf.comment = encode_split_index(
                 name, pts or [], nrows if pts else 0,
                 sst_points=spts, sst_total=expected_si if spts else 0,
-                stats=stats, extra_sheets=extra or None,
+                stats=stats, sstats=sstats, extra_sheets=extra or None,
             )
             return
         except ValueError:
-            sections = ([("", stats)] if stats else []) + [
-                (en, sec["stats"]) for en, sec in extra.items()
-                if sec.get("stats")
-            ]
+            sections = []
+            if stats:
+                sections.append(("", "stats", stats))
+            if sstats:
+                sections.append(("", "sstats", sstats))
+            for en, sec in extra.items():
+                for kind in ("stats", "sstats"):
+                    if sec.get(kind):
+                        sections.append((en, kind, sec[kind]))
             if sections:
-                _, en, col = max(
-                    (len(_json.dumps(stt[k])), en, k)
-                    for en, stt in sections
+                _, en, kind, col = max(
+                    (len(_json.dumps(stt[k])), en, kind, k)
+                    for en, kind, stt in sections
                     for k in stt
                 )
-                tgt = stats if en == "" else extra[en]["stats"]
+                tgt = (
+                    (stats if kind == "stats" else sstats)
+                    if en == ""
+                    else extra[en][kind]
+                )
                 del tgt[col]
                 if not tgt:
-                    if en == "":
+                    if en == "" and kind == "stats":
                         stats = None
+                    elif en == "":
+                        sstats = None
                     else:
-                        extra[en]["stats"] = None
+                        extra[en][kind] = None
                 continue
             if extra:
                 del extra[max(extra, key=lambda e: len(extra[e]["points"]))]
@@ -625,7 +642,10 @@ class IncrementalXlsxWriter:
                 if self.stats:
                     from .indexer import _IntervalStatsCollector
 
-                    coll = _IntervalStatsCollector(b"")
+                    # the sink's own intern heap doubles as the resolver
+                    # for string bounds (r12) — already fully populated:
+                    # every row hit the spool before close() runs
+                    coll = _IntervalStatsCollector(b"", sst=self._sst)
                 pts, nrows = _write_sheet_member(
                     zf, "xl/worksheets/sheet1.xml", _sheet_chunks(),
                     on_piece=coll.on_piece if coll else None,
@@ -657,11 +677,12 @@ class IncrementalXlsxWriter:
                 spts, n_si = _write_indexed_member(
                     zf, "xl/sharedStrings.xml", _sst_chunks(), b"</si>", b"<si>"
                 )
+                st, sv = coll.aligned(pts, nrows) if coll else (None, None)
                 _publish_index(
                     zf, "xl/worksheets/sheet1.xml",
                     pts, nrows, self.n_rows,
                     spts, n_si, len(self._sst),
-                    stats=coll.aligned(pts, nrows) if coll else None,
+                    stats=st, sstats=sv,
                 )
         finally:
             self._spool.close()

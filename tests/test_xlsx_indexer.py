@@ -556,9 +556,13 @@ def test_stats_survive_final_flush_on_last_row():
     )
 
     coll = _IntervalStatsCollector(b"")
-    coll.fine = [(10, {"A": (0.0, 9.0)}), (20, {"A": (10.0, 19.0)})]
-    out = coll.aligned([(100, 10), (200, 20)], 20)
+    coll.fine = [
+        (10, {"A": (0.0, 9.0)}, {"B": ("a", "c")}),
+        (20, {"A": (10.0, 19.0)}, {"B": ("d", "f")}),
+    ]
+    out, sv = coll.aligned([(100, 10), (200, 20)], 20)
     assert out == {"A": [0.0, 9.0, 10.0, 19.0, None, None]}
+    assert sv == {"B": ["a", "c", "d", "f", None, None]}
 
 
 def test_flush_unavailable_reports_unavailable_not_mixed(foreign_xlsx, tmp_path, monkeypatch):
