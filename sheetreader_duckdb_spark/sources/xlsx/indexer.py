@@ -314,6 +314,56 @@ def _reencode_member(zout, zinfo, chunks, boundary, needle, neg, on_piece=None):
     )
 
 
+def _stage_members(src_path, jobs, base, stats, stats_sst, workers):
+    """Re-deflate each splittable member into its own single-member temp
+    archive, fanning out across threads (VERDICT r12 task 3: zlib
+    releases the GIL in both directions, so independent members'
+    inflate+deflate overlaps — retrofit wall time trends toward
+    max(member) instead of Σ(members) on multi-sheet workbooks; the
+    GIL-bound slices — row counting, stats regexes — still serialize,
+    which bounds the speedup honestly). Each worker opens its own
+    ZipFile handle (zipfile reads are not safely concurrent on one
+    object). Returns ``{filename: {"tmp": path, "r": result}}``.
+
+    Byte-determinism: a staged member's bytes depend only on its own
+    source stream and the shared deflate settings, and assembly replays
+    archive order — so the final file is identical for ANY worker
+    count, including 1 (pinned in tests/test_xlsx_indexer.py)."""
+    if workers is None:
+        workers = min(4, len(jobs)) or 1
+
+    def _one(i, kind, info, kpfx):
+        tmpm = f"{base}.m{i}"
+        with XlsxWorkbook(src_path) as wb2:
+            with zipfile.ZipFile(tmpm, "w", zipfile.ZIP_DEFLATED) as ztmp:
+                if kind == "sst":
+                    r = _reencode_member(
+                        ztmp, info,
+                        _inflate_chunks(wb2.zf, info.filename),
+                        b"</" + kpfx + b"si>", b"<" + kpfx + b"si", None,
+                    )
+                else:
+                    r = _index_one_sheet(
+                        ztmp, wb2, src_path, info, kpfx, stats, sst=stats_sst
+                    )
+        return info.filename, {"tmp": tmpm, "r": r}
+
+    staged: dict = {}
+    if workers <= 1 or len(jobs) <= 1:
+        for i, (kind, info, kpfx) in enumerate(jobs):
+            k, v = _one(i, kind, info, kpfx)
+            staged[k] = v
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = [ex.submit(_one, i, *j) for i, j in enumerate(jobs)]
+            for f in futs:
+                k, v = f.result()
+                staged[k] = v
+    return staged
+
+
 def index_xlsx(
     path: str,
     out_path: "str | None" = None,
@@ -321,6 +371,7 @@ def index_xlsx(
     sheet_index: "int | None" = None,
     replace_comment: bool = False,
     stats: bool = True,
+    workers: "int | None" = None,
 ) -> dict:
     """One-pass retrofit: produce a split-indexed copy of ``path`` (any
     XLSX — Excel, openpyxl, anything) whose sharded reads seek instead of
@@ -336,6 +387,11 @@ def index_xlsx(
     * a foreign (non-index) archive comment is preserved by NOT indexing
       unless ``replace_comment=True``; our own stale index comment is
       always replaced.
+    * ``workers`` (r12): fan the per-member re-deflates across threads
+      (None = auto, min(4, splittable members)); output bytes are
+      identical for every worker count. Multi-sheet workbooks and the
+      worksheet+sst pair overlap their zlib work; a single-sheet,
+      no-sst file gains nothing.
 
     Returns ``{"indexed": bool, "reason": str | None, "rows": int,
     "worksheet_points": int, "sst_points": int, "path": str}``. A file
@@ -384,59 +440,82 @@ def index_xlsx(
             os.path.dirname(os.path.abspath(dest)) or ".",
             f".idx-tmp-{os.getpid()}-{os.path.basename(dest)}",
         )
+
+        def _rm_temps():
+            import glob as _g
+
+            for t in [tmp] + _g.glob(tmp + ".m*"):
+                try:
+                    os.remove(t)
+                except OSError:
+                    pass
+
         try:
             sheet_paths = {s.path for s in wb.sheets}
+            stats_sst = _stats_sst(wb) if stats else None
+            # Plan the splittable members, then STAGE each into its own
+            # temp archive — in parallel when there is more than one
+            # (r12: per-member-parallel retrofit; each worksheet and the
+            # sst are independent re-deflate streams) — and ASSEMBLE the
+            # output by raw-copying source order: staged members carry
+            # their flush points (member-relative offsets survive
+            # relocation), everything else copies verbatim.
+            jobs: list = []
+            for info in infos:
+                if info.filename == sheet.path:
+                    jobs.append(("primary", info, pfx))
+                elif info.filename in sheet_paths:
+                    # Additional worksheets of a multi-sheet workbook
+                    # (r11): each gets its own flush points + section
+                    # under the `m` key, so a sheet_index/sheet_name
+                    # read of ANY big sheet shards with seeks.
+                    pfx2 = detect_row_prefix(
+                        _peek(wb.zf, info.filename, 4 << 20)
+                    )
+                    if pfx2 is not None:
+                        jobs.append(("extra", info, pfx2))
+                elif info.filename == SST_ENTRY and sst_pfx is not None:
+                    jobs.append(("sst", info, sst_pfx))
+            staged = _stage_members(path, jobs, tmp, stats, stats_sst, workers)
+            pts = spts = None
+            nrows = n_si = 0
+            mixed = False
+            ivstats = ivsv = None
+            extra: dict = {}
+            for kind, info, _kp in jobs:
+                r = staged[info.filename]["r"]
+                if kind == "primary":
+                    pts, nrows, ivstats, ivsv, mixed = r
+                    if mixed:
+                        # Rows under other prefixes exist: the
+                        # detected-prefix counts would disagree with
+                        # the reader's parse — never index on a lie.
+                        pts, ivstats, ivsv = None, None, None
+                elif kind == "extra":
+                    pts2, n2, st2, sv2, mixed2 = r
+                    if pts2 and not mixed2:
+                        extra[info.filename] = {
+                            "n": n2, "points": pts2, "stats": st2,
+                            "sstats": sv2,
+                        }
+                else:
+                    spts, n_si = r
+            if pts is None and spts is None and not extra:
+                raise _TooSmall
             with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zout:
-                pts = spts = None
-                nrows = n_si = 0
-                mixed = False
-                ivstats = ivsv = None
-                extra: dict = {}
-                stats_sst = _stats_sst(wb) if stats else None
                 for info in infos:
-                    if info.filename == sheet.path:
-                        pts, nrows, ivstats, ivsv, mixed = _index_one_sheet(
-                            zout, wb, path, info, pfx, stats, sst=stats_sst
-                        )
-                        if mixed:
-                            # Rows under other prefixes exist: the
-                            # detected-prefix counts would disagree with
-                            # the reader's parse — never index on a lie.
-                            pts, ivstats, ivsv = None, None, None
-                    elif info.filename in sheet_paths:
-                        # Additional worksheets of a multi-sheet workbook
-                        # (r11): each gets its own flush points + section
-                        # under the `m` key, so a sheet_index/sheet_name
-                        # read of ANY big sheet shards with seeks.
-                        pfx2 = detect_row_prefix(
-                            _peek(wb.zf, info.filename, 4 << 20)
-                        )
-                        if pfx2 is None:
-                            _raw_copy(zout, path, info)
-                            continue
-                        pts2, n2, st2, sv2, mixed2 = _index_one_sheet(
-                            zout, wb, path, info, pfx2, stats, sst=stats_sst
-                        )
-                        if pts2 and not mixed2:
-                            extra[info.filename] = {
-                                "n": n2, "points": pts2, "stats": st2,
-                                "sstats": sv2,
-                            }
-                    elif info.filename == SST_ENTRY and sst_pfx is not None:
-                        spts, n_si = _reencode_member(
-                            zout, info, _inflate_chunks(wb.zf, SST_ENTRY),
-                            b"</" + sst_pfx + b"si>", b"<" + sst_pfx + b"si",
-                            None,
-                        )
+                    sres = staged.get(info.filename)
+                    if sres is not None:
+                        with zipfile.ZipFile(sres["tmp"]) as ztmp:
+                            zi = ztmp.getinfo(info.filename)
+                        _raw_copy(zout, sres["tmp"], zi)
                     else:
                         _raw_copy(zout, path, info)
-                if pts is None and spts is None and not extra:
-                    raise _TooSmall
-                # Counted during the write with the reader's own needle
-                # convention over the same bytes — expected == counted by
-                # construction; _publish_index still owns size limits
-                # (stats columns drop largest-first, then extra sheets,
-                # if the comment would exceed the 64 KB ceiling).
+                # Counted during the staging write with the reader's own
+                # needle convention over the same bytes — expected ==
+                # counted by construction; _publish_index still owns size
+                # limits (stats columns drop largest-first, then extra
+                # sheets, if the comment would exceed the 64 KB ceiling).
                 _publish_index(
                     zout, sheet.path, pts, nrows, nrows, spts, n_si, n_si,
                     stats=ivstats, sstats=ivsv, extra_sheets=extra or None,
@@ -445,21 +524,23 @@ def index_xlsx(
             if not published:
                 raise _TooSmall
         except _TooSmall:
-            try:
-                os.remove(tmp)
-            except OSError:
-                pass
+            _rm_temps()
             return _noop(
                 "worksheet mixes row prefixes — counts would not validate"
                 if mixed
                 else "member(s) below one split interval — nothing to index"
             )
         except BaseException:
-            try:
-                os.remove(tmp)
-            except OSError:
-                pass
+            _rm_temps()
             raise
+        else:
+            import glob as _g
+
+            for t in _g.glob(tmp + ".m*"):
+                try:
+                    os.remove(t)
+                except OSError:
+                    pass
         os.replace(tmp, dest)
         return {
             "indexed": True, "reason": None, "rows": nrows,
@@ -523,6 +604,7 @@ def index_xlsx_dir(
     sheet_index: "int | None" = None,
     replace_comment: bool = False,
     stats: bool = True,
+    workers: int = 1,
 ) -> list[dict]:
     """Distributed retrofit of a whole corpus: one Spark task per
     workbook, each running ``index_xlsx`` IN PLACE (per-file output paths
@@ -546,9 +628,13 @@ def index_xlsx_dir(
         paths = sorted(_glob.glob(path_or_glob))
     if not paths:
         raise ValueError(f"no .xlsx files match {path_or_glob!r}")
+    # workers defaults to 1 here (unlike index_xlsx's auto): the sweep is
+    # already one Spark task per file across the cluster's cores, and
+    # per-member threads inside every task would oversubscribe; raise it
+    # only for sweeps of few, large, multi-sheet workbooks.
     kwargs = dict(
         sheet_name=sheet_name, sheet_index=sheet_index,
-        replace_comment=replace_comment, stats=stats,
+        replace_comment=replace_comment, stats=stats, workers=workers,
     )
 
     def _one(it):

@@ -636,3 +636,48 @@ def test_stream_counters_match_whole_buffer_property():
                 s.feed(piece)
             assert a.close() == want_any, (doc[:60], ends[:5])
             assert s.count == want_pair, (doc[:60], ends[:5])
+
+
+def test_parallel_retrofit_byte_identical_any_worker_count(tmp_path):
+    """Per-member-parallel retrofit (VERDICT r12 task 3): the staged
+    assembly produces BYTE-IDENTICAL output for every worker count —
+    each member's deflate stream depends only on its own source bytes,
+    and assembly replays archive order. Also pins that the parallel
+    output reads back exactly and carries the same index sections."""
+    from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI2
+    from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+
+    n1, n2, n3 = 50_000, 70_000, 60_000
+    src = str(tmp_path / "multi3.xlsx")
+    write_xlsx(
+        src,
+        {
+            "First": [["a", "b"]] + [[f"x{i}", float(i)] for i in range(n1)],
+            "Second": [["p", "q"]] + [[float(i), float(i * 3)] for i in range(n2)],
+            "Third": [["u", "v"]] + [[f"s{i:06d}", float(i)] for i in range(n3)],
+        },
+    )
+    import shutil
+
+    base = _foreignize(src, str(tmp_path / "base.xlsx"))
+    outs = {}
+    for w in (1, 2, 4):
+        # byte-copy ONE foreignized input (zipfile re-foreignizing would
+        # stamp fresh mtimes and make the inputs themselves differ)
+        p = str(tmp_path / f"w{w}.xlsx")
+        shutil.copy(base, p)
+        res = index_xlsx(p, workers=w)
+        assert res["indexed"] and res["extra_sheets"] == 2, (w, res)
+        outs[w] = open(p, "rb").read()
+    assert outs[1] == outs[2] == outs[4]
+    # the indexed output still decodes every section
+    p = str(tmp_path / "w4.xlsx")
+    with zipfile.ZipFile(p) as zf:
+        for entry, total in (
+            ("xl/worksheets/sheet1.xml", n1 + 1),
+            ("xl/worksheets/sheet2.xml", n2 + 1),
+            ("xl/worksheets/sheet3.xml", n3 + 1),
+        ):
+            pts = SI2.decode_split_index(zf, entry)
+            assert pts is not None and pts[-1][1] == total, entry
+        assert SI2.decode_sst_index(zf) is not None
