@@ -155,9 +155,15 @@ class _IntervalStatsCollector:
         for letters, vals in per_s.items():
             try:
                 resolved = [heap[int(v)] for v in vals]
+                # inside the try: heap strings may legitimately hold lone
+                # surrogates (ST_Xstring `_xD800_` escapes decode via
+                # chr()), and truncated_string_bounds UTF-8-encodes —
+                # UnicodeEncodeError is a ValueError, caught below, and
+                # the column simply claims nothing (r12 review fix: this
+                # used to crash the whole retrofit)
+                bounds = truncated_string_bounds(min(resolved), max(resolved))
             except (ValueError, IndexError):
-                continue  # unresolvable reference: no claims, this column
-            bounds = truncated_string_bounds(min(resolved), max(resolved))
+                continue  # unresolvable/unencodable: no claims, this column
             if bounds is None:
                 continue  # no honest upper bound: claim nothing
             sstats[letters.decode()] = bounds
@@ -314,7 +320,8 @@ def _reencode_member(zout, zinfo, chunks, boundary, needle, neg, on_piece=None):
     )
 
 
-def _stage_members(src_path, jobs, base, stats, stats_sst, workers):
+def _stage_members(src_path, jobs, base, stats, stats_sst, workers,
+                   tmps_out=None):
     """Re-deflate each splittable member into its own single-member temp
     archive, fanning out across threads (VERDICT r12 task 3: zlib
     releases the GIL in both directions, so independent members'
@@ -334,6 +341,10 @@ def _stage_members(src_path, jobs, base, stats, stats_sst, workers):
 
     def _one(i, kind, info, kpfx):
         tmpm = f"{base}.m{i}"
+        if tmps_out is not None:
+            tmps_out.append(tmpm)  # recorded BEFORE work: a worker that
+            # dies mid-stage still gets its temp cleaned (list.append is
+            # atomic under the GIL)
         with XlsxWorkbook(src_path) as wb2:
             with zipfile.ZipFile(tmpm, "w", zipfile.ZIP_DEFLATED) as ztmp:
                 if kind == "sst":
@@ -441,10 +452,13 @@ def index_xlsx(
             f".idx-tmp-{os.getpid()}-{os.path.basename(dest)}",
         )
 
-        def _rm_temps():
-            import glob as _g
+        staged_tmps: list = []
 
-            for t in [tmp] + _g.glob(tmp + ".m*"):
+        def _rm_temps(keep_out: bool = False):
+            # exact names, never glob — a destination basename containing
+            # glob metacharacters ('report[2024].xlsx') must not leak
+            # staging files (r12 review fix)
+            for t in ([] if keep_out else [tmp]) + staged_tmps:
                 try:
                     os.remove(t)
                 except OSError:
@@ -476,7 +490,10 @@ def index_xlsx(
                         jobs.append(("extra", info, pfx2))
                 elif info.filename == SST_ENTRY and sst_pfx is not None:
                     jobs.append(("sst", info, sst_pfx))
-            staged = _stage_members(path, jobs, tmp, stats, stats_sst, workers)
+            staged = _stage_members(
+                path, jobs, tmp, stats, stats_sst, workers,
+                tmps_out=staged_tmps,
+            )
             pts = spts = None
             nrows = n_si = 0
             mixed = False
@@ -534,13 +551,7 @@ def index_xlsx(
             _rm_temps()
             raise
         else:
-            import glob as _g
-
-            for t in _g.glob(tmp + ".m*"):
-                try:
-                    os.remove(t)
-                except OSError:
-                    pass
+            _rm_temps(keep_out=True)
         os.replace(tmp, dest)
         return {
             "indexed": True, "reason": None, "rows": nrows,

@@ -380,13 +380,24 @@ class IntervalStringHeap:
     the whole object to a plain full heap (correctness never depends on
     the index)."""
 
+    # Per-heap sub-interval cache bound (r12 scale witness): this object
+    # is pinned per WORKER PROCESS by _SST_LAZY_CACHE and workers are
+    # reused across tasks and queries, so an unbounded `_subs` dict
+    # accumulated every interval any task of any pass ever touched —
+    # repeated full reads of the 50M-unique-string SF10 witness degraded
+    # 42 s -> 140 s per pass as workers marched toward holding the whole
+    # 2.2 GB heap each. Eight intervals ≈ 32 MB inflated bytes bounds the
+    # footprint; a task's references are clustered (decode_many_arrow
+    # groups by interval per batch), so LRU keeps its working set.
+    _MAX_CACHED_SUBS = 8
+
     def __init__(self, path: str, data_offset: int, points: list, n_entries: int):
         self._path = path
         self._doff = data_offset
         self._points = points  # absolute (coff, entries_cum), incl terminal
         self._cums = [n for _, n in points]
         self._n = n_entries
-        self._subs: dict = {}  # interval idx -> (SharedStringHeap, base)
+        self._subs: dict = {}  # interval idx -> (SharedStringHeap, base); LRU
         self._full: "SharedStringHeap | None" = None  # defeat fallback
 
     def __len__(self) -> int:
@@ -404,6 +415,10 @@ class IntervalStringHeap:
         full-heap fallback."""
         got = self._subs.get(t)
         if got is not None:
+            # refresh recency (dict preserves insertion order: pop and
+            # reinsert makes the first key the least-recently-used)
+            self._subs.pop(t)
+            self._subs[t] = got
             return got
         lo = self._points[t - 1][0] if t else 0
         hi, cum = self._points[t]
@@ -419,8 +434,13 @@ class IntervalStringHeap:
                 return None
         except Exception:
             return None
-        self._subs[t] = (sub, base)
-        return self._subs[t]
+        got = (sub, base)
+        self._subs[t] = got
+        while len(self._subs) > self._MAX_CACHED_SUBS:
+            # evict LRU; in-flight references (decode_many_arrow's groups
+            # list) keep evicted sub-heaps alive until their batch ends
+            self._subs.pop(next(iter(self._subs)))
+        return got
 
     def __getitem__(self, i: int) -> str:
         # ANY miss — out-of-range (incl. the corrupt-cell negative ref,

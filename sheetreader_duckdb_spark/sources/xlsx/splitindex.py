@@ -124,6 +124,7 @@ def encode_split_index(
     stats: "dict[str, list] | None" = None,
     extra_sheets: "dict[str, dict] | None" = None,
     sstats: "dict[str, list] | None" = None,
+    stats_stride: int = 1,
 ) -> bytes:
     """Comment bytes for one indexed worksheet entry (+ optionally the
     shared-strings heap). ``points`` are (compressed offset relative to
@@ -144,6 +145,14 @@ def encode_split_index(
     min, hi >= true max, so pruning can only over-keep). A letter may
     appear in both ``st`` and ``sv`` (mixed-type columns): the planner
     consults whichever matches the schema type it is filtering.
+    ``stats_stride`` (r12, the ``q`` key when > 1): stats arrays may be
+    COARSENED — one (lo, hi) pair per ``q`` consecutive intervals
+    (length ``2*ceil(n_iv/q)``), each pair the envelope of its group.
+    Publication prefers doubling the stride over dropping whole columns
+    against the 64 KB ceiling (the SF10 witness lost ALL string pruning
+    to column shedding at 1038 points); the decoder re-expands by
+    replication, so consumers stay per-interval and claims only widen —
+    conservative by construction.
     ``extra_sheets`` (r11) carries sections for ADDITIONAL worksheet
     members of a multi-sheet workbook under the ``m`` key —
     ``{entry: {"n": total, "points": [...], "stats": {...} | None,
@@ -162,6 +171,8 @@ def encode_split_index(
         payload["st"] = stats
     if sstats:
         payload["sv"] = sstats
+    if (stats or sstats) and stats_stride > 1:
+        payload["q"] = stats_stride
     if extra_sheets:
         m = {}
         for entry2, sec in extra_sheets.items():
@@ -171,6 +182,8 @@ def encode_split_index(
                 s2["st"] = sec["stats"]
             if sec.get("sstats"):
                 s2["sv"] = sec["sstats"]
+            if (s2.get("st") or s2.get("sv")) and sec.get("q", 1) > 1:
+                s2["q"] = sec["q"]
             m[entry2] = s2
         payload["m"] = m
     out = MAGIC + json.dumps(payload, separators=(",", ":")).encode("ascii")
@@ -264,6 +277,36 @@ def decode_sst_index(zf: zipfile.ZipFile) -> "list[tuple[int, int]] | None":
     return _decode_points(zf, SST_ENTRY, payload, "sc", "sr", "sn")
 
 
+def coarsen_stat_pairs(arr: list) -> list:
+    """One stride-doubling step over a flat [lo0, hi0, lo1, hi1, ...]
+    stats array: merge adjacent (lo, hi) pairs into their envelope —
+    None-absorbing (a group containing an unknown claims nothing), last
+    odd pair carried as-is (ceil semantics, composing with the decoder's
+    ``i // q`` group mapping). Works for numeric and string bounds alike
+    (min/max are the Python comparisons both prune with)."""
+    out: list = []
+    for j in range(0, len(arr), 4):
+        lo0, hi0 = arr[j], arr[j + 1]
+        if j + 2 < len(arr):
+            lo1, hi1 = arr[j + 2], arr[j + 3]
+            if lo0 is None or lo1 is None:
+                out.extend((None, None))
+            else:
+                out.extend((min(lo0, lo1), max(hi0, hi1)))
+        else:
+            out.extend((lo0, hi0))
+    return out
+
+
+def _section_stride(sec: dict, n_iv: int) -> "tuple[int, int] | None":
+    """Validated (stride, coarse pair count) for a section's stats arrays
+    — q=1 when absent; None on a forged/garbage stride."""
+    q = sec.get("q", 1)
+    if not isinstance(q, int) or isinstance(q, bool) or not (1 <= q <= 4096):
+        return None
+    return q, (n_iv + q - 1) // q
+
+
 def decode_interval_stats(
     zf: zipfile.ZipFile, entry: str, points: list
 ) -> "dict[str, list] | None":
@@ -287,24 +330,30 @@ def decode_interval_stats(
     if not isinstance(st, dict) or not st:
         return None
     n_iv = len(points)
+    sq = _section_stride(sec, n_iv)
+    if sq is None:
+        return None
+    q, m = sq
     out: dict = {}
     try:
         for k, arr in st.items():
             if not isinstance(k, str) or not isinstance(arr, list):
                 return None
-            if len(arr) != 2 * n_iv:
+            if len(arr) != 2 * m:
                 return None
-            col: list = []
-            for j in range(n_iv):
+            coarse: list = []
+            for j in range(m):
                 lo, hi = arr[2 * j], arr[2 * j + 1]
                 if lo is None or hi is None:
-                    col.append(None)
+                    coarse.append(None)
                     continue
                 lo, hi = float(lo), float(hi)
                 if not (lo <= hi):  # also rejects NaN
                     return None
-                col.append((lo, hi))
-            out[k] = col
+                coarse.append((lo, hi))
+            # stride re-expansion (r12): interval i claims its group's
+            # envelope — wider than per-interval stats, never narrower
+            out[k] = [coarse[i // q] for i in range(n_iv)]
     except (TypeError, ValueError):
         return None
     return out
@@ -334,17 +383,21 @@ def decode_interval_string_stats(
     if not isinstance(sv, dict) or not sv:
         return None
     n_iv = len(points)
+    sq = _section_stride(sec, n_iv)
+    if sq is None:
+        return None
+    q, m = sq
     out: dict = {}
     for k, arr in sv.items():
         if not isinstance(k, str) or not isinstance(arr, list):
             return None
-        if len(arr) != 2 * n_iv:
+        if len(arr) != 2 * m:
             return None
-        col: list = []
-        for j in range(n_iv):
+        coarse: list = []
+        for j in range(m):
             lo, hi = arr[2 * j], arr[2 * j + 1]
             if lo is None and hi is None:
-                col.append(None)
+                coarse.append(None)
                 continue
             if not isinstance(lo, str) or not isinstance(hi, str):
                 return None
@@ -352,8 +405,8 @@ def decode_interval_string_stats(
                 return None
             if lo > hi:
                 return None
-            col.append((lo, hi))
-        out[k] = col
+            coarse.append((lo, hi))
+        out[k] = [coarse[i // q] for i in range(n_iv)]
     return out
 
 

@@ -289,12 +289,17 @@ def _publish_index(
     never reaches one interval still get interval heaps + the planner's
     cap lift); ``extra_sheets`` carry additional worksheets of a
     multi-sheet workbook (r11). Size discipline against the 64 KB comment
-    ceiling, most valuable sections last to go: per-interval stats
-    columns — numeric ``stats`` and string ``sstats`` alike (r12) — drop
-    largest-first (across all sheets and both kinds), then whole
+    ceiling, most valuable sections last to go: stats STRIDE doubles
+    first — one (lo, hi) envelope per 2/4/…/16 intervals, all sheets and
+    both kinds in lockstep (r12: the SF10 witness showed column-dropping
+    silently killed ALL string pruning at 1038 points; coarser claims
+    keep every column pruning at reduced granularity) — then stats
+    columns drop largest-first (across all sheets and kinds), then whole
     extra-sheet sections largest-first, then the sst section, and the
     primary worksheet section is kept alone as the floor."""
     import json as _json
+
+    from .splitindex import coarsen_stat_pairs
 
     if pts and nrows != expected_rows:
         pts = None
@@ -316,12 +321,17 @@ def _publish_index(
         return
     stats = dict(stats) if (stats and pts) else None
     sstats = dict(sstats) if (sstats and pts) else None
+    q = 1  # stats stride, lockstep across every section (format's `q`)
     while True:
+        for sec in extra.values():
+            if sec.get("stats") or sec.get("sstats"):
+                sec["q"] = q
         try:
             zf.comment = encode_split_index(
                 name, pts or [], nrows if pts else 0,
                 sst_points=spts, sst_total=expected_si if spts else 0,
                 stats=stats, sstats=sstats, extra_sheets=extra or None,
+                stats_stride=q,
             )
             return
         except ValueError:
@@ -334,6 +344,23 @@ def _publish_index(
                 for kind in ("stats", "sstats"):
                     if sec.get(kind):
                         sections.append((en, kind, sec[kind]))
+            if sections and q < 16:
+                # halve resolution before amputating columns
+                q *= 2
+                if stats:
+                    stats = {k: coarsen_stat_pairs(v) for k, v in stats.items()}
+                if sstats:
+                    sstats = {
+                        k: coarsen_stat_pairs(v) for k, v in sstats.items()
+                    }
+                for sec in extra.values():
+                    for kind in ("stats", "sstats"):
+                        if sec.get(kind):
+                            sec[kind] = {
+                                k: coarsen_stat_pairs(v)
+                                for k, v in sec[kind].items()
+                            }
+                continue
             if sections:
                 _, en, kind, col = max(
                     (len(_json.dumps(stt[k])), en, kind, k)

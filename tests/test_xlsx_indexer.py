@@ -681,3 +681,95 @@ def test_parallel_retrofit_byte_identical_any_worker_count(tmp_path):
             pts = SI2.decode_split_index(zf, entry)
             assert pts is not None and pts[-1][1] == total, entry
         assert SI2.decode_sst_index(zf) is not None
+
+
+def test_retrofit_survives_lone_surrogate_shared_strings(tmp_path):
+    """r12 review fix: ST_Xstring escapes like _xD800_ decode to lone
+    surrogates in the sst heap; truncated_string_bounds UTF-8-encodes and
+    used to crash the WHOLE retrofit. The column must simply claim
+    nothing (stats are an optimization), the file must index, and reads
+    must stay bit-equal."""
+    import shutil
+
+    from sheetreader_duckdb_spark.sources.xlsx import splitindex as SI2
+
+    src = str(tmp_path / "surr_src.xlsx")
+    w = IncrementalXlsxWriter(src, "Sheet1")
+    w.write_row(["name", "qty"])
+    for i in range(N_ROWS):
+        w.write_row([f"r{i}", float(i)])
+    w.close()
+    p = _foreignize(src, str(tmp_path / "surr.xlsx"))
+    # splice a _xD800_ escape into one shared string
+    with zipfile.ZipFile(p) as zf:
+        sst = zf.read("xl/sharedStrings.xml")
+        members = [(i, zf.read(i.filename)) for i in zf.infolist()]
+    assert b"<t xml:space=\"preserve\">r77</t>" in sst
+    sst = sst.replace(
+        b"<t xml:space=\"preserve\">r77</t>",
+        b"<t xml:space=\"preserve\">_xD800_r77</t>", 1,
+    )
+    with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as zout:
+        for info, raw in members:
+            zout.writestr(
+                info.filename,
+                sst if info.filename == "xl/sharedStrings.xml" else raw,
+            )
+    import shutil
+
+    before = str(tmp_path / "surr_before.xlsx")
+    shutil.copy(p, before)
+    out = index_xlsx(p)
+    assert out["indexed"], out  # no UnicodeEncodeError from the retrofit
+    with zipfile.ZipFile(p) as zf:
+        pts = SI2.decode_split_index(zf, "xl/worksheets/sheet1.xml")
+        sv = SI2.decode_interval_string_stats(
+            zf, "xl/worksheets/sheet1.xml", pts
+        )
+        st = SI2.decode_interval_stats(zf, "xl/worksheets/sheet1.xml", pts)
+    assert st is not None and "B" in st  # numeric claims unaffected
+    assert pts is not None and pts[-1][1] == N_ROWS + 1
+    del sv  # shape validated by decode; surrogate column's claims optional
+    # Error PARITY: Arrow cannot hold a lone surrogate either, so READING
+    # this column fails identically before and after the retrofit — the
+    # index changes economics, never semantics.
+    schema = StructType(
+        [StructField("name", StringType()), StructField("qty", DoubleType())]
+    )
+    for path2 in (before, p):
+        with pytest.raises(UnicodeEncodeError):
+            _collect({"path": path2, "threads": "4"}, schema)
+    # and the surrogate-free COLUMN still reads exactly on the indexed copy
+    qty = _collect(
+        {"path": p, "threads": "4", "columns": "qty"},
+        StructType([StructField("qty", DoubleType())]),
+    )
+    assert len(qty) == N_ROWS
+
+
+def test_retrofit_glob_metachar_basename_leaves_no_temps(tmp_path):
+    """r12 review fix: staged-temp cleanup uses exact recorded names, so
+    a destination basename with glob metacharacters doesn't leak .m*
+    staging files (on success or failure)."""
+    src = str(tmp_path / "meta_src.xlsx")
+    w = IncrementalXlsxWriter(src, "Sheet1")
+    w.write_row(["a", "b"])
+    for i in range(N_ROWS):
+        w.write_row([f"x{i}", float(i)])
+    w.close()
+    p = _foreignize(src, str(tmp_path / "report[2024]*.xlsx"))
+    out = index_xlsx(p)
+    assert out["indexed"], out
+    leftovers = [f for f in os.listdir(tmp_path) if ".idx-tmp" in f]
+    assert leftovers == [], leftovers
+    # and a too-small file (error path) cleans up as well
+    src2 = str(tmp_path / "tiny_src.xlsx")
+    w = IncrementalXlsxWriter(src2, "Sheet1")
+    w.write_row(["a"])
+    w.write_row(["x"])
+    w.close()
+    p2 = _foreignize(src2, str(tmp_path / "tiny[1].xlsx"))
+    out2 = index_xlsx(p2)
+    assert not out2["indexed"]
+    leftovers = [f for f in os.listdir(tmp_path) if ".idx-tmp" in f]
+    assert leftovers == [], leftovers

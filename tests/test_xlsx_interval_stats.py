@@ -243,26 +243,47 @@ def test_lying_stats_cannot_hide_from_interval_zero_check(stats_xlsx, tmp_path):
         _collect(p, [LessThan(("id",), 1000.0)])
 
 
-def test_stats_dropped_largest_first_when_comment_overflows(tmp_path):
-    """A synthetic overflow: _publish_index keeps the index and sheds
-    stats columns (largest first) instead of losing the whole comment."""
+def test_stats_overflow_coarsens_stride_before_dropping_columns(tmp_path):
+    """A synthetic overflow: _publish_index keeps the index and DOUBLES
+    the stats stride (one envelope per q intervals, r12) before it would
+    amputate columns — the SF10 witness showed column-dropping silently
+    killed all string pruning at 1038 points. Both columns must survive
+    at q > 1, and the decoded stats must be the honest envelopes of the
+    original per-interval claims."""
     import io
+    import json
 
     from sheetreader_duckdb_spark.sources.xlsx.writer import _publish_index
 
-    pts = [(100 * (i + 1), 10 * (i + 1)) for i in range(2000)]
-    big = {c: [float(i) for i in range(4002 * 2)] for c in ("A", "B")}
+    n_pts = 2000
+    pts = [(100 * (i + 1), 10 * (i + 1)) for i in range(n_pts)]
+    n_iv = n_pts + 1
+    big = {c: [float(i) for i in range(2 * n_iv)] for c in ("A", "B")}
+    sbig = {"D": [f"k{i:013d}" for i in range(2 * n_iv)]}
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("x", b"")
-        _publish_index(zf, SHEET, pts, 99_999, 99_999, None, 0, 0, stats=big)
+        _publish_index(
+            zf, SHEET, pts, 10 * n_pts, 10 * n_pts, None, 0, 0,
+            stats=big, sstats=sbig,
+        )
         comment = zf.comment
     assert comment.startswith(SI.MAGIC)
-    import json
-
     payload = json.loads(comment[len(SI.MAGIC):])
-    assert payload["e"] == SHEET and len(payload["c"]) == 2000
-    assert "st" not in payload or len(payload["st"]) < 2
+    assert payload["e"] == SHEET and len(payload["c"]) == n_pts
+    assert payload.get("q", 1) > 1
+    assert sorted(payload["st"]) == ["A", "B"]  # no column amputated
+    assert sorted(payload["sv"]) == ["D"]
+    q = payload["q"]
+    assert len(payload["st"]["A"]) == 2 * ((n_iv + q - 1) // q)
+    # published claims are the honest group envelopes of the originals
+    # (the decode-side expansion is pinned end-to-end by the coarse-file
+    # read tests in test_xlsx_string_stats.py)
+    for j in range(len(payload["st"]["A"]) // 2):
+        lo, hi = payload["st"]["A"][2 * j], payload["st"]["A"][2 * j + 1]
+        group = [float(i) for i in range(2 * j * q, min(2 * (j * q + q), 2 * n_iv))]
+        assert lo == min(group[k] for k in range(0, len(group), 2))
+        assert hi == max(group[k] for k in range(1, len(group), 2))
 
 
 def test_writer_files_without_stats_still_read(stats_xlsx, tmp_path):

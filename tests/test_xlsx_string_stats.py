@@ -341,3 +341,67 @@ def test_sink_authors_string_stats(spark, tmp_path):
     df = read_xlsx(spark, part, where="uid = 'u00149000'")
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["v"] == 298_000.0
+
+
+def test_stride_coarsened_stats_read_exact_and_still_prune(
+    strstats_xlsx, tmp_path, monkeypatch
+):
+    """Stride-coarsened stats (`q` key, r12): rewrite the fixture's
+    comment with honestly 4:1-coarsened arrays; filtered reads stay
+    bit-equal AND still skip intervals (at coarser granularity), and a
+    forged stride drops the sections instead of being trusted."""
+    import json
+    import shutil
+
+    from sheetreader_duckdb_spark.sources.xlsx.splitindex import (
+        coarsen_stat_pairs,
+    )
+
+    p = str(tmp_path / "strided.xlsx")
+    shutil.copy(strstats_xlsx, p)
+    with zipfile.ZipFile(p) as zf:
+        payload = json.loads(zf.comment[len(SI.MAGIC):])
+    q = 4
+    payload2 = dict(payload)
+    for key in ("st", "sv"):
+        if key in payload2:
+            arrs = payload2[key]
+            for _ in range(2):  # 2 doublings = stride 4
+                arrs = {k: coarsen_stat_pairs(v) for k, v in arrs.items()}
+            payload2[key] = arrs
+    payload2["q"] = q
+    with zipfile.ZipFile(p, "a") as zf:
+        zf.comment = SI.MAGIC + json.dumps(payload2).encode()
+
+    with zipfile.ZipFile(p) as zf:
+        pts = SI.decode_split_index(zf, SHEET)
+        sv = SI.decode_interval_string_stats(zf, SHEET, pts)
+        st = SI.decode_interval_stats(zf, SHEET, pts)
+    assert sv is not None and len(sv["A"]) == len(pts)  # re-expanded
+    assert st is not None and len(st["D"]) == len(pts)
+
+    base = sorted(
+        _collect(strstats_xlsx, [EqualTo(("key",), f"k{N - 500:07d}")]),
+        key=str,
+    )
+    spy = _Spy(monkeypatch)
+    got = sorted(
+        _collect(p, [EqualTo(("key",), f"k{N - 500:07d}")]), key=str
+    )
+    assert got == base
+    assert spy.skipped > 0, vars(spy)  # coarser, but still pruning
+
+    # forged strides are structural garbage: sections drop, reads exact
+    for bad_q in (0, -2, "4", True, 9999):
+        payload3 = dict(payload2)
+        payload3["q"] = bad_q
+        with zipfile.ZipFile(p, "a") as zf:
+            zf.comment = SI.MAGIC + json.dumps(payload3).encode()
+        with zipfile.ZipFile(p) as zf:
+            pts = SI.decode_split_index(zf, SHEET)
+            assert SI.decode_interval_string_stats(zf, SHEET, pts) is None, bad_q
+            assert SI.decode_interval_stats(zf, SHEET, pts) is None, bad_q
+        got = sorted(
+            _collect(p, [EqualTo(("key",), f"k{N - 500:07d}")]), key=str
+        )
+        assert got == base, bad_q
