@@ -35,6 +35,7 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 CACHE = "/tmp/sheetreader_xlsx_fixture_cache"
+os.makedirs(CACHE, exist_ok=True)
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 ROWS = {"sf1": 5_000_000, "sf10": 50_000_000}
 SHEET = "xl/worksheets/sheet1.xml"
@@ -75,9 +76,16 @@ def _build_raw(tag: str) -> str:
         tmp2, "w", zipfile.ZIP_DEFLATED
     ) as zout:
         for info in zin.infolist():
-            # stream the big members instead of read()-ing them whole
+            # stream the big members instead of read()-ing them whole.
+            # The ZipInfo must carry DEFLATED explicitly: a passed-in
+            # ZipInfo overrides the archive-level default with its own
+            # compress_type (ZIP_STORED) — r12 review caught the first
+            # witness fixture coming out stored, which made the retrofit
+            # timing skip the whole inflate cost.
+            zi = zipfile.ZipInfo(info.filename)
+            zi.compress_type = zipfile.ZIP_DEFLATED
             with zin.open(info.filename) as f, zout.open(
-                zipfile.ZipInfo(info.filename), "w", force_zip64=True
+                zi, "w", force_zip64=True
             ) as g:
                 while True:
                     c = f.read(1 << 22)

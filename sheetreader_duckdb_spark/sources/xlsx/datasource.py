@@ -956,6 +956,9 @@ class SheetReaderReader(DataSourceReader):
         return parts
 
     def read(self, partition: _SheetPartition):
+        # task boundary on this (possibly reused) worker: let the pinned
+        # lazy sst heap drop the previous task's interval cache (r12)
+        P.bump_sst_epoch()
         mask = _filter_mask_builder(partition.filters, self.schema)
         if mask is None:
             yield from self._read_unfiltered(partition)

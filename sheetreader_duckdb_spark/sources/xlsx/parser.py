@@ -122,6 +122,16 @@ def column_index(cell_ref: str) -> int:
 _SST_CACHE: dict = {}  # single entry: {"key": (path, size, mtime_ns), "strings": [...]}
 _SST_LAZY_CACHE: dict = {}  # single entry: {"key": ..., "heap": SharedStringHeap}
 
+# Task-boundary signal for the worker-pinned lazy heap (r12): the
+# datasource bumps this at every read() entry; IntervalStringHeap drops
+# its sub-interval cache when it sees a new epoch, so reused workers
+# never accumulate the previous task's intervals (class doc there).
+_SST_EPOCH = [0]
+
+
+def bump_sst_epoch() -> None:
+    _SST_EPOCH[0] += 1
+
 # Conventional single-run <si> shapes (Excel, openpyxl, our writer). Rich-
 # text runs (<r>), attributes on <si>, or phonetic hints defeat the pattern
 # — the match-count check below catches every such document and falls back
@@ -386,10 +396,14 @@ class IntervalStringHeap:
     # accumulated every interval any task of any pass ever touched —
     # repeated full reads of the 50M-unique-string SF10 witness degraded
     # 42 s -> 140 s per pass as workers marched toward holding the whole
-    # 2.2 GB heap each. Eight intervals ≈ 32 MB inflated bytes bounds the
-    # footprint; a task's references are clustered (decode_many_arrow
-    # groups by interval per batch), so LRU keeps its working set.
-    _MAX_CACHED_SUBS = 8
+    # 2.2 GB heap each. Two mechanisms, each covering the other's gap
+    # (r12 review): the datasource calls ``bump_sst_epoch()`` at every
+    # read() entry and a stale epoch CLEARS the cache — cross-task
+    # accumulation dies at the task boundary without capping one task's
+    # legitimate working set; the 32-entry LRU (~128 MB inflated) is the
+    # safety net for a single pathological task whose shuffled refs span
+    # a huge heap, and for consumers that never bump the epoch.
+    _MAX_CACHED_SUBS = 32
 
     def __init__(self, path: str, data_offset: int, points: list, n_entries: int):
         self._path = path
@@ -398,6 +412,7 @@ class IntervalStringHeap:
         self._cums = [n for _, n in points]
         self._n = n_entries
         self._subs: dict = {}  # interval idx -> (SharedStringHeap, base); LRU
+        self._epoch = _SST_EPOCH[0]
         self._full: "SharedStringHeap | None" = None  # defeat fallback
 
     def __len__(self) -> int:
@@ -413,6 +428,11 @@ class IntervalStringHeap:
         """(sub-heap, base entry index) for interval t — or None when the
         interval defeats (count mismatch / undecodable), flipping to the
         full-heap fallback."""
+        if self._epoch != _SST_EPOCH[0]:
+            # a new task started on this reused worker: everything the
+            # PREVIOUS task touched is dead weight — drop it all
+            self._subs.clear()
+            self._epoch = _SST_EPOCH[0]
         got = self._subs.get(t)
         if got is not None:
             # refresh recency (dict preserves insertion order: pop and

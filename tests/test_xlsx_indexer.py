@@ -715,8 +715,6 @@ def test_retrofit_survives_lone_surrogate_shared_strings(tmp_path):
                 info.filename,
                 sst if info.filename == "xl/sharedStrings.xml" else raw,
             )
-    import shutil
-
     before = str(tmp_path / "surr_before.xlsx")
     shutil.copy(p, before)
     out = index_xlsx(p)

@@ -267,3 +267,39 @@ def test_pruned_filtered_sharded_read_on_indexed_file(stringy_xlsx, spark):
     )
     got = sorted(r["k"] for r in df.collect())
     assert got == [float(i) for i in range(100)]
+
+
+def test_interval_heap_cache_is_epoch_cleared_and_lru_bounded(stringy_xlsx):
+    """r12 scale fix: the worker-pinned IntervalStringHeap must not
+    accumulate sub-heaps forever (repeated SF10 reads degraded 42->140 s
+    per pass). Two bounds, both pinned: bump_sst_epoch() (called by the
+    datasource at every task entry) clears the previous task's cache,
+    and the LRU cap bounds one task's footprint — with identical decode
+    results before and after eviction."""
+    P._SST_LAZY_CACHE.clear()
+    with P.XlsxWorkbook(stringy_xlsx) as wb:
+        heap = wb.shared_strings_lazy()
+        assert isinstance(heap, P.IntervalStringHeap)
+        eager = wb.shared_strings
+        n = len(eager)
+        # touch several intervals
+        step = max(1, n // 8)
+        probe = list(range(0, n, step))
+        assert [heap[i] for i in probe] == [eager[i] for i in probe]
+        assert len(heap._subs) > 0
+        # a new task boundary drops everything the last task touched
+        P.bump_sst_epoch()
+        assert heap[0] == eager[0]
+        assert len(heap._subs) == 1  # only the freshly touched interval
+        # LRU bound: hammer more distinct intervals than the cap allows
+        # (synthetically shrink the cap so the fixture suffices)
+        old = P.IntervalStringHeap._MAX_CACHED_SUBS
+        try:
+            P.IntervalStringHeap._MAX_CACHED_SUBS = 2
+            vals = [heap[i] for i in probe] + [heap[i] for i in reversed(probe)]
+            assert vals == [eager[i] for i in probe] + [
+                eager[i] for i in reversed(probe)
+            ]
+            assert len(heap._subs) <= 2  # bounded despite the sweep
+        finally:
+            P.IntervalStringHeap._MAX_CACHED_SUBS = old
