@@ -956,9 +956,18 @@ class SheetReaderReader(DataSourceReader):
         return parts
 
     def read(self, partition: _SheetPartition):
-        # task boundary on this (possibly reused) worker: let the pinned
-        # lazy sst heap drop the previous task's interval cache (r12)
+        # Task boundary on this (possibly reused) worker: let the pinned
+        # lazy sst heap drop the previous task's interval cache (r12).
+        # Bumped at CALL time, not first iteration (read() itself is not
+        # a generator), so a caller that materializes the iterator early
+        # doesn't bump mid-way through another task's drain. One-task-
+        # at-a-time consumption is still assumed — that is how Spark
+        # workers drive partitions; interleaving two live reads in one
+        # process would only cost re-inflation, never correctness.
         P.bump_sst_epoch()
+        return self._read_masked(partition)
+
+    def _read_masked(self, partition: _SheetPartition):
         mask = _filter_mask_builder(partition.filters, self.schema)
         if mask is None:
             yield from self._read_unfiltered(partition)

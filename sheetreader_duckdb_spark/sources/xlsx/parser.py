@@ -400,9 +400,12 @@ class IntervalStringHeap:
     # (r12 review): the datasource calls ``bump_sst_epoch()`` at every
     # read() entry and a stale epoch CLEARS the cache — cross-task
     # accumulation dies at the task boundary without capping one task's
-    # legitimate working set; the 32-entry LRU (~128 MB inflated) is the
-    # safety net for a single pathological task whose shuffled refs span
-    # a huge heap, and for consumers that never bump the epoch.
+    # legitimate working set; the 32-entry LRU is the safety net for a
+    # single pathological task whose shuffled refs span a huge heap, and
+    # for consumers that never bump the epoch. Footprint at the cap:
+    # ~128 MB of inflated interval bytes PLUS each sub-heap's decoded
+    # Python-string memo — plan for a few hundred MB per process worst
+    # case, not 128 (size workers accordingly).
     _MAX_CACHED_SUBS = 32
 
     def __init__(self, path: str, data_offset: int, points: list, n_entries: int):

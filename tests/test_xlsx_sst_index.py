@@ -296,6 +296,11 @@ def test_interval_heap_cache_is_epoch_cleared_and_lru_bounded(stringy_xlsx):
         old = P.IntervalStringHeap._MAX_CACHED_SUBS
         try:
             P.IntervalStringHeap._MAX_CACHED_SUBS = 2
+            # the probe must span MORE intervals than the shrunken cap,
+            # or the eviction loop passes vacuously (r12 review)
+            from bisect import bisect_right
+
+            assert len({bisect_right(heap._cums, i) for i in probe}) > 2
             vals = [heap[i] for i in probe] + [heap[i] for i in reversed(probe)]
             assert vals == [eager[i] for i in probe] + [
                 eager[i] for i in reversed(probe)
