@@ -25,7 +25,7 @@ from sheetreader_duckdb_spark.operators import web as WB
 from sheetreader_duckdb_spark.operators import text as X
 from sheetreader_duckdb_spark.plans import query
 from sheetreader_duckdb_spark import session as SESS
-from sheetreader_duckdb_spark.tables import T
+from sheetreader_duckdb_spark.tables import T, parquet_row_count
 
 # Shared DuckDB CTE fragments (document shingling / minhash / bands), kept in
 # one place so the dedup family stays consistent.
@@ -922,12 +922,15 @@ def _sql_srp_code(vec_expr: str, dim: int, n_planes: int) -> str:
 )
 def n06b_embedding_neardup_srp(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "embeddings")
-    # Size the bucketing to the corpus (metadata-speed count-star): bigger
-    # corpora get more planes so expected bucket population — and with it
-    # the in-bucket pair volume — stays constant instead of growing
-    # linearly with n. The oracle derives the identical count from
-    # count(*), so the two can't desync at any sf.
-    n_planes = S.auto_srp_planes(e.count(), target_bucket=8, lo=6)
+    # Size the bucketing to the corpus: bigger corpora get more planes so
+    # expected bucket population — and with it the in-bucket pair volume
+    # — stays constant instead of growing linearly with n. The count
+    # comes from parquet FOOTER metadata on the driver (r13: no eager
+    # Spark job at plan-build time), and equals count(*) exactly, so the
+    # oracle's count(*)-derived plane count can't desync at any sf.
+    n_planes = S.auto_srp_planes(
+        parquet_row_count(sf, "embeddings"), target_bucket=8, lo=6
+    )
     return S.srp_neardup_pairs(e, dim=64, n_planes=n_planes, threshold=0.4)
 
 
@@ -2630,11 +2633,13 @@ def nx_scale_variants(spark: SparkSession, sf: str) -> DataFrame:
     mh = g(n02b_dedup_minhash_xxhash(spark, sf), "mh128", k1="id_a", k2="id_b")
     sim = g(n04b_dedup_simhash64(spark, sf), "sim64", k1="doc_id", k2="simhash")
     ann = g(n05b_ann_lsh_topk(spark, sf), F.col("tag"), k1="qid", k2="cid", n1="rn", v1="cosine")
-    # Cell count derived from a metadata count-star: fixed K degrades
-    # quadratically with corpus growth (candidate volume n·(n/K) — the
-    # auto_srp_planes lesson applied to the k-means bucketing).
+    # Cell count derived from parquet footer metadata (r13: previously a
+    # plan-build count() — a bounded but eager Spark job carried since
+    # r9; the footer num_rows is the same number with zero jobs): fixed
+    # K degrades quadratically with corpus growth (candidate volume
+    # n·(n/K) — the auto_srp_planes lesson applied to k-means bucketing).
     emb = T(spark, sf, "embeddings")
-    n_emb = emb.count()
+    n_emb = parquet_row_count(sf, "embeddings")
     sem = g(
         S.semantic_dedup_pairs(
             emb, n_cells=S.auto_ivf_cells(n_emb, target_cell=100),

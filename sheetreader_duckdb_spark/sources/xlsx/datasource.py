@@ -185,7 +185,7 @@ def supported_pushdown_filter(f, schema: StructType) -> bool:
 
 
 def _plan_interval_skips(filters, schema, file_names, ivstats, date1904,
-                         ivstr=None):
+                         ivstr=None, ivnc=None):
     """Interval ordinals provably EMPTY of matching rows under the ANDed
     pushed filters, per the split index's per-interval min/max stats
     (r11 — the parquet row-group-pruning pattern for XLSX: a selective
@@ -209,6 +209,26 @@ def _plan_interval_skips(filters, schema, file_names, ivstats, date1904,
     over-skip. Interval 0 is never skippable — every shard scans it for
     the cross-shard fallback decision and the loud staleness check.
 
+    ``IsNull`` / ``IsNotNull`` (r13 — the predicate class Spark pushes
+    around every comparison) prune against the value-count ``nc``
+    section (``ivnc``): per interval, the stride GROUP's non-null cell
+    count for the column's type FAMILY (plain numeric feeds DOUBLE,
+    date-styled numeric feeds DATE — split because decode NULLs across
+    the style boundary — string feeds VARCHAR, boolean feeds BOOLEAN;
+    any other cell shape decodes to NULL in every scan tier) plus the
+    group's row count.
+    ``IsNotNull`` skips when the family count is 0 (no interval in the
+    group holds a decodable value); ``IsNull`` skips when it equals the
+    group's rows (every raw row holds one — rows the read drops, like
+    headers/skip_rows, only shrink the output, so "no null raw rows"
+    implies "no null output rows"). Both tests are group-exact under
+    the stride's summation. Count claims additionally assume ECMA-376
+    cell-ref uniqueness (the author withholds intervals whose per-column
+    totals exceed their row count, and the decoder rejects group totals
+    exceeding group rows, but exactly-compensating duplicate+absent refs
+    in one malformed interval are undetectable from counts alone — the
+    same honest-writer trust boundary as the bounds sections).
+
     Error-semantics trust model (ADVICE r12): a pruned interval is never
     inflated, so a parse error lurking inside it (most notably the
     UNSUPPORTED_STRING_ERROR on ``t="str"``/``t="inlineStr"`` cells)
@@ -227,6 +247,8 @@ def _plan_interval_skips(filters, schema, file_names, ivstats, date1904,
         GreaterThan,
         GreaterThanOrEqual,
         In,
+        IsNotNull,
+        IsNull,
         LessThan,
         LessThanOrEqual,
         StringStartsWith,
@@ -239,11 +261,11 @@ def _plan_interval_skips(filters, schema, file_names, ivstats, date1904,
     )
 
     out_type = {f.name: f.dataType.typeName() for f in schema.fields}
-    n_iv = len(
-        next(iter(ivstats.values()))
-        if ivstats
-        else next(iter(ivstr.values()))
-    )
+    n_iv = len(next(
+        next(iter(src.values()))
+        for src in (ivstats, ivstr, ivnc)
+        if src
+    ))
     skips: set = set()
 
     def envelope(v, t):
@@ -269,11 +291,31 @@ def _plan_interval_skips(filters, schema, file_names, ivstats, date1904,
             continue
         name = attr[0]
         t = out_type.get(name)
-        if t not in ("double", "date", "string"):
-            continue
         try:
             letters = _col_letter(file_names.index(name))
         except ValueError:
+            continue
+        if isinstance(f, (IsNull, IsNotNull)):
+            fam = {"double": 0, "string": 1, "boolean": 2, "date": 3}.get(t)
+            col = ivnc.get(letters) if (ivnc and fam is not None) else None
+            if col is None:
+                continue
+            notnull = isinstance(f, IsNotNull)
+            for i in range(1, n_iv):
+                # (n_num, n_str, n_bool, n_date, rows_in_group) | None
+                e = col[i]
+                if e is None:
+                    continue
+                # IsNotNull: the group holds ZERO decodable values of
+                # this family → every row decodes NULL → no matches.
+                # IsNull: the family count equals the group's rows →
+                # every raw row holds a value of THIS family (the
+                # decoder enforced family sums <= rows, so the others
+                # are zero) → no NULL rows to match.
+                if (e[fam] == 0) if notnull else (e[fam] == e[4]):
+                    skips.add(i)
+            continue
+        if t not in ("double", "date", "string"):
             continue
         src = ivstr if t == "string" else ivstats
         col = src.get(letters) if src else None
@@ -937,11 +979,18 @@ class SheetReaderReader(DataSourceReader):
                                 if pts
                                 else None
                             )
-                            if st or sv:
+                            nc = (
+                                SI.decode_interval_null_counts(
+                                    wb.zf, sheet.path, pts
+                                )
+                                if pts
+                                else None
+                            )
+                            if st or sv or nc:
                                 skips = _plan_interval_skips(
                                     self._staged_filters, self.schema,
                                     [f.name for f in self.schema.fields],
-                                    st, wb.date1904, ivstr=sv,
+                                    st, wb.date1904, ivstr=sv, ivnc=nc,
                                 )
                                 n = max(1, min(n, len(pts) - len(skips)))
                 except Exception:
@@ -1100,10 +1149,15 @@ class SheetReaderReader(DataSourceReader):
                     if pts0
                     else None
                 )
-                if ivstats or ivstr:
+                ivnc = (
+                    SI.decode_interval_null_counts(wb.zf, sheet.path, pts0)
+                    if pts0
+                    else None
+                )
+                if ivstats or ivstr or ivnc:
                     skip_ivals = _plan_interval_skips(
                         filters, self.schema, file_schema.names, ivstats,
-                        wb.date1904, ivstr=ivstr,
+                        wb.date1904, ivstr=ivstr, ivnc=ivnc,
                     )
             cb = (1 << 20) if n_shards > 1 else (4 << 20)
             for cells in wb.iter_rows(
@@ -1552,13 +1606,16 @@ class SheetReaderReader(DataSourceReader):
             skip_ivals: frozenset = frozenset()
             if split_pts and filters:
                 ivstats = SI.decode_interval_stats(wb.zf, sheet.path, split_pts)
+                ivnc = SI.decode_interval_null_counts(
+                    wb.zf, sheet.path, split_pts
+                )
                 ivstr = SI.decode_interval_string_stats(
                     wb.zf, sheet.path, split_pts
                 )
-                if ivstats or ivstr:
+                if ivstats or ivstr or ivnc:
                     skip_ivals = _plan_interval_skips(
                         filters, self.schema, file_schema.names, ivstats,
-                        wb.date1904, ivstr=ivstr,
+                        wb.date1904, ivstr=ivstr, ivnc=ivnc,
                     )
             if split_pts and n_shards == 1 and not skip_ivals:
                 # Single-shard with nothing to prune: the sequential scan

@@ -47,7 +47,12 @@ from .parser import (
     detect_row_prefix,
     prefix_res,
 )
-from .splitindex import SST_ENTRY, member_data_offset, truncated_string_bounds
+from .splitindex import (
+    SST_ENTRY,
+    member_data_offset,
+    strip_count_entry,
+    truncated_string_bounds,
+)
 from .writer import _col_letter, _publish_index, _write_indexed_member
 
 
@@ -62,8 +67,12 @@ class _IntervalStatsCollector:
     cells (``t="s"``) additionally fold to truncated (lo, hi) bounds over
     the RESOLVED shared-string values — resolution order cannot matter
     because min/max commute, and the stored bounds use the over-keep-only
-    truncation rule (splitindex.truncated_string_bounds). Honesty rules,
-    all conservative toward NOT pruning:
+    truncation rule (splitindex.truncated_string_bounds). Value COUNTS
+    per type family (r13, the ``nc`` section — [numeric_plain, string,
+    boolean, date_styled], splitindex module comment) ride the same
+    pass: they need no heap and no float parse, only the t/s attrs the
+    regex already captured, and they feed IsNull/IsNotNull pruning.
+    Honesty rules, all conservative toward NOT pruning:
 
     * an interval whose cell-regex match count disagrees with its raw
       ``<c`` count (irregular cells the regex can't see) records None for
@@ -79,23 +88,40 @@ class _IntervalStatsCollector:
       2:1-thinned) point list by cumulative row count; any misalignment
       drops all stats;
     * a buffered interval above 64 MB disables collection outright
-      (bounded memory beats stats).
+      (bounded memory beats stats);
+    * count-specific: a column whose family totals exceed the interval's
+      row count (duplicate cell refs — malformed OOXML that could let
+      IsNull-pruning overclaim) withholds ITS counts for the interval,
+      and with an unknown date-style mapping any STYLED numeric cell
+      does the same (the cell's decode family is undecidable).
     """
 
     _MAX_BUFFER = 64 << 20
 
-    def __init__(self, pfx: bytes, sst: "list[str] | None" = None):
+    def __init__(
+        self, pfx: bytes, sst: "list[str] | None" = None,
+        date_styles: "frozenset[int] | None" = None,
+    ):
         pr = prefix_res(pfx)
         self._pfx = pfx
         self._cell_re = pr.cell_re
         self._cell_count_re = pr.cell_count_re
         self._sst = sst
+        # Style indices that decode numeric cells as DATE (parser
+        # semantics: styled-in-set → T_DATE, else T_NUMERIC). The count
+        # section splits the numeric family on this because the READER
+        # does (a date-styled cell is NULL to a DOUBLE column and vice
+        # versa). None = mapping unknown: a column seeing any STYLED
+        # numeric cell then withholds its count claim for that interval
+        # (sound both ways); unstyled numerics are always T_NUMERIC.
+        self._date_styles = date_styles
         self._buf: list = []
         self._size = 0
         self._cum = 0
         # [(cum_rows_at_interval_end,
         #   {letters: (mn, mx)} | None,          numeric claims
-        #   {letters: (lo, hi)} | None)]         string-bound claims
+        #   {letters: (lo, hi)} | None,          string-bound claims
+        #   {letters: (n,s,b,d) | None} | None)] value-count claims
         self.fine: list = []
         self.dead = False
 
@@ -117,11 +143,12 @@ class _IntervalStatsCollector:
         data = b"".join(self._buf)
         self._buf = []
         self._size = 0
-        self._cum += count_row_starts(data, self._pfx)
+        rows_in = count_row_starts(data, self._pfx)
+        self._cum += rows_in
         ms = self._cell_re.findall(data)
         if len(ms) != len(self._cell_count_re.findall(data)):
             # unseen cells: no claims
-            self.fine.append((self._cum, None, None))
+            self.fine.append((self._cum, None, None, None))
             return
         if any(t in (b"str", b"inlineStr") for _l, _s, t, _v in ms):
             # Cells the default reader REFUSES (formula/inline strings →
@@ -132,15 +159,53 @@ class _IntervalStatsCollector:
             # (Most such cells already land in the count-mismatch branch
             # above — their <is>/<f> children defeat the cell regex — but
             # a bare `<c t="str"><v>…</v></c>` matches and needs this.)
-            self.fine.append((self._cum, None, None))
+            self.fine.append((self._cum, None, None, None))
             return
         per: dict = {}
         per_s: dict = {}
-        for letters, _s, t_attr, v in ms:
+        # Value counts per letter (r13, the `nc` section): how many
+        # cells decode NON-NULL per type family — [numeric_plain,
+        # string, boolean, date_styled] (splitindex module comment).
+        # Counted for every family regardless of sst availability
+        # (counts need no heap), so null-pruning works even on files
+        # whose string BOUNDS are withheld. Cells of any other shape
+        # (t="e", empty <v>, unknown t) decode to NULL in every scan
+        # tier and count nowhere, which is exactly the claim.
+        ds = self._date_styles
+        ncounts: dict = {}
+        for letters, s_attr, t_attr, v in ms:
             if v and (not t_attr or t_attr == b"n"):
                 per.setdefault(letters, []).append(v)
-            elif v and t_attr == b"s" and self._sst is not None:
-                per_s.setdefault(letters, []).append(v)
+                if not s_attr:
+                    fam = 0
+                elif ds is None:
+                    # style mapping unknown: this cell's decode family is
+                    # undecidable — the column claims no counts here
+                    ncounts[letters] = None
+                    continue
+                else:
+                    fam = 3 if int(s_attr) in ds else 0
+            elif v and t_attr == b"s":
+                if self._sst is not None:
+                    per_s.setdefault(letters, []).append(v)
+                fam = 1
+            elif v and t_attr == b"b":
+                fam = 2
+            else:
+                continue
+            got = ncounts.setdefault(letters, [0, 0, 0, 0])
+            if got is not None:
+                got[fam] += 1
+        # Duplicate-ref guard: ECMA-376 requires unique cell refs per row,
+        # but the count claims (unlike min/max, which duplicates cannot
+        # widen) could be INFLATED by a malformed file repeating a ref —
+        # letting IsNull-pruning skip an interval that still holds a null
+        # row. A letter whose family total exceeds the interval's row
+        # count is proof of duplication: withhold that column's counts
+        # (bounds claims stay — duplication never changes min/max).
+        for k, t in list(ncounts.items()):
+            if t is not None and sum(t) > rows_in:
+                ncounts[k] = None
         stats: dict = {}
         for letters, vals in per.items():
             try:
@@ -167,21 +232,27 @@ class _IntervalStatsCollector:
             if bounds is None:
                 continue  # no honest upper bound: claim nothing
             sstats[letters.decode()] = bounds
-        self.fine.append((self._cum, stats, sstats))
+        nc = {
+            k.decode(): (tuple(v) if v is not None else None)
+            for k, v in ncounts.items()
+        }
+        self.fine.append((self._cum, stats, sstats, nc))
 
     def aligned(
         self, points: "list | None", total_rows: int
-    ) -> "tuple[dict | None, dict | None]":
-        """(numeric, string) flat per-column arrays aligned to the
-        SURVIVING points (the encode payload shape); each side is None
-        when collection died / misaligned / there is nothing to claim."""
+    ) -> "tuple[dict | None, dict | None, dict | None]":
+        """(numeric, string, counts) per-column arrays aligned to the
+        SURVIVING points (the encode payload shapes — flat [lo, hi, ...]
+        pairs for the bound kinds, one ``None | [n, s, b]`` entry per
+        interval for the count kind); each side is None when collection
+        died / misaligned / there is nothing to claim."""
         if self.dead or points is None:
-            return None, None
+            return None, None, None
         if self._buf:
             self._close()
         bounds = [cum for _, cum in points] + [total_rows]
         outs: list = []
-        for kind in (1, 2):  # fine tuple slot: numeric, then string
+        for kind in (1, 2, 3):  # fine slot: numeric, string, counts
             letters_all = sorted(
                 {k for rec in self.fine if rec[kind] for k in rec[kind]}
             )
@@ -203,13 +274,29 @@ class _IntervalStatsCollector:
                     if merged is None or st is None:
                         merged = None
                         continue
-                    for k, (mn, mx) in st.items():
-                        got = merged.get(k)
-                        merged[k] = (
-                            (mn, mx)
-                            if got is None
-                            else (min(got[0], mn), max(got[1], mx))
-                        )
+                    if kind == 3:
+                        # element-wise SUM; a letter ABSENT from a valid
+                        # record is a true zero (the interval holds no
+                        # cells of that column — all-null), unlike the
+                        # bound kinds where absence claims nothing. A
+                        # per-column None (style-undecidable / duplicate
+                        # guard) poisons that column for the group.
+                        for k, t in st.items():
+                            got = merged.get(k, (0, 0, 0, 0))
+                            if t is None or got is None:
+                                merged[k] = None
+                            else:
+                                merged[k] = tuple(
+                                    x + y for x, y in zip(got, t)
+                                )
+                    else:
+                        for k, (mn, mx) in st.items():
+                            got = merged.get(k)
+                            merged[k] = (
+                                (mn, mx)
+                                if got is None
+                                else (min(got[0], mn), max(got[1], mx))
+                            )
                 if took and at != b:
                     ok = False  # fine/survivor cum mismatch: claim nothing
                     break
@@ -217,15 +304,27 @@ class _IntervalStatsCollector:
                 # bound — e.g. the final flush landed exactly on the last
                 # row and only the trailer followed). Nothing to claim,
                 # nothing wrong; the r11 review caught this dropping ALL
-                # stats for such files.
+                # stats for such files. (For counts an all-zero claim on
+                # a zero-row interval is vacuously true.)
                 for k in letters_all:
-                    got = (merged or {}).get(k)
-                    if got is None:
-                        out[k].extend((None, None))
+                    if kind == 3:
+                        got = (
+                            merged.get(k, (0, 0, 0, 0))
+                            if merged is not None
+                            else None
+                        )
+                        out[k].append(
+                            strip_count_entry(got) if got is not None
+                            else None
+                        )
                     else:
-                        out[k].extend(got)
+                        got = (merged or {}).get(k)
+                        if got is None:
+                            out[k].extend((None, None))
+                        else:
+                            out[k].extend(got)
             outs.append(out if ok else None)
-        return outs[0], outs[1]
+        return outs[0], outs[1], outs[2]
 
 
 # One boundary algorithm, one home (r12 consolidation): the any-prefix
@@ -497,23 +596,23 @@ def index_xlsx(
             pts = spts = None
             nrows = n_si = 0
             mixed = False
-            ivstats = ivsv = None
+            ivstats = ivsv = ivnc = None
             extra: dict = {}
             for kind, info, _kp in jobs:
                 r = staged[info.filename]["r"]
                 if kind == "primary":
-                    pts, nrows, ivstats, ivsv, mixed = r
+                    pts, nrows, ivstats, ivsv, ivnc, mixed = r
                     if mixed:
                         # Rows under other prefixes exist: the
                         # detected-prefix counts would disagree with
                         # the reader's parse — never index on a lie.
-                        pts, ivstats, ivsv = None, None, None
+                        pts, ivstats, ivsv, ivnc = None, None, None, None
                 elif kind == "extra":
-                    pts2, n2, st2, sv2, mixed2 = r
+                    pts2, n2, st2, sv2, nc2, mixed2 = r
                     if pts2 and not mixed2:
                         extra[info.filename] = {
                             "n": n2, "points": pts2, "stats": st2,
-                            "sstats": sv2,
+                            "sstats": sv2, "ncounts": nc2,
                         }
                 else:
                     spts, n_si = r
@@ -535,7 +634,8 @@ def index_xlsx(
                 # sheets, if the comment would exceed the 64 KB ceiling).
                 _publish_index(
                     zout, sheet.path, pts, nrows, nrows, spts, n_si, n_si,
-                    stats=ivstats, sstats=ivsv, extra_sheets=extra or None,
+                    stats=ivstats, sstats=ivsv, ncounts=ivnc,
+                    extra_sheets=extra or None,
                 )
                 published = bool(zout.comment)
             if not published:
@@ -588,7 +688,11 @@ def _index_one_sheet(zout, wb, src_path, info, pfx, want_stats, sst=None):
             anyctr.feed(c)
             yield c
 
-    coll = _IntervalStatsCollector(pfx, sst=sst) if want_stats else None
+    coll = (
+        _IntervalStatsCollector(pfx, sst=sst, date_styles=wb.date_styles)
+        if want_stats
+        else None
+    )
     pts, n = _reencode_member(
         zout, info, _counted(_inflate_chunks(wb.zf, info.filename)),
         b"</" + pfx + b"row>", b"<" + pfx + b"row", b"<" + pfx + b"rowB",
@@ -599,9 +703,9 @@ def _index_one_sheet(zout, wb, src_path, info, pfx, want_stats, sst=None):
     # the needle count is not comparable and every pure-prefix file would
     # misreport as mixed (r11 review).
     if pts is not None and anyctr.close() != n:
-        return pts, n, None, None, True
-    st, sv = coll.aligned(pts, n) if coll else (None, None)
-    return pts, n, st, sv, False
+        return pts, n, None, None, None, True
+    st, sv, nc = coll.aligned(pts, n) if coll else (None, None, None)
+    return pts, n, st, sv, nc, False
 
 
 class _TooSmall(Exception):

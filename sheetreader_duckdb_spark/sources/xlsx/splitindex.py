@@ -105,6 +105,64 @@ def truncated_string_bounds(mn: str, mx: str) -> "tuple[str, str] | None":
     return lo, hi
 
 
+# Per-interval value-count stats (r13): the third leg of the parquet
+# row-group pattern (min/max + null_count). Stored as VALUE counts per
+# type family — [n_numeric_plain, n_string, n_boolean, n_date_styled]
+# per interval — because XLSX nullness is type-directed (a mismatched
+# cell decodes to NULL, so the null count of a column depends on the
+# reader's schema type): the planner derives nulls = rows_in_interval -
+# family_count for whichever family the filtered column's schema type
+# decodes from. The numeric population SPLITS on date style because
+# decode does (parser: a date-styled numeric cell is T_DATE, which a
+# DOUBLE column NULLs, and vice versa — one merged family would make
+# IsNull pruning unsound on mixed-style columns). Every OTHER cell
+# shape (t="e", empty <v>, absent cell, unknown t) decodes to NULL in
+# all scan tiers (parser.py: unknown t → T_NONE), so the four families
+# are exactly the non-null-producing set.
+_NC_FAMILIES = 4
+
+
+def _pad4(t) -> "tuple[int, int, int, int]":
+    return (t[0] if len(t) > 0 else 0,
+            t[1] if len(t) > 1 else 0,
+            t[2] if len(t) > 2 else 0,
+            t[3] if len(t) > 3 else 0)
+
+
+def strip_count_entry(t) -> list:
+    """Encode-side minimal form of one count entry: trailing zeros drop
+    ([5,0,0] → [5]; all-zero → [] — a TRUE claim that every row in the
+    group is NULL for this column, distinct from null = no claim)."""
+    out = list(t)
+    while out and out[-1] == 0:
+        out.pop()
+    return out
+
+
+def coarsen_count_groups(arr: list) -> list:
+    """One stride-doubling step over a per-group count array
+    ``[entry0, entry1, ...]`` (entry = None | [n, s, b, d] trailing-
+    zero-stripped): adjacent entries merge by ELEMENT-WISE SUM — the
+    count analog of the min/max envelope, sound for both null-predicates
+    because the planner's tests (family == 0 / family == group rows)
+    stay exact under summation. None-absorbing; odd last carried."""
+    out: list = []
+    for j in range(0, len(arr), 2):
+        a = arr[j]
+        if j + 1 < len(arr):
+            b = arr[j + 1]
+            if a is None or b is None:
+                out.append(None)
+            else:
+                pa, pb = _pad4(a), _pad4(b)
+                out.append(strip_count_entry(
+                    tuple(x + y for x, y in zip(pa, pb))
+                ))
+        else:
+            out.append(a)
+    return out
+
+
 def _deltas(points: list) -> "tuple[list, list]":
     coffs, counts = [], []
     pc = pn = 0
@@ -125,6 +183,7 @@ def encode_split_index(
     extra_sheets: "dict[str, dict] | None" = None,
     sstats: "dict[str, list] | None" = None,
     stats_stride: int = 1,
+    ncounts: "dict[str, list] | None" = None,
 ) -> bytes:
     """Comment bytes for one indexed worksheet entry (+ optionally the
     shared-strings heap). ``points`` are (compressed offset relative to
@@ -145,6 +204,16 @@ def encode_split_index(
     min, hi >= true max, so pruning can only over-keep). A letter may
     appear in both ``st`` and ``sv`` (mixed-type columns): the planner
     consults whichever matches the schema type it is filtering.
+    ``ncounts`` (r13) is the per-interval VALUE-COUNT section under the
+    ``nc`` key — the null_count leg of the parquet row-group pattern,
+    type-family-resolved (module comment at ``_NC_FAMILIES``): a column
+    LETTER maps to a list with one entry per interval (or per stride
+    group), each entry ``None`` (no claim) or a trailing-zero-stripped
+    ``[n_numeric, n_string, n_boolean]`` over the interval's cells. The
+    planner prunes ``IsNotNull`` when the filtered type's family count
+    is 0 and ``IsNull`` when it equals the group's row count; both tests
+    stay exact under the stride's group-summation, so coarsening only
+    loses granularity, never soundness.
     ``stats_stride`` (r12, the ``q`` key when > 1): stats arrays may be
     COARSENED — one (lo, hi) pair per ``q`` consecutive intervals
     (length ``2*ceil(n_iv/q)``), each pair the envelope of its group.
@@ -171,7 +240,9 @@ def encode_split_index(
         payload["st"] = stats
     if sstats:
         payload["sv"] = sstats
-    if (stats or sstats) and stats_stride > 1:
+    if ncounts:
+        payload["nc"] = ncounts
+    if (stats or sstats or ncounts) and stats_stride > 1:
         payload["q"] = stats_stride
     if extra_sheets:
         m = {}
@@ -182,7 +253,9 @@ def encode_split_index(
                 s2["st"] = sec["stats"]
             if sec.get("sstats"):
                 s2["sv"] = sec["sstats"]
-            if (s2.get("st") or s2.get("sv")) and sec.get("q", 1) > 1:
+            if sec.get("ncounts"):
+                s2["nc"] = sec["ncounts"]
+            if (s2.get("st") or s2.get("sv") or s2.get("nc")) and sec.get("q", 1) > 1:
                 s2["q"] = sec["q"]
             m[entry2] = s2
         payload["m"] = m
@@ -406,6 +479,69 @@ def decode_interval_string_stats(
             if lo > hi:
                 return None
             coarse.append((lo, hi))
+        out[k] = [coarse[i // q] for i in range(n_iv)]
+    return out
+
+
+def decode_interval_null_counts(
+    zf: zipfile.ZipFile, entry: str, points: list
+) -> "dict[str, list] | None":
+    """Validated per-interval value counts per column letter for
+    ``entry`` (the ``nc`` section, r13), aligned with the decoded
+    ``points``: each interval maps to ``None`` (no claim) or a tuple
+    ``(n_num, n_str, n_bool, n_date, rows_in_group)`` — its stride
+    GROUP's family totals plus the group's total row count derived from
+    the points themselves. The planner's two tests are stated at group
+    granularity (family == 0 → no interval in the group holds a
+    non-null; family == rows → no interval holds a null), so replicating
+    group values per interval is sound by construction. Untrusted like
+    every other section: wrong array length, non-int entries, negatives,
+    more than three families, or family totals exceeding the group's row
+    count drop the WHOLE section — pruning is an optimization, the
+    unpruned scan is the semantics. Validation is independent of
+    ``st``/``sv``: garbage in one section never costs the others."""
+    payload = _payload(zf)
+    if payload is None:
+        return None
+    sec = _section_for(payload, entry)
+    if sec is None:
+        return None
+    nc = sec.get("nc")
+    if not isinstance(nc, dict) or not nc:
+        return None
+    n_iv = len(points)
+    sq = _section_stride(sec, n_iv)
+    if sq is None:
+        return None
+    q, m = sq
+    # Rows per stride group, from the validated points (terminal
+    # included): count_in(i) = cum(i) - cum(i-1), summed over the group.
+    rows_g = [0] * m
+    prev = 0
+    for i in range(n_iv):
+        rows_g[i // q] += points[i][1] - prev
+        prev = points[i][1]
+    out: dict = {}
+    for k, arr in nc.items():
+        if not isinstance(k, str) or not isinstance(arr, list):
+            return None
+        if len(arr) != m:
+            return None
+        coarse: list = []
+        for j in range(m):
+            e = arr[j]
+            if e is None:
+                coarse.append(None)
+                continue
+            if not isinstance(e, list) or len(e) > _NC_FAMILIES:
+                return None
+            for x in e:
+                if not isinstance(x, int) or isinstance(x, bool) or x < 0:
+                    return None
+            fams = _pad4(e)
+            if sum(fams) > rows_g[j]:
+                return None  # counts a group's rows can't hold: forged
+            coarse.append(fams + (rows_g[j],))
         out[k] = [coarse[i // q] for i in range(n_iv)]
     return out
 

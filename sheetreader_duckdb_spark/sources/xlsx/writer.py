@@ -278,6 +278,7 @@ def _publish_index(
     zf, name: str, pts, nrows: int, expected_rows: int,
     spts, n_si: int, expected_si: int, stats: "dict | None" = None,
     extra_sheets: "dict | None" = None, sstats: "dict | None" = None,
+    ncounts: "dict | None" = None,
 ) -> None:
     """Set the archive comment for whichever validated sections exist —
     shared by both writers and the retrofit indexer (r10 review: the two
@@ -299,7 +300,7 @@ def _publish_index(
     primary worksheet section is kept alone as the floor."""
     import json as _json
 
-    from .splitindex import coarsen_stat_pairs
+    from .splitindex import coarsen_count_groups, coarsen_stat_pairs
 
     if pts and nrows != expected_rows:
         pts = None
@@ -314,6 +315,7 @@ def _publish_index(
             **v,
             "stats": dict(v["stats"]) if v.get("stats") else None,
             "sstats": dict(v["sstats"]) if v.get("sstats") else None,
+            "ncounts": dict(v["ncounts"]) if v.get("ncounts") else None,
         }
         for k, v in (extra_sheets or {}).items()
     }
@@ -321,16 +323,18 @@ def _publish_index(
         return
     stats = dict(stats) if (stats and pts) else None
     sstats = dict(sstats) if (sstats and pts) else None
+    ncounts = dict(ncounts) if (ncounts and pts) else None
     q = 1  # stats stride, lockstep across every section (format's `q`)
     while True:
         for sec in extra.values():
-            if sec.get("stats") or sec.get("sstats"):
+            if sec.get("stats") or sec.get("sstats") or sec.get("ncounts"):
                 sec["q"] = q
         try:
             zf.comment = encode_split_index(
                 name, pts or [], nrows if pts else 0,
                 sst_points=spts, sst_total=expected_si if spts else 0,
-                stats=stats, sstats=sstats, extra_sheets=extra or None,
+                stats=stats, sstats=sstats, ncounts=ncounts,
+                extra_sheets=extra or None,
                 stats_stride=q,
             )
             return
@@ -340,18 +344,26 @@ def _publish_index(
                 sections.append(("", "stats", stats))
             if sstats:
                 sections.append(("", "sstats", sstats))
+            if ncounts:
+                sections.append(("", "ncounts", ncounts))
             for en, sec in extra.items():
-                for kind in ("stats", "sstats"):
+                for kind in ("stats", "sstats", "ncounts"):
                     if sec.get(kind):
                         sections.append((en, kind, sec[kind]))
             if sections and q < 16:
-                # halve resolution before amputating columns
+                # halve resolution before amputating columns; counts
+                # coarsen by group-sum (their own sound merge), bounds
+                # by envelope
                 q *= 2
                 if stats:
                     stats = {k: coarsen_stat_pairs(v) for k, v in stats.items()}
                 if sstats:
                     sstats = {
                         k: coarsen_stat_pairs(v) for k, v in sstats.items()
+                    }
+                if ncounts:
+                    ncounts = {
+                        k: coarsen_count_groups(v) for k, v in ncounts.items()
                     }
                 for sec in extra.values():
                     for kind in ("stats", "sstats"):
@@ -360,6 +372,11 @@ def _publish_index(
                                 k: coarsen_stat_pairs(v)
                                 for k, v in sec[kind].items()
                             }
+                    if sec.get("ncounts"):
+                        sec["ncounts"] = {
+                            k: coarsen_count_groups(v)
+                            for k, v in sec["ncounts"].items()
+                        }
                 continue
             if sections:
                 _, en, kind, col = max(
@@ -367,17 +384,19 @@ def _publish_index(
                     for en, kind, stt in sections
                     for k in stt
                 )
-                tgt = (
-                    (stats if kind == "stats" else sstats)
-                    if en == ""
-                    else extra[en][kind]
-                )
+                if en == "":
+                    tgt = {"stats": stats, "sstats": sstats,
+                           "ncounts": ncounts}[kind]
+                else:
+                    tgt = extra[en][kind]
                 del tgt[col]
                 if not tgt:
                     if en == "" and kind == "stats":
                         stats = None
-                    elif en == "":
+                    elif en == "" and kind == "sstats":
                         sstats = None
+                    elif en == "":
+                        ncounts = None
                     else:
                         extra[en][kind] = None
                 continue
@@ -671,8 +690,12 @@ class IncrementalXlsxWriter:
 
                     # the sink's own intern heap doubles as the resolver
                     # for string bounds (r12) — already fully populated:
-                    # every row hit the spool before close() runs
-                    coll = _IntervalStatsCollector(b"", sst=self._sst)
+                    # every row hit the spool before close() runs. The
+                    # sink's one date style is cellXfs index 1 (_STYLES),
+                    # so the count families split exactly (r13).
+                    coll = _IntervalStatsCollector(
+                        b"", sst=self._sst, date_styles=frozenset({1})
+                    )
                 pts, nrows = _write_sheet_member(
                     zf, "xl/worksheets/sheet1.xml", _sheet_chunks(),
                     on_piece=coll.on_piece if coll else None,
@@ -704,12 +727,14 @@ class IncrementalXlsxWriter:
                 spts, n_si = _write_indexed_member(
                     zf, "xl/sharedStrings.xml", _sst_chunks(), b"</si>", b"<si>"
                 )
-                st, sv = coll.aligned(pts, nrows) if coll else (None, None)
+                st, sv, nc = (
+                    coll.aligned(pts, nrows) if coll else (None, None, None)
+                )
                 _publish_index(
                     zf, "xl/worksheets/sheet1.xml",
                     pts, nrows, self.n_rows,
                     spts, n_si, len(self._sst),
-                    stats=st, sstats=sv,
+                    stats=st, sstats=sv, ncounts=nc,
                 )
         finally:
             self._spool.close()

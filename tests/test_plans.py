@@ -258,3 +258,45 @@ def test_declared_witness_knobs_stay_below_auto_crossover(spark):
         # n_cells=min(auto_ivf_cells(n_emb), n_emb), score='auto'.
         k = min(S.auto_ivf_cells(n_emb), n_emb)
         assert n_emb * k < cap, f"{sf_dir}: curate semdedup crossed the crossover"
+
+
+def test_plan_build_schedules_no_eager_job(spark, monkeypatch):
+    """VERDICT r12 task 5: constructing a declared plan must not run a
+    Spark job (nx_scale_variants carried a metadata count() at
+    plan-build since r9 — now a parquet-footer read via
+    tables.parquet_row_count). Pinned structurally: with DataFrame
+    eager-action methods poisoned, every declared BATCH query still
+    CONSTRUCTS. (Streaming queries replay through AvailableNow at
+    construct time by design; s01/h02b/n11b materialize fixtures or
+    sinks — the known, documented constructors.)"""
+    import os
+
+    from pyspark.sql import DataFrame
+
+    from sheetreader_duckdb_spark.plans import all_queries
+
+    def _boom(self, *a, **k):
+        raise AssertionError("eager Spark action during plan construction")
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    # The declared constructors allowed to execute work at build time:
+    # ingest/sink fixtures (s*, h02b, n11b multimodal features) and the
+    # streaming replays (n14*-n16, s02) — everything else is pure plan.
+    allowed = {
+        "s01_xlsx_roundtrip", "s02_xlsx_stream_ingest",
+        "s03_xlsx_option_semantics", "s04_xlsx_type_overrides",
+        "s05_xlsx_sheet_selection", "h02b_ctas_sink",
+        "n11b_multimodal_features", "n14_stream_tumbling",
+        "n14b_stream_sliding", "n15_stream_session",
+        "n16_stream_stateful_totals", "n01_dedup_exact_pipeline",
+        "n01_cur_kept",
+    }
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    for name, q in all_queries().items():
+        if name in allowed:
+            continue
+        q.fn(spark, sf_dir)  # must not raise
