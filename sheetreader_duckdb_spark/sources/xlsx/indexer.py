@@ -97,16 +97,47 @@ class _IntervalStatsCollector:
     """
 
     _MAX_BUFFER = 64 << 20
+    # Deferred-resolution budget (r13, the big-heap path): stored sst
+    # ref indices per column / per collector. 4M int64 refs ≈ 32 MB a
+    # column, 8M ≈ 64 MB total — crossing a cap sheds that column's
+    # (then the largest columns') STRING claims only; numeric/bool/count
+    # claims and the index itself are untouched.
+    _DEFER_COL_CAP = 4 << 20
+    _DEFER_TOTAL_CAP = 8 << 20
 
     def __init__(
         self, pfx: bytes, sst: "list[str] | None" = None,
         date_styles: "frozenset[int] | None" = None,
+        defer_strings: bool = False,
+        pool=None, pool_size: int = 0,
     ):
         pr = prefix_res(pfx)
         self._pfx = pfx
         self._cell_re = pr.cell_re
         self._cell_count_re = pr.cell_count_re
         self._sst = sst
+        # Optional fork Pool (r13): interval analysis runs in worker
+        # PROCESSES (the regex/fold slices are GIL-bound and were the
+        # reason stats=True gained nothing from the r12 thread fan-out);
+        # an eager heap rides into the workers via fork COW
+        # (_POOL_HEAP). fine[] holds AsyncResults until _drain realizes
+        # them head-first, so claim order — and output bytes — are
+        # identical to the serial path.
+        self._pool = pool
+        self._pool_size = pool_size
+        self._head = 0
+        # Deferred string bounds (r13): instead of resolving t="s" refs
+        # against a RESIDENT heap (the r12 design, whose 256 MB gate
+        # dropped string stats on big-sst files entirely), record each
+        # interval's UNIQUE ref indices and fold bounds later in ONE
+        # streaming pass over the heap (_resolve_deferred_strings) —
+        # collector memory is O(unique refs, capped) instead of O(heap).
+        self._defer = defer_strings
+        self._defer_refs: list = []    # (fine_idx, col, np.int64 uniques)
+        self._defer_counts: dict = {}  # col -> stored ref total
+        self._defer_dead: set = set()  # cols shed by budget/garbage
+        self._defer_dead_b: set = set()  # bytes twin for the cell loop
+        self._defer_resolved = False
         # Style indices that decode numeric cells as DATE (parser
         # semantics: styled-in-set → T_DATE, else T_NUMERIC). The count
         # section splits the numeric family on this because the READER
@@ -138,105 +169,110 @@ class _IntervalStatsCollector:
             self._close()
 
     def _close(self) -> None:
-        import numpy as np
-
         data = b"".join(self._buf)
         self._buf = []
         self._size = 0
-        rows_in = count_row_starts(data, self._pfx)
+        if self._pool is not None:
+            # GIL-free lane (r13, VERDICT task 4): the regex scan +
+            # numpy folds of one interval are pure CPU on immutable
+            # bytes — ship them to a forked worker and realize results
+            # IN ORDER later. Backpressure caps in-flight work so the
+            # (faster) inflate producer can't queue a whole file.
+            self.fine.append(self._pool.apply_async(
+                _analyze_interval_pooled,
+                (data, self._pfx, self._date_styles, self._defer),
+            ))
+            self._drain(max_pending=2 * self._pool_size)
+        else:
+            rec = self._finish_record(
+                _analyze_interval(
+                    data, self._pfx, self._date_styles, self._sst,
+                    self._defer, dead_cols=self._defer_dead_b,
+                ),
+                len(self.fine),
+            )
+            if rec is not None:
+                self.fine.append(rec)
+
+    def _finish_record(self, r, fi: int):
+        """Fold one interval's analysis into collector state, in stream
+        order (cum accumulation + deferred-ref bookkeeping live HERE, on
+        the parent side, so pooled and serial runs build byte-identical
+        claims). Returns the fine tuple for slot ``fi``, or None after
+        marking the collector dead."""
+        if r is None:
+            # a pooled worker failed analysing this interval: claims are
+            # an optimization — die quietly, the index itself is fine
+            self.dead = True
+            self.fine = []
+            self._defer_refs = []
+            return None
+        rows_in, stats, sstats, nc, drefs = r
         self._cum += rows_in
-        ms = self._cell_re.findall(data)
-        if len(ms) != len(self._cell_count_re.findall(data)):
-            # unseen cells: no claims
-            self.fine.append((self._cum, None, None, None))
-            return
-        if any(t in (b"str", b"inlineStr") for _l, _s, t, _v in ms):
-            # Cells the default reader REFUSES (formula/inline strings →
-            # UNSUPPORTED_STRING_ERROR): claiming stats here would let a
-            # pruned filtered read silently succeed where the unfiltered
-            # read of the same file errors — withhold the whole interval
-            # so it always inflates and raises identically (ADVICE r12).
-            # (Most such cells already land in the count-mismatch branch
-            # above — their <is>/<f> children defeat the cell regex — but
-            # a bare `<c t="str"><v>…</v></c>` matches and needs this.)
-            self.fine.append((self._cum, None, None, None))
-            return
-        per: dict = {}
-        per_s: dict = {}
-        # Value counts per letter (r13, the `nc` section): how many
-        # cells decode NON-NULL per type family — [numeric_plain,
-        # string, boolean, date_styled] (splitindex module comment).
-        # Counted for every family regardless of sst availability
-        # (counts need no heap), so null-pruning works even on files
-        # whose string BOUNDS are withheld. Cells of any other shape
-        # (t="e", empty <v>, unknown t) decode to NULL in every scan
-        # tier and count nowhere, which is exactly the claim.
-        ds = self._date_styles
-        ncounts: dict = {}
-        for letters, s_attr, t_attr, v in ms:
-            if v and (not t_attr or t_attr == b"n"):
-                per.setdefault(letters, []).append(v)
-                if not s_attr:
-                    fam = 0
-                elif ds is None:
-                    # style mapping unknown: this cell's decode family is
-                    # undecidable — the column claims no counts here
-                    ncounts[letters] = None
+        if drefs:
+            for col, arr in drefs.items():
+                if col in self._defer_dead:
                     continue
-                else:
-                    fam = 3 if int(s_attr) in ds else 0
-            elif v and t_attr == b"s":
-                if self._sst is not None:
-                    per_s.setdefault(letters, []).append(v)
-                fam = 1
-            elif v and t_attr == b"b":
-                fam = 2
-            else:
+                self._defer_refs.append((fi, col, arr))
+                self._defer_counts[col] = (
+                    self._defer_counts.get(col, 0) + int(arr.size)
+                )
+            self._enforce_defer_budget()
+        return (self._cum, stats, sstats, nc)
+
+    def _drain(self, max_pending: int) -> None:
+        """Realize pooled results from the head of ``fine`` — completed
+        ones always, blocking only while more than ``max_pending`` are
+        outstanding (0 = realize everything). Head-first realization
+        keeps cum accumulation (and with it every claim) in stream
+        order regardless of worker completion order."""
+        while not self.dead and self._head < len(self.fine):
+            rec = self.fine[self._head]
+            if isinstance(rec, tuple):
+                self._head += 1
                 continue
-            got = ncounts.setdefault(letters, [0, 0, 0, 0])
-            if got is not None:
-                got[fam] += 1
-        # Duplicate-ref guard: ECMA-376 requires unique cell refs per row,
-        # but the count claims (unlike min/max, which duplicates cannot
-        # widen) could be INFLATED by a malformed file repeating a ref —
-        # letting IsNull-pruning skip an interval that still holds a null
-        # row. A letter whose family total exceeds the interval's row
-        # count is proof of duplication: withhold that column's counts
-        # (bounds claims stay — duplication never changes min/max).
-        for k, t in list(ncounts.items()):
-            if t is not None and sum(t) > rows_in:
-                ncounts[k] = None
-        stats: dict = {}
-        for letters, vals in per.items():
-            try:
-                arr = np.array(vals).astype(np.float64)
-            except ValueError:
-                continue  # unparseable value: no claims for this column
-            if np.isnan(arr).any():
-                continue
-            stats[letters.decode()] = (float(arr.min()), float(arr.max()))
-        sstats: dict = {}
-        heap = self._sst
-        for letters, vals in per_s.items():
-            try:
-                resolved = [heap[int(v)] for v in vals]
-                # inside the try: heap strings may legitimately hold lone
-                # surrogates (ST_Xstring `_xD800_` escapes decode via
-                # chr()), and truncated_string_bounds UTF-8-encodes —
-                # UnicodeEncodeError is a ValueError, caught below, and
-                # the column simply claims nothing (r12 review fix: this
-                # used to crash the whole retrofit)
-                bounds = truncated_string_bounds(min(resolved), max(resolved))
-            except (ValueError, IndexError):
-                continue  # unresolvable/unencodable: no claims, this column
-            if bounds is None:
-                continue  # no honest upper bound: claim nothing
-            sstats[letters.decode()] = bounds
-        nc = {
-            k.decode(): (tuple(v) if v is not None else None)
-            for k, v in ncounts.items()
-        }
-        self.fine.append((self._cum, stats, sstats, nc))
+            if len(self.fine) - self._head <= max_pending and not rec.ready():
+                break
+            made = self._finish_record(rec.get(), self._head)
+            if made is None:
+                return  # dead: fine already cleared
+            self.fine[self._head] = made
+            self._head += 1
+
+    def flush_realize(self) -> None:
+        """Close any trailing buffer and realize every pooled result —
+        required before reading ``fine``/deferred refs (aligned() and
+        the deferred resolver call it)."""
+        if self._buf:
+            self._close()
+        self._drain(max_pending=0)
+
+    def _shed_defer_col(self, col: str) -> None:
+        self._defer_dead.add(col)
+        self._defer_dead_b.add(col.encode())
+        self._defer_refs = [r for r in self._defer_refs if r[1] != col]
+        self._defer_counts.pop(col, None)
+
+    def _enforce_defer_budget(self) -> None:
+        """Cap deferred-ref memory: a column past _DEFER_COL_CAP sheds
+        itself; past _DEFER_TOTAL_CAP the largest columns shed until the
+        rest fit. Shedding only loses string-bound claims for those
+        columns — the documented graceful degradation (the r12 design
+        lost ALL string stats on big heaps; this loses only the
+        highest-cardinality columns, and only above ~4M uniques)."""
+        for col, n in list(self._defer_counts.items()):
+            if n > self._DEFER_COL_CAP:
+                self._shed_defer_col(col)
+        while sum(self._defer_counts.values()) > self._DEFER_TOTAL_CAP:
+            self._shed_defer_col(
+                max(self._defer_counts, key=self._defer_counts.get)
+            )
+
+    @property
+    def defer_shed(self) -> list:
+        """Columns whose string bounds were shed by the deferred budget
+        (observability: index_xlsx reports them)."""
+        return sorted(self._defer_dead)
 
     def aligned(
         self, points: "list | None", total_rows: int
@@ -246,10 +282,14 @@ class _IntervalStatsCollector:
         pairs for the bound kinds, one ``None | [n, s, b]`` entry per
         interval for the count kind); each side is None when collection
         died / misaligned / there is nothing to claim."""
+        self.flush_realize()
         if self.dead or points is None:
             return None, None, None
-        if self._buf:
-            self._close()
+        if self._defer and self._defer_refs and not self._defer_resolved:
+            raise RuntimeError(
+                "deferred string bounds not resolved — run "
+                "_resolve_deferred_strings over the heap first"
+            )
         bounds = [cum for _, cum in points] + [total_rows]
         outs: list = []
         for kind in (1, 2, 3):  # fine slot: numeric, string, counts
@@ -325,6 +365,150 @@ class _IntervalStatsCollector:
                             out[k].extend(got)
             outs.append(out if ok else None)
         return outs[0], outs[1], outs[2]
+
+
+# Eager shared-strings heap for POOLED interval analysis: set in the
+# parent immediately before the fork Pool is constructed, inherited by
+# every worker via copy-on-write (zero serialization — the reason the
+# pool uses the fork context explicitly). None in deferred/no-heap runs.
+_POOL_HEAP: "list[str] | None" = None
+
+
+def _analyze_interval(
+    data: bytes, pfx: bytes, date_styles, sst, defer: bool,
+    dead_cols: "frozenset | set" = frozenset(),
+):
+    """Pure per-interval analysis (the collector's old ``_close`` body,
+    extracted so a forked worker can run it on raw bytes): returns
+    ``(rows_in, stats, sstats, nc, defer_refs)`` where the claim slots
+    are None for withheld intervals and ``defer_refs`` maps column
+    letters to unique sst ref arrays (deferred mode only). All honesty
+    rules documented on _IntervalStatsCollector live here."""
+    import numpy as np
+
+    pr = prefix_res(pfx)
+    rows_in = count_row_starts(data, pfx)
+    ms = pr.cell_re.findall(data)
+    if len(ms) != len(pr.cell_count_re.findall(data)):
+        # unseen cells: no claims
+        return rows_in, None, None, None, None
+    if any(t in (b"str", b"inlineStr") for _l, _s, t, _v in ms):
+        # Cells the default reader REFUSES (formula/inline strings →
+        # UNSUPPORTED_STRING_ERROR): claiming stats here would let a
+        # pruned filtered read silently succeed where the unfiltered
+        # read of the same file errors — withhold the whole interval
+        # so it always inflates and raises identically (ADVICE r12).
+        # (Most such cells already land in the count-mismatch branch
+        # above — their <is>/<f> children defeat the cell regex — but
+        # a bare `<c t="str"><v>…</v></c>` matches and needs this.)
+        return rows_in, None, None, None, None
+    per: dict = {}
+    per_s: dict = {}
+    # Value counts per letter (r13, the `nc` section): how many cells
+    # decode NON-NULL per type family — [numeric_plain, string,
+    # boolean, date_styled] (splitindex module comment). Counted for
+    # every family regardless of sst availability (counts need no
+    # heap), so null-pruning works even on files whose string BOUNDS
+    # are withheld. Cells of any other shape (t="e", empty <v>,
+    # unknown t) decode to NULL in every scan tier and count nowhere,
+    # which is exactly the claim.
+    ncounts: dict = {}
+    for letters, s_attr, t_attr, v in ms:
+        if v and (not t_attr or t_attr == b"n"):
+            per.setdefault(letters, []).append(v)
+            if not s_attr:
+                fam = 0
+            elif date_styles is None:
+                # style mapping unknown: this cell's decode family is
+                # undecidable — the column claims no counts here
+                ncounts[letters] = None
+                continue
+            else:
+                fam = 3 if int(s_attr) in date_styles else 0
+        elif v and t_attr == b"s":
+            # shed columns stop paying collection cost mid-file (a
+            # 50M-unique key column would otherwise append 50M refs
+            # just to throw them away at the claims step)
+            if sst is not None or (defer and letters not in dead_cols):
+                per_s.setdefault(letters, []).append(v)
+            fam = 1
+        elif v and t_attr == b"b":
+            fam = 2
+        else:
+            continue
+        got = ncounts.setdefault(letters, [0, 0, 0, 0])
+        if got is not None:
+            got[fam] += 1
+    # Duplicate-ref guard: ECMA-376 requires unique cell refs per row,
+    # but the count claims (unlike min/max, which duplicates cannot
+    # widen) could be INFLATED by a malformed file repeating a ref —
+    # letting IsNull-pruning skip an interval that still holds a null
+    # row. A letter whose family total exceeds the interval's row
+    # count is proof of duplication: withhold that column's counts
+    # (bounds claims stay — duplication never changes min/max).
+    for k, t in list(ncounts.items()):
+        if t is not None and sum(t) > rows_in:
+            ncounts[k] = None
+    stats: dict = {}
+    for letters, vals in per.items():
+        try:
+            arr = np.array(vals).astype(np.float64)
+        except ValueError:
+            continue  # unparseable value: no claims for this column
+        if np.isnan(arr).any():
+            continue
+        stats[letters.decode()] = (float(arr.min()), float(arr.max()))
+    sstats: dict = {}
+    drefs: "dict | None" = None
+    if defer:
+        # Each column's UNIQUE ref indices for the one-pass heap fold;
+        # the sstats dict stays a live placeholder the resolver fills
+        # in (aligned() refuses to run before it). Budget/shedding is
+        # PARENT-side bookkeeping (_finish_record).
+        drefs = {}
+        for letters, vals in per_s.items():
+            try:
+                arr = np.unique(np.array(vals).astype(np.int64))
+            except ValueError:
+                continue  # unparseable ref: no claim, this column
+            if arr.size and arr[0] < 0:
+                continue  # negative ref: ditto
+            drefs[letters.decode()] = arr
+    else:
+        for letters, vals in per_s.items():
+            try:
+                resolved = [sst[int(v)] for v in vals]
+                # inside the try: heap strings may legitimately hold
+                # lone surrogates (ST_Xstring `_xD800_` escapes decode
+                # via chr()), and truncated_string_bounds UTF-8-encodes
+                # — UnicodeEncodeError is a ValueError, caught below,
+                # and the column simply claims nothing (r12 review fix:
+                # this used to crash the whole retrofit)
+                bounds = truncated_string_bounds(min(resolved), max(resolved))
+            except (ValueError, IndexError):
+                continue  # unresolvable/unencodable: no claims here
+            if bounds is None:
+                continue  # no honest upper bound: claim nothing
+            sstats[letters.decode()] = bounds
+    nc = {
+        k.decode(): (tuple(v) if v is not None else None)
+        for k, v in ncounts.items()
+    }
+    return rows_in, stats, sstats, nc, drefs
+
+
+def _analyze_interval_pooled(data, pfx, date_styles, defer):
+    """Fork-worker wrapper: the eager heap comes from the inherited
+    _POOL_HEAP global; any failure returns None (the parent then drops
+    ALL claims for the member — stats are an optimization, never worth
+    an error the serial path wouldn't raise)."""
+    try:
+        return _analyze_interval(
+            data, pfx, date_styles,
+            None if defer else _POOL_HEAP, defer,
+        )
+    except Exception:  # noqa: BLE001 — worker must never poison the pool
+        return None
 
 
 # One boundary algorithm, one home (r12 consolidation): the any-prefix
@@ -420,7 +604,7 @@ def _reencode_member(zout, zinfo, chunks, boundary, needle, neg, on_piece=None):
 
 
 def _stage_members(src_path, jobs, base, stats, stats_sst, workers,
-                   tmps_out=None):
+                   tmps_out=None, pool=None, pool_size=0):
     """Re-deflate each splittable member into its own single-member temp
     archive, fanning out across threads (VERDICT r12 task 3: zlib
     releases the GIL in both directions, so independent members'
@@ -454,7 +638,8 @@ def _stage_members(src_path, jobs, base, stats, stats_sst, workers,
                     )
                 else:
                     r = _index_one_sheet(
-                        ztmp, wb2, src_path, info, kpfx, stats, sst=stats_sst
+                        ztmp, wb2, src_path, info, kpfx, stats,
+                        sst=stats_sst, pool=pool, pool_size=pool_size,
                     )
         return info.filename, {"tmp": tmpm, "r": r}
 
@@ -552,6 +737,7 @@ def index_xlsx(
         )
 
         staged_tmps: list = []
+        stats_pool = None  # assigned in the try; torn down in finally
 
         def _rm_temps(keep_out: bool = False):
             # exact names, never glob — a destination basename containing
@@ -566,6 +752,10 @@ def index_xlsx(
         try:
             sheet_paths = {s.path for s in wb.sheets}
             stats_sst = _stats_sst(wb) if stats else None
+            if stats_sst is _DEFER_SST and sst_pfx is None:
+                # no detectable heap prefix to stream-decode with — the
+                # r12 behavior (no string bounds) is the honest fallback
+                stats_sst = None
             # Plan the splittable members, then STAGE each into its own
             # temp archive — in parallel when there is more than one
             # (r12: per-member-parallel retrofit; each worksheet and the
@@ -589,35 +779,107 @@ def index_xlsx(
                         jobs.append(("extra", info, pfx2))
                 elif info.filename == SST_ENTRY and sst_pfx is not None:
                     jobs.append(("sst", info, sst_pfx))
+            # Stats pool (r13, VERDICT r12 task 4): the per-member
+            # thread fan-out overlaps zlib but the stats slices — cell
+            # regex + numpy folds — are GIL-bound Python, so stats=True
+            # gained almost nothing from threads (8.79→8.52 s while
+            # stats=False went 4.28→2.43 s). Interval analysis now ships
+            # to a FORK pool (bytes in, claims out): workers spawn
+            # eagerly here — in the main thread, BEFORE the staging
+            # threads exist (fork-with-live-threads is the classic
+            # deadlock) — and inherit any eager heap via copy-on-write
+            # (_POOL_HEAP set just before construction). Single big
+            # sheets gain too: consecutive intervals of one stream
+            # analyze concurrently. Any pool-setup failure falls back
+            # to the serial in-thread path, claims identical.
+            global _POOL_HEAP
+            eff_workers = (
+                workers if workers is not None
+                else (min(4, len(jobs)) or 1)
+            )
+            pool_size = 0
+            if stats and eff_workers > 1:
+                try:
+                    import multiprocessing as _mp
+
+                    _POOL_HEAP = (
+                        stats_sst
+                        if isinstance(stats_sst, list)
+                        else None
+                    )
+                    stats_pool = _mp.get_context("fork").Pool(
+                        processes=eff_workers
+                    )
+                    pool_size = eff_workers
+                except Exception:  # noqa: BLE001 — serial fallback
+                    stats_pool = None
+                    pool_size = 0
+                finally:
+                    _POOL_HEAP = None
             staged = _stage_members(
                 path, jobs, tmp, stats, stats_sst, workers,
-                tmps_out=staged_tmps,
+                tmps_out=staged_tmps, pool=stats_pool, pool_size=pool_size,
             )
             pts = spts = None
             nrows = n_si = 0
             mixed = False
-            ivstats = ivsv = ivnc = None
-            extra: dict = {}
+            coll_p = None
+            extra_raw: list = []
             for kind, info, _kp in jobs:
                 r = staged[info.filename]["r"]
                 if kind == "primary":
-                    pts, nrows, ivstats, ivsv, ivnc, mixed = r
+                    pts, nrows, coll_p, mixed = r
                     if mixed:
                         # Rows under other prefixes exist: the
                         # detected-prefix counts would disagree with
                         # the reader's parse — never index on a lie.
-                        pts, ivstats, ivsv, ivnc = None, None, None, None
+                        pts, coll_p = None, None
                 elif kind == "extra":
-                    pts2, n2, st2, sv2, nc2, mixed2 = r
+                    pts2, n2, coll2, mixed2 = r
                     if pts2 and not mixed2:
-                        extra[info.filename] = {
-                            "n": n2, "points": pts2, "stats": st2,
-                            "sstats": sv2, "ncounts": nc2,
-                        }
+                        extra_raw.append((info.filename, pts2, n2, coll2))
                 else:
                     spts, n_si = r
-            if pts is None and spts is None and not extra:
+            if pts is None and spts is None and not extra_raw:
                 raise _TooSmall
+            # Deferred string-bound resolution (r13): collectors on a
+            # big-heap workbook stored ref indices during staging — fold
+            # bounds in ONE streaming pass over the source heap before
+            # aligning. The retrofit's own staged entry count (n_si) is
+            # the cross-check: a streamed total disagreeing with it
+            # would mean misaligned indices, so everything is withheld.
+            all_colls = [coll_p] + [c for _, _, _, c in extra_raw]
+            deferred = [
+                c for c in all_colls
+                if c is not None and c._defer and c._defer_refs
+            ]
+            shed_cols: list = []
+            if deferred:
+                _resolve_deferred_strings(
+                    deferred, _iter_sst_entries(wb.zf, sst_pfx),
+                    expected_n=n_si if any(
+                        k == "sst" for k, _i, _p in jobs
+                    ) else None,
+                )
+                shed_cols = sorted(
+                    {col for c in deferred for col in c.defer_shed}
+                )
+            ivstats, ivsv, ivnc = (
+                coll_p.aligned(pts, nrows)
+                if coll_p is not None
+                else (None, None, None)
+            )
+            extra: dict = {}
+            for entry2, pts2, n2, coll2 in extra_raw:
+                st2, sv2, nc2 = (
+                    coll2.aligned(pts2, n2)
+                    if coll2 is not None
+                    else (None, None, None)
+                )
+                extra[entry2] = {
+                    "n": n2, "points": pts2, "stats": st2,
+                    "sstats": sv2, "ncounts": nc2,
+                }
             with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zout:
                 for info in infos:
                     sres = staged.get(info.filename)
@@ -652,35 +914,225 @@ def index_xlsx(
             raise
         else:
             _rm_temps(keep_out=True)
+        finally:
+            if stats_pool is not None:
+                stats_pool.terminate()
+                stats_pool.join()
         os.replace(tmp, dest)
         return {
             "indexed": True, "reason": None, "rows": nrows,
             "worksheet_points": len(pts or []), "sst_points": len(spts or []),
             "extra_sheets": len(extra), "path": dest,
+            # observability for the deferred big-heap path (r13):
+            # columns whose string bounds were shed by the ref budget
+            "string_stats_shed": shed_cols,
         }
 
 
-def _stats_sst(wb) -> "list[str] | None":
-    """The resolved shared-strings heap for stats authoring, or None when
-    string stats should be skipped: no heap, or a heap whose uncompressed
-    member exceeds 256 MB (the collector's bounded-memory philosophy —
-    numeric stats and the index itself are unaffected)."""
+# Heaps small enough to resolve RESIDENT for eager bounds; bigger heaps
+# defer to the one-pass streaming fold (r13 — the r12 design simply shed
+# all string stats past this gate). Module constant so tests can force
+# the deferred path without 256 MB fixtures.
+_SST_STATS_RESIDENT_CAP = 256 << 20
+
+# Sentinel: the heap is too big to hold resident — collect ref indices
+# during staging and resolve bounds in one streaming pass afterwards.
+_DEFER_SST = object()
+
+
+def _stats_sst(wb):
+    """The resolved shared-strings heap for stats authoring; ``None``
+    when string bounds should be skipped (no heap / undecodable heap);
+    ``_DEFER_SST`` when the heap exceeds the resident cap — the caller
+    then streams it once after staging (_resolve_deferred_strings)
+    instead of losing string stats entirely (VERDICT r12 task 3)."""
     try:
         info = wb.zf.getinfo(SST_ENTRY)
     except KeyError:
         return None
-    if info.file_size > (256 << 20):
-        return None
+    if info.file_size > _SST_STATS_RESIDENT_CAP:
+        return _DEFER_SST
     try:
         return wb.shared_strings
     except Exception:
         return None  # undecodable heap: the read will error, not the stats
 
 
-def _index_one_sheet(zout, wb, src_path, info, pfx, want_stats, sst=None):
+def _iter_sst_entries(zf, pfx: bytes):
+    """Stream the shared-strings heap as decoded entry strings in heap
+    order with bounded memory: inflate chunk-wise, cut the buffer at the
+    last complete entry terminator, decode each cut span with the
+    conventional single-run regex (count-checked exactly like
+    _parse_sst_fast), falling back to a namespace-wrapped expat walk for
+    spans the pattern cannot own (rich-text runs, attributes, comments).
+    Raises ValueError when a span defeats both — the caller sheds string
+    claims rather than risking index misalignment."""
+    from .parser import (
+        _SST_PFX_RE as _PFXRE,
+        _XSTRING_RE,
+        _parse_sst_expat,
+        _si_fast_re,
+        _unescape,
+    )
+
+    si_re = _si_fast_re(pfx)
+    end1 = b"</" + pfx + b"si>"
+    end2 = b"<" + pfx + b"si/>"
+    open_tag = b"<" + pfx + b"si"
+    plain_open = b"<" + pfx + b"si>"
+    decl = (
+        b'<sst xmlns:' + pfx[:-1] + b'="urn:x">'
+        if pfx
+        else b"<sst>"
+    )
+
+    def _decode_span(span: bytes):
+        if b"<!--" not in span and b"<![CDATA[" not in span:
+            n_si = span.count(plain_open) + span.count(end2)
+            if span.count(open_tag) == n_si:
+                ms = si_re.findall(span)
+                if len(ms) == n_si:
+                    for raw in ms:
+                        t = _unescape(raw) if b"&" in raw else raw.decode(
+                            "utf-8"
+                        )
+                        if "_x" in t:
+                            t = _XSTRING_RE.sub(
+                                lambda m: chr(int(m.group(1), 16)), t
+                            )
+                        yield t
+                    return
+        # exotic span: one bounded expat walk over the wrapped fragment
+        # (prefixed tags get a placeholder xmlns so expat accepts them);
+        # a malformed span raises ExpatError → ValueError for the caller
+        try:
+            yield from _parse_sst_expat(decl + span + b"</sst>")
+        except Exception as e:
+            raise ValueError(f"sst span defeats streaming decode: {e}")
+
+    buf = b""
+    opened = False
+    for chunk in _inflate_chunks(zf, SST_ENTRY):
+        buf += chunk
+        if not opened:
+            m = _PFXRE.search(buf[: 64 << 10])
+            if m is None:
+                if len(buf) > (64 << 10):
+                    raise ValueError("no sst opener in the heap head")
+                continue
+            gt = buf.find(b">", m.start())
+            if gt == -1:
+                continue
+            buf = buf[gt + 1:]
+            opened = True
+        cut = max(buf.rfind(end1), buf.rfind(end2))
+        if cut == -1:
+            continue
+        cut += len(end1) if buf.startswith(end1, cut) else len(end2)
+        span, buf = buf[:cut], buf[cut:]
+        yield from _decode_span(span)
+    # the leftover holds only </sst>/whitespace — no complete entry
+
+
+def _resolve_deferred_strings(collectors, entries, expected_n=None):
+    """One streaming pass over the heap folding truncated bounds into
+    every deferred (interval, column) group across ALL collectors of a
+    workbook (multi-sheet retrofits share the pass).
+
+    Per entry the fold uses bounded candidates only — lo_c =
+    16-byte-prefix(s) (<= s) and hi_c = s or increment(prefix(s))
+    (>= s) — so lo = min(lo_c) <= true min and hi = max(hi_c) >= true
+    max: the same over-keep-only guarantee as the eager
+    truncated_string_bounds, possibly a little wider (costs pruning
+    opportunity, never rows). Groups touching an unencodable entry
+    (lone surrogates), an unclaimable bound (U+10FFFF prefix), or a ref
+    beyond the heap claim nothing — eager-path parity. If the stream
+    decode is defeated, or ``expected_n`` (the retrofit's own staged
+    entry count) disagrees with the streamed total — either would mean
+    misaligned indices — EVERY string claim is withheld."""
+    import numpy as np
+
+    from .splitindex import STR_STAT_BYTES, increment_str, utf8_char_prefix
+
+    groups: list = []
+    arrs: list = []
+    for coll in collectors:
+        # trailing interval + any in-flight pooled analyses must land
+        # BEFORE the one heap pass reads the refs
+        coll.flush_realize()
+        for fi, col, arr in coll._defer_refs:
+            groups.append((coll, fi, col))
+            arrs.append(arr)
+    n_groups = len(groups)
+    if n_groups:
+        all_idx = np.concatenate(arrs)
+        gid = np.repeat(
+            np.arange(n_groups, dtype=np.int64),
+            [a.size for a in arrs],
+        )
+        order = np.argsort(all_idx, kind="stable")
+        all_idx = all_idx[order]
+        gid = gid[order]
+    else:
+        all_idx = np.empty(0, dtype=np.int64)
+        gid = all_idx
+    lo: list = [None] * n_groups
+    hi: list = [None] * n_groups
+    dead = [False] * n_groups
+    p, total, n = 0, 0, all_idx.size
+    ok = True
+    try:
+        for s in entries:
+            j = total
+            total += 1
+            if p >= n or all_idx[p] != j:
+                continue  # unreferenced entry: keep counting only
+            try:
+                if len(s.encode("utf-8")) <= STR_STAT_BYTES:
+                    lo_c: "str | None" = s
+                    hi_c: "str | None" = s
+                else:
+                    pre = utf8_char_prefix(s)
+                    lo_c = pre
+                    hi_c = increment_str(pre)
+            except ValueError:  # UnicodeEncodeError: lone surrogate
+                lo_c = hi_c = None
+            while p < n and all_idx[p] == j:
+                g = int(gid[p])
+                p += 1
+                if dead[g]:
+                    continue
+                if lo_c is None or hi_c is None:
+                    dead[g] = True
+                    continue
+                if lo[g] is None or lo_c < lo[g]:
+                    lo[g] = lo_c
+                if hi[g] is None or hi_c > hi[g]:
+                    hi[g] = hi_c
+    except ValueError:
+        ok = False  # stream decode defeated: claim nothing anywhere
+    while p < n:
+        dead[int(gid[p])] = True  # ref beyond the heap: no claim
+        p += 1
+    if expected_n is not None and total != expected_n:
+        ok = False  # two independent entry counts disagree: misaligned
+    if ok:
+        for g, (coll, fi, col) in enumerate(groups):
+            if not dead[g] and lo[g] is not None:
+                coll.fine[fi][2][col] = (lo[g], hi[g])
+    for coll in collectors:
+        coll._defer_resolved = True
+
+
+def _index_one_sheet(zout, wb, src_path, info, pfx, want_stats, sst=None,
+                     pool=None, pool_size=0):
     """Re-deflate one worksheet member with flush points and the full
     honesty kit: any-prefix stream count (mixed detection) + optional
-    interval statistics. Returns (points, n_rows, stats, sstats, mixed)."""
+    interval statistics. Returns (points, n_rows, collector, mixed) —
+    the caller aligns the collector AFTER any deferred string-bound
+    resolution (r13: big heaps stream once post-staging), so the
+    collector rides out of the staging worker instead of its aligned
+    arrays."""
     anyctr = _AnyRowStreamCounter()
 
     def _counted(chunks):
@@ -688,8 +1140,13 @@ def _index_one_sheet(zout, wb, src_path, info, pfx, want_stats, sst=None):
             anyctr.feed(c)
             yield c
 
+    defer = sst is _DEFER_SST
     coll = (
-        _IntervalStatsCollector(pfx, sst=sst, date_styles=wb.date_styles)
+        _IntervalStatsCollector(
+            pfx, sst=None if defer else sst,
+            date_styles=wb.date_styles, defer_strings=defer,
+            pool=pool, pool_size=pool_size,
+        )
         if want_stats
         else None
     )
@@ -703,9 +1160,8 @@ def _index_one_sheet(zout, wb, src_path, info, pfx, want_stats, sst=None):
     # the needle count is not comparable and every pure-prefix file would
     # misreport as mixed (r11 review).
     if pts is not None and anyctr.close() != n:
-        return pts, n, None, None, None, True
-    st, sv, nc = coll.aligned(pts, n) if coll else (None, None, None)
-    return pts, n, st, sv, nc, False
+        return pts, n, None, True
+    return pts, n, coll, False
 
 
 class _TooSmall(Exception):
