@@ -184,6 +184,16 @@ def supported_pushdown_filter(f, schema: StructType) -> bool:
     return _filter_mask_builder([f], schema) is not None
 
 
+def _has_null_filter(filters) -> bool:
+    """True when the pushed set contains IsNull/IsNotNull — the only
+    consumers of the nc section; planning skips its decode otherwise
+    (r13 review: the validation walk is per-column work every task
+    would pay for nothing on plain comparison filters)."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    return any(isinstance(f, (IsNull, IsNotNull)) for f in filters)
+
+
 def _plan_interval_skips(filters, schema, file_names, ivstats, date1904,
                          ivstr=None, ivnc=None):
     """Interval ordinals provably EMPTY of matching rows under the ANDed
@@ -984,6 +994,7 @@ class SheetReaderReader(DataSourceReader):
                                     wb.zf, sheet.path, pts
                                 )
                                 if pts
+                                and _has_null_filter(self._staged_filters)
                                 else None
                             )
                             if st or sv or nc:
@@ -1151,7 +1162,7 @@ class SheetReaderReader(DataSourceReader):
                 )
                 ivnc = (
                     SI.decode_interval_null_counts(wb.zf, sheet.path, pts0)
-                    if pts0
+                    if pts0 and _has_null_filter(filters)
                     else None
                 )
                 if ivstats or ivstr or ivnc:
@@ -1606,8 +1617,12 @@ class SheetReaderReader(DataSourceReader):
             skip_ivals: frozenset = frozenset()
             if split_pts and filters:
                 ivstats = SI.decode_interval_stats(wb.zf, sheet.path, split_pts)
-                ivnc = SI.decode_interval_null_counts(
-                    wb.zf, sheet.path, split_pts
+                ivnc = (
+                    SI.decode_interval_null_counts(
+                        wb.zf, sheet.path, split_pts
+                    )
+                    if _has_null_filter(filters)
+                    else None
                 )
                 ivstr = SI.decode_interval_string_stats(
                     wb.zf, sheet.path, split_pts

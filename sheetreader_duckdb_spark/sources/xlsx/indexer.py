@@ -180,7 +180,8 @@ class _IntervalStatsCollector:
             # (faster) inflate producer can't queue a whole file.
             self.fine.append(self._pool.apply_async(
                 _analyze_interval_pooled,
-                (data, self._pfx, self._date_styles, self._defer),
+                (data, self._pfx, self._date_styles, self._defer,
+                 frozenset(self._defer_dead_b)),
             ))
             self._drain(max_pending=2 * self._pool_size)
         else:
@@ -279,9 +280,11 @@ class _IntervalStatsCollector:
     ) -> "tuple[dict | None, dict | None, dict | None]":
         """(numeric, string, counts) per-column arrays aligned to the
         SURVIVING points (the encode payload shapes — flat [lo, hi, ...]
-        pairs for the bound kinds, one ``None | [n, s, b]`` entry per
-        interval for the count kind); each side is None when collection
+        pairs for the bound kinds, one ``None | [n, s, b, d]`` entry
+        per interval for the count kind); each side is None when collection
         died / misaligned / there is nothing to claim."""
+        if self.dead or points is None:
+            return None, None, None  # nothing to align: skip realization
         self.flush_realize()
         if self.dead or points is None:
             return None, None, None
@@ -454,10 +457,27 @@ def _analyze_interval(
         try:
             arr = np.array(vals).astype(np.float64)
         except ValueError:
-            continue  # unparseable value: no claims for this column
+            # An unparseable numeric <v> makes the READER raise
+            # (parser float(v)); the t="str" error-parity rule applies
+            # (r13 review): claiming ANYTHING for this interval — any
+            # column, any section — would let a pruned filtered read
+            # silently succeed where the unfiltered read errors.
+            # Withhold the whole interval. (Before r13 this was a
+            # per-column skip, which left OTHER columns' claims able
+            # to prune the error away.)
+            return rows_in, None, None, None, None
         if np.isnan(arr).any():
-            continue
+            continue  # NaN parses fine in the reader: column-level skip
         stats[letters.decode()] = (float(arr.min()), float(arr.max()))
+    # Pre-parse EVERY string ref for the same reason: the reader does
+    # int(v) on each t="s" cell and raises on garbage — error parity
+    # demands no claims at all for an interval the read would die in.
+    ref_arrs: dict = {}
+    for letters, vals in per_s.items():
+        try:
+            ref_arrs[letters] = np.array(vals).astype(np.int64)
+        except ValueError:
+            return rows_in, None, None, None, None
     sstats: dict = {}
     drefs: "dict | None" = None
     if defer:
@@ -466,13 +486,10 @@ def _analyze_interval(
         # in (aligned() refuses to run before it). Budget/shedding is
         # PARENT-side bookkeeping (_finish_record).
         drefs = {}
-        for letters, vals in per_s.items():
-            try:
-                arr = np.unique(np.array(vals).astype(np.int64))
-            except ValueError:
-                continue  # unparseable ref: no claim, this column
+        for letters, arr in ref_arrs.items():
+            arr = np.unique(arr)
             if arr.size and arr[0] < 0:
-                continue  # negative ref: ditto
+                continue  # negative ref: reader wraps, no honest claim
             drefs[letters.decode()] = arr
     else:
         for letters, vals in per_s.items():
@@ -486,7 +503,7 @@ def _analyze_interval(
                 # this used to crash the whole retrofit)
                 bounds = truncated_string_bounds(min(resolved), max(resolved))
             except (ValueError, IndexError):
-                continue  # unresolvable/unencodable: no claims here
+                continue  # out-of-heap/unencodable: no claims here
             if bounds is None:
                 continue  # no honest upper bound: claim nothing
             sstats[letters.decode()] = bounds
@@ -497,15 +514,18 @@ def _analyze_interval(
     return rows_in, stats, sstats, nc, drefs
 
 
-def _analyze_interval_pooled(data, pfx, date_styles, defer):
+def _analyze_interval_pooled(data, pfx, date_styles, defer, dead_cols):
     """Fork-worker wrapper: the eager heap comes from the inherited
-    _POOL_HEAP global; any failure returns None (the parent then drops
-    ALL claims for the member — stats are an optimization, never worth
-    an error the serial path wouldn't raise)."""
+    _POOL_HEAP global; ``dead_cols`` is the parent's shed-column
+    snapshot at submit time (workers stop collecting refs for them —
+    the parent drops late arrivals regardless, so staleness only costs
+    cycles). Any failure returns None (the parent then drops ALL claims
+    for the member — stats are an optimization, never worth an error
+    the serial path wouldn't raise)."""
     try:
         return _analyze_interval(
             data, pfx, date_styles,
-            None if defer else _POOL_HEAP, defer,
+            None if defer else _POOL_HEAP, defer, dead_cols=dead_cols,
         )
     except Exception:  # noqa: BLE001 — worker must never poison the pool
         return None
@@ -849,9 +869,15 @@ def index_xlsx(
             # the cross-check: a streamed total disagreeing with it
             # would mean misaligned indices, so everything is withheld.
             all_colls = [coll_p] + [c for _, _, _, c in extra_raw]
+            # Filter on the MODE, not on already-realized refs: a
+            # collector whose string refs all sit in the unflushed
+            # trailing interval (or in pending pooled results) has an
+            # empty _defer_refs here — the resolver flushes+realizes
+            # each collector itself and early-exits when nothing
+            # anywhere needs the heap pass (r13 review fix: the old
+            # filter crashed aligned() on tail-only string columns).
             deferred = [
-                c for c in all_colls
-                if c is not None and c._defer and c._defer_refs
+                c for c in all_colls if c is not None and c._defer
             ]
             shed_cols: list = []
             if deferred:
@@ -1064,6 +1090,11 @@ def _resolve_deferred_strings(collectors, entries, expected_n=None):
             groups.append((coll, fi, col))
             arrs.append(arr)
     n_groups = len(groups)
+    if n_groups == 0:
+        # nothing deferred anywhere: skip the heap pass entirely
+        for coll in collectors:
+            coll._defer_resolved = True
+        return
     if n_groups:
         all_idx = np.concatenate(arrs)
         gid = np.repeat(

@@ -209,7 +209,8 @@ def encode_split_index(
     type-family-resolved (module comment at ``_NC_FAMILIES``): a column
     LETTER maps to a list with one entry per interval (or per stride
     group), each entry ``None`` (no claim) or a trailing-zero-stripped
-    ``[n_numeric, n_string, n_boolean]`` over the interval's cells. The
+    ``[n_numeric_plain, n_string, n_boolean, n_date_styled]`` over the
+    interval's cells. The
     planner prunes ``IsNotNull`` when the filtered type's family count
     is 0 and ``IsNull`` when it equals the group's row count; both tests
     stay exact under the stride's group-summation, so coarsening only
@@ -496,7 +497,7 @@ def decode_interval_null_counts(
     non-null; family == rows → no interval holds a null), so replicating
     group values per interval is sound by construction. Untrusted like
     every other section: wrong array length, non-int entries, negatives,
-    more than three families, or family totals exceeding the group's row
+    more than four families, or family totals exceeding the group's row
     count drop the WHOLE section — pruning is an optimization, the
     unpruned scan is the semantics. Validation is independent of
     ``st``/``sv``: garbage in one section never costs the others."""

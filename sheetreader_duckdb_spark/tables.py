@@ -60,8 +60,18 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
 
     path = f"{sf_dir}/{name}.parquet"
     if os.path.isdir(path):
+        # Spark ignores hidden path components (_temporary staging,
+        # _SUCCESS markers, dot-files) — mirror that, or a crashed
+        # concurrent write would desync this count from count(*)
         files = sorted(
-            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            f
+            for f in _glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+            if not any(
+                part.startswith(("_", "."))
+                for part in os.path.relpath(f, path).split(os.sep)
+            )
         )
     else:
         files = [path]

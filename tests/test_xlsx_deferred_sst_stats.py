@@ -286,11 +286,16 @@ def test_pooled_and_deferred_compose(tmp_path, monkeypatch):
     one retrofit: claims — and the output bytes — must match the
     serial deferred run exactly."""
     import hashlib
+    import shutil
 
     src = str(tmp_path / "src.xlsx")
     _write_src(src)
     a = _foreignize(src, str(tmp_path / "a.xlsx"))
-    b = _foreignize(src, str(tmp_path / "b.xlsx"))
+    # byte-copy ONE foreignized input: re-foreignizing stamps fresh zip
+    # DOS timestamps and the inputs themselves can differ across a
+    # 2-second boundary (the r12 byte-identity test's documented trap)
+    b = str(tmp_path / "b.xlsx")
+    shutil.copy(a, b)
     monkeypatch.setattr(IX, "_SST_STATS_RESIDENT_CAP", 0)
     out1 = index_xlsx(a, workers=1)
     out4 = index_xlsx(b, workers=4)
@@ -302,3 +307,31 @@ def test_pooled_and_deferred_compose(tmp_path, monkeypatch):
         pts = SI.decode_split_index(zf, SHEET)
         assert SI.decode_interval_string_stats(zf, SHEET, pts) is not None
         assert SI.decode_interval_null_counts(zf, SHEET, pts) is not None
+
+
+def test_tail_only_string_column_defers_cleanly(tmp_path, monkeypatch):
+    """r13 review repro: a defer-mode workbook whose t="s" cells appear
+    only AFTER the last flush point (trailing interval) used to crash
+    index_xlsx with 'deferred string bounds not resolved' — the
+    deferred-collector filter read _defer_refs before the trailing
+    buffer flushed. Must index and publish the tail column's bounds."""
+    p = str(tmp_path / "tail.xlsx")
+    w = IncrementalXlsxWriter(p, "Sheet1")
+    w.write_row(["num", "tailstr"])
+    n = 220_000
+    for i in range(n):
+        w.write_row([float(i), f"z{i:06d}" if i >= n - 50 else None])
+    w.close()
+    f = _foreignize(p, str(tmp_path / "tail_f.xlsx"))
+    monkeypatch.setattr(IX, "_SST_STATS_RESIDENT_CAP", 0)
+    out = index_xlsx(f, workers=1)
+    assert out["indexed"], out
+    with zipfile.ZipFile(f) as zf:
+        pts = SI.decode_split_index(zf, SHEET)
+        sv = SI.decode_interval_string_stats(zf, SHEET, pts)
+    assert sv is not None and "B" in sv
+    # the tail interval carries the claim; earlier pure-numeric
+    # intervals claim nothing for B... (header interval 0 does: the
+    # "tailstr" header string)
+    assert sv["B"][-1] is not None
+    assert sv["B"][-1][0] <= f"z{n - 50:06d}" and sv["B"][-1][1] >= f"z{n - 1:06d}"

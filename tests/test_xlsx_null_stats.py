@@ -455,3 +455,39 @@ def test_sink_stats_authors_nc_and_prunes(tmp_path, monkeypatch):
     got = _collect(p, [IsNotNull(("a",))], schema=schema)
     assert len(got) == 500
     assert spy.skipped / (spy.skipped + spy.materialized) > 0.8, vars(spy)
+
+
+def test_unparseable_values_withhold_whole_interval():
+    """r13 review: the reader RAISES on garbage <v> payloads (float(v) /
+    int(v)), so error parity demands the ENTIRE interval claim nothing —
+    any surviving claim (even another column's) could prune the error
+    away on a filtered read. Both the numeric and the sst-ref shape."""
+    from sheetreader_duckdb_spark.sources.xlsx.indexer import (
+        _IntervalStatsCollector,
+    )
+
+    for bad in (
+        b'<c r="A1"><v>abc</v></c>',        # float('abc') raises
+        b'<c r="A1" t="s"><v>1.5</v></c>',  # int('1.5') raises
+    ):
+        coll = _IntervalStatsCollector(
+            b"", sst=["x"], date_styles=frozenset()
+        )
+        coll.on_piece(
+            b'<sheetData><row r="1">' + bad +
+            b'<c r="B1"><v>7</v></c></row></sheetData>',
+            True,
+        )
+        assert coll.fine[0][1:] == (None, None, None), bad
+    # NaN is NOT an error in the reader (float('nan') parses): the
+    # column skips its bounds claim but counts stay — and other
+    # columns' claims survive
+    coll = _IntervalStatsCollector(b"", date_styles=frozenset())
+    coll.on_piece(
+        b'<sheetData><row r="1"><c r="A1"><v>NaN</v></c>'
+        b'<c r="B1"><v>7</v></c></row></sheetData>',
+        True,
+    )
+    _, st, sv, nc = coll.fine[0]
+    assert "A" not in st and st["B"] == (7.0, 7.0)
+    assert nc["A"] == (1, 0, 0, 0) and nc["B"] == (1, 0, 0, 0)
