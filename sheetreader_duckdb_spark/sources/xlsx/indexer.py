@@ -429,11 +429,12 @@ def _analyze_interval(
             else:
                 fam = 3 if int(s_attr) in date_styles else 0
         elif v and t_attr == b"s":
-            # shed columns stop paying collection cost mid-file (a
-            # 50M-unique key column would otherwise append 50M refs
-            # just to throw them away at the claims step)
-            if sst is not None or (defer and letters not in dead_cols):
-                per_s.setdefault(letters, []).append(v)
+            # collected for EVERY mode — even budget-shed columns and
+            # no-heap files — because the parse-check below is an
+            # error-parity obligation, not a claims step (r13 review
+            # pass 2: a garbage ref in a shed column must still
+            # withhold the interval)
+            per_s.setdefault(letters, []).append(v)
             fam = 1
         elif v and t_attr == b"b":
             fam = 2
@@ -472,38 +473,53 @@ def _analyze_interval(
     # Pre-parse EVERY string ref for the same reason: the reader does
     # int(v) on each t="s" cell and raises on garbage — error parity
     # demands no claims at all for an interval the read would die in.
+    # OverflowError covers refs past int64 (the reader's Arrow cast
+    # raises on those too — r13 review pass 2: np.astype raised it
+    # UNCAUGHT and crashed serial retrofits).
     ref_arrs: dict = {}
     for letters, vals in per_s.items():
         try:
             ref_arrs[letters] = np.array(vals).astype(np.int64)
-        except ValueError:
+        except (ValueError, OverflowError):
             return rows_in, None, None, None, None
+    if per_s and sst is None and not defer:
+        # string cells but no usable heap (missing or undecodable sst
+        # member): the READ of this interval raises — claim nothing
+        return rows_in, None, None, None, None
     sstats: dict = {}
     drefs: "dict | None" = None
     if defer:
         # Each column's UNIQUE ref indices for the one-pass heap fold;
         # the sstats dict stays a live placeholder the resolver fills
         # in (aligned() refuses to run before it). Budget/shedding is
-        # PARENT-side bookkeeping (_finish_record).
+        # PARENT-side bookkeeping (_finish_record); shed columns skip
+        # only the dedup/ship cost here — their parse check already
+        # ran above.
         drefs = {}
         for letters, arr in ref_arrs.items():
+            if letters in dead_cols:
+                continue
             arr = np.unique(arr)
             if arr.size and arr[0] < 0:
                 continue  # negative ref: reader wraps, no honest claim
             drefs[letters.decode()] = arr
     else:
-        for letters, vals in per_s.items():
+        for letters, arr in ref_arrs.items():
+            if arr.size and arr.max() >= len(sst):
+                # the reader raises IndexError on an out-of-heap ref:
+                # error parity — the whole interval claims nothing
+                return rows_in, None, None, None, None
             try:
-                resolved = [sst[int(v)] for v in vals]
-                # inside the try: heap strings may legitimately hold
-                # lone surrogates (ST_Xstring `_xD800_` escapes decode
-                # via chr()), and truncated_string_bounds UTF-8-encodes
-                # — UnicodeEncodeError is a ValueError, caught below,
-                # and the column simply claims nothing (r12 review fix:
-                # this used to crash the whole retrofit)
+                # single parse: resolve via the checked int64 array
+                # (negative refs wrap in BOTH the reader and here, so
+                # bounds stay faithful to reader-visible values)
+                resolved = [sst[i] for i in arr.tolist()]
                 bounds = truncated_string_bounds(min(resolved), max(resolved))
-            except (ValueError, IndexError):
-                continue  # out-of-heap/unencodable: no claims here
+            except ValueError:
+                # UnicodeEncodeError (lone-surrogate heap string): the
+                # read of this interval fails at Arrow conversion —
+                # error parity again, whole interval withheld
+                return rows_in, None, None, None, None
             if bounds is None:
                 continue  # no honest upper bound: claim nothing
             sstats[letters.decode()] = bounds
@@ -1095,21 +1111,18 @@ def _resolve_deferred_strings(collectors, entries, expected_n=None):
         for coll in collectors:
             coll._defer_resolved = True
         return
-    if n_groups:
-        all_idx = np.concatenate(arrs)
-        gid = np.repeat(
-            np.arange(n_groups, dtype=np.int64),
-            [a.size for a in arrs],
-        )
-        order = np.argsort(all_idx, kind="stable")
-        all_idx = all_idx[order]
-        gid = gid[order]
-    else:
-        all_idx = np.empty(0, dtype=np.int64)
-        gid = all_idx
+    all_idx = np.concatenate(arrs)
+    gid = np.repeat(
+        np.arange(n_groups, dtype=np.int64),
+        [a.size for a in arrs],
+    )
+    order = np.argsort(all_idx, kind="stable")
+    all_idx = all_idx[order]
+    gid = gid[order]
     lo: list = [None] * n_groups
     hi: list = [None] * n_groups
-    dead = [False] * n_groups
+    dead = [False] * n_groups   # no honest claim (U+10FFFF bound)
+    err = [False] * n_groups    # the READ of that interval would fail
     p, total, n = 0, 0, all_idx.size
     ok = True
     try:
@@ -1118,6 +1131,7 @@ def _resolve_deferred_strings(collectors, entries, expected_n=None):
             total += 1
             if p >= n or all_idx[p] != j:
                 continue  # unreferenced entry: keep counting only
+            enc_fail = False
             try:
                 if len(s.encode("utf-8")) <= STR_STAT_BYTES:
                     lo_c: "str | None" = s
@@ -1126,15 +1140,22 @@ def _resolve_deferred_strings(collectors, entries, expected_n=None):
                     pre = utf8_char_prefix(s)
                     lo_c = pre
                     hi_c = increment_str(pre)
-            except ValueError:  # UnicodeEncodeError: lone surrogate
+            except ValueError:  # UnicodeEncodeError: lone surrogate —
+                # a read materializing this entry fails at Arrow
+                # conversion, so referencing intervals are ERRORS, not
+                # mere no-claims (error parity, r13 review pass 2)
                 lo_c = hi_c = None
+                enc_fail = True
             while p < n and all_idx[p] == j:
                 g = int(gid[p])
                 p += 1
-                if dead[g]:
+                if enc_fail:
+                    err[g] = True
                     continue
-                if lo_c is None or hi_c is None:
-                    dead[g] = True
+                if dead[g] or err[g]:
+                    continue
+                if hi_c is None:
+                    dead[g] = True  # no honest upper bound: claim nothing
                     continue
                 if lo[g] is None or lo_c < lo[g]:
                     lo[g] = lo_c
@@ -1143,14 +1164,23 @@ def _resolve_deferred_strings(collectors, entries, expected_n=None):
     except ValueError:
         ok = False  # stream decode defeated: claim nothing anywhere
     while p < n:
-        dead[int(gid[p])] = True  # ref beyond the heap: no claim
+        err[int(gid[p])] = True  # ref beyond the heap: the read raises
         p += 1
     if expected_n is not None and total != expected_n:
         ok = False  # two independent entry counts disagree: misaligned
     if ok:
         for g, (coll, fi, col) in enumerate(groups):
-            if not dead[g] and lo[g] is not None:
-                coll.fine[fi][2][col] = (lo[g], hi[g])
+            if err[g]:
+                # error parity: the unfiltered read of this interval
+                # raises (IndexError / Arrow surrogate), so NO section
+                # may keep a claim that could prune the error away
+                cum = coll.fine[fi][0]
+                coll.fine[fi] = (cum, None, None, None)
+        for g, (coll, fi, col) in enumerate(groups):
+            if not err[g] and not dead[g] and lo[g] is not None:
+                sv_slot = coll.fine[fi][2]
+                if sv_slot is not None:
+                    sv_slot[col] = (lo[g], hi[g])
     for coll in collectors:
         coll._defer_resolved = True
 

@@ -247,22 +247,47 @@ def test_resolver_withholds_on_count_mismatch():
 
 
 def test_resolver_parity_rules():
-    # group dead on: lone surrogate entry, ref beyond heap
-    xml = (
+    """r13 review pass 2 semantics: a lone-surrogate heap entry or a
+    ref beyond the heap means the READ of the referencing interval
+    RAISES — the whole interval withholds every section's claims, so
+    no other column's stats can prune the error away. An unclaimable
+    bound (U+10FFFF prefix) is NOT an error: only that column skips."""
+    # surrogate entry referenced: interval fully withheld
+    coll = _deferred_coll(
         b'<sheetData><row r="1">'
         b'<c r="A1" t="s"><v>0</v></c>'
         b'<c r="B1" t="s"><v>1</v></c>'
+        b'<c r="D1"><v>5</v></c>'
+        b"</row></sheetData>"
+    )
+    _resolve_deferred_strings([coll], iter(["ok", "bad\ud800"]),
+                              expected_n=2)
+    assert coll.fine[0][1:] == (None, None, None)
+    # ref beyond the heap: same full withhold
+    coll = _deferred_coll(
+        b'<sheetData><row r="1">'
+        b'<c r="A1" t="s"><v>0</v></c>'
         b'<c r="C1" t="s"><v>9</v></c>'
         b"</row></sheetData>"
     )
-    coll = _deferred_coll(xml)
-    _resolve_deferred_strings(
-        [coll], iter(["ok", "bad\ud800"]), expected_n=2
+    _resolve_deferred_strings([coll], iter(["ok"]), expected_n=1)
+    assert coll.fine[0][1:] == (None, None, None)
+    # U+10FFFF-prefixed max: no honest bound — THAT column claims
+    # nothing, everything else keeps its claims
+    coll = _deferred_coll(
+        b'<sheetData><row r="1">'
+        b'<c r="A1" t="s"><v>0</v></c>'
+        b'<c r="B1" t="s"><v>1</v></c>'
+        b'<c r="D1"><v>5</v></c>'
+        b"</row></sheetData>"
     )
+    big = chr(0x10FFFF) * 20
+    _resolve_deferred_strings([coll], iter(["ok", big]), expected_n=2)
     sv = coll.fine[0][2]
     assert sv.get("A") == ("ok", "ok")
-    assert "B" not in sv  # unencodable entry: claim nothing
-    assert "C" not in sv  # ref beyond the heap: claim nothing
+    assert "B" not in sv
+    assert coll.fine[0][1] == {"D": (5.0, 5.0)}
+    assert coll.fine[0][3]["A"] == (0, 1, 0, 0)
 
 
 def test_resolver_truncates_long_entries_honestly():

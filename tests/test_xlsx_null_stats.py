@@ -491,3 +491,43 @@ def test_unparseable_values_withhold_whole_interval():
     _, st, sv, nc = coll.fine[0]
     assert "A" not in st and st["B"] == (7.0, 7.0)
     assert nc["A"] == (1, 0, 0, 0) and nc["B"] == (1, 0, 0, 0)
+
+
+def test_exotic_string_refs_withhold_interval_not_crash():
+    """r13 review pass 2: (a) a ref past int64 used to crash serial
+    stats retrofits with an uncaught OverflowError — now the interval
+    withholds like every other read-would-raise shape; (b) string cells
+    with NO usable heap withhold too (the read raises IndexError on a
+    missing sst); (c) an out-of-heap ref withholds the WHOLE interval,
+    not just the column (the read raises IndexError)."""
+    from sheetreader_duckdb_spark.sources.xlsx.indexer import (
+        _IntervalStatsCollector,
+    )
+
+    huge = b'<sheetData><row r="1">'\
+           b'<c r="A1" t="s"><v>99999999999999999999</v></c>'\
+           b'<c r="B1"><v>7</v></c></row></sheetData>'
+    coll = _IntervalStatsCollector(b"", sst=["x"], date_styles=frozenset())
+    coll.on_piece(huge, True)  # must not raise
+    assert coll.fine[0][1:] == (None, None, None)
+
+    noheap = b'<sheetData><row r="1"><c r="A1" t="s"><v>0</v></c>'\
+             b'<c r="B1"><v>7</v></c></row></sheetData>'
+    coll = _IntervalStatsCollector(b"", sst=None, date_styles=frozenset())
+    coll.on_piece(noheap, True)
+    assert coll.fine[0][1:] == (None, None, None)
+
+    oor = b'<sheetData><row r="1"><c r="A1" t="s"><v>5</v></c>'\
+          b'<c r="B1"><v>7</v></c></row></sheetData>'
+    coll = _IntervalStatsCollector(b"", sst=["only"], date_styles=frozenset())
+    coll.on_piece(oor, True)
+    assert coll.fine[0][1:] == (None, None, None)
+
+    # negative ref WRAPS in the reader (no error): bounds stay faithful
+    # to the wrapped value, claims survive
+    neg = b'<sheetData><row r="1"><c r="A1" t="s"><v>-1</v></c>'\
+          b'<c r="B1"><v>7</v></c></row></sheetData>'
+    coll = _IntervalStatsCollector(b"", sst=["w", "z"], date_styles=frozenset())
+    coll.on_piece(neg, True)
+    _, st, sv, nc = coll.fine[0]
+    assert sv["A"] == ("z", "z") and st["B"] == (7.0, 7.0)
