@@ -128,6 +128,12 @@ def stage_measure() -> dict:
     assert res["retrofit"]["indexed"]
     # the all-unique key column sheds under the ref budget; status keeps
     assert res["retrofit"]["shed"] == ["A"], res["retrofit"]
+    # BOUNDED collector memory is the point of the deferred design: the
+    # whole retrofit process must peak far under what eager residency
+    # would cost (the raw heap alone exceeds the resident cap; its
+    # Python-string form would be larger still). 400 MB is a generous
+    # ceiling for refs (capped at 64 MB) + zlib windows + interpreter.
+    assert res["retrofit"]["peak_rss_mb"] < 400, res["retrofit"]
 
     import sheetreader_duckdb_spark.sources.xlsx.splitindex as SI
 

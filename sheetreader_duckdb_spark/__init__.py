@@ -118,6 +118,29 @@ def index_xlsx_dir(spark, path_or_glob, **kwargs):
     return _ixd(spark, path_or_glob, **kwargs)
 
 
+def describe_index(path):
+    """Index-health report for one workbook (decode-only — which members
+    shard, what prunes, claim coverage per stats section). See
+    ``sources.xlsx.indexer.describe_index``."""
+    from sheetreader_duckdb_spark.sources.xlsx.indexer import (
+        describe_index as _di,
+    )
+
+    return _di(path)
+
+
+def describe_index_dir(spark, path_or_glob):
+    """Distributed index-health sweep — one report per workbook, one
+    Spark task per file; the audit story for a retrofitted corpus. See
+    ``sources.xlsx.indexer.describe_index_dir``."""
+    register(spark)
+    from sheetreader_duckdb_spark.sources.xlsx.indexer import (
+        describe_index_dir as _did,
+    )
+
+    return _did(spark, path_or_glob)
+
+
 def read_xlsx(spark, path, columns=None, where=None, **options):
     """Read an XLSX through the sheetreader source, stating the projection
     (and optionally the filter) up front — the documented pattern for

@@ -1229,6 +1229,115 @@ class _TooSmall(Exception):
     """No member reached one split interval (control flow only)."""
 
 
+def describe_index(path: str) -> dict:
+    """Index-health report for one workbook — the ops counterpart of
+    ``index_xlsx`` at fleet scale: which members are splittable, at what
+    granularity, and which stats sections will actually prune. Decode
+    only (zip central directory + archive comment — NO member is
+    inflated), so sweeping a million-file corpus costs a metadata read
+    per file.
+
+    Returns ``{"indexed": bool, "comment_bytes": int, "sheets": {entry:
+    {"rows", "intervals", "stride", "numeric_stat_cols",
+    "string_stat_cols", "count_stat_cols", "claim_coverage": {section:
+    fraction of (interval, column) slots carrying a usable claim}}},
+    "sst": {"entries": int, "points": int} | None, "path": str}``.
+    Sections that fail their untrusted-input validation report as
+    absent — exactly what the planner will see. ``claim_coverage``
+    surfaces authoring withholds (error-parity intervals, shed columns,
+    style-unknown numerics): a column that "has stats" but covers 10%
+    of intervals explains a read that barely prunes."""
+    from . import splitindex as SI
+
+    out: dict = {
+        "indexed": False, "comment_bytes": 0, "sheets": {}, "sst": None,
+        "path": path,
+    }
+    with zipfile.ZipFile(path) as zf:
+        comment = zf.comment
+        if not comment.startswith(SI.MAGIC):
+            return out
+        out["comment_bytes"] = len(comment)
+        payload = SI._payload(zf)
+        if payload is None:
+            return out
+        entries = []
+        if isinstance(payload.get("e"), str):
+            entries.append(payload["e"])
+        m = payload.get("m")
+        if isinstance(m, dict):
+            entries.extend(k for k in m if isinstance(k, str))
+        for entry in entries:
+            pts = SI.decode_split_index(zf, entry)
+            if pts is None:
+                continue
+            sec = SI._section_for(payload, entry) or {}
+            sq = SI._section_stride(sec, len(pts))
+            rec: dict = {
+                "rows": pts[-1][1],
+                "intervals": len(pts),
+                "stride": sq[0] if sq else 1,
+            }
+            coverage: dict = {}
+            for key, decode in (
+                ("numeric", SI.decode_interval_stats),
+                ("string", SI.decode_interval_string_stats),
+                ("count", SI.decode_interval_null_counts),
+            ):
+                got = decode(zf, entry, pts)
+                cols = sorted(got) if got else []
+                rec[f"{key}_stat_cols"] = cols
+                if got:
+                    slots = sum(len(v) for v in got.values())
+                    claims = sum(
+                        1 for v in got.values() for e in v if e is not None
+                    )
+                    coverage[key] = round(claims / slots, 3) if slots else 0.0
+            rec["claim_coverage"] = coverage
+            out["sheets"][entry] = rec
+        spts = SI.decode_sst_index(zf)
+        if spts is not None:
+            out["sst"] = {"entries": spts[-1][1], "points": len(spts)}
+        out["indexed"] = bool(out["sheets"]) or out["sst"] is not None
+    return out
+
+
+def describe_index_dir(spark, path_or_glob: str) -> list[dict]:
+    """Distributed index-health sweep: one report per workbook (the
+    ``describe_index`` shape, plus ``reason: "error: ..."`` rows for
+    unreadable files), one Spark task per file — the audit story for a
+    retrofitted corpus: which files still lack an index, which columns
+    lost stats to shedding, where claim coverage collapsed."""
+    import glob as _glob
+
+    if os.path.isdir(path_or_glob):
+        paths = sorted(_glob.glob(os.path.join(path_or_glob, "*.xlsx")))
+    else:
+        paths = sorted(_glob.glob(path_or_glob))
+    if not paths:
+        raise ValueError(f"no .xlsx files match {path_or_glob!r}")
+
+    def _one(it):
+        from sheetreader_duckdb_spark.sources.xlsx.indexer import (
+            describe_index,
+        )
+
+        for p in it:
+            try:
+                yield describe_index(p)
+            except Exception as e:  # noqa: BLE001 — sweep survives bad files
+                yield {
+                    "indexed": False, "reason": f"error: {e}", "path": p,
+                    "comment_bytes": 0, "sheets": {}, "sst": None,
+                }
+
+    return (
+        spark.sparkContext.parallelize(paths, len(paths))
+        .mapPartitions(_one)
+        .collect()
+    )
+
+
 def index_xlsx_dir(
     spark,
     path_or_glob: str,

@@ -774,3 +774,59 @@ def test_retrofit_glob_metachar_basename_leaves_no_temps(tmp_path):
     assert not out2["indexed"]
     leftovers = [f for f in os.listdir(tmp_path) if ".idx-tmp" in f]
     assert leftovers == [], leftovers
+
+
+def test_describe_index_reports_health(tmp_path):
+    """describe_index (r13): decode-only index-health report — the
+    fleet-audit counterpart of index_xlsx. Covers: unindexed file,
+    indexed file's sections/stride/coverage, and the claim-coverage
+    signal dropping when intervals withhold."""
+    from sheetreader_duckdb_spark import describe_index
+    from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+
+    n = 120_000
+    src = str(tmp_path / "d.xlsx")
+    write_xlsx(
+        src,
+        {"S": [["a", "b"]] + [[float(i), f"s{i % 7}"] for i in range(n)]},
+    )
+    raw = _foreignize(src, str(tmp_path / "raw.xlsx"))
+    rep0 = describe_index(raw)
+    assert rep0["indexed"] is False and rep0["sheets"] == {}
+
+    out = index_xlsx(raw)
+    assert out["indexed"]
+    rep = describe_index(raw)
+    assert rep["indexed"] and rep["comment_bytes"] > 0
+    sheet = rep["sheets"]["xl/worksheets/sheet1.xml"]
+    assert sheet["rows"] == n + 1
+    assert sheet["intervals"] >= 2 and sheet["stride"] >= 1
+    assert sheet["numeric_stat_cols"] == ["A"]
+    assert "B" in sheet["string_stat_cols"]
+    assert set(sheet["count_stat_cols"]) >= {"A", "B"}
+    # honest file: numeric/count sections fully claimed; the string
+    # section averages in column A's header-only claims (interval 0
+    # only) — exactly the partial-coverage signal the report exists
+    # to surface
+    assert sheet["claim_coverage"]["numeric"] > 0.9
+    assert sheet["claim_coverage"]["count"] > 0.9
+    assert 0.5 < sheet["claim_coverage"]["string"] < 1.0
+    # 9 unique strings: the heap never spans one split interval, so no
+    # sst section exists — reported as absent, matching what a sharded
+    # read can use
+    assert rep["sst"] is None
+
+    # a garbled sv section reports as ABSENT — what the planner sees
+    import json as _json
+    import zipfile as _zf
+
+    with _zf.ZipFile(raw) as z:
+        payload = _json.loads(z.comment[len(SI.MAGIC):])
+    payload["sv"] = {"B": ["x"]}
+    with _zf.ZipFile(raw, "a") as z:
+        z.comment = SI.MAGIC + _json.dumps(payload).encode()
+    rep2 = describe_index(raw)
+    sheet2 = rep2["sheets"]["xl/worksheets/sheet1.xml"]
+    assert sheet2["string_stat_cols"] == []
+    assert "string" not in sheet2["claim_coverage"]
+    assert sheet2["numeric_stat_cols"] == ["A"]  # independent sections
