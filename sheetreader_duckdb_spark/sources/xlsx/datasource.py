@@ -413,11 +413,24 @@ class _Options:
             raise ValueError("sheetreader: 'path' is required")
         if _glob.has_magic(path):
             paths = sorted(_glob.glob(path))
+            if not paths:
+                # A literal path that merely LOOKS like a glob —
+                # 'report[2024].xlsx' / 'batch[7]/' are real names
+                # (r13: same metachar family as the retrofit temp-leak
+                # fix); glob semantics keep priority, the literal
+                # file-or-directory is the fallback when the pattern
+                # matches nothing.
+                if os.path.isdir(path):
+                    paths = sorted(_glob.glob(
+                        os.path.join(_glob.escape(path), "*.xlsx")
+                    ))
+                elif os.path.isfile(path):
+                    paths = [path]
         elif os.path.isdir(path):
             # A directory reads every workbook in it — the symmetric
             # inverse of the sink (one .xlsx per partition under `save(dir)`),
             # matching the streaming source's directory semantics above.
-            paths = sorted(_glob.glob(os.path.join(path, "*.xlsx")))
+            paths = sorted(_glob.glob(os.path.join(_glob.escape(path), "*.xlsx")))
         else:
             paths = [path]
         if not paths:
@@ -1733,10 +1746,18 @@ class SheetReaderStreamReader(SimpleDataSourceStreamReader):
 
     def _current_files(self) -> list[str]:
         if _glob.has_magic(self.raw_path):
-            return sorted(_glob.glob(self.raw_path))
+            got = sorted(_glob.glob(self.raw_path))
+            if not got:  # literal glob-looking file or directory
+                if os.path.isdir(self.raw_path):
+                    return sorted(_glob.glob(os.path.join(
+                        _glob.escape(self.raw_path), "*.xlsx"
+                    )))
+                if os.path.isfile(self.raw_path):
+                    return [self.raw_path]
+            return got
         if os.path.isdir(self.raw_path):
             return sorted(
-                _glob.glob(os.path.join(self.raw_path, "*.xlsx"))
+                _glob.glob(os.path.join(_glob.escape(self.raw_path), "*.xlsx"))
             )
         return [self.raw_path] if os.path.exists(self.raw_path) else []
 

@@ -1229,6 +1229,27 @@ class _TooSmall(Exception):
     """No member reached one split interval (control flow only)."""
 
 
+def _resolve_corpus_paths(path_or_glob: str) -> list[str]:
+    """Sorted .xlsx paths for a sweep: a directory (its *.xlsx,
+    non-recursive — the directory part glob-escaped, so
+    'reports[2024]/' works) or a glob pattern taken as written. Raises
+    on an empty match (shared by index_xlsx_dir / describe_index_dir —
+    r13 review: the two had copied the resolution and would drift)."""
+    import glob as _glob
+
+    if os.path.isdir(path_or_glob):
+        paths = sorted(
+            _glob.glob(os.path.join(_glob.escape(path_or_glob), "*.xlsx"))
+        )
+    else:
+        paths = sorted(_glob.glob(path_or_glob))
+        if not paths and os.path.isfile(path_or_glob):
+            paths = [path_or_glob]  # literal glob-looking path
+    if not paths:
+        raise ValueError(f"no .xlsx files match {path_or_glob!r}")
+    return paths
+
+
 def describe_index(path: str) -> dict:
     """Index-health report for one workbook — the ops counterpart of
     ``index_xlsx`` at fleet scale: which members are splittable, at what
@@ -1268,7 +1289,7 @@ def describe_index(path: str) -> dict:
         if isinstance(m, dict):
             entries.extend(k for k in m if isinstance(k, str))
         for entry in entries:
-            pts = SI.decode_split_index(zf, entry)
+            pts = SI.decode_split_index(zf, entry, payload=payload)
             if pts is None:
                 continue
             sec = SI._section_for(payload, entry) or {}
@@ -1276,7 +1297,9 @@ def describe_index(path: str) -> dict:
             rec: dict = {
                 "rows": pts[-1][1],
                 "intervals": len(pts),
-                "stride": sq[0] if sq else 1,
+                # None = forged/garbage stride (all stats dropped) —
+                # distinct from an honest unstrided index's 1
+                "stride": sq[0] if sq else None,
             }
             coverage: dict = {}
             for key, decode in (
@@ -1284,7 +1307,7 @@ def describe_index(path: str) -> dict:
                 ("string", SI.decode_interval_string_stats),
                 ("count", SI.decode_interval_null_counts),
             ):
-                got = decode(zf, entry, pts)
+                got = decode(zf, entry, pts, payload=payload)
                 cols = sorted(got) if got else []
                 rec[f"{key}_stat_cols"] = cols
                 if got:
@@ -1295,7 +1318,7 @@ def describe_index(path: str) -> dict:
                     coverage[key] = round(claims / slots, 3) if slots else 0.0
             rec["claim_coverage"] = coverage
             out["sheets"][entry] = rec
-        spts = SI.decode_sst_index(zf)
+        spts = SI.decode_sst_index(zf, payload=payload)
         if spts is not None:
             out["sst"] = {"entries": spts[-1][1], "points": len(spts)}
         out["indexed"] = bool(out["sheets"]) or out["sst"] is not None
@@ -1308,14 +1331,7 @@ def describe_index_dir(spark, path_or_glob: str) -> list[dict]:
     unreadable files), one Spark task per file — the audit story for a
     retrofitted corpus: which files still lack an index, which columns
     lost stats to shedding, where claim coverage collapsed."""
-    import glob as _glob
-
-    if os.path.isdir(path_or_glob):
-        paths = sorted(_glob.glob(os.path.join(path_or_glob, "*.xlsx")))
-    else:
-        paths = sorted(_glob.glob(path_or_glob))
-    if not paths:
-        raise ValueError(f"no .xlsx files match {path_or_glob!r}")
+    paths = _resolve_corpus_paths(path_or_glob)
 
     def _one(it):
         from sheetreader_duckdb_spark.sources.xlsx.indexer import (
@@ -1361,14 +1377,7 @@ def index_xlsx_dir(
     (``index_xlsx``'s shape, plus ``reason: "error: ..."`` rows for
     files that raised), so a single corrupt workbook can't kill a
     million-file sweep."""
-    import glob as _glob
-
-    if os.path.isdir(path_or_glob):
-        paths = sorted(_glob.glob(os.path.join(path_or_glob, "*.xlsx")))
-    else:
-        paths = sorted(_glob.glob(path_or_glob))
-    if not paths:
-        raise ValueError(f"no .xlsx files match {path_or_glob!r}")
+    paths = _resolve_corpus_paths(path_or_glob)
     # workers defaults to 1 here (unlike index_xlsx's auto): the sweep is
     # already one Spark task per file across the cluster's cores, and
     # per-member threads inside every task would oversubscribe; raise it

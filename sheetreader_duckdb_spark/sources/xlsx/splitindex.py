@@ -321,15 +321,19 @@ def _section_for(payload: dict, entry: str) -> "dict | None":
 
 
 def decode_split_index(
-    zf: zipfile.ZipFile, entry: str
+    zf: zipfile.ZipFile, entry: str, payload: "dict | None" = None
 ) -> "list[tuple[int, int]] | None":
     """Validated absolute (coff, rows_cum) points for ``entry``, plus the
     implicit terminal point (compress_size, total_rows) — or None when the
     archive carries no usable index for this entry (no comment, other
     entry, non-deflate member, or any structural inconsistency; the caller
     falls back to the sequential scan, results identical either way).
-    Resolves additional-sheet sections (``m``) as well as the primary."""
-    payload = _payload(zf)
+    Resolves additional-sheet sections (``m``) as well as the primary.
+    ``payload`` short-circuits the comment re-parse when the caller
+    already holds it (describe_index decodes five sections per sheet —
+    one json.loads each was the dominant audit cost on big comments)."""
+    if payload is None:
+        payload = _payload(zf)
     if payload is None:
         return None
     sec = _section_for(payload, entry)
@@ -338,14 +342,17 @@ def decode_split_index(
     return _decode_points(zf, entry, sec, "c", "r", "n")
 
 
-def decode_sst_index(zf: zipfile.ZipFile) -> "list[tuple[int, int]] | None":
+def decode_sst_index(
+    zf: zipfile.ZipFile, payload: "dict | None" = None
+) -> "list[tuple[int, int]] | None":
     """Validated absolute (coff, entries_cum) points for the shared-strings
     heap, plus the implicit terminal (compress_size, total_entries) — or
     None when the comment carries no usable sst section (same untrusted-
     input discipline as the worksheet index; the heap reader additionally
     verifies each interval's local entry count and falls back to the full
     heap on any inconsistency)."""
-    payload = _payload(zf)
+    if payload is None:
+        payload = _payload(zf)
     if payload is None:
         return None
     return _decode_points(zf, SST_ENTRY, payload, "sc", "sr", "sn")
@@ -382,7 +389,8 @@ def _section_stride(sec: dict, n_iv: int) -> "tuple[int, int] | None":
 
 
 def decode_interval_stats(
-    zf: zipfile.ZipFile, entry: str, points: list
+    zf: zipfile.ZipFile, entry: str, points: list,
+    payload: "dict | None" = None,
 ) -> "dict[str, list] | None":
     """Validated per-interval ``[(lo, hi) | None]`` stats per column
     letter for ``entry`` (the ``st`` section), aligned with the decoded
@@ -394,7 +402,8 @@ def decode_interval_stats(
     — the same honest-writer trust model as parquet row-group stats;
     interval 0 is always materialized and count-checked, which catches
     whole-file staleness loudly.)"""
-    payload = _payload(zf)
+    if payload is None:
+        payload = _payload(zf)
     if payload is None:
         return None
     sec = _section_for(payload, entry)
@@ -434,7 +443,8 @@ def decode_interval_stats(
 
 
 def decode_interval_string_stats(
-    zf: zipfile.ZipFile, entry: str, points: list
+    zf: zipfile.ZipFile, entry: str, points: list,
+    payload: "dict | None" = None,
 ) -> "dict[str, list] | None":
     """Validated per-interval ``[(lo, hi) | None]`` STRING bounds per
     column letter for ``entry`` (the ``sv`` section, r12), aligned with
@@ -447,7 +457,8 @@ def decode_interval_string_stats(
     Bounds may contain lone surrogates (increment_str can land on one —
     JSON carries them fine); validation therefore never UTF-8-encodes,
     it bounds by char count."""
-    payload = _payload(zf)
+    if payload is None:
+        payload = _payload(zf)
     if payload is None:
         return None
     sec = _section_for(payload, entry)
@@ -485,7 +496,8 @@ def decode_interval_string_stats(
 
 
 def decode_interval_null_counts(
-    zf: zipfile.ZipFile, entry: str, points: list
+    zf: zipfile.ZipFile, entry: str, points: list,
+    payload: "dict | None" = None,
 ) -> "dict[str, list] | None":
     """Validated per-interval value counts per column letter for
     ``entry`` (the ``nc`` section, r13), aligned with the decoded
@@ -501,7 +513,8 @@ def decode_interval_null_counts(
     count drop the WHOLE section — pruning is an optimization, the
     unpruned scan is the semantics. Validation is independent of
     ``st``/``sv``: garbage in one section never costs the others."""
-    payload = _payload(zf)
+    if payload is None:
+        payload = _payload(zf)
     if payload is None:
         return None
     sec = _section_for(payload, entry)

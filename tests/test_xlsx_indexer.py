@@ -830,3 +830,49 @@ def test_describe_index_reports_health(tmp_path):
     assert sheet2["string_stat_cols"] == []
     assert "string" not in sheet2["claim_coverage"]
     assert sheet2["numeric_stat_cols"] == ["A"]  # independent sections
+
+
+def test_describe_index_dir_sweep(tmp_path, spark):
+    """describe_index_dir (r13): mixed indexed/unindexed corpus in a
+    glob-metacharacter directory name ('batch[2024]' — the resolver
+    must escape the dir part), plus the per-file error-row shape for
+    an unreadable file."""
+    import shutil
+
+    from sheetreader_duckdb_spark import describe_index_dir
+    from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+
+    d = tmp_path / "batch[2024]"
+    d.mkdir()
+    src = str(d / "indexed.xlsx")
+    write_xlsx(
+        src, {"S": [["a"]] + [[float(i)] for i in range(120_000)]}
+    )
+    _foreignize(src, str(d / "plain.xlsx"))
+    assert index_xlsx(src)["indexed"]
+    (d / "broken.xlsx").write_bytes(b"not a zip at all")
+
+    reps = {os.path.basename(r["path"]): r
+            for r in describe_index_dir(spark, str(d))}
+    assert set(reps) == {"indexed.xlsx", "plain.xlsx", "broken.xlsx"}
+    assert reps["indexed.xlsx"]["indexed"]
+    sh = reps["indexed.xlsx"]["sheets"]["xl/worksheets/sheet1.xml"]
+    assert sh["rows"] == 120_001 and sh["stride"] >= 1
+    assert not reps["plain.xlsx"]["indexed"]
+    assert not reps["broken.xlsx"]["indexed"]
+    assert reps["broken.xlsx"]["reason"].startswith("error:")
+
+    # forged stride reports as None — distinct from honest unstrided 1
+    import json as _json
+    import zipfile as _zf
+
+    from sheetreader_duckdb_spark import describe_index
+
+    with _zf.ZipFile(src) as z:
+        payload = _json.loads(z.comment[len(SI.MAGIC):])
+    payload["q"] = 0
+    with _zf.ZipFile(src, "a") as z:
+        z.comment = SI.MAGIC + _json.dumps(payload).encode()
+    rep = describe_index(src)
+    sh2 = rep["sheets"]["xl/worksheets/sheet1.xml"]
+    assert sh2["stride"] is None and sh2["numeric_stat_cols"] == []

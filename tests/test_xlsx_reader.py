@@ -243,3 +243,31 @@ def test_sharded_parse_parity(sr, fixdir):
         sharded = _read(sr, path, skip_rows=1, has_header=True, threads=n).collect()
         assert sorted(map(tuple, sharded), key=str) == sorted(map(tuple, serial), key=str)
     assert len(serial) == 500
+
+
+def test_literal_path_with_glob_metacharacters(tmp_path):
+    """r13: 'report[2024].xlsx' is a real filename. Glob semantics keep
+    priority for the path option, but a pattern that matches NOTHING
+    while naming an existing file falls back to the literal file —
+    and a metachar DIRECTORY read escapes the directory part."""
+    from sheetreader_duckdb_spark.sources.xlsx import datasource as DS
+    from sheetreader_duckdb_spark.sources.xlsx.writer import write_xlsx
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    d = tmp_path / "batch[7]"
+    d.mkdir()
+    p = str(d / "report[2024].xlsx")
+    write_xlsx(p, {"S": [["a"]] + [[float(i)] for i in range(50)]})
+
+    schema = StructType([StructField("a", DoubleType())])
+
+    def read_all(path):
+        reader = DS.SheetReaderReader({"path": path, "threads": "1"}, schema)
+        rows = []
+        for part in reader.partitions():
+            for b in reader.read(part):
+                rows.extend(b.column(0).to_pylist())
+        return rows
+
+    assert len(read_all(p)) == 50          # literal file, metachars in both parts
+    assert len(read_all(str(d))) == 50     # metachar directory read
