@@ -66,7 +66,11 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
         files = sorted(
             f
             for f in _glob.glob(
-                os.path.join(path, "**", "*.parquet"), recursive=True
+                # escape the dir part: an sf_dir with glob metachars
+                # ('runs[2024]') must not silently match nothing and
+                # desync this count from count(*)
+                os.path.join(_glob.escape(path), "**", "*.parquet"),
+                recursive=True,
             )
             if not any(
                 part.startswith(("_", "."))

@@ -25,3 +25,15 @@ def test_text_roundtrip_hadoop_uri(spark, tmp_path):
     fsutil.write_text(spark, p, payload)
     assert fsutil.read_text(spark, p) == payload
     assert not fsutil.exists(spark, p + ".writing")
+
+
+def test_parquet_row_count_metachar_dir(spark, tmp_path):
+    """r13: an sf_dir with glob metacharacters ('runs[2024]') must not
+    make the footer-based count silently miss every file — the count
+    feeds plan-build sizing and must always equal count(*)."""
+    from sheetreader_duckdb_spark.tables import parquet_row_count
+
+    d = tmp_path / "runs[2024]"
+    (d / "t.parquet").mkdir(parents=True)
+    spark.range(137).write.mode("overwrite").parquet(str(d / "t.parquet"))
+    assert parquet_row_count(str(d), "t") == 137
