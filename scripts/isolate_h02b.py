@@ -66,9 +66,15 @@ spark.stop()
 '''
 
 
-def _start(root: str, sf_dir: str, cpus: str, qname: str) -> subprocess.Popen:
+def _start(root: str, sf_dir: str, cpus: str, qname: str,
+           worker_src: "str | None" = None) -> subprocess.Popen:
+    """Launch a persistent warm-Spark worker in ``root``'s tree.
+    ``worker_src`` overrides the registry-query worker body (sibling
+    isolation scripts reuse this harness with their own measured pass —
+    r13 review: isolate_xlsx_pruned.py had copied it verbatim)."""
     p = subprocess.Popen(
-        [sys.executable, "-c", _WORKER, root, sf_dir, cpus, qname],
+        [sys.executable, "-c", worker_src or _WORKER,
+         root, sf_dir, cpus, qname],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True, bufsize=1, cwd=root,
     )

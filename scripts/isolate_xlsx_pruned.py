@@ -5,12 +5,11 @@ paired blocks while yesterday's two blocks read 0.95x/1.04x on the SAME
 code; sub-second entry, min-of-3, so it needs the interleaved-repeat
 treatment h02b_ctas_sink and export_documents got before adjudication).
 
-Same methodology as scripts/isolate_h02b.py: two PERSISTENT subprocess
-workers — HEAD's tree vs a detached worktree of the prev commit — each
-holding a warm SparkSession; the parent ping-pongs single timed passes,
-alternating which side goes first so box drift cancels. The measured
-pass is bench.py's entry verbatim: read_xlsx(columns=[l_returnflag,
-l_quantity]) over the shared cached SF-scaled workbook, noop sink.
+Reuses scripts/isolate_h02b.py's harness (persistent warm workers, one
+per tree, ping-ponged single passes with alternating order) with a
+worker body that is bench.py's entry verbatim: read_xlsx(columns=
+[l_returnflag, l_quantity]) over the shared cached SF-scaled workbook,
+noop sink.
 """
 
 from __future__ import annotations
@@ -24,7 +23,12 @@ import sys
 import tempfile
 import time
 
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+if _SCRIPTS not in sys.path:
+    sys.path.insert(0, _SCRIPTS)
+_REPO = os.path.dirname(_SCRIPTS)
+
+from isolate_h02b import _pass, _start  # noqa: E402 — shared harness
 
 _WORKER = r'''
 import json, sys, time
@@ -62,27 +66,6 @@ spark.stop()
 '''
 
 
-def _start(root: str, sf_dir: str, cpus: str) -> subprocess.Popen:
-    p = subprocess.Popen(
-        [sys.executable, "-c", _WORKER, root, sf_dir, cpus],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL, text=True, bufsize=1, cwd=root,
-    )
-    for line in p.stdout:
-        if line.strip() == "READY":
-            return p
-    raise RuntimeError(f"worker on {root} died before READY")
-
-
-def _pass(p: subprocess.Popen) -> dict:
-    p.stdin.write("GO\n")
-    p.stdin.flush()
-    for line in p.stdout:
-        if line.startswith("RES "):
-            return json.loads(line[4:])
-    raise RuntimeError("worker died mid-pass")
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=10)
@@ -110,8 +93,8 @@ def main() -> None:
           f"{prev_full[:12]} ({args.rounds} interleaved rounds)")
 
     t_start = time.time()
-    cur_p = _start(_REPO, sf_dir, cpus)
-    prev_p = _start(wt, sf_dir, cpus)
+    cur_p = _start(_REPO, sf_dir, cpus, "xlsx_load_pruned", worker_src=_WORKER)
+    prev_p = _start(wt, sf_dir, cpus, "xlsx_load_pruned", worker_src=_WORKER)
 
     rows = []
     try:
