@@ -22,11 +22,23 @@ re-derive whether a cross-round delta is code, methodology, or the box):
   ``queries`` stays {name: construct+exec} for compatibility.
 * ``prev_commit`` — in the SAME bench session, the previous round's
   archived commit (the last ``round N:`` driver commit) is checked out
-  into a scratch git worktree and a subprocess re-runs the FULL headline
-  set plus the standalone entries on it with identical methodology
-  (r10; previously 6 sentinels — VERDICT r9 wrong #2). Same box, same
-  minutes: current-vs-previous on every entry is a paired measurement,
-  immune to machine drift.
+  into a scratch git worktree and paired against HEAD at ENTRY
+  granularity (r14, VERDICT r13 task 1): two persistent warm-Spark
+  subprocess workers — one per tree — ping-pong single timed passes of
+  each entry back-to-back, alternating which side goes first, for
+  min-of-3 rounds. Until r13 the block ran the halves SEQUENTIALLY
+  (full current set, then the prev set after spark.stop()), which let
+  box thermal/background drift land entirely on the ratio — three
+  consecutive rounds produced split-brained records the judge had to
+  adjudicate as weather (r13: a uniform 1.437x driver block vs the
+  builder's 0.952x on byte-identical relational code; this round's
+  opening baseline reproduced it again, per-entry ratios 0.68-2.19x on
+  IDENTICAL code). Interleaving makes every cross-round delta a paired
+  measurement at second scale, immune to minute-scale drift. The block
+  reports BOTH sides (``queries`` = prev minima, ``current`` = HEAD
+  minima from the same interleaved session) so the ratio is computed
+  from one instrument; the headline ``splits`` stays the in-process
+  run, unchanged methodology.
 
 The headline set covers the engine surface end-to-end:
   - xlsx_load_lineitem — sheetreader data-source scan of a 600k-row
@@ -97,21 +109,32 @@ HEADLINE = [
 # paired measurement.
 SENTINELS = HEADLINE
 
-# Runs inside the previous round's worktree with ITS package on sys.path;
-# only stdlib + APIs the tree has had since round 7 (plans.all_queries,
-# branch fns, pipeline.curate_corpus, read_xlsx). Mirrors main()'s
-# methodology — warmup, then min of 3 timed construct/exec passes — and
-# every section is guarded so a missing API in an older commit records an
-# error string for that entry instead of killing the block. Emits one
-# marked JSON line.
-_PREV_RUNNER = r'''
+# Standalone entries paired alongside the headline set (mirrors main()'s
+# non-registry recipes exactly).
+STANDALONE = [
+    "pack_documents",
+    "export_documents",
+    "curate_corpus",
+    "xlsx_load_lineitem",
+    "xlsx_load_pruned",
+]
+
+# Persistent warm-worker body for the interleaved paired block: runs in
+# EITHER tree (HEAD or the prev round's worktree) with that tree's package
+# on sys.path; only stdlib + APIs the tree has had since round 7
+# (plans.all_queries, branch fns, pipeline.curate_corpus, read_xlsx).
+# Every section is guarded so a missing API in an older commit records an
+# error string for that entry instead of killing the block. Protocol:
+# warmup every requested entry once, print "READY <err-names>", then serve
+# "RUN <name>" -> "RES <json>" until stdin closes.
+_PAIR_WORKER = r'''
 import json, sys, time
 root, sf_dir, cpus = sys.argv[1], sys.argv[2], sys.argv[3]
 names = json.loads(sys.argv[4])
 sys.path.insert(0, root)
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[" + cpus + "]")
-         .appName("sheetreader-bench-prev")
+         .appName("sheetreader-bench-pair")
          .config("spark.sql.shuffle.partitions", cpus)
          .config("spark.driver.memory", "16g")
          .config("spark.ui.enabled", "false").getOrCreate())
@@ -120,7 +143,7 @@ from sheetreader_duckdb_spark.session import configure_session
 from sheetreader_duckdb_spark.plans import all_queries
 configure_session(spark)
 corpus = all_queries()
-out = {}
+err = {}
 
 
 class _B:
@@ -138,98 +161,38 @@ try:  # branch overrides, mirroring main()
     corpus["n01_dedup_exact_pipeline"] = _B(n01_dedup_core)
     corpus["n01_cur_kept"] = _B(n01_cur_kept_branch)
 except Exception as e:
-    out["_branch_override_error"] = str(e)[:200]
-
-try:  # s01's cached fixture, outside timing (mirrors main())
-    from sheetreader_duckdb_spark.plans.ingestion import _xlsx_for_sf
-    xlsx_path = _xlsx_for_sf(sf_dir)
-except Exception as e:
-    xlsx_path = None
-    out["_xlsx_fixture_error"] = str(e)[:200]
-
-names = [n for n in names if n in corpus]
+    err["_branch_override"] = str(e)[:200]
 
 
 def _noop(df):
     df.write.mode("overwrite").format("noop").save()
 
 
-def _timed(build, key, passes=3):
-    try:
-        _noop(build())  # warmup
-        cs, es = [], []
-        for _ in range(passes):
-            t0 = time.perf_counter()
-            df = build()
-            t1 = time.perf_counter()
-            _noop(df)
-            t2 = time.perf_counter()
-            cs.append(t1 - t0)
-            es.append(t2 - t1)
-        out[key] = {"construct": round(min(cs), 3),
-                    "exec": round(min(es), 3)}
-    except Exception as e:
-        out[key] = {"error": (type(e).__name__ + ": " + str(e))[:200]}
+# name -> (kind, zero-arg builder). Kinds: 'noop' = construct the frame,
+# noop-sink it; 'call' = the call IS the operator (export's real write);
+# 'noop_release' = noop + release_deferred (curate's deferred caches).
+builders = {}
+for n in names:
+    if n in corpus:
+        builders[n] = ("noop", (lambda n=n: corpus[n].fn(spark, sf_dir)))
 
-
-for n in names:  # warmup pass over the whole set first, like main()
-    try:
-        _noop(corpus[n].fn(spark, sf_dir))
-    except Exception:
-        pass
-acc = {n: {"construct": [], "exec": []} for n in names}
-for _ in range(3):
-    for n in names:
-        try:
-            t0 = time.perf_counter()
-            df = corpus[n].fn(spark, sf_dir)
-            t1 = time.perf_counter()
-            _noop(df)
-            t2 = time.perf_counter()
-            acc[n]["construct"].append(t1 - t0)
-            acc[n]["exec"].append(t2 - t1)
-        except Exception as e:
-            out[n] = {"error": (type(e).__name__ + ": " + str(e))[:200]}
-for n, v in acc.items():
-    if v["construct"] and n not in out:
-        out[n] = {"construct": round(min(v["construct"]), 3),
-                  "exec": round(min(v["exec"]), 3)}
-
-# The five standalone entries, mirroring main()'s recipes exactly. The
-# shared docs relation gets its own guard so one missing operator API
-# doesn't poison the other sections' entries with a NameError.
-try:
+try:  # the shared docs relation + pack/export recipes (mirror main())
     from sheetreader_duckdb_spark.plans.relational import T
     docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
-except Exception as e:
-    docs = None
-    out["_docs_fixture_error"] = str(e)[:200]
-
-try:
     from sheetreader_duckdb_spark.operators.packing import pack_sequences
-    _timed(lambda: pack_sequences(docs, "doc_id", "n_chars", seq_len=2048,
-                                  n_buckets=8), "pack_documents")
-except Exception as e:
-    out["pack_documents"] = {"error": str(e)[:200]}
-
-try:
+    builders["pack_documents"] = ("noop", lambda: pack_sequences(
+        docs, "doc_id", "n_chars", seq_len=2048, n_buckets=8))
     from sheetreader_duckdb_spark.operators.export import export_shards
-    exp_dir = "/tmp/sheetreader_bench_export_prev"
-    export_shards(docs, "doc_id", 8, exp_dir, seed="bench")  # warmup
-    es = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        export_shards(docs, "doc_id", 8, exp_dir, seed="bench")
-        es.append(time.perf_counter() - t0)
-    out["export_documents"] = {"construct": 0.0, "exec": round(min(es), 3)}
+    exp_dir = "/tmp/sheetreader_bench_export_pair"
+    builders["export_documents"] = ("call", lambda: export_shards(
+        docs, "doc_id", 8, exp_dir, seed="bench"))
 except Exception as e:
-    out["export_documents"] = {"error": str(e)[:200]}
+    err["pack_documents"] = err["export_documents"] = str(e)[:200]
 
-try:
+try:  # the composed curation pipeline (mirror main())
     from pyspark.sql import functions as F
     from sheetreader_duckdb_spark.pipeline import curate_corpus
     from sheetreader_duckdb_spark.operators.sampling import hash_split
-    from sheetreader_duckdb_spark.session import release_deferred
     emb = T(spark, sf_dir, "embeddings")
 
     def _curated():
@@ -247,37 +210,67 @@ try:
             seed="bench", collect_report=False)
         return cur
 
-    _noop(_curated())  # warmup
-    release_deferred()
-    cc, ce = [], []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cur_df = _curated()
-        t1 = time.perf_counter()
-        _noop(cur_df)
-        t2 = time.perf_counter()
-        cc.append(t1 - t0)
-        ce.append(t2 - t1)
-        release_deferred()
-    out["curate_corpus"] = {"construct": round(min(cc), 3),
-                            "exec": round(min(ce), 3)}
+    builders["curate_corpus"] = ("noop_release", _curated)
 except Exception as e:
-    out["curate_corpus"] = {"error": (type(e).__name__ + ": " + str(e))[:200]}
+    err["curate_corpus"] = str(e)[:200]
 
-if xlsx_path is not None:
+try:  # xlsx loads over the cached fixture (mirror main())
+    from sheetreader_duckdb_spark.plans.ingestion import _xlsx_for_sf
+    from sheetreader_duckdb_spark import register, read_xlsx
+    register(spark)
+    xlsx_path = _xlsx_for_sf(sf_dir)
+    builders["xlsx_load_lineitem"] = ("noop", lambda: spark.read.format(
+        "sheetreader").load(xlsx_path))
+    builders["xlsx_load_pruned"] = ("noop", lambda: read_xlsx(
+        spark, xlsx_path, columns=["l_returnflag", "l_quantity"]))
+except Exception as e:
+    err["xlsx_load_lineitem"] = err["xlsx_load_pruned"] = str(e)[:200]
+
+
+def one_pass(name):
+    kind, build = builders[name]
+    if kind == "call":
+        t0 = time.perf_counter()
+        build()
+        return {"construct": 0.0, "exec": time.perf_counter() - t0}
+    t0 = time.perf_counter()
+    df = build()
+    t1 = time.perf_counter()
+    _noop(df)
+    t2 = time.perf_counter()
+    if kind == "noop_release":
+        from sheetreader_duckdb_spark.session import release_deferred
+        release_deferred()
+    return {"construct": t1 - t0, "exec": t2 - t1}
+
+
+for n in names:  # warmup pass, untimed (JVM, codegen, cached fixtures)
+    if n in err:
+        continue
+    if n not in builders:
+        err[n] = "entry not available in this tree"
+        continue
     try:
-        from sheetreader_duckdb_spark import register, read_xlsx
-        register(spark)
-        _timed(lambda: spark.read.format("sheetreader").load(xlsx_path),
-               "xlsx_load_lineitem")
-        _timed(lambda: read_xlsx(spark, xlsx_path,
-                                 columns=["l_returnflag", "l_quantity"]),
-               "xlsx_load_pruned")
+        one_pass(n)
     except Exception as e:
-        out.setdefault("xlsx_load_lineitem", {"error": str(e)[:200]})
-        out.setdefault("xlsx_load_pruned", {"error": str(e)[:200]})
+        err[n] = (type(e).__name__ + ": " + str(e))[:200]
 
-print("PREVBENCH " + json.dumps(out))
+print("READY " + json.dumps(sorted(err)), flush=True)
+for line in sys.stdin:
+    line = line.strip()
+    if not line.startswith("RUN "):
+        break
+    n = line[4:]
+    if n in err:
+        print("RES " + json.dumps({"error": err[n]}), flush=True)
+        continue
+    try:
+        r = one_pass(n)
+        print("RES " + json.dumps({"construct": round(r["construct"], 3),
+                                   "exec": round(r["exec"], 3)}), flush=True)
+    except Exception as e:
+        print("RES " + json.dumps(
+            {"error": (type(e).__name__ + ": " + str(e))[:200]}), flush=True)
 spark.stop()
 '''
 
@@ -382,74 +375,188 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
+def _pair_start(root: str, names: list, label: str):
+    """Launch one persistent warm worker in ``root``'s tree. stderr goes
+    to a per-side log file (NOT the bench audit log — worker-internal
+    Spark noise would pollute the task-failure audit)."""
+    log = open(f"/tmp/bench_pair_{label}.log", "wb")
+    return subprocess.Popen(
+        [sys.executable, "-c", _PAIR_WORKER, root, SF_DIR, CPUS,
+         json.dumps(names)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=log,
+        text=True, bufsize=1, cwd=root,
+    )
+
+
+def _pair_readline(p, timeout: float) -> str:
+    """One line from a worker's stdout with a wall timeout (select on the
+    pipe; each protocol message is exactly one flushed line)."""
+    import select
+
+    deadline = time.time() + timeout
+    while True:
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            raise TimeoutError("worker read timed out")
+        r, _, _ = select.select([p.stdout], [], [], min(remaining, 5.0))
+        if r:
+            line = p.stdout.readline()
+            if not line:
+                raise RuntimeError("worker died")
+            return line
+        if p.poll() is not None:
+            raise RuntimeError(f"worker exited rc={p.returncode}")
+
+
+def _pair_ready(p, timeout: float = 1800.0) -> None:
+    while True:
+        line = _pair_readline(p, timeout)
+        if line.startswith("READY"):
+            return
+
+
+def _pair_pass(p, name: str, timeout: float = 300.0) -> dict:
+    p.stdin.write(f"RUN {name}\n")
+    p.stdin.flush()
+    while True:
+        line = _pair_readline(p, timeout)
+        if line.startswith("RES "):
+            return json.loads(line[4:])
+
+
+def _pair_stop(p) -> None:
+    try:
+        p.stdin.close()
+        p.wait(timeout=60)
+    except Exception:  # noqa: BLE001
+        try:
+            p.kill()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def _prev_commit_sentinel() -> dict:
-    """Run the FULL headline set (+ the five standalone entries) on the
-    previous round's archived commit (latest 'round N:' commit) in a
-    scratch worktree + subprocess. Never raises — a bench must always
-    print its JSON line."""
+    """Interleaved paired block (VERDICT r13 task 1): HEAD vs the previous
+    round's archived commit, one persistent warm worker per tree,
+    single timed passes ping-ponged per entry with alternating order, so
+    box drift at minute scale cancels out of the ratio. Never raises — a
+    bench must always print its JSON line."""
     commits = subprocess.run(
         ["git", "log", "--grep", "^round [0-9]*:", "-n", "3", "--format=%H"],
         cwd=_REPO_ROOT, capture_output=True, text=True, timeout=30,
     ).stdout.split()
     if not commits:
         return {"skipped": "no prior round commit"}
-    # A broken snapshot (round 6: unparseable registry) would otherwise
-    # leave the round with no paired measurement at all — walk back to the
-    # newest archived commit that actually runs, and record which one.
-    last = {"skipped": "no runnable prior round commit"}
-    for commit in commits:
-        out = _run_sentinels_at(commit)
-        if "queries" in out:
-            return out
-        last = out
-        if "TimeoutExpired" in out.get("error", ""):
-            # A timed-out full-set run means the box, not the snapshot —
-            # walking back would burn up to two more 45-min ceilings for
-            # the same outcome. Record the timeout and move on.
-            break
-    return last
-
-
-def _run_sentinels_at(commit: str) -> dict:
-    scratch = None
+    entries = list(SENTINELS) + [n for n in STANDALONE if n not in SENTINELS]
+    rounds = int(os.environ.get("SPARK_GRAFT_PAIR_ROUNDS", "3"))
+    budget = float(os.environ.get("SPARK_GRAFT_PAIR_BUDGET", "2400"))
+    scratch = tempfile.mkdtemp(prefix="bench_pair_")
+    cur_p = prev_p = None
     wt = None
+    used_commit = None
     try:
-        scratch = tempfile.mkdtemp(prefix="bench_prev_")
-        wt = os.path.join(scratch, "wt")
-        subprocess.run(
-            ["git", "worktree", "add", "--detach", wt, commit],
-            cwd=_REPO_ROOT, capture_output=True, text=True, timeout=60, check=True,
-        )
-        runner = os.path.join(os.path.dirname(wt), "runner.py")
-        with open(runner, "w") as f:
-            f.write(_PREV_RUNNER)
-        res = subprocess.run(
-            [sys.executable, runner, wt, SF_DIR, CPUS, json.dumps(SENTINELS)],
-            # Sized for the FULL paired set (28 headline + 5 standalone
-            # entries since r10 — the old 6-sentinel block fit in 1200 s;
-            # the full set measures ~3-4 min here, so 2700 s covers a
-            # badly loaded box without letting a hang eat the round).
-            capture_output=True, text=True, timeout=2700,
-        )
-        for line in reversed(res.stdout.splitlines()):
-            if line.startswith("PREVBENCH "):
-                return {"commit": commit[:12], "queries": json.loads(line[10:])}
+        cur_p = _pair_start(_REPO_ROOT, entries, "cur")
+        # Walk back to the newest archived commit whose worker reaches
+        # READY (a broken snapshot — round 6's unparseable registry —
+        # would otherwise leave the round with no paired measurement).
+        last_err = {"skipped": "no runnable prior round commit"}
+        for commit in commits:
+            wt = os.path.join(scratch, f"wt_{commit[:12]}")
+            try:
+                subprocess.run(
+                    ["git", "worktree", "add", "--detach", wt, commit],
+                    cwd=_REPO_ROOT, capture_output=True, text=True,
+                    timeout=60, check=True,
+                )
+                prev_p = _pair_start(wt, entries, "prev")
+                _pair_ready(prev_p)
+                used_commit = commit
+                break
+            except Exception as exc:  # noqa: BLE001
+                last_err = {
+                    "commit": commit[:12],
+                    "error": f"{type(exc).__name__}: {exc}"[:400],
+                }
+                if prev_p is not None:
+                    _pair_stop(prev_p)
+                    prev_p = None
+                subprocess.run(
+                    ["git", "worktree", "remove", "--force", wt],
+                    cwd=_REPO_ROOT, capture_output=True, timeout=60,
+                )
+                wt = None
+        if used_commit is None:
+            return last_err
+        _pair_ready(cur_p)  # both warmed concurrently; gate on HEAD too
+
+        acc: dict[str, dict] = {"cur": {}, "prev": {}}
+        dead = {"cur": False, "prev": False}
+        t_block = time.time()
+        rounds_done = 0
+        for rnd in range(rounds):
+            for i, name in enumerate(entries):
+                order = [("cur", cur_p), ("prev", prev_p)]
+                if (rnd + i) % 2:
+                    order.reverse()
+                for label, p in order:
+                    slot = acc[label].setdefault(
+                        name, {"construct": [], "exec": []}
+                    )
+                    if dead[label]:
+                        slot.setdefault("error", "worker dead")
+                        continue
+                    try:
+                        r = _pair_pass(p, name)
+                    except Exception as exc:  # noqa: BLE001
+                        # a timed-out / dead worker is protocol-desynced:
+                        # kill it so later entries fail fast, not wrongly
+                        slot["error"] = f"{type(exc).__name__}: {exc}"[:200]
+                        dead[label] = True
+                        _pair_stop(p)
+                        continue
+                    if "error" in r:
+                        slot["error"] = r["error"]
+                    else:
+                        slot["construct"].append(r["construct"])
+                        slot["exec"].append(r["exec"])
+            rounds_done += 1
+            if time.time() - t_block > budget or dead["cur"] or dead["prev"]:
+                break
+
+        def mins(side: dict) -> dict:
+            out = {}
+            for name, v in side.items():
+                if v["construct"]:
+                    out[name] = {
+                        "construct": round(min(v["construct"]), 3),
+                        "exec": round(min(v["exec"]), 3),
+                    }
+                else:
+                    out[name] = {"error": v.get("error", "no passes")}
+            return out
+
         return {
-            "commit": commit[:12],
-            "error": (res.stderr or res.stdout or "no output").strip()[-400:],
+            "commit": used_commit[:12],
+            "design": "interleaved",
+            "rounds": rounds_done,
+            "wall_sec": round(time.time() - t_block, 1),
+            "queries": mins(acc["prev"]),
+            "current": mins(acc["cur"]),
         }
     except Exception as exc:  # noqa: BLE001 — diagnostic block, never fatal
         return {"error": f"{type(exc).__name__}: {exc}"[:400]}
     finally:
+        for p in (cur_p, prev_p):
+            if p is not None:
+                _pair_stop(p)
         if wt is not None:
             subprocess.run(
                 ["git", "worktree", "remove", "--force", wt],
                 cwd=_REPO_ROOT, capture_output=True, timeout=60,
             )
-        if scratch is not None:
-            import shutil
+        import shutil
 
-            shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def main() -> None:
@@ -683,8 +790,9 @@ def main() -> None:
 
     spark.stop()
 
-    # Paired prior-round sentinel run — after spark.stop() so the two JVMs
-    # never contend for the box.
+    # Interleaved paired block — after spark.stop() so the in-process JVM
+    # never contends with the pair workers; the two workers themselves
+    # ping-pong (one idle while the other runs a pass).
     prev = _prev_commit_sentinel()
 
     timings = {n: round(s["construct"] + s["exec"], 3) for n, s in splits.items()}

@@ -497,23 +497,44 @@ def _analyze_interval(
         # ran above.
         drefs = {}
         for letters, arr in ref_arrs.items():
+            if arr.size and int(arr.min()) < 0:
+                # Negative ref under deferral: an IN-RANGE negative wraps
+                # in the reader, but whether this one is in range depends
+                # on the heap length — unknown until the post-staging
+                # stream. An OUT-of-range negative makes the read raise
+                # IndexError, so standing claims would prune the error
+                # away (ADVICE r13 medium). Deferral cannot range-check
+                # cheaply: withhold the whole interval — the conservative
+                # superset of the eager path's arr.min() < -len(sst)
+                # withhold. (Checked before the dead_cols skip: shedding
+                # drops claims, not the error-parity obligation.)
+                return rows_in, None, None, None, None
             if letters in dead_cols:
                 continue
-            arr = np.unique(arr)
-            if arr.size and arr[0] < 0:
-                continue  # negative ref: reader wraps, no honest claim
-            drefs[letters.decode()] = arr
+            drefs[letters.decode()] = np.unique(arr)
     else:
         for letters, arr in ref_arrs.items():
-            if arr.size and arr.max() >= len(sst):
-                # the reader raises IndexError on an out-of-heap ref:
-                # error parity — the whole interval claims nothing
+            if arr.size and (arr.max() >= len(sst) or arr.min() < -len(sst)):
+                # the reader raises IndexError on an out-of-heap ref —
+                # positive past the end OR negative past the wrap range
+                # (ADVICE r13: -999999 on a small heap used to raise here
+                # at sst[i] serially and drop all claims pooled): error
+                # parity — the whole interval claims nothing
                 return rows_in, None, None, None, None
             try:
                 # single parse: resolve via the checked int64 array
-                # (negative refs wrap in BOTH the reader and here, so
-                # bounds stay faithful to reader-visible values)
+                # (in-range negative refs wrap in BOTH the reader and
+                # here, so bounds stay faithful to reader-visible values)
                 resolved = [sst[i] for i in arr.tolist()]
+                # Encode-check EVERY resolved entry, not just the two
+                # bound candidates (ADVICE r13 low): a lone-surrogate
+                # entry strictly between the extremes still makes the
+                # unfiltered read fail at Arrow conversion, so claims
+                # here could prune the error away. The deferred resolver
+                # already checks each referenced entry — this restores
+                # eager/deferred parity. (A surrogate survives the join
+                # unchanged, so one bulk encode detects any bad entry.)
+                "\x00".join(resolved).encode("utf-8")
                 bounds = truncated_string_bounds(min(resolved), max(resolved))
             except ValueError:
                 # UnicodeEncodeError (lone-surrogate heap string): the

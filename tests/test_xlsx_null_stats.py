@@ -531,3 +531,59 @@ def test_exotic_string_refs_withhold_interval_not_crash():
     coll.on_piece(neg, True)
     _, st, sv, nc = coll.fine[0]
     assert sv["A"] == ("z", "z") and st["B"] == (7.0, 7.0)
+
+    # ADVICE r14 medium: a negative ref whose MAGNITUDE exceeds the heap
+    # (sst[-999999] on a 2-entry heap) makes the reader raise IndexError —
+    # it used to crash the serial eager path at sst[i] (while the pooled
+    # path silently dropped all claims). Now the whole interval withholds,
+    # like the positive out-of-heap case.
+    negoor = b'<sheetData><row r="1"><c r="A1" t="s"><v>-999999</v></c>'\
+             b'<c r="B1"><v>7</v></c></row></sheetData>'
+    coll = _IntervalStatsCollector(b"", sst=["w", "z"], date_styles=frozenset())
+    coll.on_piece(negoor, True)  # must not raise
+    assert coll.fine[0][1:] == (None, None, None)
+
+    # ADVICE r14 low: a lone-surrogate heap entry strictly BETWEEN the
+    # min/max entries used to leave eager claims standing (only the two
+    # bound candidates were encode-checked) while the unfiltered read
+    # fails at Arrow conversion. Every resolved entry is checked now —
+    # eager/deferred parity.
+    midsur = b'<sheetData><row r="1">'\
+             b'<c r="A1" t="s"><v>0</v></c><c r="B1"><v>7</v></c></row>'\
+             b'<row r="2"><c r="A2" t="s"><v>1</v></c></row>'\
+             b'<row r="3"><c r="A3" t="s"><v>2</v></c></row></sheetData>'
+    coll = _IntervalStatsCollector(
+        b"", sst=["a", "m\ud800m", "z"], date_styles=frozenset()
+    )
+    coll.on_piece(midsur, True)
+    assert coll.fine[0][1:] == (None, None, None)
+
+
+def test_deferred_negative_ref_withholds_interval():
+    """Deferred twin of the ADVICE r14 medium fix: the deferred analyzer
+    cannot range-check a negative ref (heap length unknown until the
+    post-staging stream), so ANY negative ref withholds the whole
+    interval — the conservative superset of the eager path's
+    arr.min() < -len(sst) withhold. Intervals without negative refs keep
+    their claims."""
+    from sheetreader_duckdb_spark.sources.xlsx.indexer import (
+        _IntervalStatsCollector,
+        _resolve_deferred_strings,
+    )
+
+    neg = b'<sheetData><row r="1"><c r="A1" t="s"><v>-1</v></c>'\
+          b'<c r="B1"><v>7</v></c></row></sheetData>'
+    coll = _IntervalStatsCollector(b"", date_styles=frozenset(),
+                                   defer_strings=True)
+    coll.on_piece(neg, True)
+    _resolve_deferred_strings([coll], iter(["w", "z"]))
+    assert coll.fine[0][1:] == (None, None, None)
+
+    ok_iv = b'<sheetData><row r="1"><c r="A1" t="s"><v>1</v></c>'\
+            b'<c r="B1"><v>7</v></c></row></sheetData>'
+    coll = _IntervalStatsCollector(b"", date_styles=frozenset(),
+                                   defer_strings=True)
+    coll.on_piece(ok_iv, True)
+    _resolve_deferred_strings([coll], iter(["w", "z"]))
+    _, st, sv, nc = coll.fine[0]
+    assert sv["A"] == ("z", "z") and st["B"] == (7.0, 7.0)
