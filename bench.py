@@ -183,7 +183,8 @@ try:  # the shared docs relation + pack/export recipes (mirror main())
     builders["pack_documents"] = ("noop", lambda: pack_sequences(
         docs, "doc_id", "n_chars", seq_len=2048, n_buckets=8))
     from sheetreader_duckdb_spark.operators.export import export_shards
-    exp_dir = "/tmp/sheetreader_bench_export_pair"
+    import os as _os
+    exp_dir = "/tmp/sheetreader_bench_export_pair_%d" % _os.getpid()
     builders["export_documents"] = ("call", lambda: export_shards(
         docs, "doc_id", 8, exp_dir, seed="bench"))
 except Exception as e:
@@ -455,7 +456,14 @@ def _prev_commit_sentinel() -> dict:
     wt = None
     used_commit = None
     try:
+        # Workers warm SEQUENTIALLY: several queries write fixed /tmp
+        # paths (h02b's sink dirs, s01's xlsx sink) during warmup, and
+        # two trees warming at once race each other's overwrites
+        # (observed: FileNotFoundException on _temporary/0). Ping-pong
+        # passes are strictly alternating, so after warmup the shared
+        # paths are single-writer again.
         cur_p = _pair_start(_REPO_ROOT, entries, "cur")
+        _pair_ready(cur_p)
         # Walk back to the newest archived commit whose worker reaches
         # READY (a broken snapshot — round 6's unparseable registry —
         # would otherwise leave the round with no paired measurement).
@@ -487,7 +495,6 @@ def _prev_commit_sentinel() -> dict:
                 wt = None
         if used_commit is None:
             return last_err
-        _pair_ready(cur_p)  # both warmed concurrently; gate on HEAD too
 
         acc: dict[str, dict] = {"cur": {}, "prev": {}}
         dead = {"cur": False, "prev": False}

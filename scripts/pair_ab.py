@@ -71,9 +71,11 @@ def main() -> None:
     cur_p = prev_p = None
     acc: dict = {"cur": {}, "prev": {}}
     try:
+        # Sequential warmup: several entries write fixed /tmp paths during
+        # their warmup pass; two trees warming at once race each other.
         cur_p = B._pair_start(REPO, entries, "ab_cur")
-        prev_p = B._pair_start(wt, entries, "ab_prev")
         B._pair_ready(cur_p)
+        prev_p = B._pair_start(wt, entries, "ab_prev")
         B._pair_ready(prev_p)
         t0 = time.time()
         for rnd in range(args.rounds):

@@ -17,6 +17,17 @@ from __future__ import annotations
 __version__ = "0.1.0"
 
 
+# addPyFile memo (r14): the driver's harness calls configure_session()
+# once per declared query, re-issuing the addPyFile RPC ~50 times per
+# correctness run for the same artifact. The memo key is
+# (applicationId, content-digest zip path), so a code change on disk —
+# which produces a NEW content-addressed path — still re-ships, and a
+# new session (new app id) always ships. The walk+sha1 itself measures
+# 2.6 ms and is deliberately NOT memoized: it is what keeps the
+# freshness guarantee.
+_SHIPPED: set = set()
+
+
 def _ship_package(spark) -> None:
     """Make this package importable on executors' Python workers.
 
@@ -54,7 +65,10 @@ def _ship_package(spark) -> None:
             for full, rel in members:
                 zf.write(full, rel)
         os.replace(tmp, zip_path)
-    spark.sparkContext.addPyFile(zip_path)
+    key = (spark.sparkContext.applicationId, zip_path)
+    if key not in _SHIPPED:
+        spark.sparkContext.addPyFile(zip_path)
+        _SHIPPED.add(key)
 
 
 def register(spark):

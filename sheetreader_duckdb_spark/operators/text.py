@@ -352,7 +352,15 @@ def exact_heavy_hitters(
     without shuffling every distinct token: the full groupBy ships the
     whole long tail; this ships candidate counts only.
     """
-    sk = _mg_sketch(tokens, token_col, capacity=denom + 1).localCheckpoint()
+    # Lazy checkpoint (r14): eager ran the full MG token scan as a SERIAL
+    # job at plan-construction time; lazy defers it to the caller's action,
+    # where it executes inside the concurrent stage graph (and a caller
+    # composing this into a larger union never pays a surprise scan before
+    # acting). First consumer computes, the second reads the cached blocks
+    # — same single-scan guarantee.
+    sk = _mg_sketch(tokens, token_col, capacity=denom + 1).localCheckpoint(
+        eager=False
+    )
     cands = sk.filter(F.col("token").isNotNull()).select("token").distinct()
     total = sk.agg(F.sum("pcount").alias("n"))
     counted = (

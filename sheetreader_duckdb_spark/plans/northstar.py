@@ -440,13 +440,24 @@ def n01_dedup_core(spark: SparkSession, sf: str) -> DataFrame:
     # dedup core comparably across rounds while the declared query keeps
     # the full five-branch union (VERDICT r7 task 4).
     docs = T(spark, sf, "documents")
-    groups = D.exact_dedup_groups(docs, "doc_id", "text").select(
+    g = D.exact_dedup_groups(docs.select("doc_id", "text"), "doc_id", "text")
+    groups = g.select(
         F.lit("groups").alias("tag"),
         "h",
         F.col("keep_id").alias("id"),
         F.col("dupes").alias("n"),
     )
-    survivors = D.exact_dedup(docs.select("doc_id", "text"), "doc_id", "text")
+    # survivors derived from the SAME digest aggregate as 'groups' (r14,
+    # guide §2.4): exact_dedup() used to build its own copy, whose pruned
+    # partial aggregate (no dupes count) made the digest exchange
+    # non-identical to the groups branch's — two full md5 scans. The
+    # always-true dupes >= 1 filter (dupes is a count, >= 1 by
+    # construction, but the optimizer cannot prove it) keeps the count in
+    # this branch's aggregate too, so both subtrees stay byte-identical
+    # and the digest shuffle stage is computed once (AQE stage reuse).
+    # Result-identical: the filter drops nothing.
+    keep = g.filter(F.col("dupes") >= 1).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.select("doc_id", "text").join(keep, "doc_id", "left_semi")
     # Persist the shared shingle set: its explode+distinct shuffle feeds the
     # signature build AND the Jaccard verification joins, and column pruning
     # defeats ReuseExchange across those branches (see n03). Deferred
@@ -2120,9 +2131,20 @@ def n17_tf_idf(spark: SparkSession, sf: str) -> DataFrame:
 
     toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df")).filter(
-        F.col("df") >= 50
-    )
+    # df derived FROM tf, not from a second corpus-wide explode: tf holds
+    # exactly one row per (doc, tok), so rows-per-tok == the distinct doc
+    # count (r14, guide §2.4 — the old count_distinct form re-ran the
+    # explode and paid a two-phase distinct aggregate). The row count is
+    # expressed as sum(when(tf >= 1, 1)) — tf is a count, always >= 1, so
+    # the value is identical — because a plain count() lets the optimizer
+    # strip the count function out of the inner (doc, tok) aggregate,
+    # leaving its exchange non-identical to the tfidf branch's; the
+    # value-referencing form keeps both tf subtrees byte-identical so the
+    # shuffle stage is computed ONCE (AQE stage reuse): one token explode
+    # instead of two. Result-identical by construction; oracle unchanged.
+    df_ = tf.groupBy("tok").agg(
+        F.sum(F.when(F.col("tf") >= 1, 1)).alias("df")
+    ).filter(F.col("df") >= 50)
     # N computed in-plan (1-row aggregate, cross-joined = broadcast of one
     # row) — no separate driver-side job; the df join is left to AQE, which
     # broadcasts it when it is small and shuffles when it is not.

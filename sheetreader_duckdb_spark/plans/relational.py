@@ -551,6 +551,7 @@ def h09_grouping_ops(spark: SparkSession, sf: str) -> DataFrame:
 )
 def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     from sheetreader_duckdb_spark.operators.bucketing import write_bucketed
     from sheetreader_duckdb_spark.operators.export import export_shards
@@ -567,181 +568,207 @@ def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(tag_v).alias("tag"), F.lit(k_v).alias("k"), "n", "total"
         )
 
-    # 'ctas' — plain parquet CTAS round trip.
-    T(spark, sf, "orders").write.mode("overwrite").parquet(f"{base}/orders")
-    ctas = (
-        spark.read.parquet(f"{base}/orders")
-        .groupBy(F.col("o_orderstatus").alias("k"))
-        .agg(F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("total"))
-        .select(F.lit("ctas").alias("tag"), "k", "n", "total")
-    )
-
-    # 'export' — deterministic sharded export, then read the shards back.
     docs = T(spark, sf, "documents").select("doc_id", "n_chars")
-    export_shards(docs, "doc_id", 8, f"{base}/export", seed="export")
-    back = spark.read.parquet(f"{base}/export")
-    export_rows = one_row(
-        back, "export", "docs", F.count(F.lit(1)), F.sum("n_chars").cast("double")
-    )
-    export_shards_row = one_row(
-        back, "export", "shards", F.count_distinct("shard"), nil_d
-    )
 
-    # 'zorder' — Morton-ordered rewrite of documents, read-back totals.
-    zorder_sort(docs, ["n_chars", "doc_id"], bits=8).write.mode("overwrite").parquet(
-        f"{base}/zorder"
-    )
-    zorder_rows = one_row(
-        spark.read.parquet(f"{base}/zorder"),
-        "zorder",
-        "docs",
-        F.count(F.lit(1)),
-        F.sum("n_chars").cast("double"),
-    )
+    # The eight write paths are INDEPENDENT (distinct output dirs/tables,
+    # no cross-reads), so their construct-time jobs run from a small
+    # thread pool and back-fill each other's stragglers instead of paying
+    # eight sequential job tails (guide §2.6 overlap; measured 7.4 s
+    # sequential construct at r13). Each thunk returns its branch
+    # frame(s); the union below keeps the exact former order, so the
+    # result multiset — and the oracle hash — are unchanged.
 
-    # 'bucketed' — co-located bucketed fact layout; the join runs catalog-side.
-    # (Catalog identifiers cannot contain '.', unlike the /tmp dir tag.)
-    ident = tag.replace(".", "_")
-    to = f"h02b_orders_{ident}"
-    tc = f"h02b_customer_{ident}"
-    write_bucketed(
-        T(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
-        to, "o_custkey", 8, sort_by="o_custkey", path=f"{base}/bk_orders",
-    )
-    write_bucketed(
-        T(spark, sf, "customer").select("c_custkey"),
-        tc, "c_custkey", 8, sort_by="c_custkey", path=f"{base}/bk_customer",
-    )
-    joined = spark.table(to).join(
-        spark.table(tc), F.col("o_custkey") == F.col("c_custkey")
-    )
-    bucketed = one_row(
-        joined, "bucketed", "rows", F.count(F.lit(1)), _money_sum("o_totalprice")
-    )
+    def b_ctas() -> list[DataFrame]:
+        # 'ctas' — plain parquet CTAS round trip.
+        T(spark, sf, "orders").write.mode("overwrite").parquet(f"{base}/orders")
+        return [
+            spark.read.parquet(f"{base}/orders")
+            .groupBy(F.col("o_orderstatus").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("total"))
+            .select(F.lit("ctas").alias("tag"), "k", "n", "total")
+        ]
 
-    # 'packing' — FFD sequence packing over (doc_id, n_chars as token count).
-    packed = pack_sequences(docs, "doc_id", F.col("n_chars"), seq_len=2048, n_buckets=8)
-    packing_docs = one_row(
-        packed, "packing", "docs", F.count(F.lit(1)), F.sum("n_tokens").cast("double")
-    )
-    seqs = packed.groupBy("seq_id").agg(
-        F.sum("n_tokens").alias("fill"), F.max("truncated").alias("any_trunc")
-    )
-    packing_overfull = one_row(
-        seqs.filter((F.col("fill") > 2048) & ~F.col("any_trunc")),
-        "packing",
-        "overfull",
-        F.count(F.lit(1)),
-        nil_d,
-    )
+    def b_export() -> list[DataFrame]:
+        # 'export' — deterministic sharded export, then read the shards back.
+        export_shards(docs, "doc_id", 8, f"{base}/export", seed="export")
+        back = spark.read.parquet(f"{base}/export")
+        return [
+            one_row(back, "export", "docs", F.count(F.lit(1)),
+                    F.sum("n_chars").cast("double")),
+            one_row(back, "export", "shards", F.count_distinct("shard"), nil_d),
+        ]
 
-    # 'merge' — keyed MERGE into a sharded copy of documents: patch the 3
-    # lowest ids, delete the next 2, insert 2 new docs; the read-back
-    # totals must land exactly on the SQL-computed delta. The 5-id collect
-    # is bounded prep (LIMIT 5), mirrored literally by the oracle's
-    # ORDER BY doc_id LIMIT 5.
-    from sheetreader_duckdb_spark.operators.merge import (
-        merge_into_shards,
-        read_shards,
-    )
+    def b_zorder() -> list[DataFrame]:
+        # 'zorder' — Morton-ordered rewrite of documents, read-back totals.
+        zorder_sort(docs, ["n_chars", "doc_id"], bits=8).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/zorder")
+        return [
+            one_row(
+                spark.read.parquet(f"{base}/zorder"),
+                "zorder",
+                "docs",
+                F.count(F.lit(1)),
+                F.sum("n_chars").cast("double"),
+            )
+        ]
 
-    mt = f"{base}/merge_tbl"
-    export_shards(docs, "doc_id", 8, mt, seed="export")
-    low5 = [r[0] for r in docs.orderBy("doc_id").limit(5).collect()]
-    changes = spark.createDataFrame(
-        [(low5[0], 42, False), (low5[1], 42, False), (low5[2], 42, False),
-         (low5[3], 0, True), (low5[4], 0, True),
-         (9_000_001, 11, False), (9_000_002, 13, False)],
-        "doc_id long, n_chars long, is_delete boolean",
-    )
-    merge_into_shards(
-        spark, changes, "doc_id", mt, 8, seed="export", delete_col="is_delete"
-    )
-    merge_row = one_row(
-        read_shards(spark, mt),
-        "merge",
-        "docs",
-        F.count(F.lit(1)),
-        F.sum("n_chars").cast("double"),
-    )
+    def b_bucketed() -> list[DataFrame]:
+        # 'bucketed' — co-located bucketed fact layout; the join runs
+        # catalog-side. (Catalog identifiers cannot contain '.', unlike
+        # the /tmp dir tag.)
+        ident = tag.replace(".", "_")
+        to = f"h02b_orders_{ident}"
+        tc = f"h02b_customer_{ident}"
+        write_bucketed(
+            T(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+            to, "o_custkey", 8, sort_by="o_custkey", path=f"{base}/bk_orders",
+        )
+        write_bucketed(
+            T(spark, sf, "customer").select("c_custkey"),
+            tc, "c_custkey", 8, sort_by="c_custkey", path=f"{base}/bk_customer",
+        )
+        joined = spark.table(to).join(
+            spark.table(tc), F.col("o_custkey") == F.col("c_custkey")
+        )
+        return [
+            one_row(joined, "bucketed", "rows", F.count(F.lit(1)),
+                    _money_sum("o_totalprice"))
+        ]
 
-    # 'jsonl' — deterministic JSONL export (the training-data interchange
-    # format): export_shards with format='json' (Spark's json sink writes
-    # one JSON object per line = JSONL), read back with an explicit
-    # schema; 'docs' proves no row lost or duplicated, 'textfp' proves
-    # every text survives JSON string escaping byte-for-byte (md5-prefix
-    # sum vs the source table — the oracle computes the same sum straight
-    # from documents; md5-prefix sums stay < 2^53, exact in the DOUBLE
-    # witness column).
-    jdocs = T(spark, sf, "documents").select("doc_id", "text", "n_chars")
-    export_shards(jdocs, "doc_id", 4, f"{base}/jsonl", seed="jsonl", format="json")
-    jback = spark.read.schema("doc_id long, text string, n_chars long").json(
-        f"{base}/jsonl"
-    )
-    from sheetreader_duckdb_spark.functions import md5_prefix_long
+    def b_packing() -> list[DataFrame]:
+        # 'packing' — FFD sequence packing over (doc_id, n_chars as token
+        # count). Lazy (no write) — runs inline at union time.
+        packed = pack_sequences(
+            docs, "doc_id", F.col("n_chars"), seq_len=2048, n_buckets=8
+        )
+        seqs = packed.groupBy("seq_id").agg(
+            F.sum("n_tokens").alias("fill"), F.max("truncated").alias("any_trunc")
+        )
+        return [
+            one_row(packed, "packing", "docs", F.count(F.lit(1)),
+                    F.sum("n_tokens").cast("double")),
+            one_row(
+                seqs.filter((F.col("fill") > 2048) & ~F.col("any_trunc")),
+                "packing",
+                "overfull",
+                F.count(F.lit(1)),
+                nil_d,
+            ),
+        ]
 
-    jfp = md5_prefix_long("text")
-    jsonl_docs = one_row(
-        jback, "jsonl", "docs", F.count(F.lit(1)), F.sum("n_chars").cast("double")
-    )
-    jsonl_fp = one_row(
-        jback.select(jfp.alias("__fp")),
-        "jsonl",
-        "textfp",
-        F.count(F.lit(1)),
-        F.sum("__fp").cast("double"),
-    )
+    def b_merge() -> list[DataFrame]:
+        # 'merge' — keyed MERGE into a sharded copy of documents: patch the
+        # 3 lowest ids, delete the next 2, insert 2 new docs; the read-back
+        # totals must land exactly on the SQL-computed delta. The 5-id
+        # collect is bounded prep (LIMIT 5), mirrored literally by the
+        # oracle's ORDER BY doc_id LIMIT 5.
+        from sheetreader_duckdb_spark.operators.merge import (
+            merge_into_shards,
+            read_shards,
+        )
 
-    # 'wds' — WebDataset tar-shard export (operators/export.py
-    # export_webdataset), read back through a REAL untar: binaryFile
-    # scan of the shard tars + a mapInPandas tarfile pass emitting one
-    # row per entry. Witness: entry count == documents count and the
-    # byte total == the oracle's sum of utf-8 text lengths — proving
-    # every document landed in exactly one tar with its exact bytes.
-    from sheetreader_duckdb_spark.operators.export import export_webdataset
+        mt = f"{base}/merge_tbl"
+        export_shards(docs, "doc_id", 8, mt, seed="export")
+        low5 = [r[0] for r in docs.orderBy("doc_id").limit(5).collect()]
+        changes = spark.createDataFrame(
+            [(low5[0], 42, False), (low5[1], 42, False), (low5[2], 42, False),
+             (low5[3], 0, True), (low5[4], 0, True),
+             (9_000_001, 11, False), (9_000_002, 13, False)],
+            "doc_id long, n_chars long, is_delete boolean",
+        )
+        merge_into_shards(
+            spark, changes, "doc_id", mt, 8, seed="export", delete_col="is_delete"
+        )
+        return [
+            one_row(
+                read_shards(spark, mt),
+                "merge",
+                "docs",
+                F.count(F.lit(1)),
+                F.sum("n_chars").cast("double"),
+            )
+        ]
 
-    export_webdataset(
-        T(spark, sf, "documents").select("doc_id", "text"),
-        "doc_id", 4, f"{base}/wds", [("txt", "text")], seed="wds",
-    )
+    def b_jsonl() -> list[DataFrame]:
+        # 'jsonl' — deterministic JSONL export (the training-data
+        # interchange format): export_shards with format='json' (Spark's
+        # json sink writes one JSON object per line = JSONL), read back
+        # with an explicit schema; 'docs' proves no row lost or
+        # duplicated, 'textfp' proves every text survives JSON string
+        # escaping byte-for-byte (md5-prefix sum vs the source table —
+        # the oracle computes the same sum straight from documents;
+        # md5-prefix sums stay < 2^53, exact in the DOUBLE witness
+        # column).
+        jdocs = T(spark, sf, "documents").select("doc_id", "text", "n_chars")
+        export_shards(jdocs, "doc_id", 4, f"{base}/jsonl", seed="jsonl", format="json")
+        jback = spark.read.schema("doc_id long, text string, n_chars long").json(
+            f"{base}/jsonl"
+        )
+        from sheetreader_duckdb_spark.functions import md5_prefix_long
 
-    def _untar(batches):
-        import io
-        import tarfile
+        jfp = md5_prefix_long("text")
+        return [
+            one_row(jback, "jsonl", "docs", F.count(F.lit(1)),
+                    F.sum("n_chars").cast("double")),
+            one_row(
+                jback.select(jfp.alias("__fp")),
+                "jsonl",
+                "textfp",
+                F.count(F.lit(1)),
+                F.sum("__fp").cast("double"),
+            ),
+        ]
 
-        import pandas as pd
+    def b_wds() -> list[DataFrame]:
+        # 'wds' — WebDataset tar-shard export (operators/export.py
+        # export_webdataset), read back through a REAL untar: binaryFile
+        # scan of the shard tars + a mapInPandas tarfile pass emitting one
+        # row per entry. Witness: entry count == documents count and the
+        # byte total == the oracle's sum of utf-8 text lengths — proving
+        # every document landed in exactly one tar with its exact bytes.
+        from sheetreader_duckdb_spark.operators.export import export_webdataset
 
-        for pdf in batches:
-            names, sizes = [], []
-            for blob in pdf["content"]:
-                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as t:
-                    for m in t.getmembers():
-                        names.append(m.name)
-                        sizes.append(m.size)
-            yield pd.DataFrame({"name": names, "size": sizes})
+        export_webdataset(
+            T(spark, sf, "documents").select("doc_id", "text"),
+            "doc_id", 4, f"{base}/wds", [("txt", "text")], seed="wds",
+        )
 
-    entries = (
-        spark.read.format("binaryFile")
-        .load(f"{base}/wds/shard-*.tar")
-        .select("content")
-        .mapInPandas(_untar, "name string, size long")
-    )
-    wds_row = one_row(
-        entries, "wds", "docs", F.count(F.lit(1)), F.sum("size").cast("double")
-    )
+        def _untar(batches):
+            import io
+            import tarfile
 
-    return (
-        ctas.unionAll(export_rows)
-        .unionAll(export_shards_row)
-        .unionAll(zorder_rows)
-        .unionAll(bucketed)
-        .unionAll(packing_docs)
-        .unionAll(packing_overfull)
-        .unionAll(merge_row)
-        .unionAll(jsonl_docs)
-        .unionAll(jsonl_fp)
-        .unionAll(wds_row)
-    )
+            import pandas as pd
+
+            for pdf in batches:
+                names, sizes = [], []
+                for blob in pdf["content"]:
+                    with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as t:
+                        for m in t.getmembers():
+                            names.append(m.name)
+                            sizes.append(m.size)
+                yield pd.DataFrame({"name": names, "size": sizes})
+
+        entries = (
+            spark.read.format("binaryFile")
+            .load(f"{base}/wds/shard-*.tar")
+            .select("content")
+            .mapInPandas(_untar, "name string, size long")
+        )
+        return [
+            one_row(entries, "wds", "docs", F.count(F.lit(1)),
+                    F.sum("size").cast("double"))
+        ]
+
+    thunks = [b_ctas, b_export, b_zorder, b_bucketed, b_packing, b_merge,
+              b_jsonl, b_wds]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(lambda t: t(), thunks))
+    branches = [frame for frames in results for frame in frames]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
 
 
 # --------------------------------------------------------------------------
