@@ -176,19 +176,30 @@ for n in names:
     if n in corpus:
         builders[n] = ("noop", (lambda n=n: corpus[n].fn(spark, sf_dir)))
 
-try:  # the shared docs relation + pack/export recipes (mirror main())
+# Per-builder guards (r14 review): one missing operator API in an older
+# walk-back tree must not poison its sibling's entry — only the shared
+# docs relation couples them.
+try:  # the shared docs relation (mirror main())
     from sheetreader_duckdb_spark.plans.relational import T
     docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    from sheetreader_duckdb_spark.operators.packing import pack_sequences
-    builders["pack_documents"] = ("noop", lambda: pack_sequences(
-        docs, "doc_id", "n_chars", seq_len=2048, n_buckets=8))
-    from sheetreader_duckdb_spark.operators.export import export_shards
-    import os as _os
-    exp_dir = "/tmp/sheetreader_bench_export_pair_%d" % _os.getpid()
-    builders["export_documents"] = ("call", lambda: export_shards(
-        docs, "doc_id", 8, exp_dir, seed="bench"))
 except Exception as e:
+    docs = None
     err["pack_documents"] = err["export_documents"] = str(e)[:200]
+if docs is not None:
+    try:
+        from sheetreader_duckdb_spark.operators.packing import pack_sequences
+        builders["pack_documents"] = ("noop", lambda: pack_sequences(
+            docs, "doc_id", "n_chars", seq_len=2048, n_buckets=8))
+    except Exception as e:
+        err["pack_documents"] = str(e)[:200]
+    try:
+        from sheetreader_duckdb_spark.operators.export import export_shards
+        import os as _os
+        exp_dir = "/tmp/sheetreader_bench_export_pair_%d" % _os.getpid()
+        builders["export_documents"] = ("call", lambda: export_shards(
+            docs, "doc_id", 8, exp_dir, seed="bench"))
+    except Exception as e:
+        err["export_documents"] = str(e)[:200]
 
 try:  # the composed curation pipeline (mirror main())
     from pyspark.sql import functions as F
@@ -215,17 +226,23 @@ try:  # the composed curation pipeline (mirror main())
 except Exception as e:
     err["curate_corpus"] = str(e)[:200]
 
-try:  # xlsx loads over the cached fixture (mirror main())
+try:  # the cached xlsx fixture + registration (shared prep)
     from sheetreader_duckdb_spark.plans.ingestion import _xlsx_for_sf
-    from sheetreader_duckdb_spark import register, read_xlsx
+    from sheetreader_duckdb_spark import register
     register(spark)
     xlsx_path = _xlsx_for_sf(sf_dir)
+except Exception as e:
+    xlsx_path = None
+    err["xlsx_load_lineitem"] = err["xlsx_load_pruned"] = str(e)[:200]
+if xlsx_path is not None:
     builders["xlsx_load_lineitem"] = ("noop", lambda: spark.read.format(
         "sheetreader").load(xlsx_path))
-    builders["xlsx_load_pruned"] = ("noop", lambda: read_xlsx(
-        spark, xlsx_path, columns=["l_returnflag", "l_quantity"]))
-except Exception as e:
-    err["xlsx_load_lineitem"] = err["xlsx_load_pruned"] = str(e)[:200]
+    try:
+        from sheetreader_duckdb_spark import read_xlsx
+        builders["xlsx_load_pruned"] = ("noop", lambda: read_xlsx(
+            spark, xlsx_path, columns=["l_returnflag", "l_quantity"]))
+    except Exception as e:
+        err["xlsx_load_pruned"] = str(e)[:200]
 
 
 def one_pass(name):
@@ -379,34 +396,58 @@ def _sf_from_dir(path: str) -> float:
 def _pair_start(root: str, names: list, label: str):
     """Launch one persistent warm worker in ``root``'s tree. stderr goes
     to a per-side log file (NOT the bench audit log — worker-internal
-    Spark noise would pollute the task-failure audit)."""
+    Spark noise would pollute the task-failure audit). A daemon reader
+    thread pumps the worker's stdout lines into a queue: select() on the
+    TextIOWrapper's fd could block forever with a complete protocol line
+    already sitting in the wrapper's buffer (noise line + protocol line
+    arriving in one pipe chunk — r14 review), killing a healthy worker on
+    timeout; a blocking-readline thread has no such window."""
+    import queue
+    import threading
+
     log = open(f"/tmp/bench_pair_{label}.log", "wb")
-    return subprocess.Popen(
-        [sys.executable, "-c", _PAIR_WORKER, root, SF_DIR, CPUS,
-         json.dumps(names)],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=log,
-        text=True, bufsize=1, cwd=root,
-    )
+    try:
+        p = subprocess.Popen(
+            [sys.executable, "-c", _PAIR_WORKER, root, SF_DIR, CPUS,
+             json.dumps(names)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=log,
+            text=True, bufsize=1, cwd=root,
+        )
+    finally:
+        log.close()  # the child holds its own dup; don't leak ours
+
+    q: queue.Queue = queue.Queue()
+
+    def _pump() -> None:
+        for line in p.stdout:
+            q.put(line)
+        q.put(None)  # EOF sentinel
+
+    t = threading.Thread(target=_pump, daemon=True, name=f"pair-{label}")
+    t.start()
+    p._pair_lines = q  # type: ignore[attr-defined]
+    return p
 
 
 def _pair_readline(p, timeout: float) -> str:
-    """One line from a worker's stdout with a wall timeout (select on the
-    pipe; each protocol message is exactly one flushed line)."""
-    import select
+    """One line from a worker's stdout with a wall timeout (reader-thread
+    queue; each protocol message is exactly one flushed line)."""
+    import queue
 
     deadline = time.time() + timeout
     while True:
         remaining = deadline - time.time()
         if remaining <= 0:
             raise TimeoutError("worker read timed out")
-        r, _, _ = select.select([p.stdout], [], [], min(remaining, 5.0))
-        if r:
-            line = p.stdout.readline()
-            if not line:
-                raise RuntimeError("worker died")
-            return line
-        if p.poll() is not None:
-            raise RuntimeError(f"worker exited rc={p.returncode}")
+        try:
+            line = p._pair_lines.get(timeout=min(remaining, 5.0))
+        except queue.Empty:
+            if p.poll() is not None:
+                raise RuntimeError(f"worker exited rc={p.returncode}")
+            continue
+        if line is None:
+            raise RuntimeError("worker died")
+        return line
 
 
 def _pair_ready(p, timeout: float = 1800.0) -> None:
@@ -434,6 +475,60 @@ def _pair_stop(p) -> None:
             p.kill()
         except Exception:  # noqa: BLE001
             pass
+
+
+def _pair_rounds(
+    entries: list, cur_p, prev_p, rounds: int, budget: float,
+    progress=None,
+) -> tuple[dict, int, dict, float]:
+    """The interleaved ping-pong loop shared by the bench's paired block
+    and scripts/pair_ab.py (one instrument, one error policy — r14
+    review). Per (round, entry), both sides run one timed pass with
+    alternating order; a failed/dead pass appends ``None`` so that index
+    i of both sides' lists is always the SAME round (ratio pairing must
+    never misalign into cross-round samples). A timed-out or dead worker
+    is protocol-desynced: it is killed so later entries fail fast rather
+    than read the wrong RES. Returns (acc, rounds_done, dead, wall)."""
+    acc: dict[str, dict] = {"cur": {}, "prev": {}}
+    dead = {"cur": False, "prev": False}
+    t_block = time.time()
+    rounds_done = 0
+    for rnd in range(rounds):
+        for i, name in enumerate(entries):
+            order = [("cur", cur_p), ("prev", prev_p)]
+            if (rnd + i) % 2:
+                order.reverse()
+            for label, p in order:
+                slot = acc[label].setdefault(
+                    name, {"construct": [], "exec": []}
+                )
+                if dead[label]:
+                    slot.setdefault("error", "worker dead")
+                    slot["construct"].append(None)
+                    slot["exec"].append(None)
+                    continue
+                try:
+                    r = _pair_pass(p, name)
+                except Exception as exc:  # noqa: BLE001
+                    slot["error"] = f"{type(exc).__name__}: {exc}"[:200]
+                    dead[label] = True
+                    _pair_stop(p)
+                    slot["construct"].append(None)
+                    slot["exec"].append(None)
+                    continue
+                if "error" in r:
+                    slot["error"] = r["error"]
+                    slot["construct"].append(None)
+                    slot["exec"].append(None)
+                else:
+                    slot["construct"].append(r["construct"])
+                    slot["exec"].append(r["exec"])
+        rounds_done += 1
+        if progress is not None:
+            progress(rnd)
+        if time.time() - t_block > budget or dead["cur"] or dead["prev"]:
+            break
+    return acc, rounds_done, dead, time.time() - t_block
 
 
 def _prev_commit_sentinel() -> dict:
@@ -476,7 +571,9 @@ def _prev_commit_sentinel() -> dict:
                     cwd=_REPO_ROOT, capture_output=True, text=True,
                     timeout=60, check=True,
                 )
-                prev_p = _pair_start(wt, entries, "prev")
+                # per-commit log label: a walk-back retry must not
+                # truncate the previous attempt's stderr evidence
+                prev_p = _pair_start(wt, entries, f"prev_{commit[:8]}")
                 _pair_ready(prev_p)
                 used_commit = commit
                 break
@@ -493,50 +590,29 @@ def _prev_commit_sentinel() -> dict:
                     cwd=_REPO_ROOT, capture_output=True, timeout=60,
                 )
                 wt = None
+                if isinstance(exc, TimeoutError):
+                    # a timed-out warmup means the box, not the snapshot —
+                    # walking back would burn up to two more warmup
+                    # ceilings for the same outcome (restored r14 review;
+                    # the pre-interleave design had this guard too)
+                    break
         if used_commit is None:
             return last_err
 
-        acc: dict[str, dict] = {"cur": {}, "prev": {}}
-        dead = {"cur": False, "prev": False}
-        t_block = time.time()
-        rounds_done = 0
-        for rnd in range(rounds):
-            for i, name in enumerate(entries):
-                order = [("cur", cur_p), ("prev", prev_p)]
-                if (rnd + i) % 2:
-                    order.reverse()
-                for label, p in order:
-                    slot = acc[label].setdefault(
-                        name, {"construct": [], "exec": []}
-                    )
-                    if dead[label]:
-                        slot.setdefault("error", "worker dead")
-                        continue
-                    try:
-                        r = _pair_pass(p, name)
-                    except Exception as exc:  # noqa: BLE001
-                        # a timed-out / dead worker is protocol-desynced:
-                        # kill it so later entries fail fast, not wrongly
-                        slot["error"] = f"{type(exc).__name__}: {exc}"[:200]
-                        dead[label] = True
-                        _pair_stop(p)
-                        continue
-                    if "error" in r:
-                        slot["error"] = r["error"]
-                    else:
-                        slot["construct"].append(r["construct"])
-                        slot["exec"].append(r["exec"])
-            rounds_done += 1
-            if time.time() - t_block > budget or dead["cur"] or dead["prev"]:
-                break
+        acc, rounds_done, _dead, wall = _pair_rounds(
+            entries, cur_p, prev_p, rounds, budget
+        )
 
         def mins(side: dict) -> dict:
             out = {}
             for name, v in side.items():
-                if v["construct"]:
+                vals = [x for x in v["construct"] if x is not None]
+                if vals:
                     out[name] = {
-                        "construct": round(min(v["construct"]), 3),
-                        "exec": round(min(v["exec"]), 3),
+                        "construct": round(min(vals), 3),
+                        "exec": round(
+                            min(x for x in v["exec"] if x is not None), 3
+                        ),
                     }
                 else:
                     out[name] = {"error": v.get("error", "no passes")}
@@ -546,7 +622,7 @@ def _prev_commit_sentinel() -> dict:
             "commit": used_commit[:12],
             "design": "interleaved",
             "rounds": rounds_done,
-            "wall_sec": round(time.time() - t_block, 1),
+            "wall_sec": round(wall, 1),
             "queries": mins(acc["prev"]),
             "current": mins(acc["cur"]),
         }

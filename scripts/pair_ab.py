@@ -78,27 +78,21 @@ def main() -> None:
         prev_p = B._pair_start(wt, entries, "ab_prev")
         B._pair_ready(prev_p)
         t0 = time.time()
-        for rnd in range(args.rounds):
-            for i, name in enumerate(entries):
-                order = [("cur", cur_p), ("prev", prev_p)]
-                if (rnd + i) % 2:
-                    order.reverse()
-                for label, p in order:
-                    slot = acc[label].setdefault(
-                        name, {"construct": [], "exec": [], "total": []}
-                    )
-                    try:
-                        r = B._pair_pass(p, name)
-                    except Exception as exc:  # noqa: BLE001
-                        slot["error"] = f"{type(exc).__name__}: {exc}"[:200]
-                        raise
-                    if "error" in r:
-                        slot["error"] = r["error"]
-                    else:
-                        slot["construct"].append(r["construct"])
-                        slot["exec"].append(r["exec"])
-                        slot["total"].append(r["construct"] + r["exec"])
-            print(f"  round {rnd} done ({time.time() - t0:.0f}s)")
+        # One loop, one error policy — bench.py's _pair_rounds (r14
+        # review: this file used to re-implement it with a re-raise that
+        # discarded the whole run on one transient pass failure, and
+        # position-zip ratio pairing that misaligned after a one-sided
+        # error; the shared loop appends None placeholders so index i is
+        # always the same round on both sides).
+        acc, rounds_done, dead, _wall = B._pair_rounds(
+            entries, cur_p, prev_p, args.rounds, budget=float("inf"),
+            progress=lambda rnd: print(
+                f"  round {rnd} done ({time.time() - t0:.0f}s)"
+            ),
+        )
+        if dead["cur"] or dead["prev"]:
+            print(f"  WARNING: worker died (cur={dead['cur']} "
+                  f"prev={dead['prev']}); reporting completed passes")
     finally:
         for p in (cur_p, prev_p):
             if p is not None:
@@ -109,26 +103,44 @@ def main() -> None:
 
         shutil.rmtree(scratch, ignore_errors=True)
 
+    def _totals(side: dict) -> list:
+        # per-round totals, None where that round's pass failed
+        return [
+            (c + e) if c is not None else None
+            for c, e in zip(side["construct"], side["exec"])
+        ]
+
     rows = {}
     print(f"{'entry':34s} {'A(min)':>8s} {'B(min)':>8s} {'minR':>6s} "
           f"{'medR':>6s}  spread")
     for name in entries:
         a, b = acc["cur"].get(name, {}), acc["prev"].get(name, {})
-        if not a.get("total") or not b.get("total"):
-            rows[name] = {"error": a.get("error") or b.get("error")}
+        a_tot = _totals(a) if a else []
+        b_tot = _totals(b) if b else []
+        # ratios only from SAME-ROUND pairs where both sides succeeded
+        pairs = [
+            (x, y) for x, y in zip(a_tot, b_tot)
+            if x is not None and y is not None
+        ]
+        a_ok = [x for x in a_tot if x is not None]
+        b_ok = [y for y in b_tot if y is not None]
+        if not pairs:
+            rows[name] = {"error": a.get("error") or b.get("error")
+                          or "no complete same-round pair"}
             print(f"{name:34s} ERROR {rows[name]['error']}")
             continue
-        ratios = sorted(
-            x / y for x, y in zip(a["total"], b["total"])
-        )
+        ratios = sorted(x / y for x, y in pairs)
         rows[name] = {
-            "a_min": round(min(a["total"]), 3),
-            "b_min": round(min(b["total"]), 3),
-            "a_min_construct": round(min(a["construct"]), 3),
-            "b_min_construct": round(min(b["construct"]), 3),
-            "min_ratio": round(min(a["total"]) / min(b["total"]), 3),
+            "a_min": round(min(a_ok), 3),
+            "b_min": round(min(b_ok), 3),
+            "a_min_construct": round(
+                min(x for x in a["construct"] if x is not None), 3),
+            "b_min_construct": round(
+                min(x for x in b["construct"] if x is not None), 3),
+            "min_ratio": round(min(a_ok) / min(b_ok), 3),
             "median_ratio": round(statistics.median(ratios), 3),
             "ratio_spread": [round(ratios[0], 3), round(ratios[-1], 3)],
+            "pairs": len(pairs),
         }
         r = rows[name]
         print(f"{name:34s} {r['a_min']:8.3f} {r['b_min']:8.3f} "

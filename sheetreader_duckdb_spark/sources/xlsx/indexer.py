@@ -532,9 +532,14 @@ def _analyze_interval(
                 # unfiltered read fail at Arrow conversion, so claims
                 # here could prune the error away. The deferred resolver
                 # already checks each referenced entry — this restores
-                # eager/deferred parity. (A surrogate survives the join
-                # unchanged, so one bulk encode detects any bad entry.)
-                "\x00".join(resolved).encode("utf-8")
+                # eager/deferred parity. Per-string encode, NOT one bulk
+                # join+encode (r14 review): the join materialized a
+                # concatenated copy of the interval's whole string volume
+                # (~2x transient) per column just to catch a rare
+                # surrogate; the loop detects the same UnicodeEncodeError
+                # with no large allocation.
+                for _s in resolved:
+                    _s.encode("utf-8")
                 bounds = truncated_string_bounds(min(resolved), max(resolved))
             except ValueError:
                 # UnicodeEncodeError (lone-surrogate heap string): the
