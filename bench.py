@@ -457,7 +457,10 @@ def _pair_ready(p, timeout: float = 1800.0) -> None:
             return
 
 
-def _pair_pass(p, name: str, timeout: float = 300.0) -> dict:
+_PAIR_PASS_TIMEOUT = float(os.environ.get("SPARK_GRAFT_PAIR_TIMEOUT", "300"))
+
+
+def _pair_pass(p, name: str, timeout: float = _PAIR_PASS_TIMEOUT) -> dict:
     p.stdin.write(f"RUN {name}\n")
     p.stdin.flush()
     while True:

@@ -111,8 +111,8 @@ def main() -> None:
         ]
 
     rows = {}
-    print(f"{'entry':34s} {'A(min)':>8s} {'B(min)':>8s} {'minR':>6s} "
-          f"{'medR':>6s}  spread")
+    print(f"{'entry':34s} {'A(min)':>8s} {'B(min)':>8s} {'medR':>6s} "
+          f"{'pminR':>6s}  spread")
     for name in entries:
         a, b = acc["cur"].get(name, {}), acc["prev"].get(name, {})
         a_tot = _totals(a) if a else []
@@ -137,25 +137,39 @@ def main() -> None:
                 min(x for x in a["construct"] if x is not None), 3),
             "b_min_construct": round(
                 min(x for x in b["construct"] if x is not None), 3),
-            "min_ratio": round(min(a_ok) / min(b_ok), 3),
+            # min over SAME-ROUND paired ratios — drift-immune like the
+            # median; the unpaired-minima quotient below is kept for
+            # continuity but reintroduces cross-time comparison, so the
+            # paired statistics lead (ADVICE r14).
+            "paired_min_ratio": round(ratios[0], 3),
             "median_ratio": round(statistics.median(ratios), 3),
+            "min_ratio": round(min(a_ok) / min(b_ok), 3),
             "ratio_spread": [round(ratios[0], 3), round(ratios[-1], 3)],
             "pairs": len(pairs),
         }
         r = rows[name]
         print(f"{name:34s} {r['a_min']:8.3f} {r['b_min']:8.3f} "
-              f"{r['min_ratio']:6.2f} {r['median_ratio']:6.2f}  "
+              f"{r['median_ratio']:6.2f} {r['paired_min_ratio']:6.2f}  "
               f"{r['ratio_spread']}")
     a_tot = sum(r["a_min"] for r in rows.values() if "a_min" in r)
     b_tot = sum(r["b_min"] for r in rows.values() if "b_min" in r)
+    med_ratios = [r["median_ratio"] for r in rows.values()
+                  if "median_ratio" in r]
+    paired_med = (round(statistics.median(med_ratios), 3)
+                  if med_ratios else None)
     summary = {
         "prev": prev_full[:12], "rounds": args.rounds, "entries": rows,
+        "paired_median_of_medians": paired_med,
         "a_total_min": round(a_tot, 3), "b_total_min": round(b_tot, 3),
         "total_ratio": round(a_tot / b_tot, 3) if b_tot else None,
         "sf_dir": B.SF_DIR, "cpus": B.CPUS,
     }
-    print(f"TOTAL A={a_tot:.2f}s B={b_tot:.2f}s ratio="
-          f"{summary['total_ratio']}")
+    # The PAIRED statistic leads (ADVICE r14): per-entry median ratios are
+    # same-round samples; the min-total quotient is cross-time and only
+    # kept for continuity with older records.
+    print(f"PAIRED median-of-entry-medians={paired_med}  "
+          f"(min-total A={a_tot:.2f}s B={b_tot:.2f}s "
+          f"ratio={summary['total_ratio']})")
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1)
 

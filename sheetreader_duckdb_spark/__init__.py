@@ -65,9 +65,16 @@ def _ship_package(spark) -> None:
             for full, rel in members:
                 zf.write(full, rel)
         os.replace(tmp, zip_path)
-    key = (spark.sparkContext.applicationId, zip_path)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, zip_path)
     if key not in _SHIPPED:
         spark.sparkContext.addPyFile(zip_path)
+        # Drop other app ids' keys while adding (ADVICE r14): a long-lived
+        # process that cycles sessions would otherwise accumulate stale
+        # (appId, path) entries forever. A concurrent race can at worst
+        # double-ship the same artifact — harmless (addPyFile is
+        # idempotent for identical content-addressed paths).
+        _SHIPPED.intersection_update({k for k in _SHIPPED if k[0] == app_id})
         _SHIPPED.add(key)
 
 

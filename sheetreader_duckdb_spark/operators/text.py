@@ -356,8 +356,12 @@ def exact_heavy_hitters(
     # job at plan-construction time; lazy defers it to the caller's action,
     # where it executes inside the concurrent stage graph (and a caller
     # composing this into a larger union never pays a surprise scan before
-    # acting). First consumer computes, the second reads the cached blocks
-    # — same single-scan guarantee.
+    # acting). In the usual single-action case the first consumer computes
+    # and the second reads the cached blocks; two CONCURRENT first actions
+    # (e.g. thread-pooled construction) can in principle both compute the
+    # uncached sketch partitions — output stays correct either way (any MG
+    # run is a candidate superset and the exact recount decides), the
+    # single-scan property is best-effort, not guaranteed (ADVICE r14).
     sk = _mg_sketch(tokens, token_col, capacity=denom + 1).localCheckpoint(
         eager=False
     )

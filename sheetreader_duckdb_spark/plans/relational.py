@@ -559,7 +559,11 @@ def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
     from sheetreader_duckdb_spark.operators.zorder import zorder_sort
 
     tag = sf.strip("/").replace("/", "_")
-    base = f"/tmp/sheetreader_ctas/{tag}"
+    # pid-suffixed sink base (ADVICE r14): two h02b invocations in
+    # different processes (pair workers, or pair_ab.py racing bench.py)
+    # must not overwrite/read-back each other's sink dirs; within one
+    # process the path is stable so repeated passes reuse it.
+    base = f"/tmp/sheetreader_ctas/{tag}_{os.getpid()}"
     os.makedirs(base, exist_ok=True)
     nil_d = F.lit(None).cast("double")
 
