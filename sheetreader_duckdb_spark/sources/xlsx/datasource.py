@@ -194,8 +194,22 @@ def _has_null_filter(filters) -> bool:
     return any(isinstance(f, (IsNull, IsNotNull)) for f in filters)
 
 
+def _has_bool_eq_filter(filters) -> bool:
+    """True when the pushed set contains an EqualTo/In over BOOLEAN
+    literal value(s) — the only consumers of the bt section (r15); same
+    decode-gating rationale as ``_has_null_filter``."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    for f in filters:
+        if isinstance(f, EqualTo) and isinstance(f.value, bool):
+            return True
+        if isinstance(f, In) and any(isinstance(v, bool) for v in f.value):
+            return True
+    return False
+
+
 def _plan_interval_skips(filters, schema, file_names, ivstats, date1904,
-                         ivstr=None, ivnc=None):
+                         ivstr=None, ivnc=None, ivbv=None):
     """Interval ordinals provably EMPTY of matching rows under the ANDed
     pushed filters, per the split index's per-interval min/max stats
     (r11 — the parquet row-group-pruning pattern for XLSX: a selective
@@ -239,6 +253,16 @@ def _plan_interval_skips(filters, schema, file_names, ivstats, date1904,
     in one malformed interval are undetectable from counts alone — the
     same honest-writer trust boundary as the bounds sections).
 
+    ``EqualTo`` / ``In`` over BOOLEAN literals (r15 — VERDICT r13
+    task 2) prune against the boolean value-count ``bt`` section
+    (``ivbv``): per interval, the stride group's (n_true, n_false) over
+    the column's ``t="b"`` cells, truth decided exactly as the reader
+    decodes. The group skips when EVERY requested value's count is 0 —
+    sound because non-boolean cells decode NULL for a BOOLEAN column and
+    an equality/IN predicate never matches NULL. Counts share the nc
+    section's duplicate-ref trust boundary; inflation can only prevent
+    a skip.
+
     Error-semantics trust model (ADVICE r12): a pruned interval is never
     inflated, so a parse error lurking inside it (most notably the
     UNSUPPORTED_STRING_ERROR on ``t="str"``/``t="inlineStr"`` cells)
@@ -273,7 +297,7 @@ def _plan_interval_skips(filters, schema, file_names, ivstats, date1904,
     out_type = {f.name: f.dataType.typeName() for f in schema.fields}
     n_iv = len(next(
         next(iter(src.values()))
-        for src in (ivstats, ivstr, ivnc)
+        for src in (ivstats, ivstr, ivnc, ivbv)
         if src
     ))
     skips: set = set()
@@ -323,6 +347,30 @@ def _plan_interval_skips(filters, schema, file_names, ivstats, date1904,
                 # decoder enforced family sums <= rows, so the others
                 # are zero) → no NULL rows to match.
                 if (e[fam] == 0) if notnull else (e[fam] == e[4]):
+                    skips.add(i)
+            continue
+        if t == "boolean":
+            # EqualTo/In over boolean literals prune via the bt section
+            # (r15): skip when every requested value's group count is 0.
+            # NULL literals never match; non-bool literals on a BOOLEAN
+            # column are not reasoned about (claim nothing).
+            if not isinstance(f, (EqualTo, In)) or ivbv is None:
+                continue
+            col = ivbv.get(letters)
+            if col is None:
+                continue
+            vals = list(f.value) if isinstance(f, In) else [f.value]
+            if not vals or any(not isinstance(v, bool) for v in vals):
+                continue
+            want_true = True in vals
+            want_false = False in vals
+            for i in range(1, n_iv):
+                e = col[i]  # (n_true, n_false) | None
+                if e is None:
+                    continue
+                if (not want_true or e[0] == 0) and (
+                    not want_false or e[1] == 0
+                ):
                     skips.add(i)
             continue
         if t not in ("double", "date", "string"):
@@ -1010,11 +1058,20 @@ class SheetReaderReader(DataSourceReader):
                                 and _has_null_filter(self._staged_filters)
                                 else None
                             )
-                            if st or sv or nc:
+                            bv = (
+                                SI.decode_interval_bool_counts(
+                                    wb.zf, sheet.path, pts
+                                )
+                                if pts
+                                and _has_bool_eq_filter(self._staged_filters)
+                                else None
+                            )
+                            if st or sv or nc or bv:
                                 skips = _plan_interval_skips(
                                     self._staged_filters, self.schema,
                                     [f.name for f in self.schema.fields],
                                     st, wb.date1904, ivstr=sv, ivnc=nc,
+                                    ivbv=bv,
                                 )
                                 n = max(1, min(n, len(pts) - len(skips)))
                 except Exception:
@@ -1178,10 +1235,15 @@ class SheetReaderReader(DataSourceReader):
                     if pts0 and _has_null_filter(filters)
                     else None
                 )
-                if ivstats or ivstr or ivnc:
+                ivbv = (
+                    SI.decode_interval_bool_counts(wb.zf, sheet.path, pts0)
+                    if pts0 and _has_bool_eq_filter(filters)
+                    else None
+                )
+                if ivstats or ivstr or ivnc or ivbv:
                     skip_ivals = _plan_interval_skips(
                         filters, self.schema, file_schema.names, ivstats,
-                        wb.date1904, ivstr=ivstr, ivnc=ivnc,
+                        wb.date1904, ivstr=ivstr, ivnc=ivnc, ivbv=ivbv,
                     )
             cb = (1 << 20) if n_shards > 1 else (4 << 20)
             for cells in wb.iter_rows(
@@ -1640,10 +1702,17 @@ class SheetReaderReader(DataSourceReader):
                 ivstr = SI.decode_interval_string_stats(
                     wb.zf, sheet.path, split_pts
                 )
-                if ivstats or ivstr or ivnc:
+                ivbv = (
+                    SI.decode_interval_bool_counts(
+                        wb.zf, sheet.path, split_pts
+                    )
+                    if _has_bool_eq_filter(filters)
+                    else None
+                )
+                if ivstats or ivstr or ivnc or ivbv:
                     skip_ivals = _plan_interval_skips(
                         filters, self.schema, file_schema.names, ivstats,
-                        wb.date1904, ivstr=ivstr, ivnc=ivnc,
+                        wb.date1904, ivstr=ivstr, ivnc=ivnc, ivbv=ivbv,
                     )
             if split_pts and n_shards == 1 and not skip_ivals:
                 # Single-shard with nothing to prune: the sequential scan

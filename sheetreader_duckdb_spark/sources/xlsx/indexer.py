@@ -152,7 +152,8 @@ class _IntervalStatsCollector:
         # [(cum_rows_at_interval_end,
         #   {letters: (mn, mx)} | None,          numeric claims
         #   {letters: (lo, hi)} | None,          string-bound claims
-        #   {letters: (n,s,b,d) | None} | None)] value-count claims
+        #   {letters: (n,s,b,d) | None} | None,  value-count claims
+        #   {letters: (n_true, n_false) | None} | None)]  bool values
         self.fine: list = []
         self.dead = False
 
@@ -208,7 +209,7 @@ class _IntervalStatsCollector:
             self.fine = []
             self._defer_refs = []
             return None
-        rows_in, stats, sstats, nc, drefs = r
+        rows_in, stats, sstats, nc, bv, drefs = r
         self._cum += rows_in
         if drefs:
             for col, arr in drefs.items():
@@ -219,7 +220,7 @@ class _IntervalStatsCollector:
                     self._defer_counts.get(col, 0) + int(arr.size)
                 )
             self._enforce_defer_budget()
-        return (self._cum, stats, sstats, nc)
+        return (self._cum, stats, sstats, nc, bv)
 
     def _drain(self, max_pending: int) -> None:
         """Realize pooled results from the head of ``fine`` — completed
@@ -277,17 +278,18 @@ class _IntervalStatsCollector:
 
     def aligned(
         self, points: "list | None", total_rows: int
-    ) -> "tuple[dict | None, dict | None, dict | None]":
-        """(numeric, string, counts) per-column arrays aligned to the
-        SURVIVING points (the encode payload shapes — flat [lo, hi, ...]
-        pairs for the bound kinds, one ``None | [n, s, b, d]`` entry
-        per interval for the count kind); each side is None when collection
-        died / misaligned / there is nothing to claim."""
+    ) -> "tuple[dict | None, dict | None, dict | None, dict | None]":
+        """(numeric, string, counts, bool-values) per-column arrays
+        aligned to the SURVIVING points (the encode payload shapes —
+        flat [lo, hi, ...] pairs for the bound kinds, one
+        ``None | [n, s, b, d]`` entry per interval for the count kind,
+        ``None | [n_true, n_false]`` for the bool-value kind); each side
+        is None when collection died / misaligned / nothing to claim."""
         if self.dead or points is None:
-            return None, None, None  # nothing to align: skip realization
+            return None, None, None, None  # nothing to align
         self.flush_realize()
         if self.dead or points is None:
-            return None, None, None
+            return None, None, None, None
         if self._defer and self._defer_refs and not self._defer_resolved:
             raise RuntimeError(
                 "deferred string bounds not resolved — run "
@@ -295,7 +297,10 @@ class _IntervalStatsCollector:
             )
         bounds = [cum for _, cum in points] + [total_rows]
         outs: list = []
-        for kind in (1, 2, 3):  # fine slot: numeric, string, counts
+        for kind in (1, 2, 3, 4):  # numeric, string, counts, bool values
+            # kinds 3/4 are COUNT kinds (element-wise sum, zero default);
+            # 1/2 are BOUND kinds (envelope merge, absence claims nothing)
+            zero = (0, 0, 0, 0) if kind == 3 else (0, 0)
             letters_all = sorted(
                 {k for rec in self.fine if rec[kind] for k in rec[kind]}
             )
@@ -317,7 +322,7 @@ class _IntervalStatsCollector:
                     if merged is None or st is None:
                         merged = None
                         continue
-                    if kind == 3:
+                    if kind in (3, 4):
                         # element-wise SUM; a letter ABSENT from a valid
                         # record is a true zero (the interval holds no
                         # cells of that column — all-null), unlike the
@@ -325,7 +330,7 @@ class _IntervalStatsCollector:
                         # per-column None (style-undecidable / duplicate
                         # guard) poisons that column for the group.
                         for k, t in st.items():
-                            got = merged.get(k, (0, 0, 0, 0))
+                            got = merged.get(k, zero)
                             if t is None or got is None:
                                 merged[k] = None
                             else:
@@ -350,9 +355,9 @@ class _IntervalStatsCollector:
                 # stats for such files. (For counts an all-zero claim on
                 # a zero-row interval is vacuously true.)
                 for k in letters_all:
-                    if kind == 3:
+                    if kind in (3, 4):
                         got = (
-                            merged.get(k, (0, 0, 0, 0))
+                            merged.get(k, zero)
                             if merged is not None
                             else None
                         )
@@ -367,7 +372,7 @@ class _IntervalStatsCollector:
                         else:
                             out[k].extend(got)
             outs.append(out if ok else None)
-        return outs[0], outs[1], outs[2]
+        return outs[0], outs[1], outs[2], outs[3]
 
 
 # Eager shared-strings heap for POOLED interval analysis: set in the
@@ -383,18 +388,19 @@ def _analyze_interval(
 ):
     """Pure per-interval analysis (the collector's old ``_close`` body,
     extracted so a forked worker can run it on raw bytes): returns
-    ``(rows_in, stats, sstats, nc, defer_refs)`` where the claim slots
-    are None for withheld intervals and ``defer_refs`` maps column
+    ``(rows_in, stats, sstats, nc, bv, defer_refs)`` where the claim
+    slots are None for withheld intervals and ``defer_refs`` maps column
     letters to unique sst ref arrays (deferred mode only). All honesty
     rules documented on _IntervalStatsCollector live here."""
     import numpy as np
 
     pr = prefix_res(pfx)
     rows_in = count_row_starts(data, pfx)
+    withheld = (rows_in, None, None, None, None, None)
     ms = pr.cell_re.findall(data)
     if len(ms) != len(pr.cell_count_re.findall(data)):
         # unseen cells: no claims
-        return rows_in, None, None, None, None
+        return withheld
     if any(t in (b"str", b"inlineStr") for _l, _s, t, _v in ms):
         # Cells the default reader REFUSES (formula/inline strings →
         # UNSUPPORTED_STRING_ERROR): claiming stats here would let a
@@ -404,7 +410,7 @@ def _analyze_interval(
         # (Most such cells already land in the count-mismatch branch
         # above — their <is>/<f> children defeat the cell regex — but
         # a bare `<c t="str"><v>…</v></c>` matches and needs this.)
-        return rows_in, None, None, None, None
+        return withheld
     per: dict = {}
     per_s: dict = {}
     # Value counts per letter (r13, the `nc` section): how many cells
@@ -416,6 +422,11 @@ def _analyze_interval(
     # unknown t) decode to NULL in every scan tier and count nowhere,
     # which is exactly the claim.
     ncounts: dict = {}
+    # Boolean VALUE counts per letter (r15, the `bt` section):
+    # [n_true, n_false] over the interval's t="b" cells, truth decided
+    # exactly as the reader decodes (v.strip() in (b"1", b"true",
+    # b"TRUE")) — enables EqualTo/In pruning on BOOLEAN columns.
+    bcounts: dict = {}
     for letters, s_attr, t_attr, v in ms:
         if v and (not t_attr or t_attr == b"n"):
             per.setdefault(letters, []).append(v)
@@ -438,6 +449,8 @@ def _analyze_interval(
             fam = 1
         elif v and t_attr == b"b":
             fam = 2
+            bt = bcounts.setdefault(letters, [0, 0])
+            bt[0 if v.strip() in (b"1", b"true", b"TRUE") else 1] += 1
         else:
             continue
         got = ncounts.setdefault(letters, [0, 0, 0, 0])
@@ -453,6 +466,12 @@ def _analyze_interval(
     for k, t in list(ncounts.items()):
         if t is not None and sum(t) > rows_in:
             ncounts[k] = None
+    # Same duplicate-ref guard for the boolean value counts: inflated
+    # counts can never cause an unsound SKIP (the test is count == 0),
+    # but a provably-duplicated column claims nothing anyway.
+    for k, t in list(bcounts.items()):
+        if sum(t) > rows_in:
+            bcounts[k] = None
     stats: dict = {}
     for letters, vals in per.items():
         try:
@@ -466,7 +485,7 @@ def _analyze_interval(
             # Withhold the whole interval. (Before r13 this was a
             # per-column skip, which left OTHER columns' claims able
             # to prune the error away.)
-            return rows_in, None, None, None, None
+            return withheld
         if np.isnan(arr).any():
             continue  # NaN parses fine in the reader: column-level skip
         stats[letters.decode()] = (float(arr.min()), float(arr.max()))
@@ -481,11 +500,11 @@ def _analyze_interval(
         try:
             ref_arrs[letters] = np.array(vals).astype(np.int64)
         except (ValueError, OverflowError):
-            return rows_in, None, None, None, None
+            return withheld
     if per_s and sst is None and not defer:
         # string cells but no usable heap (missing or undecodable sst
         # member): the READ of this interval raises — claim nothing
-        return rows_in, None, None, None, None
+        return withheld
     sstats: dict = {}
     drefs: "dict | None" = None
     if defer:
@@ -508,7 +527,7 @@ def _analyze_interval(
                 # superset of the eager path's arr.min() < -len(sst)
                 # withhold. (Checked before the dead_cols skip: shedding
                 # drops claims, not the error-parity obligation.)
-                return rows_in, None, None, None, None
+                return withheld
             if letters in dead_cols:
                 continue
             drefs[letters.decode()] = np.unique(arr)
@@ -520,7 +539,7 @@ def _analyze_interval(
                 # (ADVICE r13: -999999 on a small heap used to raise here
                 # at sst[i] serially and drop all claims pooled): error
                 # parity — the whole interval claims nothing
-                return rows_in, None, None, None, None
+                return withheld
             try:
                 # single parse: resolve via the checked int64 array
                 # (in-range negative refs wrap in BOTH the reader and
@@ -545,7 +564,7 @@ def _analyze_interval(
                 # UnicodeEncodeError (lone-surrogate heap string): the
                 # read of this interval fails at Arrow conversion —
                 # error parity again, whole interval withheld
-                return rows_in, None, None, None, None
+                return withheld
             if bounds is None:
                 continue  # no honest upper bound: claim nothing
             sstats[letters.decode()] = bounds
@@ -553,7 +572,11 @@ def _analyze_interval(
         k.decode(): (tuple(v) if v is not None else None)
         for k, v in ncounts.items()
     }
-    return rows_in, stats, sstats, nc, drefs
+    bv = {
+        k.decode(): (tuple(v) if v is not None else None)
+        for k, v in bcounts.items()
+    }
+    return rows_in, stats, sstats, nc, bv, drefs
 
 
 def _analyze_interval_pooled(data, pfx, date_styles, defer, dead_cols):
@@ -932,21 +955,21 @@ def index_xlsx(
                 shed_cols = sorted(
                     {col for c in deferred for col in c.defer_shed}
                 )
-            ivstats, ivsv, ivnc = (
+            ivstats, ivsv, ivnc, ivbv = (
                 coll_p.aligned(pts, nrows)
                 if coll_p is not None
-                else (None, None, None)
+                else (None, None, None, None)
             )
             extra: dict = {}
             for entry2, pts2, n2, coll2 in extra_raw:
-                st2, sv2, nc2 = (
+                st2, sv2, nc2, bv2 = (
                     coll2.aligned(pts2, n2)
                     if coll2 is not None
-                    else (None, None, None)
+                    else (None, None, None, None)
                 )
                 extra[entry2] = {
                     "n": n2, "points": pts2, "stats": st2,
-                    "sstats": sv2, "ncounts": nc2,
+                    "sstats": sv2, "ncounts": nc2, "bcounts": bv2,
                 }
             with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zout:
                 for info in infos:
@@ -964,7 +987,7 @@ def index_xlsx(
                 # sheets, if the comment would exceed the 64 KB ceiling).
                 _publish_index(
                     zout, sheet.path, pts, nrows, nrows, spts, n_si, n_si,
-                    stats=ivstats, sstats=ivsv, ncounts=ivnc,
+                    stats=ivstats, sstats=ivsv, ncounts=ivnc, bcounts=ivbv,
                     extra_sheets=extra or None,
                 )
                 published = bool(zout.comment)
@@ -1201,7 +1224,7 @@ def _resolve_deferred_strings(collectors, entries, expected_n=None):
                 # raises (IndexError / Arrow surrogate), so NO section
                 # may keep a claim that could prune the error away
                 cum = coll.fine[fi][0]
-                coll.fine[fi] = (cum, None, None, None)
+                coll.fine[fi] = (cum, None, None, None, None)
         for g, (coll, fi, col) in enumerate(groups):
             if not err[g] and not dead[g] and lo[g] is not None:
                 sv_slot = coll.fine[fi][2]
@@ -1286,7 +1309,8 @@ def describe_index(path: str) -> dict:
 
     Returns ``{"indexed": bool, "comment_bytes": int, "sheets": {entry:
     {"rows", "intervals", "stride", "numeric_stat_cols",
-    "string_stat_cols", "count_stat_cols", "claim_coverage": {section:
+    "string_stat_cols", "count_stat_cols", "bool_stat_cols",
+    "claim_coverage": {section:
     fraction of (interval, column) slots carrying a usable claim}}},
     "sst": {"entries": int, "points": int} | None, "path": str}``.
     Sections that fail their untrusted-input validation report as
@@ -1332,6 +1356,7 @@ def describe_index(path: str) -> dict:
                 ("numeric", SI.decode_interval_stats),
                 ("string", SI.decode_interval_string_stats),
                 ("count", SI.decode_interval_null_counts),
+                ("bool", SI.decode_interval_bool_counts),
             ):
                 got = decode(zf, entry, pts, payload=payload)
                 cols = sorted(got) if got else []

@@ -184,6 +184,7 @@ def encode_split_index(
     sstats: "dict[str, list] | None" = None,
     stats_stride: int = 1,
     ncounts: "dict[str, list] | None" = None,
+    bcounts: "dict[str, list] | None" = None,
 ) -> bytes:
     """Comment bytes for one indexed worksheet entry (+ optionally the
     shared-strings heap). ``points`` are (compressed offset relative to
@@ -215,6 +216,16 @@ def encode_split_index(
     is 0 and ``IsNull`` when it equals the group's row count; both tests
     stay exact under the stride's group-summation, so coarsening only
     loses granularity, never soundness.
+    ``bcounts`` (r15) is the BOOLEAN VALUE-COUNT section under the ``bt``
+    key — the boolean leg of EqualTo/In pruning (VERDICT r13 task 2): a
+    column LETTER maps to one entry per interval (or stride group), each
+    ``None`` (no claim) or a trailing-zero-stripped ``[n_true, n_false]``
+    over the interval's ``t="b"`` cells (truth per the reader's decode:
+    ``v.strip() in ("1", "true", "TRUE")``). The planner prunes
+    ``EqualTo(col, v)`` / ``In`` on a BOOLEAN schema column when every
+    requested value's count is 0 in the group (non-boolean cells decode
+    NULL and never match EqualTo). Zero-counts stay exact under the
+    stride's group-summation, same argument as ``nc``.
     ``stats_stride`` (r12, the ``q`` key when > 1): stats arrays may be
     COARSENED — one (lo, hi) pair per ``q`` consecutive intervals
     (length ``2*ceil(n_iv/q)``), each pair the envelope of its group.
@@ -243,7 +254,9 @@ def encode_split_index(
         payload["sv"] = sstats
     if ncounts:
         payload["nc"] = ncounts
-    if (stats or sstats or ncounts) and stats_stride > 1:
+    if bcounts:
+        payload["bt"] = bcounts
+    if (stats or sstats or ncounts or bcounts) and stats_stride > 1:
         payload["q"] = stats_stride
     if extra_sheets:
         m = {}
@@ -256,7 +269,10 @@ def encode_split_index(
                 s2["sv"] = sec["sstats"]
             if sec.get("ncounts"):
                 s2["nc"] = sec["ncounts"]
-            if (s2.get("st") or s2.get("sv") or s2.get("nc")) and sec.get("q", 1) > 1:
+            if sec.get("bcounts"):
+                s2["bt"] = sec["bcounts"]
+            if (s2.get("st") or s2.get("sv") or s2.get("nc")
+                    or s2.get("bt")) and sec.get("q", 1) > 1:
                 s2["q"] = sec["q"]
             m[entry2] = s2
         payload["m"] = m
@@ -556,6 +572,70 @@ def decode_interval_null_counts(
             if sum(fams) > rows_g[j]:
                 return None  # counts a group's rows can't hold: forged
             coarse.append(fams + (rows_g[j],))
+        out[k] = [coarse[i // q] for i in range(n_iv)]
+    return out
+
+
+def decode_interval_bool_counts(
+    zf: zipfile.ZipFile, entry: str, points: list,
+    payload: "dict | None" = None,
+) -> "dict[str, list] | None":
+    """Validated per-interval boolean value counts per column letter for
+    ``entry`` (the ``bt`` section, r15), aligned with the decoded
+    ``points``: each interval maps to ``None`` (no claim) or a tuple
+    ``(n_true, n_false)`` — its stride GROUP's counts of ``t="b"`` cells
+    decoding true/false. The planner's test is zero-counts only
+    (``EqualTo(col, v)`` matches nothing when v's count is 0 in the
+    group), which stays exact under the stride's group-summation; forged
+    INFLATION can only prevent a skip (conservative), and deflation is
+    the same honest-writer trust boundary every section carries.
+    Untrusted like the rest: wrong array length, non-int entries,
+    negatives, more than two slots, or totals exceeding the group's row
+    count drop the WHOLE section — pruning is an optimization, the
+    unpruned scan is the semantics. Validation is independent of
+    ``st``/``sv``/``nc``: garbage in one section never costs the
+    others."""
+    if payload is None:
+        payload = _payload(zf)
+    if payload is None:
+        return None
+    sec = _section_for(payload, entry)
+    if sec is None:
+        return None
+    bt = sec.get("bt")
+    if not isinstance(bt, dict) or not bt:
+        return None
+    n_iv = len(points)
+    sq = _section_stride(sec, n_iv)
+    if sq is None:
+        return None
+    q, m = sq
+    rows_g = [0] * m
+    prev = 0
+    for i in range(n_iv):
+        rows_g[i // q] += points[i][1] - prev
+        prev = points[i][1]
+    out: dict = {}
+    for k, arr in bt.items():
+        if not isinstance(k, str) or not isinstance(arr, list):
+            return None
+        if len(arr) != m:
+            return None
+        coarse: list = []
+        for j in range(m):
+            e = arr[j]
+            if e is None:
+                coarse.append(None)
+                continue
+            if not isinstance(e, list) or len(e) > 2:
+                return None
+            for x in e:
+                if not isinstance(x, int) or isinstance(x, bool) or x < 0:
+                    return None
+            t = (e[0] if len(e) > 0 else 0, e[1] if len(e) > 1 else 0)
+            if t[0] + t[1] > rows_g[j]:
+                return None  # counts a group's rows can't hold: forged
+            coarse.append(t)
         out[k] = [coarse[i // q] for i in range(n_iv)]
     return out
 

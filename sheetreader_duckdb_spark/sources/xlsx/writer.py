@@ -278,7 +278,7 @@ def _publish_index(
     zf, name: str, pts, nrows: int, expected_rows: int,
     spts, n_si: int, expected_si: int, stats: "dict | None" = None,
     extra_sheets: "dict | None" = None, sstats: "dict | None" = None,
-    ncounts: "dict | None" = None,
+    ncounts: "dict | None" = None, bcounts: "dict | None" = None,
 ) -> None:
     """Set the archive comment for whichever validated sections exist —
     shared by both writers and the retrofit indexer (r10 review: the two
@@ -316,6 +316,7 @@ def _publish_index(
             "stats": dict(v["stats"]) if v.get("stats") else None,
             "sstats": dict(v["sstats"]) if v.get("sstats") else None,
             "ncounts": dict(v["ncounts"]) if v.get("ncounts") else None,
+            "bcounts": dict(v["bcounts"]) if v.get("bcounts") else None,
         }
         for k, v in (extra_sheets or {}).items()
     }
@@ -324,16 +325,19 @@ def _publish_index(
     stats = dict(stats) if (stats and pts) else None
     sstats = dict(sstats) if (sstats and pts) else None
     ncounts = dict(ncounts) if (ncounts and pts) else None
+    bcounts = dict(bcounts) if (bcounts and pts) else None
     q = 1  # stats stride, lockstep across every section (format's `q`)
     while True:
         for sec in extra.values():
-            if sec.get("stats") or sec.get("sstats") or sec.get("ncounts"):
+            if (sec.get("stats") or sec.get("sstats") or sec.get("ncounts")
+                    or sec.get("bcounts")):
                 sec["q"] = q
         try:
             zf.comment = encode_split_index(
                 name, pts or [], nrows if pts else 0,
                 sst_points=spts, sst_total=expected_si if spts else 0,
                 stats=stats, sstats=sstats, ncounts=ncounts,
+                bcounts=bcounts,
                 extra_sheets=extra or None,
                 stats_stride=q,
             )
@@ -346,8 +350,10 @@ def _publish_index(
                 sections.append(("", "sstats", sstats))
             if ncounts:
                 sections.append(("", "ncounts", ncounts))
+            if bcounts:
+                sections.append(("", "bcounts", bcounts))
             for en, sec in extra.items():
-                for kind in ("stats", "sstats", "ncounts"):
+                for kind in ("stats", "sstats", "ncounts", "bcounts"):
                     if sec.get(kind):
                         sections.append((en, kind, sec[kind]))
             if sections and q < 16:
@@ -365,6 +371,10 @@ def _publish_index(
                     ncounts = {
                         k: coarsen_count_groups(v) for k, v in ncounts.items()
                     }
+                if bcounts:
+                    bcounts = {
+                        k: coarsen_count_groups(v) for k, v in bcounts.items()
+                    }
                 for sec in extra.values():
                     for kind in ("stats", "sstats"):
                         if sec.get(kind):
@@ -372,11 +382,12 @@ def _publish_index(
                                 k: coarsen_stat_pairs(v)
                                 for k, v in sec[kind].items()
                             }
-                    if sec.get("ncounts"):
-                        sec["ncounts"] = {
-                            k: coarsen_count_groups(v)
-                            for k, v in sec["ncounts"].items()
-                        }
+                    for kind in ("ncounts", "bcounts"):
+                        if sec.get(kind):
+                            sec[kind] = {
+                                k: coarsen_count_groups(v)
+                                for k, v in sec[kind].items()
+                            }
                 continue
             if sections:
                 _, en, kind, col = max(
@@ -386,7 +397,7 @@ def _publish_index(
                 )
                 if en == "":
                     tgt = {"stats": stats, "sstats": sstats,
-                           "ncounts": ncounts}[kind]
+                           "ncounts": ncounts, "bcounts": bcounts}[kind]
                 else:
                     tgt = extra[en][kind]
                 del tgt[col]
@@ -395,8 +406,10 @@ def _publish_index(
                         stats = None
                     elif en == "" and kind == "sstats":
                         sstats = None
-                    elif en == "":
+                    elif en == "" and kind == "ncounts":
                         ncounts = None
+                    elif en == "":
+                        bcounts = None
                     else:
                         extra[en][kind] = None
                 continue
@@ -727,14 +740,15 @@ class IncrementalXlsxWriter:
                 spts, n_si = _write_indexed_member(
                     zf, "xl/sharedStrings.xml", _sst_chunks(), b"</si>", b"<si>"
                 )
-                st, sv, nc = (
-                    coll.aligned(pts, nrows) if coll else (None, None, None)
+                st, sv, nc, bv = (
+                    coll.aligned(pts, nrows) if coll
+                    else (None, None, None, None)
                 )
                 _publish_index(
                     zf, "xl/worksheets/sheet1.xml",
                     pts, nrows, self.n_rows,
                     spts, n_si, len(self._sst),
-                    stats=st, sstats=sv, ncounts=nc,
+                    stats=st, sstats=sv, ncounts=nc, bcounts=bv,
                 )
         finally:
             self._spool.close()

@@ -262,7 +262,7 @@ def test_resolver_parity_rules():
     )
     _resolve_deferred_strings([coll], iter(["ok", "bad\ud800"]),
                               expected_n=2)
-    assert coll.fine[0][1:] == (None, None, None)
+    assert coll.fine[0][1:] == (None, None, None, None)
     # ref beyond the heap: same full withhold
     coll = _deferred_coll(
         b'<sheetData><row r="1">'
@@ -271,7 +271,7 @@ def test_resolver_parity_rules():
         b"</row></sheetData>"
     )
     _resolve_deferred_strings([coll], iter(["ok"]), expected_n=1)
-    assert coll.fine[0][1:] == (None, None, None)
+    assert coll.fine[0][1:] == (None, None, None, None)
     # U+10FFFF-prefixed max: no honest bound — THAT column claims
     # nothing, everything else keeps its claims
     coll = _deferred_coll(

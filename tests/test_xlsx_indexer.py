@@ -557,15 +557,18 @@ def test_stats_survive_final_flush_on_last_row():
 
     coll = _IntervalStatsCollector(b"")
     coll.fine = [
-        (10, {"A": (0.0, 9.0)}, {"B": ("a", "c")}, {"A": (10, 0, 0, 0)}),
-        (20, {"A": (10.0, 19.0)}, {"B": ("d", "f")}, {"A": (10, 0, 0, 0)}),
+        (10, {"A": (0.0, 9.0)}, {"B": ("a", "c")}, {"A": (10, 0, 0, 0)},
+         {"C": (4, 6)}),
+        (20, {"A": (10.0, 19.0)}, {"B": ("d", "f")}, {"A": (10, 0, 0, 0)},
+         {"C": (0, 10)}),
     ]
-    out, sv, nc = coll.aligned([(100, 10), (200, 20)], 20)
+    out, sv, nc, bv = coll.aligned([(100, 10), (200, 20)], 20)
     assert out == {"A": [0.0, 9.0, 10.0, 19.0, None, None]}
     assert sv == {"B": ["a", "c", "d", "f", None, None]}
     # counts: the zero-row terminal interval claims all-zero (vacuously
     # true), not unknown — [] after trailing-zero stripping
     assert nc == {"A": [[10], [10], []]}
+    assert bv == {"C": [[4, 6], [0, 10], []]}
 
 
 def test_flush_unavailable_reports_unavailable_not_mixed(foreign_xlsx, tmp_path, monkeypatch):

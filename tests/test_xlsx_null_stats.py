@@ -157,7 +157,7 @@ def test_collector_family_split_and_withholds():
     )
     coll = _IntervalStatsCollector(b"", sst=["s"], date_styles=frozenset({1}))
     coll.on_piece(xml, True)
-    cum, st, sv, nc = coll.fine[0]
+    cum, st, sv, nc, _bv = coll.fine[0]
     assert cum == 2
     assert nc == {
         "A": (2, 0, 0, 0),
@@ -178,7 +178,7 @@ def test_collector_family_split_and_withholds():
     )
     coll2 = _IntervalStatsCollector(b"", date_styles=frozenset())
     coll2.on_piece(dup, True)
-    _, _, _, nc2 = coll2.fine[0]
+    _, _, _, nc2, _bv2 = coll2.fine[0]
     assert nc2["A"] is None and nc2["B"] == (1, 0, 0, 0)
 
     # unknown style mapping (date_styles=None): a STYLED numeric cell's
@@ -190,7 +190,7 @@ def test_collector_family_split_and_withholds():
         b'<c r="B1"><v>2</v></c></row></sheetData>',
         True,
     )
-    _, _, _, nc3 = coll3.fine[0]
+    _, _, _, nc3, _bv3 = coll3.fine[0]
     assert nc3["A"] is None and nc3["B"] == (1, 0, 0, 0)
 
 
@@ -204,7 +204,7 @@ def test_collector_error_cells_withhold_counts_too():
         b"</sheetData>",
         True,
     )
-    assert coll.fine[0][1:] == (None, None, None)
+    assert coll.fine[0][1:] == (None, None, None, None)
 
 
 # ------------------------------------------------------------- authoring
@@ -478,7 +478,7 @@ def test_unparseable_values_withhold_whole_interval():
             b'<c r="B1"><v>7</v></c></row></sheetData>',
             True,
         )
-        assert coll.fine[0][1:] == (None, None, None), bad
+        assert coll.fine[0][1:] == (None, None, None, None), bad
     # NaN is NOT an error in the reader (float('nan') parses): the
     # column skips its bounds claim but counts stay — and other
     # columns' claims survive
@@ -488,7 +488,7 @@ def test_unparseable_values_withhold_whole_interval():
         b'<c r="B1"><v>7</v></c></row></sheetData>',
         True,
     )
-    _, st, sv, nc = coll.fine[0]
+    _, st, sv, nc, _bv = coll.fine[0]
     assert "A" not in st and st["B"] == (7.0, 7.0)
     assert nc["A"] == (1, 0, 0, 0) and nc["B"] == (1, 0, 0, 0)
 
@@ -509,19 +509,19 @@ def test_exotic_string_refs_withhold_interval_not_crash():
            b'<c r="B1"><v>7</v></c></row></sheetData>'
     coll = _IntervalStatsCollector(b"", sst=["x"], date_styles=frozenset())
     coll.on_piece(huge, True)  # must not raise
-    assert coll.fine[0][1:] == (None, None, None)
+    assert coll.fine[0][1:] == (None, None, None, None)
 
     noheap = b'<sheetData><row r="1"><c r="A1" t="s"><v>0</v></c>'\
              b'<c r="B1"><v>7</v></c></row></sheetData>'
     coll = _IntervalStatsCollector(b"", sst=None, date_styles=frozenset())
     coll.on_piece(noheap, True)
-    assert coll.fine[0][1:] == (None, None, None)
+    assert coll.fine[0][1:] == (None, None, None, None)
 
     oor = b'<sheetData><row r="1"><c r="A1" t="s"><v>5</v></c>'\
           b'<c r="B1"><v>7</v></c></row></sheetData>'
     coll = _IntervalStatsCollector(b"", sst=["only"], date_styles=frozenset())
     coll.on_piece(oor, True)
-    assert coll.fine[0][1:] == (None, None, None)
+    assert coll.fine[0][1:] == (None, None, None, None)
 
     # negative ref WRAPS in the reader (no error): bounds stay faithful
     # to the wrapped value, claims survive
@@ -529,7 +529,7 @@ def test_exotic_string_refs_withhold_interval_not_crash():
           b'<c r="B1"><v>7</v></c></row></sheetData>'
     coll = _IntervalStatsCollector(b"", sst=["w", "z"], date_styles=frozenset())
     coll.on_piece(neg, True)
-    _, st, sv, nc = coll.fine[0]
+    _, st, sv, nc, _bv = coll.fine[0]
     assert sv["A"] == ("z", "z") and st["B"] == (7.0, 7.0)
 
     # ADVICE r14 medium: a negative ref whose MAGNITUDE exceeds the heap
@@ -541,7 +541,7 @@ def test_exotic_string_refs_withhold_interval_not_crash():
              b'<c r="B1"><v>7</v></c></row></sheetData>'
     coll = _IntervalStatsCollector(b"", sst=["w", "z"], date_styles=frozenset())
     coll.on_piece(negoor, True)  # must not raise
-    assert coll.fine[0][1:] == (None, None, None)
+    assert coll.fine[0][1:] == (None, None, None, None)
 
     # ADVICE r14 low: a lone-surrogate heap entry strictly BETWEEN the
     # min/max entries used to leave eager claims standing (only the two
@@ -556,7 +556,7 @@ def test_exotic_string_refs_withhold_interval_not_crash():
         b"", sst=["a", "m\ud800m", "z"], date_styles=frozenset()
     )
     coll.on_piece(midsur, True)
-    assert coll.fine[0][1:] == (None, None, None)
+    assert coll.fine[0][1:] == (None, None, None, None)
 
 
 def test_deferred_negative_ref_withholds_interval():
@@ -577,7 +577,7 @@ def test_deferred_negative_ref_withholds_interval():
                                    defer_strings=True)
     coll.on_piece(neg, True)
     _resolve_deferred_strings([coll], iter(["w", "z"]))
-    assert coll.fine[0][1:] == (None, None, None)
+    assert coll.fine[0][1:] == (None, None, None, None)
 
     ok_iv = b'<sheetData><row r="1"><c r="A1" t="s"><v>1</v></c>'\
             b'<c r="B1"><v>7</v></c></row></sheetData>'
@@ -585,5 +585,5 @@ def test_deferred_negative_ref_withholds_interval():
                                    defer_strings=True)
     coll.on_piece(ok_iv, True)
     _resolve_deferred_strings([coll], iter(["w", "z"]))
-    _, st, sv, nc = coll.fine[0]
+    _, st, sv, nc, _bv = coll.fine[0]
     assert sv["A"] == ("z", "z") and st["B"] == (7.0, 7.0)
