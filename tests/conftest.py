@@ -84,6 +84,38 @@ _SLOW_TESTS = {
     "test_xlsx_pushdown.py::test_relation_reuse_boundary_pins_the_optin_rationale",
     "test_temporal.py::test_salted_as_of_matches_plain_on_hot_key",
     "test_streaming.py::test_xlsx_stream_incremental_arrival",
+    # --- r15 retier (VERDICT r14 task 1: the 36-min full suite outgrew
+    # the driver's verify budget; the default run is now the fast tier
+    # via pytest.ini addopts, so the fast tier itself must land well
+    # under 15 min). Every entry below is a heavy drill whose operator
+    # keeps at least one faster witness in the default tier, measured
+    # from the committed full-suite --durations run:
+    "test_similarity.py::test_ivf_assign_carrier_matches_both_forms",   # 97s
+    "test_ivfpq_index.py::test_rebuild_if_drifted_one_call_loop",       # 45s
+    "test_queries_oracle.py::test_query_matches_oracle[n14b_stream_sliding]",  # 35s; driver re-checks at sf0.01
+    "test_xlsx_comment_fuzz.py::test_any_comment_corruption_is_exact_or_loud",  # 41s fuzz campaign
+    "test_pipeline.py::test_semantic_dedup_stage_planted",              # 29s; off-by-default/noop stage witnesses stay
+    "test_ivfpq_index.py::test_upsert_returns_drift_report",            # 21s
+    "test_ivfpq_index.py::test_sampled_training_builds_working_deterministic_index",  # 21s
+    "test_xlsx_null_stats.py::test_garbled_nc_drops_to_unpruned_scan",  # 20s; other nc witnesses stay
+    "test_pq.py::test_join_form_bit_identical_to_literal",              # 18s
+    "test_ivfpq_index.py::test_drift_report_and_rebuild_trigger",       # 17s
+    "test_auto_select.py::test_quantized_topk_auto_both_sides",         # 24s with setup
+    "test_similarity.py::test_quantized_topk_at_sf01",                  # 16s, sf-dependent
+    "test_ivfpq_index.py::test_indexed_rescored_matches_in_memory_bit_for_bit",  # 15s
+    "test_xlsx_string_stats.py::test_garbage_sv_ignored_independently_of_st",   # 15s
+    "test_xlsx_string_stats.py::test_stride_coarsened_stats_read_exact_and_still_prune",  # 14s
+    "test_auto_select.py::test_build_auto_train_cap_scales_with_quantizer",  # 14s
+    "test_gemm_score.py::test_gemm_keep_set_matches_expr",              # 14s; tolerance witness stays
+    "test_gemm_score.py::test_index_builds_auto_select_gemm_and_serve",  # 14s
+    "test_auto_select.py::test_index_builds_auto_train_cap",            # 13s; one auto_select witness stays
+    "test_ivfpq_index.py::test_codes_scan_is_partition_pruned",         # 11s
+    "test_ivfpq_index.py::test_adc_only_mode_reads_no_floats_and_ranks_sanely",  # 11s
+    "test_semantic_dedup.py::test_vectorized_score_bit_identical_to_expr",  # 11s; keep-set twin stays
+    "test_ivfpq_index.py::test_vectorized_build_is_searchable_and_complete",  # 10s; full-probe + rescore stay
+    "test_queries_oracle.py::test_query_matches_oracle[n20_dedup_clusters]",  # 9s; CC fast witnesses + driver sweep stay
+    "test_xlsx_dense.py::test_cluster_cap_travels_through_real_spark_read",  # 8s; unit cluster-cap witnesses stay
+    "test_similarity.py::test_blocked_bruteforce_ties_and_small_batches",  # 8s; other bruteforce witnesses stay
 }
 
 # The plan-pin sweep (tests/test_plans.py) builds the executed plan of the
