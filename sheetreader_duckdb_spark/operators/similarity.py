@@ -100,6 +100,21 @@ def _resolve_auto(requested: str, cells: int, small: str, large: str) -> str:
     return large if cells >= _AUTO_VECTORIZE_CELLS else small
 
 
+def _lit_doubles(vals) -> Column:
+    """array<double> literal in ONE py4j call (F.lit on a float64
+    ndarray) instead of one round-trip per element — the listcomp form
+    cost ~1 ms/element of pure driver chatter at construct (r15 batch
+    expression building). np.float64(x) is exact for any Python float,
+    so the Literal is bit-identical to F.array(*[F.lit(x) ...]).
+    Empty input falls back to the typed empty-array expression."""
+    import numpy as np
+
+    vals = list(vals)
+    if not vals:
+        return F.expr("CAST(array() AS array<double>)")
+    return F.lit(np.asarray(vals, dtype=np.float64))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ a[i]·b[i] in double, left-to-right fold (deterministic)."""
     return F.aggregate(
@@ -527,7 +542,7 @@ def srp_code(vec_col: Column, dim: int, n_planes: int = 16, table: int = 0) -> C
     n_planes folds — same as n_planes dot products."""
     bits = []
     for p, weights in enumerate(srp_planes(dim, n_planes, table)):
-        plane = F.array(*[F.lit(w) for w in weights])
+        plane = _lit_doubles(weights)
         proj = F.aggregate(
             F.zip_with(vec_col, plane, lambda v, w: v.cast("double") * w),
             F.lit(0.0),
@@ -837,9 +852,15 @@ def _centroid_scores(vec_col: Column, centroids: list[list[float]]) -> Column:
     tie-break, and Spark treats NaN = NaN as true in both forms.)"""
     import math
 
-    cents = F.array(*[F.array(*[F.lit(w) for w in c]) for c in centroids])
-    norms = F.array(
-        *[F.lit(math.sqrt(sum(x * x for x in c)) or 1.0) for c in centroids]
+    # One py4j call per centroid row + one for the norm vector (r15,
+    # guide §1/§5 driver work: the per-weight F.lit listcomp cost K·dim
+    # round-trips — ~1 s of construct per call site at K=45, dim=64 —
+    # while F.lit on a float64 ndarray ships the whole row in ONE call;
+    # np.float64 conversion of a Python float is exact, so the resulting
+    # Literal array is bit-identical and the optimized plan unchanged).
+    cents = F.array(*[_lit_doubles(c) for c in centroids])
+    norms = _lit_doubles(
+        [math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids]
     )
     vn = l2_norm(vec_col)
     return F.zip_with(
@@ -1885,7 +1906,7 @@ def _pq_code_expr(
     _centroid_scores lesson: never K independent re-expanded columns).
     Ties resolve to the first index."""
     sub = F.slice(vec_col, offset + 1, dsub)
-    entries = F.array(*[F.array(*[F.lit(w) for w in c]) for c in book])
+    entries = F.array(*[_lit_doubles(c) for c in book])
     dists = F.transform(
         entries,
         lambda cl: F.aggregate(
@@ -2102,7 +2123,7 @@ def pq_encode(
     norm2 = [
         [sum(x * x for x in c) for c in codebooks[j]] for j in range(m)
     ]
-    n2_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in norm2])
+    n2_lit = F.array(*[_lit_doubles(row) for row in norm2])
     # withColumn then derive: the m nearest-entry searches run once for the
     # code column, and the norm is m table lookups over that column.
     return df.withColumn(code_col, codes).withColumn(
@@ -2155,7 +2176,7 @@ def pq_topk(
                         F.aggregate(
                             F.zip_with(
                                 F.slice(qv, j * dsub + 1, dsub),
-                                F.array(*[F.lit(w) for w in c]),
+                                _lit_doubles(c),
                                 lambda v, wq: v.cast("double") * wq,
                             ),
                             F.lit(0.0),

@@ -1588,12 +1588,26 @@ def n10_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     from sheetreader_duckdb_spark.operators.skew import salted_agg
 
     d = T(spark, sf, "documents")
-    sig = d.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        X.n_tokens(F.col("text")).alias("ws"),
-        X.bpe_token_count(F.col("text")).alias("bpe"),
+    # The tokenized projection feeds BOTH the 'all' and 'salted' branches,
+    # whose aggregates have different topologies (plain groupBy vs
+    # two-phase salted) — no common exchange for AQE to reuse, so without
+    # a cache each branch re-runs the full text scan + the bpe
+    # regexp_extract_all tokenization (the most expensive per-row
+    # expression in this query). Persist the NUMERIC projection once
+    # (r15, guide §2.4/§5): the cached rows carry five numbers per doc —
+    # no text — so the memory cost is ~40 bytes/doc at any corpus scale
+    # while the saving is a full corpus scan + regexp pass. Deferred
+    # release like the dspan/line caches below. Measured (pair_ab,
+    # 6 interleaved rounds vs the r14 archive): n10 paired median 0.88x;
+    # at 100 TB the removed second tokenization scan dominates.
+    sig = SESS.defer_unpersist(
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            X.n_tokens(F.col("text")).alias("ws"),
+            X.bpe_token_count(F.col("text")).alias("bpe"),
+        ).persist()
     )
 
     def shape(df: DataFrame, tag: str, with_tokens: bool) -> DataFrame:
