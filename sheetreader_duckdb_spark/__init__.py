@@ -71,10 +71,13 @@ def _ship_package(spark) -> None:
         spark.sparkContext.addPyFile(zip_path)
         # Drop other app ids' keys while adding (ADVICE r14): a long-lived
         # process that cycles sessions would otherwise accumulate stale
-        # (appId, path) entries forever. A concurrent race can at worst
-        # double-ship the same artifact — harmless (addPyFile is
-        # idempotent for identical content-addressed paths).
-        _SHIPPED.intersection_update({k for k in _SHIPPED if k[0] == app_id})
+        # (appId, path) entries forever. Iterate a SNAPSHOT — iterating the
+        # live set while a concurrent configure_session adds to it raises
+        # "Set changed size during iteration" (r15 review). With the
+        # snapshot, a concurrent race can at worst double-ship the same
+        # artifact — harmless (addPyFile is idempotent for identical
+        # content-addressed paths).
+        _SHIPPED.intersection_update({k for k in set(_SHIPPED) if k[0] == app_id})
         _SHIPPED.add(key)
 
 

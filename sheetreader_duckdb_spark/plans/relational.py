@@ -28,6 +28,10 @@ from sheetreader_duckdb_spark.functions import (
 from sheetreader_duckdb_spark.plans import query
 from sheetreader_duckdb_spark.tables import T
 
+# h02b sink dirs registered for remove-at-exit (one per (tag, pid); the
+# guard set keeps atexit registrations from stacking across passes).
+_CTAS_CLEANUP: set = set()
+
 
 def _money_sum(col) -> F.Column:
     return F.sum(cents(col)) / 100.0
@@ -562,8 +566,17 @@ def h02b_ctas_sink(spark: SparkSession, sf: str) -> DataFrame:
     # pid-suffixed sink base (ADVICE r14): two h02b invocations in
     # different processes (pair workers, or pair_ab.py racing bench.py)
     # must not overwrite/read-back each other's sink dirs; within one
-    # process the path is stable so repeated passes reuse it.
+    # process the path is stable so repeated passes reuse it. The suffix
+    # turns the old overwrite-in-place into one dir PER PROCESS, so the
+    # process removes its own dir at exit (r15 review: bench/pytest/verify
+    # runs otherwise accumulate corpus-sized sinks until /tmp fills).
     base = f"/tmp/sheetreader_ctas/{tag}_{os.getpid()}"
+    if base not in _CTAS_CLEANUP:
+        import atexit
+        import shutil
+
+        _CTAS_CLEANUP.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     nil_d = F.lit(None).cast("double")
 

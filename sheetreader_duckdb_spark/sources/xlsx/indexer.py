@@ -424,8 +424,13 @@ def _analyze_interval(
     ncounts: dict = {}
     # Boolean VALUE counts per letter (r15, the `bt` section):
     # [n_true, n_false] over the interval's t="b" cells, truth decided
-    # exactly as the reader decodes (v.strip() in (b"1", b"true",
-    # b"TRUE")) — enables EqualTo/In pruning on BOOLEAN columns.
+    # exactly as the reader decodes: the vectorized path trims UNICODE
+    # whitespace (pc.utf8_trim_whitespace) before the {"1","true","TRUE"}
+    # test, and Python's str.strip() matches it on every BMP codepoint
+    # (swept exhaustively, r15 review — bytes.strip() does NOT: it is
+    # ASCII-only, so an NBSP-prefixed "true" counted false here while
+    # the reader decoded it True, and an EqualTo(True) probe pruned the
+    # row away). An undecodable payload withholds the column's claim.
     bcounts: dict = {}
     for letters, s_attr, t_attr, v in ms:
         if v and (not t_attr or t_attr == b"n"):
@@ -450,7 +455,13 @@ def _analyze_interval(
         elif v and t_attr == b"b":
             fam = 2
             bt = bcounts.setdefault(letters, [0, 0])
-            bt[0 if v.strip() in (b"1", b"true", b"TRUE") else 1] += 1
+            if bt is not None:
+                try:
+                    truth = v.decode("utf-8").strip() in ("1", "true", "TRUE")
+                except UnicodeDecodeError:
+                    bcounts[letters] = None  # unreproducible decode: no claim
+                else:
+                    bt[0 if truth else 1] += 1
         else:
             continue
         got = ncounts.setdefault(letters, [0, 0, 0, 0])
@@ -470,7 +481,7 @@ def _analyze_interval(
     # counts can never cause an unsound SKIP (the test is count == 0),
     # but a provably-duplicated column claims nothing anyway.
     for k, t in list(bcounts.items()):
-        if sum(t) > rows_in:
+        if t is not None and sum(t) > rows_in:
             bcounts[k] = None
     stats: dict = {}
     for letters, vals in per.items():

@@ -1491,7 +1491,17 @@ def _scan_chunk(
                     cells.append((col, T_STRING_REF, int(v)))
             elif t_attr == b"b":
                 if v:
-                    cells.append((col, T_BOOLEAN, v.strip() in (b"1", b"true", b"TRUE")))
+                    # Unicode strip, matching the vectorized reader's
+                    # pc.utf8_trim_whitespace (str.strip() is equivalent on
+                    # every BMP codepoint — swept, r15 review). bytes.strip()
+                    # is ASCII-only and decoded an NBSP-prefixed "true" as
+                    # False here while the vectorized path read True.
+                    cells.append((
+                        col,
+                        T_BOOLEAN,
+                        v.decode("utf-8", "replace").strip()
+                        in ("1", "true", "TRUE"),
+                    ))
             elif t_attr == b"e":
                 cells.append((col, T_ERROR, None))
             elif t_attr in (b"str", b"inlineStr"):

@@ -221,7 +221,9 @@ def encode_split_index(
     column LETTER maps to one entry per interval (or stride group), each
     ``None`` (no claim) or a trailing-zero-stripped ``[n_true, n_false]``
     over the interval's ``t="b"`` cells (truth per the reader's decode:
-    ``v.strip() in ("1", "true", "TRUE")``). The planner prunes
+    UNICODE-whitespace-stripped payload in ``("1", "true", "TRUE")`` —
+    str.strip(), which matches pc.utf8_trim_whitespace on every BMP
+    codepoint; NOT bytes.strip(), which is ASCII-only). The planner prunes
     ``EqualTo(col, v)`` / ``In`` on a BOOLEAN schema column when every
     requested value's count is 0 in the group (non-boolean cells decode
     NULL and never match EqualTo). Zero-counts stay exact under the

@@ -60,6 +60,47 @@ def _flag(i: int):
     return i >= N // 2
 
 
+# Unicode-whitespace payload decoys (r15 review, CONFIRMED silent row
+# loss): the reader trims UNICODE whitespace (pc.utf8_trim_whitespace)
+# before the {"1","true","TRUE"} truth test, so these decorated payloads
+# decode to the SAME values `_flag` assigns — but an ASCII-only author
+# (the old bytes.strip()) counted the decorated Trues as false, published
+# n_true=0 claims, and an EqualTo(True) pruned read silently dropped the
+# rows. Injecting them into the shared fixture makes EVERY bit-equality
+# test in this module a witness against that divergence.
+_WS_TRUE_PAYLOADS = {  # rows in the True half (truth stays True)
+    60_000: "\xa0true",      # NBSP (the review's repro)
+    90_000: " true",    # LINE SEPARATOR
+    119_999: "　TRUE",   # IDEOGRAPHIC SPACE
+}
+_WS_FALSE_PAYLOADS = {  # rows in the False half (truth stays False)
+    10_000: "​true",    # ZERO WIDTH SPACE is NOT whitespace: no trim,
+                             # no match → False (pins the no-over-trim side)
+}
+
+
+def _inject_ws_payloads(src: str) -> None:
+    import os
+
+    with zipfile.ZipFile(src) as zin:
+        names = zin.namelist()
+        blobs = {n: zin.read(n) for n in names}
+    body = blobs[SHEET].decode("utf-8")
+    for i, payload in {**_WS_TRUE_PAYLOADS, **_WS_FALSE_PAYLOADS}.items():
+        ref = f"B{i + 2}"  # header row 1
+        bit = "1" if _flag(i) else "0"
+        old = f'<c r="{ref}" t="b"><v>{bit}</v></c>'
+        new = f'<c r="{ref}" t="b"><v>{payload}</v></c>'
+        assert old in body, ref
+        body = body.replace(old, new, 1)
+    blobs[SHEET] = body.encode("utf-8")
+    tmp = src + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zout:
+        for n in names:
+            zout.writestr(n, blobs[n])
+    os.replace(tmp, src)
+
+
 @pytest.fixture(scope="module")
 def bool_xlsx(tmp_path_factory):
     d = tmp_path_factory.mktemp("bvstats")
@@ -69,6 +110,7 @@ def bool_xlsx(tmp_path_factory):
     for i in range(N):
         w.write_row([float(i), _flag(i), f"row-{i}"])
     w.close()
+    _inject_ws_payloads(src)
     p = _foreignize(src, str(d / "foreign.xlsx"))
     out = index_xlsx(p)
     assert out["indexed"] and out["worksheet_points"] >= 2
@@ -131,19 +173,41 @@ def test_bool_pruned_reads_bit_equal_and_actually_skip(
 ):
     unfiltered = _collect(bool_xlsx, [])
     assert len(unfiltered) == N
+    # The layout puts the False half in interval 0 (unskippable by
+    # design: it carries the header) plus the mixed boundary interval,
+    # so only the FALSE-side filters can prove skips here; the True-side
+    # filters must prune NOTHING (an over-prune would be unsound) while
+    # still returning exact rows.
     cases = [
-        ([EqualTo(("flag",), True)], lambda r: r[1] is True),
-        ([EqualTo(("flag",), False)], lambda r: r[1] is False),
-        ([In(("flag",), (True,))], lambda r: r[1] is True),
+        ([EqualTo(("flag",), True)], lambda r: r[1] is True, False),
+        ([EqualTo(("flag",), False)], lambda r: r[1] is False, True),
+        ([In(("flag",), (True,))], lambda r: r[1] is True, False),
+        ([In(("flag",), (False,))], lambda r: r[1] is False, True),
     ]
-    for filters, pred in cases:
-        spy = _Spy(monkeypatch)
-        got = sorted(_collect(bool_xlsx, filters), key=str)
+    for filters, pred, expect_skip in cases:
         want = sorted((r for r in unfiltered if pred(r)), key=str)
-        assert got == want, filters
         assert len(want) > 0
-        # half the file is provably the other value: intervals skip
-        assert spy.skipped > 0, (filters, vars(spy))
+        # Skip evidence vs an UNFILTERED baseline at the same shard
+        # count (r15 review: `skipped > 0` alone was vacuously true at
+        # threads=4 — shard non-assignment also yields work=None; and
+        # threads=1 bypasses the interval walk entirely). Pruning is
+        # proven by the filtered walk MATERIALIZING strictly fewer
+        # intervals than the baseline.
+        base = _Spy(monkeypatch)
+        assert len(_collect(bool_xlsx, [])) == N
+        base_mat, base_skip = base.materialized, base.skipped
+        assert base_mat > 0, vars(base)
+        # snapshot: spies chain (each wraps the previous wrapper), so
+        # `base` keeps counting during the filtered walk below
+        spy = _Spy(monkeypatch)
+        assert sorted(_collect(bool_xlsx, filters), key=str) == want, filters
+        if expect_skip:
+            # all-True intervals are provably empty of False: they skip
+            assert spy.materialized < base_mat, (filters, vars(spy))
+            assert spy.skipped > base_skip, (filters, vars(spy))
+        else:
+            # nothing is provably empty of True: exact same walk
+            assert spy.materialized == base_mat, (filters, vars(spy))
 
 
 def test_in_both_values_prunes_nothing_but_stays_correct(bool_xlsx):
@@ -269,3 +333,39 @@ def test_sink_author_writes_bt(spark, tmp_path):
     )
     got = _collect(part, [EqualTo(("flag",), True)], schema=schema)
     assert len(got) == 75_000 and all(r[1] is True for r in got)
+
+
+def test_unicode_whitespace_booleans_survive_pruning(bool_xlsx):
+    """The r15 review's confirmed repro, pinned: b-cells whose payload is
+    Unicode-whitespace-decorated 'true'/'TRUE' decode True (the reader
+    trims UNICODE whitespace), so the bt author must count them true — an
+    ASCII-only author published n_true=0 for their intervals and the
+    EqualTo(True) pruned read silently dropped the rows."""
+    trues = _collect(bool_xlsx, [EqualTo(("flag",), True)])
+    ids = {r[0] for r in trues}
+    for i in _WS_TRUE_PAYLOADS:
+        assert float(i) in ids, f"row {i} ({_WS_TRUE_PAYLOADS[i]!r}) pruned away"
+    falses = _collect(bool_xlsx, [EqualTo(("flag",), False)])
+    fids = {r[0] for r in falses}
+    for i in _WS_FALSE_PAYLOADS:
+        # ZERO WIDTH SPACE is not Unicode whitespace: no trim, no truth
+        assert float(i) in fids, f"row {i} must decode False"
+    assert not ids & fids
+
+
+def test_sequential_fallback_decodes_booleans_identically(
+    bool_xlsx, tmp_path
+):
+    """A stripped comment forces the un-indexed path; boolean decode
+    (including the Unicode-whitespace payloads) must match the indexed
+    read bit for bit — parser.py's byte fast path used ASCII-only
+    bytes.strip() until r15."""
+    import shutil
+
+    p = str(tmp_path / "stripped.xlsx")
+    shutil.copy(bool_xlsx, p)
+    with zipfile.ZipFile(p, "a") as zf:
+        zf.comment = b""
+    got = sorted(_collect(p, [], threads=1), key=str)
+    want = sorted(_collect(bool_xlsx, [], threads=1), key=str)
+    assert got == want
