@@ -133,11 +133,18 @@ root, sf_dir, cpus = sys.argv[1], sys.argv[2], sys.argv[3]
 names = json.loads(sys.argv[4])
 sys.path.insert(0, root)
 from pyspark.sql import SparkSession
-spark = (SparkSession.builder.master("local[" + cpus + "]")
-         .appName("sheetreader-bench-pair")
-         .config("spark.sql.shuffle.partitions", cpus)
-         .config("spark.driver.memory", "16g")
-         .config("spark.ui.enabled", "false").getOrCreate())
+builder = (SparkSession.builder.master("local[" + cpus + "]")
+           .appName("sheetreader-bench-pair")
+           .config("spark.sql.shuffle.partitions", cpus)
+           .config("spark.driver.memory", "16g")
+           .config("spark.ui.enabled", "false"))
+try:  # the TREE under test supplies its static confs (absent in old trees)
+    from sheetreader_duckdb_spark.session import static_builder_confs
+    for _k, _v in static_builder_confs().items():
+        builder = builder.config(_k, _v)
+except Exception:
+    pass
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 from sheetreader_duckdb_spark.session import configure_session
 from sheetreader_duckdb_spark.plans import all_queries
@@ -653,14 +660,21 @@ def main() -> None:
     from sheetreader_duckdb_spark.session import configure_session
     from sheetreader_duckdb_spark.plans import all_queries
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("sheetreader-bench")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .getOrCreate()
     )
+    # Engine-level static confs (codegen class-cache sizing): part of the
+    # engine posture under test, applied by every session builder of this
+    # package — see session.static_builder_confs for the measurements.
+    from sheetreader_duckdb_spark.session import static_builder_confs
+
+    for _k, _v in static_builder_confs().items():
+        builder = builder.config(_k, _v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     configure_session(spark)
     corpus = all_queries()

@@ -21,6 +21,31 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def static_builder_confs() -> dict:
+    """Static (pre-JVM) confs every session builder of this engine should
+    apply — settable only at SparkSession build time, so ``configure_session``
+    cannot retrofit them onto an externally-built session.
+
+    ``spark.sql.codegen.cache.maxEntries`` (default 100): the compiled
+    generated-class cache. This engine's declared corpus is ~950 distinct
+    whole-stage/expression codegen units per bench pass (n10 alone plans 131
+    exchanges), so the default cache THRASHES end-to-end — every pass
+    re-Janino-compiles ~everything it compiled the pass before (measured:
+    ~950 recompiles/pass at ~7 ms mean = ~7 s of pure driver compile time
+    per pass; raising the cap leaves 18–82/pass). 10000 entries of compiled
+    classes cost tens of MB of driver metaspace — noise against the memory
+    a driver needs anyway — and the value is workload-shaped (number of
+    distinct operators run per process), not cluster-shaped, so one default
+    serves local[32] and a production driver alike. Env-overridable for
+    memory-constrained drivers.
+    """
+    return {
+        "spark.sql.codegen.cache.maxEntries": os.environ.get(
+            "SPARK_GRAFT_CODEGEN_CACHE", "10000"
+        ),
+    }
+
+
 # -- deferred cache release ---------------------------------------------------
 #
 # Operators that persist an intermediate (the global-ranking range shuffle,
@@ -122,6 +147,8 @@ def get_spark(app_name: str = "sheetreader-spark", shuffle_partitions: int | Non
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in static_builder_confs().items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return spark
 
