@@ -28,14 +28,18 @@ def main() -> None:
     from sheetreader_duckdb_spark.session import configure_session
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("profile-curate")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    from sheetreader_duckdb_spark.session import static_builder_confs
+
+    for _k, _v in static_builder_confs().items():
+        builder = builder.config(_k, _v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     configure_session(spark)
 
